@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of a noop-cached
+result would hide exchange costs, so we use a cheap but complete action:
+``df.write.format("noop")`` semantics via count on the final plan).
+One shared SparkSession; first a warmup to amortize JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from builder_spark.registry import load_all  # noqa: E402
+from builder_spark.session import get_spark  # noqa: E402
+
+#: Headline queries: one per heavy operator family — scan-heavy agg,
+#: multi-way join, window, set op, dedup, vector search, sessionization.
+HEADLINE = [
+    "q_agg_group",
+    "q_agg_condsum",
+    "q_join_multi",
+    "q_join_asof",
+    "q_window_topk_group",
+    "q_union_distinct",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_cosine_topk",
+    "q_win_session",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("builder-spark-bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warmup: JVM, codegen, parquet footer cache
+    registry["q_agg_group"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.count()  # full pipeline materialization (AQE-final plan)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

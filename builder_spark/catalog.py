@@ -1,0 +1,52 @@
+"""Table loader for the test-data star schema (FIXTURES.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. The only
+table needing normalization is ``events``: its ``ts`` column is parquet
+TIMESTAMP(NANOS), which Spark reads (under ``nanosAsLong=true``) as
+bigint nanoseconds. We convert to ``timestamp_ntz`` by exact integer
+division to microseconds (``ts DIV 1000`` — never float division: epoch
+nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range, so ``ts/1000``
+via double would corrupt low microsecond digits). DuckDB truncates
+ns→µs the same way, so both engines agree to the microsecond.
+
+Scale note: readers accept directories/globs, so at 100 TB the same
+loader reads partitioned datasets; filters and column pruning push down
+to the parquet scan because nothing here materializes or collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.session import apply_runtime_confs
+
+#: Grading tables, pre-registered as DuckDB views by the driver.
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing events.ts → timestamp_ntz."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # exact ns→µs integer division; see module docstring
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,69 @@
+"""Differential test: every registered query vs its DuckDB oracle at
+sf0.001 (fast). The driver repeats this at sf0.01; tools/check.py is the
+manual knob for other scale factors."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from builder_spark.catalog import TABLES
+from builder_spark.registry import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon_val(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v:.6f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return "t:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    return "s:" + str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_DIR)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if q.oracle is None:
+        assert s_rows is not None  # rows-only: it ran and returned a result
+        return
+    res = duck.execute(q.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert canon_rows(sdf.columns, s_rows) == canon_rows(d_cols, d_rows)

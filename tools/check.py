@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate.
+
+Runs each registered query's PySpark impl and DuckDB oracle at sf0.01
+and compares: column-name set, row count, and an order-insensitive
+canonical-value multiset (stricter than a hash — shows the first
+diffing row). Queries without an oracle get a rows-only check.
+
+Usage: python tools/check.py [query ...]   # no args = all
+       python tools/check.py --sf /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from builder_spark.catalog import TABLES  # noqa: E402
+from builder_spark.registry import load_all  # noqa: E402
+from builder_spark.session import get_spark  # noqa: E402
+
+
+def canon_val(v) -> str:
+    """Canonical string for one value; float formatting absorbs sub-1e-6
+    representation noise (queries already round(·,4) on both sides)."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        if math.isinf(v):
+            return f"f:{'+' if v > 0 else '-'}inf"
+        return f"f:{v:.6f}"
+    if isinstance(v, str):
+        return "s:" + v
+    if isinstance(v, datetime.datetime):
+        return "t:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon_val(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    try:  # numpy scalars etc.
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return f"i:{int(v)}"
+        if isinstance(v, np.floating):
+            return canon_val(float(v))
+        if isinstance(v, np.ndarray):
+            return canon_val(list(v))
+    except ImportError:
+        pass
+    return "o:" + repr(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    spark = get_spark("builder-spark-check")
+    registry = load_all()
+    names = args.names or list(registry)
+    n_pass = n_fail = 0
+    for name in names:
+        q = registry[name]
+        try:
+            sdf = q.fn(spark, args.sf)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+            if cs != cd:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(cs, cd)) if a != b), len(cs) - 1
+                )
+                problems.append(
+                    f"values differ at sorted-row {diff}:\n  spark={cs[diff]}\n  duck ={cd[diff]}"
+                )
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows hash-match")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)} checked")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
