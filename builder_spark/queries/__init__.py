@@ -13,7 +13,17 @@ Module map (SURVEY.md §2.B rows):
 
 from builder_spark.queries import relational  # noqa: F401
 
-for _mod in ("grouping", "window", "scalar", "subquery", "llmdata", "winbatch", "udf"):
+for _mod in (
+    "joins",
+    "setops",
+    "grouping",
+    "window",
+    "scalar",
+    "subquery",
+    "llmdata",
+    "winbatch",
+    "udf",
+):
     try:  # modules land incrementally; missing ones are not an error mid-build
         __import__(f"builder_spark.queries.{_mod}")
     except ImportError:

@@ -1,0 +1,258 @@
+"""Join operators — SURVEY.md §2.B rows 17-26.
+
+Scale posture: dimension tables (region/nation/customer/part/supplier)
+are broadcast — either by Catalyst's size estimate or an explicit
+``F.broadcast`` hint — so the fact-table side never shuffles for them.
+The one genuinely non-equi join (theta) carries an equi prefix
+(p_brand) so it plans as a hash/sort-merge join with a residual range
+filter, not a nested-loop cross product. The as-of join is the
+window-rewrite documented in SURVEY.md §2 row 25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    category="join",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    category="join",
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join (TPC-H Q5 shape). The region filter reaches the
+    region scan (predicate pushdown) and the dim chain broadcasts, so
+    the only shuffle is the final small group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    category="join",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a null-producing side (customers without orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+        WITH buyers AS (
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        ),
+        rich AS (
+            SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+            FROM customer WHERE c_acctbal > 8000
+        )
+        SELECT o_custkey, n_orders, c_custkey, acctbal
+        FROM buyers FULL JOIN rich ON o_custkey = c_custkey
+    """,
+    category="join",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join producing nulls on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    rich = c.filter(F.col("c_acctbal") > 8000).select(
+        "c_custkey", F.round(F.col("c_acctbal"), 4).alias("acctbal")
+    )
+    return buyers.join(rich, buyers.o_custkey == rich.c_custkey, "full").select(
+        "o_custkey", "n_orders", "c_custkey", "acctbal"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    category="join",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with ≥1 big order. Semi joins never duplicate
+    the left side, so no post-join distinct (and no extra shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    category="join",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+        SELECT a.p_brand AS brand, count(*) AS n_pairs,
+               round(avg(b.p_size - a.p_size), 4) AS avg_gap
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+         AND a.p_size < b.p_size
+         AND b.p_size <= a.p_size + 2
+        GROUP BY a.p_brand
+    """,
+    category="join",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join. The equi prefix on p_brand keeps this a
+    hash join with a residual range predicate — NOT a nested-loop cross
+    product — so it scales with per-brand group size, not n²."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_brand").alias("brand"), F.col("p_size").alias("size_a"))
+    b = p.select(F.col("p_brand").alias("brand_b"), F.col("p_size").alias("size_b"))
+    return (
+        a.join(
+            b,
+            (a.brand == b.brand_b)
+            & (a.size_a < b.size_b)
+            & (b.size_b <= a.size_a + 2),
+        )
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.col("size_b") - F.col("size_a")), 4).alias("avg_gap"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    category="join",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint — physical-only, results identical."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+        FROM cand WHERE rn = 1
+    """,
+    category="join",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (row 25): per event, the latest order at-or-before the
+    event timestamp for that user. Spark has no native ASOF, so this is
+    the candidate-join + row_number rewrite: the equi key (user_id)
+    drives a normal shuffled/broadcast join, the range predicate prunes
+    candidates, and a per-event window keeps the newest. Deterministic
+    ties: (o_orderdate, o_orderkey) DESC. At 100 TB the equi key bounds
+    the fan-out; for dense keys, bucket both sides on the key and
+    range-partition within buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    cand = ev.join(
+        o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+        SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    category="join",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")

@@ -1,0 +1,220 @@
+"""Window functions — SURVEY.md §2.B rows 27-33.
+
+Determinism discipline: every ORDER BY inside a window carries a
+unique tie-break key (o_orderkey / event_id / c_custkey), and large
+running sums use integer domains (floor→bigint) because engines may
+accumulate window sums in different tree orders — integer sums are
+exact, double sums are not (SURVEY.md §2 conventions).
+
+Scale: a window over partitionBy(K) shuffles once on K; frames are
+computed streaming within each sorted partition. Skewed K (one user
+with billions of rows) is the hazard — mitigate upstream via salting
+or pre-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    category="window",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "q_window_topk_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+        ) <= 3
+    """,
+    category="window",
+)
+def q_window_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. The rank filter is pushed into the
+    window operator by Spark's InferWindowGroupLimit rule, so each
+    partition keeps only 3 rows during the sort — the grouped top-k
+    pattern that scales."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               round(value - coalesce(lag(value) OVER w, 0), 4) AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    category="window",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias(
+            "delta"
+        ),
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_spend,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_so_far
+        FROM orders
+    """,
+    category="window",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum on an integer domain (floor→bigint): engines may sum
+    window frames in different orders; integer addition is associative,
+    double addition is not."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spend_int = F.floor(F.col("o_totalprice")).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(spend_int).over(w).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "q_window_moving",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS mov_avg_7
+        FROM events
+    """,
+    category="window",
+)
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg_7"),
+    )
+
+
+@register(
+    "q_window_range",
+    oracle="""
+        SELECT p_brand, p_partkey, p_size,
+               sum(CAST(floor(p_retailprice) AS BIGINT)) OVER (
+                   PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS near_size_spend
+        FROM part
+    """,
+    category="window",
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: all rows whose p_size is within [size-2, size] —
+    peers included regardless of row position. Integer sum for parity."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size")).rangeBetween(-2, 0)
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.sum(F.floor(F.col("p_retailprice")).cast("bigint")).over(w).alias(
+            "near_size_spend"
+        ),
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cdist
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    category="window",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpartitioned window — single-partition sort. Fine for a 1500-row
+    dim; on a fact table you'd bucket by a partition key first (this is
+    inherently a global order statistic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
