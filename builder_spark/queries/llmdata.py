@@ -1,0 +1,311 @@
+"""LLM training-data pipeline operators — SURVEY.md §2.B rows 52-58
+plus the text-analysis battery (token counting, quality scoring,
+fingerprinting) from the north-star mandate.
+
+Thin wrappers over builder_spark.operators / builder_spark.functions;
+see those modules for the scale design. Oracles replicate the exact
+double-precision math (DuckDB list_zip + DOUBLE casts ↔ Spark
+zip_with + aggregate), so similarity scores hash-match bit-for-bit
+after round(·,4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.functions.text import fingerprint_md5, token_stats, tokens
+from builder_spark.operators.dedup import jaccard_pairs, minhash_near_dupes
+from builder_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dupes,
+    knn_majority_label,
+)
+from builder_spark.registry import register
+
+# DuckDB double-precision cosine, shared by the vector oracles
+_DD_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_DD_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    category="llm-dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text, keep min doc_id. At 100 TB dedup on
+    md5(text) so the shuffle key is 16 bytes, not the document."""
+    from builder_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, key="text", order_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q_dedup_fingerprint",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(text) AS fp_exact,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
+            FROM documents
+        )
+        SELECT doc_id, fp_exact, fp_bow,
+               count(*) OVER (PARTITION BY fp_bow) AS bow_group_size
+        FROM fp
+    """,
+    category="llm-dedup",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of raw text (exact identity) and of
+    the sorted word set (order-insensitive bag-of-words identity).
+    md5 is identical across engines, unlike xxhash/murmur."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_exact"),
+        fingerprint_md5("text", normalized=True).alias("fp_bow"),
+    )
+    w = Window.partitionBy("fp_bow")
+    return fp.withColumn("bow_group_size", F.count(F.lit(1)).over(w))
+
+
+@register("q_dedup_fuzzy", oracle=None, category="llm-dedup")
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection (rows-only: LSH banding isn't
+    SQL-expressible in DuckDB; the exact-Jaccard twin q_jaccard_pairs
+    is the graded equivalent). Deterministic: fixed hash constants,
+    no RNG — same candidates on every run and cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dupes(d, "doc_id", "text", threshold=0.4, k=16, bands=8)
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id AS _id, unnest(list_distinct(string_split(text, ' '))) AS _w
+            FROM documents
+        ),
+        sizes AS (SELECT _id, count(*) AS _sz FROM tok GROUP BY _id),
+        inter AS (
+            SELECT a._id AS id_a, b._id AS id_b, count(*) AS _inter
+            FROM tok a JOIN tok b ON a._w = b._w AND a._id < b._id
+            GROUP BY a._id, b._id
+        )
+        SELECT id_a, id_b,
+               round(_inter / CAST(sa._sz + sb._sz - _inter AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa._id = id_a
+        JOIN sizes sb ON sb._id = id_b
+        WHERE round(_inter / CAST(sa._sz + sb._sz - _inter AS DOUBLE), 4) >= 0.6
+    """,
+    category="llm-dedup",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.6 (graded twin of the LSH pipeline).
+    Candidate generation is a common-token join — at scale this runs
+    only on LSH candidates (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", threshold=0.6)
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.q_id, e.vec_id,
+                   {_DD_DOT.format(a="q.q_emb", b="e.embedding")}
+                   / ({_DD_NORM.format(v="q.q_emb")} * {_DD_NORM.format(v="e.embedding")}) AS sim
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, round(sim, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM pairs
+        QUALIFY rank <= 5
+    """,
+    category="llm-similarity",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors. The
+    query side broadcasts; candidates stream past it once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@register(
+    "q_knn_label",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 50),
+        c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 50),
+        pairs AS (
+            SELECT q.q_id, c.vec_id, c.label,
+                   {_DD_DOT.format(a="q.q_emb", b="c.embedding")}
+                   / ({_DD_NORM.format(v="q.q_emb")} * {_DD_NORM.format(v="c.embedding")}) AS sim
+            FROM q, c
+        ),
+        topk AS (
+            SELECT q_id, label FROM pairs
+            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) <= 5
+        ),
+        votes AS (SELECT q_id, label, count(*) AS n_votes FROM topk GROUP BY q_id, label)
+        SELECT q_id, label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label ASC) = 1
+    """,
+    category="llm-similarity",
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority label: queries = vec_id<50, candidates = rest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_majority_label(
+        e.filter(F.col("vec_id") < 50), e.filter(F.col("vec_id") >= 50), k=5
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding, {_DD_NORM.format(v="embedding")} AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DD_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round({_DD_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) >= 0.3
+    """,
+    category="llm-similarity",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3 — the fixture
+    vectors are near-orthogonal, max pair sim ≈ 0.51)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(e, threshold=0.3)
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               round(avg(len(list_distinct(string_split(text, ' ')))), 4) AS avg_distinct_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+        F.round(F.avg(F.size(F.array_distinct(toks))), 4).alias("avg_distinct_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+                   list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS DOUBLE)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               round(distinct_ratio, 4) AS distinct_ratio,
+               round(mean_word_len, 4) AS mean_word_len,
+               round(0.5 * distinct_ratio + 0.5 * least(n_tokens / 50.0, 1.0), 4) AS quality,
+               CAST(0.5 * distinct_ratio + 0.5 * least(n_tokens / 50.0, 1.0) < 0.6 AS INT) AS is_low_quality
+        FROM s
+    """,
+    category="llm-text",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring from cheap signals (token count,
+    repetition ratio, mean word length) — the filter stage of a
+    training-data pipeline. Pure expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    st = token_stats("text")
+    quality = 0.5 * st["distinct_ratio"] + 0.5 * F.least(
+        st["n_tokens"] / F.lit(50.0), F.lit(1.0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        st["n_tokens"].alias("n_tokens"),
+        F.round(st["distinct_ratio"], 4).alias("distinct_ratio"),
+        F.round(st["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(quality, 4).alias("quality"),
+        (quality < 0.6).cast("int").alias("is_low_quality"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(string_split_regex(text, '[^a-z0-9]+')) AS n_regex_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    category="llm-text",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex pre-tokenization,
+    and the chars/4 BPE estimate used for quick corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.split("text", "[^a-z0-9]+")).alias("n_regex_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "q_multimodal_cols",
+    oracle=f"""
+        SELECT lang, label,
+               count(*) AS n,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg({_DD_NORM.format(v="embedding")}), 4) AS avg_l2_norm
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY lang, label
+    """,
+    category="llm-multimodal",
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector + label in one table (documents⨝embeddings) with
+    per-(lang,label) stats — the multimodal-column join pattern."""
+    from builder_spark.functions.vectors import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    return joined.groupBy("lang", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(l2_norm("embedding")), 4).alias("avg_l2_norm"),
+    )
