@@ -28,3 +28,5 @@ for _mod in (
         __import__(f"builder_spark.queries.{_mod}")
     except ImportError:
         pass
+
+import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register here)

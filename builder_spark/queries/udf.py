@@ -1,0 +1,187 @@
+"""UDF surface + sinks — SURVEY.md §2.B rows 65-70.
+
+These queries exist to prove the UDF machinery itself (row UDF, Arrow
+pandas UDF, grouped-agg UDF, grouped-map applyInPandas, Python UDTF,
+and the parquet sink roundtrip). Everywhere ELSE in this engine the
+same logic would be a built-in expression — UDFs are the slow path
+(row UDFs serialize per row; pandas UDFs amortize via Arrow batches,
+~10-100× better; built-ins stay in codegen entirely).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+        SELECT c_custkey, reverse(replace(lower(c_name), ' ', '-')) AS normalized
+        FROM customer
+    """,
+    category="udf",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (deliberately — this op demonstrates the
+    slow path; the oracle shows it is trivially SQL-expressible)."""
+
+    @F.udf("string")
+    def normalize(s: str) -> str:
+        return s.lower().replace(" ", "-")[::-1] if s is not None else None
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", normalize("c_name").alias("normalized"))
+
+
+@register(
+    "q_pandas_udf",
+    oracle="""
+        SELECT event_id, round(value * 2 + 1, 4) AS scored
+        FROM events
+    """,
+    category="udf",
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF — Arrow batches, NumPy arithmetic."""
+
+    @pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        return (v * 2 + 1).round(4)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", score("value").alias("scored"))
+
+
+@register(
+    "q_grouped_agg_udf",
+    oracle="""
+        SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    category="udf",
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: geometric mean per priority
+    (exp∘mean∘log — SQL-expressible, so the oracle can check it)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.round(np.exp(np.log(v.to_numpy()).mean()), 4))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(geo_mean("o_totalprice").alias("geo_mean"))
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+        SELECT event_id, user_id,
+               round(coalesce(
+                   (value - avg(value) OVER (PARTITION BY user_id))
+                   / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+                   0.0), 4) AS z
+        FROM events
+    """,
+    category="udf",
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score normalization. Each
+    user's rows arrive as one pandas DataFrame (Arrow). Degenerate
+    groups (stddev 0 or undefined) normalize to 0 on both sides."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mu = pdf["value"].mean()
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series(0.0, index=pdf.index)
+        else:
+            z = (pdf["value"] - mu) / sd
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id bigint, user_id bigint, z double"
+    )
+
+
+@udtf(returnType="bigram: string")
+class CharBigrams:
+    """Python UDTF (Spark 4): explode a string into character bigrams."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text:
+            for i in range(len(text) - 1):
+                yield (text[i : i + 2],)
+
+
+@register(
+    "q_python_udtf",
+    oracle="""
+        SELECT bigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(
+                       list_transform(string_split(text, ''), (c, i) -> substr(text, i, 2)),
+                       s -> length(s) = 2)) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+    """,
+    category="udf",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: one input row → many output rows
+    (char bigrams), then a plain aggregate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("char_bigrams", CharBigrams)
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS n
+        FROM documents d, LATERAL char_bigrams(d.text) b
+        GROUP BY b.bigram
+        """
+    )
+
+
+@register(
+    "q_write_roundtrip",
+    oracle="""
+        SELECT year(o_orderdate) AS o_year,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY year(o_orderdate)
+    """,
+    category="sink",
+)
+def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink roundtrip: write orders partitioned by
+    year, read back, aggregate. The oracle aggregates the ORIGINAL
+    table — proving the sink is lossless (including the partition
+    column's value-to-directory-to-value trip)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_roundtrip")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Structured Streaming jobs over the events table.
+
+Pattern: file source (schema pinned from a batch read) → event-time
+transformations with watermarks → memory sink via Trigger.AvailableNow
+→ return the sink table as a DataFrame. Fresh checkpoint per run makes
+results reproducible (no resumed state).
+
+Scale posture: the same plans run unchanged against a real stream
+(Kafka source / parquet sink with exactly-once via checkpointing);
+state size is bounded by the watermark — an unbounded-state streaming
+agg is a bug, not a feature.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+from builder_spark.session import apply_runtime_confs
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (schema pinned, ts normalized).
+
+    The file stream source wants a directory to monitor, but the
+    fixture is a single file — stage a symlink dir (no data copy).
+    """
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bs_stream_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sdf = spark.readStream.schema(batch_schema).parquet(stage)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return sdf
+
+
+def run_stream_to_df(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str
+) -> DataFrame:
+    """Run to completion (availableNow) into a memory sink; return it."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"bs_ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("q_stream_tumbling", oracle=None, category="streaming")
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling counts with a 10-minute watermark.
+    Batch twin (graded): q_win_tumbling."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register("q_stream_dedup", oracle=None, category="streaming")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark window —
+    state expires once the watermark passes (bounded memory)."""
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_stream_to_df(spark, deduped.select("event_id", "ts", "user_id"), "append")
+
+
+@register("q_stream_late", oracle=None, category="streaming")
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics demo: three ordered micro-batches (recent
+    data, mid-range data, then day-1 stragglers). Append mode enforces
+    the watermark, which empirically takes effect one batch after the
+    max event time that produced it — so the day-1 stragglers in batch
+    3 are dropped by the watermark batch 1 established. The emitted
+    daily counts contain NO day-1 bucket, and the final (still-open)
+    day is withheld. Complete mode would NOT show this: watermarks
+    don't drop state there."""
+    src = load_table(spark, sf_dir, "events")
+    day1 = F.col("ts") < F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    mid = ~day1 & (F.col("ts") < F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+    stage = os.path.join(tempfile.gettempdir(), "bs_late_demo")
+    shutil.rmtree(stage, ignore_errors=True)
+    # file names order the micro-batches: newest data first, stragglers last
+    src.filter(~day1 & ~mid).coalesce(1).write.parquet(os.path.join(stage, "b0_recent"))
+    src.filter(mid).coalesce(1).write.parquet(os.path.join(stage, "b1_mid"))
+    src.filter(day1).coalesce(1).write.parquet(os.path.join(stage, "b2_late"))
+
+    schema = spark.read.parquet(os.path.join(stage, "b0_recent")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/*/")
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day_start"), "n")
+    )
+    return run_stream_to_df(spark, agg, "append")
