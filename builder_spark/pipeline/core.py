@@ -1,0 +1,436 @@
+"""Pipeline framework core: targets, expanders, jobs, build graph,
+executors.
+
+Semantics mirrored from the reference (all citations public-repo
+symbols, SURVEY.md §0/§2.A):
+- staleness  (pub:builder/jobs.py::JobState.get_stale): a job is stale
+  if any declared target is missing, or any existing target is older
+  than the newest existing dependency.
+- buildability (pub:builder/deps.py): ``depends`` requires ALL inputs
+  to exist; ``depends_one_or_more`` requires ≥1.
+- should-run (pub:builder/jobs.py::JobState.get_should_run):
+  stale ∧ buildable ∧ ¬within-cache_time ∧ curfew-allows.
+- execution (pub:builder/execution.py::ExecutionManager): pop runnable
+  jobs in topological order, dispatch to an executor, retry failures
+  up to ``retries``, re-evaluate downstream state after completion.
+
+Scale notes: freshness checks are driver-side metadata ops (mtime /
+_SUCCESS markers) — no data reads. Targets are directories, so a
+"partition" can be any size; jobs write with dynamic partition
+overwrite so a re-run replaces exactly its own time slice.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob as globlib
+import os
+import time
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import networkx as nx
+
+# ---------------------------------------------------------------------------
+# time utilities (pub:builder/util.py::convert_to_timedelta)
+
+_UNITS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "week": 604800, "weeks": 604800,
+}
+
+
+def convert_to_timedelta(spec: str | timedelta) -> timedelta:
+    """'5min' / '1 day' / '2h' → timedelta."""
+    if isinstance(spec, timedelta):
+        return spec
+    s = spec.strip().lower().replace(" ", "")
+    i = 0
+    while i < len(s) and (s[i].isdigit() or s[i] == "."):
+        i += 1
+    num, unit = s[:i] or "1", s[i:]
+    if unit not in _UNITS:
+        raise ValueError(f"unknown time unit in {spec!r}")
+    return timedelta(seconds=float(num) * _UNITS[unit])
+
+
+# ---------------------------------------------------------------------------
+# targets (pub:builder/targets.py::Target, LocalFileSystemTarget,
+# GlobLocalFileSystemTarget)
+
+
+@dataclass(frozen=True)
+class Target:
+    """An artifact with identity and freshness.
+
+    ``unexpanded_id`` is the pattern it came from; ``unique_id`` the
+    concrete path (possibly a glob). A Spark parquet directory counts
+    as existing when it has a _SUCCESS marker or any data file.
+    """
+
+    unique_id: str
+    unexpanded_id: str = ""
+    start: datetime | None = None
+
+    def _paths(self) -> list[str]:
+        if any(ch in self.unique_id for ch in "*?["):
+            return globlib.glob(self.unique_id)
+        return [self.unique_id] if os.path.exists(self.unique_id) else []
+
+    @property
+    def exists(self) -> bool:
+        for p in self._paths():
+            if os.path.isdir(p):
+                entries = os.listdir(p)
+                if "_SUCCESS" in entries or any(
+                    e.endswith(".parquet") or e.endswith(".csv") or e.endswith(".json")
+                    for e in entries
+                ):
+                    return True
+            else:
+                return True
+        return False
+
+    def get_mtime(self) -> float | None:
+        """Newest mtime across matched files (None if nothing exists)."""
+        best: float | None = None
+        for p in self._paths():
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        m = os.path.getmtime(os.path.join(root, f))
+                        best = m if best is None else max(best, m)
+            else:
+                m = os.path.getmtime(p)
+                best = m if best is None else max(best, m)
+        return best
+
+
+# ---------------------------------------------------------------------------
+# expanders (pub:builder/expanders.py::Expander, TimestampExpander)
+
+
+class TimestampExpander:
+    """Expand a strftime-formatted path pattern over a time range.
+
+    expand('/data/events/%Y-%m-%d', start, end, '1 day') → one Target
+    per day bucket in [start, end). Buckets are aligned by stepping
+    from ``start`` — matching partitionBy layout keeps Catalyst's
+    partition pruning exact.
+    """
+
+    @staticmethod
+    def expand_range(start: datetime, end: datetime, step: str | timedelta) -> list[datetime]:
+        dt = convert_to_timedelta(step)
+        out, cur = [], start
+        while cur < end:
+            out.append(cur)
+            cur = cur + dt
+        return out
+
+    @classmethod
+    def expand(
+        cls, pattern: str, start: datetime, end: datetime, step: str | timedelta
+    ) -> list[Target]:
+        return [
+            Target(unique_id=t.strftime(pattern), unexpanded_id=pattern, start=t)
+            for t in cls.expand_range(start, end, step)
+        ]
+
+    @staticmethod
+    def infer_step(pattern: str, default: timedelta) -> timedelta:
+        """Finest strftime directive in the pattern → natural bucket size.
+
+        A daily job depending on hourly files must expand the dep pattern
+        at hourly steps to see all 24 inputs (pub:builder/expanders.py —
+        each dependency expands at its own file_step granularity).
+        """
+        if "%S" in pattern:
+            return timedelta(seconds=1)
+        if "%M" in pattern:
+            return timedelta(minutes=1)
+        if "%H" in pattern:
+            return timedelta(hours=1)
+        if "%d" in pattern or "%j" in pattern:
+            return min(default, timedelta(days=1))
+        return default
+
+
+# ---------------------------------------------------------------------------
+# jobs (pub:builder/jobs.py::Job, JobState)
+
+
+@dataclass
+class BuildContext:
+    """Everything a job run needs (the reference's build_context dict +
+    command templating inputs, minus the shell)."""
+
+    spark: object
+    start: datetime
+    end: datetime
+    dep_paths: dict[str, list[str]]  # dep pattern → existing concrete paths
+    target_path: str
+
+
+@dataclass
+class Job:
+    """A unit of work producing time-partitioned targets.
+
+    ``run(ctx)`` returns a DataFrame (written by the executor to
+    ctx.target_path) or None if it wrote its own outputs. This replaces
+    the reference's get_command() shell rendering — the "command" is a
+    parameterized Spark plan.
+    """
+
+    name: str
+    run: Callable[[BuildContext], object]
+    targets: str = ""  # strftime pattern
+    depends: list[str] = field(default_factory=list)  # ALL must exist
+    depends_one_or_more: list[str] = field(default_factory=list)  # ≥1 must exist
+    file_step: str = "1 day"
+    cache_time: str | None = None  # don't re-run within this window
+    curfew: tuple[int, int] | None = None  # allowed wall-clock hour range [lo, hi)
+    retries: int = 0
+
+
+@dataclass
+class ConcreteJob:
+    """A job expanded for one time bucket."""
+
+    job: Job
+    start: datetime
+    end: datetime
+    target: Target
+    dep_targets: dict[str, list[Target]]
+    dep_mode: dict[str, str]  # pattern → 'all' | 'any'
+
+    @property
+    def unique_id(self) -> str:
+        return f"{self.job.name}@{self.start.isoformat()}"
+
+    # --- state predicates (pub:builder/jobs.py::JobState) ---
+
+    def get_buildable(self) -> bool:
+        for pat, tgts in self.dep_targets.items():
+            existing = [t for t in tgts if t.exists]
+            if self.dep_mode[pat] == "all" and len(existing) != len(tgts):
+                return False
+            if self.dep_mode[pat] == "any" and not existing:
+                return False
+        return True
+
+    def get_stale(self) -> bool:
+        if not self.target.exists:
+            return True
+        t_mtime = self.target.get_mtime() or 0.0
+        for tgts in self.dep_targets.values():
+            for d in tgts:
+                if d.exists and (d.get_mtime() or 0.0) > t_mtime:
+                    return True
+        return False
+
+    def get_should_run(self, now: float | None = None, force: bool = False) -> bool:
+        now = time.time() if now is None else now
+        if self.job.curfew is not None:
+            lo, hi = self.job.curfew
+            hour = datetime.fromtimestamp(now).hour
+            if not (lo <= hour < hi):
+                return False
+        if force:
+            return self.get_buildable()
+        if not (self.get_stale() and self.get_buildable()):
+            return False
+        if self.job.cache_time is not None and self.target.exists:
+            age = now - (self.target.get_mtime() or 0.0)
+            if age < convert_to_timedelta(self.job.cache_time).total_seconds():
+                return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# build graph (pub:builder/build.py::BuildManager, RuleDependencyGraph,
+# BuildGraph)
+
+
+class BuildManager:
+    """Holds the rule graph; expands it into a concrete BuildGraph."""
+
+    def __init__(self) -> None:
+        self.jobs: dict[str, Job] = {}
+
+    def add(self, job: Job) -> Job:
+        if job.name in self.jobs:
+            raise ValueError(f"duplicate job: {job.name}")
+        self.jobs[job.name] = job
+        return job
+
+    def job(self, **kwargs) -> Callable[[Callable], Callable]:
+        """Decorator sugar: @manager.job(targets=..., depends=[...])."""
+
+        def deco(fn: Callable) -> Callable:
+            self.add(Job(name=fn.__name__, run=fn, **kwargs))
+            return fn
+
+        return deco
+
+    def _producers(self, pattern: str) -> list[Job]:
+        return [
+            j
+            for j in self.jobs.values()
+            if j.targets
+            and (j.targets == pattern or fnmatch.fnmatch(pattern, j.targets) or j.targets in pattern)
+        ]
+
+    def expand(self, start: datetime, end: datetime) -> "BuildGraph":
+        """Rule graph × time range → concrete DAG of ConcreteJobs.
+
+        Each job gets one ConcreteJob per file_step bucket; edges
+        connect a bucket to the producer buckets of every dependency
+        target that overlaps it (pub:builder/build.py expansion).
+        """
+        g = nx.DiGraph()
+        concrete: dict[str, ConcreteJob] = {}
+        for job in self.jobs.values():
+            step = convert_to_timedelta(job.file_step)
+            for t0 in TimestampExpander.expand_range(start, end, step):
+                t1 = t0 + step
+                dep_targets: dict[str, list[Target]] = {}
+                dep_mode: dict[str, str] = {}
+                for pat, mode in [(p, "all") for p in job.depends] + [
+                    (p, "any") for p in job.depends_one_or_more
+                ]:
+                    dep_step = TimestampExpander.infer_step(pat, step)
+                    dep_targets[pat] = TimestampExpander.expand(pat, t0, t1, dep_step)
+                    dep_mode[pat] = mode
+                cj = ConcreteJob(
+                    job=job,
+                    start=t0,
+                    end=t1,
+                    target=Target(
+                        unique_id=t0.strftime(job.targets) if job.targets else f"/dev/null/{job.name}",
+                        unexpanded_id=job.targets,
+                        start=t0,
+                    ),
+                    dep_targets=dep_targets,
+                    dep_mode=dep_mode,
+                )
+                concrete[cj.unique_id] = cj
+                g.add_node(cj.unique_id)
+        # wire edges: dep pattern produced by another job's targets pattern
+        for cj in concrete.values():
+            for pat in list(cj.dep_targets):
+                for producer in self._producers(pat):
+                    for other in concrete.values():
+                        if other.job is producer and not (
+                            other.end <= cj.start or other.start >= cj.end
+                        ):
+                            g.add_edge(other.unique_id, cj.unique_id)
+        return BuildGraph(graph=g, jobs=concrete)
+
+
+@dataclass
+class BuildGraph:
+    graph: nx.DiGraph
+    jobs: dict[str, ConcreteJob]
+
+    def topological(self) -> list[ConcreteJob]:
+        return [self.jobs[n] for n in nx.topological_sort(self.graph)]
+
+
+# ---------------------------------------------------------------------------
+# executors (pub:builder/execution.py::Executor, LocalExecutor,
+# PrintExecutor, ExecutionManager)
+
+
+class SparkExecutor:
+    """Runs the job fn and writes its DataFrame to the target path."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+
+    def execute(self, cj: ConcreteJob) -> None:
+        ctx = BuildContext(
+            spark=self.spark,
+            start=cj.start,
+            end=cj.end,
+            dep_paths={
+                pat: [t.unique_id for t in tgts if t.exists]
+                for pat, tgts in cj.dep_targets.items()
+            },
+            target_path=cj.target.unique_id,
+        )
+        df = cj.job.run(ctx)
+        if df is not None:
+            df.write.mode("overwrite").parquet(ctx.target_path)
+
+
+class PrintExecutor:
+    """Dry run: explain the plan (or describe the job), write nothing
+    (pub:builder/execution.py::PrintExecutor)."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+        self.printed: list[str] = []
+
+    def execute(self, cj: ConcreteJob) -> None:
+        ctx = BuildContext(
+            spark=self.spark,
+            start=cj.start,
+            end=cj.end,
+            dep_paths={
+                pat: [t.unique_id for t in tgts if t.exists]
+                for pat, tgts in cj.dep_targets.items()
+            },
+            target_path=cj.target.unique_id,
+        )
+        df = cj.job.run(ctx)
+        desc = f"DRY-RUN {cj.unique_id} -> {cj.target.unique_id}"
+        if df is not None:
+            try:
+                desc += "\n" + df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception:
+                desc += f"\nschema: {df.schema.simpleString()}"
+        self.printed.append(desc)
+        print(desc)
+
+
+class ExecutionManager:
+    """Walks the expanded graph in topo order, runs should-run jobs,
+    retries failures, re-evaluates state after each completion."""
+
+    def __init__(self, manager: BuildManager, executor) -> None:
+        self.manager = manager
+        self.executor = executor
+        self.results: dict[str, str] = {}
+
+    def start_execution(
+        self,
+        start: datetime,
+        end: datetime,
+        force: bool = False,
+        now: float | None = None,
+    ) -> dict[str, str]:
+        """Build [start, end). Returns unique_id → 'ran'|'skipped'|'failed'."""
+        bg = self.manager.expand(start, end)
+        for cj in bg.topological():
+            if not cj.get_should_run(now=now, force=force):
+                self.results[cj.unique_id] = "skipped"
+                continue
+            attempts = 0
+            while True:
+                try:
+                    self.executor.execute(cj)
+                    self.results[cj.unique_id] = "ran"
+                    break
+                except Exception:
+                    attempts += 1
+                    if attempts > cj.job.retries:
+                        self.results[cj.unique_id] = "failed"
+                        break
+        return self.results

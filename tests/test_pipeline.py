@@ -1,0 +1,279 @@
+"""Pipeline framework tests — mirrors the reference's test strategy
+(SURVEY.md §5.1: graph construction, expansion, state logic,
+executors, on tmp filesystems)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from builder_spark.pipeline import (
+    BuildManager,
+    ExecutionManager,
+    Job,
+    PrintExecutor,
+    SparkExecutor,
+    Target,
+    TimestampExpander,
+    convert_to_timedelta,
+)
+
+D0 = datetime(2024, 1, 1)
+D3 = datetime(2024, 1, 4)
+
+
+def touch(path: str, mtime: float | None = None) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("x")
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+# --- time utils -----------------------------------------------------------
+
+
+def test_convert_to_timedelta():
+    assert convert_to_timedelta("5min") == timedelta(minutes=5)
+    assert convert_to_timedelta("1 day") == timedelta(days=1)
+    assert convert_to_timedelta("2h") == timedelta(hours=2)
+    with pytest.raises(ValueError):
+        convert_to_timedelta("3 fortnights")
+
+
+# --- expander -------------------------------------------------------------
+
+
+def test_timestamp_expander_daily(tmp_path):
+    targets = TimestampExpander.expand(f"{tmp_path}/d=%Y-%m-%d", D0, D3, "1 day")
+    assert [t.unique_id for t in targets] == [
+        f"{tmp_path}/d=2024-01-01",
+        f"{tmp_path}/d=2024-01-02",
+        f"{tmp_path}/d=2024-01-03",
+    ]
+    assert targets[0].start == D0
+
+
+def test_timestamp_expander_5min():
+    ts = TimestampExpander.expand_range(D0, D0 + timedelta(hours=1), "5min")
+    assert len(ts) == 12
+
+
+# --- target freshness -----------------------------------------------------
+
+
+def test_target_exists_and_mtime(tmp_path):
+    t = Target(unique_id=f"{tmp_path}/out")
+    assert not t.exists
+    touch(f"{tmp_path}/out/part-0.parquet", mtime=100.0)
+    assert t.exists
+    assert t.get_mtime() == 100.0
+
+
+def test_target_glob(tmp_path):
+    t = Target(unique_id=f"{tmp_path}/d=*/x.parquet")
+    assert not t.exists
+    touch(f"{tmp_path}/d=2024-01-01/x.parquet")
+    assert t.exists
+
+
+# --- state predicates through the build graph ------------------------------
+
+
+def _single_job_graph(tmp_path, **job_kwargs):
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="j",
+            run=lambda ctx: None,
+            targets=f"{tmp_path}/out/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/in/d=%Y-%m-%d"],
+            **job_kwargs,
+        )
+    )
+    bg = bm.expand(D0, D0 + timedelta(days=1))
+    (cj,) = bg.jobs.values()
+    return cj
+
+
+def test_stale_when_target_missing(tmp_path):
+    touch(f"{tmp_path}/in/d=2024-01-01", mtime=100)
+    cj = _single_job_graph(tmp_path)
+    assert cj.get_buildable()
+    assert cj.get_stale()
+    assert cj.get_should_run(now=1000)
+
+
+def test_fresh_target_skips(tmp_path):
+    touch(f"{tmp_path}/in/d=2024-01-01", mtime=100)
+    touch(f"{tmp_path}/out/d=2024-01-01", mtime=200)
+    cj = _single_job_graph(tmp_path)
+    assert not cj.get_stale()
+    assert not cj.get_should_run(now=1000)
+    assert cj.get_should_run(now=1000, force=True)  # forced build ignores freshness
+
+
+def test_stale_when_dep_newer(tmp_path):
+    touch(f"{tmp_path}/out/d=2024-01-01", mtime=200)
+    touch(f"{tmp_path}/in/d=2024-01-01", mtime=300)
+    cj = _single_job_graph(tmp_path)
+    assert cj.get_stale()
+
+
+def test_not_buildable_when_dep_missing(tmp_path):
+    cj = _single_job_graph(tmp_path)
+    assert not cj.get_buildable()
+    assert not cj.get_should_run(now=1000)
+
+
+def test_depends_one_or_more(tmp_path):
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="j",
+            run=lambda ctx: None,
+            targets=f"{tmp_path}/out/d=%Y-%m-%d",
+            depends_one_or_more=[f"{tmp_path}/in/h=%Y-%m-%dT%H"],
+            file_step="1 day",
+        )
+    )
+    bg = bm.expand(D0, D0 + timedelta(days=1))
+    (cj,) = bg.jobs.values()
+    assert not cj.get_buildable()  # zero hourly inputs
+    touch(f"{tmp_path}/in/h=2024-01-01T05", mtime=100)
+    assert cj.get_buildable()  # one of 24 suffices
+
+
+def test_cache_time_suppresses_rerun(tmp_path):
+    touch(f"{tmp_path}/in/d=2024-01-01", mtime=500)
+    touch(f"{tmp_path}/out/d=2024-01-01", mtime=400)  # stale (dep newer)
+    cj = _single_job_graph(tmp_path, cache_time="1h")
+    assert cj.get_stale()
+    assert not cj.get_should_run(now=400 + 600)  # rebuilt 10 min ago → wait
+    assert cj.get_should_run(now=400 + 7200)  # cache window passed
+
+
+def test_curfew_blocks_outside_hours(tmp_path):
+    touch(f"{tmp_path}/in/d=2024-01-01", mtime=100)
+    cj = _single_job_graph(tmp_path, curfew=(2, 4))
+    at_3am = datetime(2024, 6, 1, 3, 0).timestamp()
+    at_noon = datetime(2024, 6, 1, 12, 0).timestamp()
+    assert cj.get_should_run(now=at_3am)
+    assert not cj.get_should_run(now=at_noon)
+
+
+# --- execution loop --------------------------------------------------------
+
+
+class FileExecutor:
+    """Test executor: run the fn, then mark the target built."""
+
+    def execute(self, cj):
+        cj.job.run(None)
+        touch(os.path.join(cj.target.unique_id, "_SUCCESS"))
+
+
+def test_incremental_rebuild(tmp_path):
+    ran = []
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="a",
+            run=lambda ctx: ran.append("a"),
+            targets=f"{tmp_path}/a/d=%Y-%m-%d",
+        )
+    )
+    bm.add(
+        Job(
+            name="b",
+            run=lambda ctx: ran.append("b"),
+            targets=f"{tmp_path}/b/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/a/d=%Y-%m-%d"],
+        )
+    )
+    end = D0 + timedelta(days=1)
+
+    r1 = ExecutionManager(bm, FileExecutor()).start_execution(D0, end)
+    assert ran == ["a", "b"]  # topo order: producer before consumer
+    assert set(r1.values()) == {"ran"}
+
+    r2 = ExecutionManager(bm, FileExecutor()).start_execution(D0, end)
+    assert ran == ["a", "b"]  # nothing re-ran
+    assert set(r2.values()) == {"skipped"}
+
+    # upstream refresh → downstream stale (and upstream itself rebuilt)
+    time.sleep(0.01)
+    touch(f"{tmp_path}/a/d=2024-01-01/_SUCCESS", mtime=time.time() + 100)
+    r3 = ExecutionManager(bm, FileExecutor()).start_execution(D0, end)
+    assert r3[f"b@{D0.isoformat()}"] == "ran"
+
+
+def test_retries(tmp_path):
+    attempts = {"n": 0}
+
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("flaky")
+
+    bm = BuildManager()
+    bm.add(Job(name="f", run=flaky, targets=f"{tmp_path}/f/d=%Y-%m-%d", retries=2))
+    r = ExecutionManager(bm, FileExecutor()).start_execution(D0, D0 + timedelta(days=1))
+    assert r[f"f@{D0.isoformat()}"] == "ran"
+    assert attempts["n"] == 3
+
+    attempts["n"] = -10  # needs 13 attempts; only 3 allowed → failed
+    bm2 = BuildManager()
+    bm2.add(Job(name="f2", run=flaky, targets=f"{tmp_path}/f2/d=%Y-%m-%d", retries=2))
+    r2 = ExecutionManager(bm2, FileExecutor()).start_execution(D0, D0 + timedelta(days=1))
+    assert r2[f"f2@{D0.isoformat()}"] == "failed"
+
+
+# --- Spark end-to-end -------------------------------------------------------
+
+
+def test_spark_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Daily events slices → per-day type counts, built incrementally."""
+    from pyspark.sql import functions as F
+
+    from builder_spark.catalog import load_table
+
+    bm = BuildManager()
+
+    @bm.job(targets=f"{tmp_path}/daily/d=%Y-%m-%d", file_step="1 day")
+    def daily_events(ctx):
+        ev = load_table(ctx.spark, sf_dir, "events")
+        return ev.filter(
+            (F.col("ts") >= F.lit(ctx.start)) & (F.col("ts") < F.lit(ctx.end))
+        )
+
+    @bm.job(
+        targets=f"{tmp_path}/counts/d=%Y-%m-%d",
+        depends=[f"{tmp_path}/daily/d=%Y-%m-%d"],
+        file_step="1 day",
+    )
+    def daily_counts(ctx):
+        src = ctx.dep_paths[f"{tmp_path}/daily/d=%Y-%m-%d"]
+        return (
+            ctx.spark.read.parquet(*src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    start, end = datetime(2024, 1, 1), datetime(2024, 1, 3)
+    r1 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(start, end)
+    assert all(v == "ran" for v in r1.values()) and len(r1) == 4
+
+    out = spark.read.parquet(f"{tmp_path}/counts/d=2024-01-01")
+    assert out.count() > 0
+
+    r2 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(start, end)
+    assert all(v == "skipped" for v in r2.values())
+
+    # dry run never writes
+    pe = PrintExecutor(spark)
+    ExecutionManager(bm, pe).start_execution(start, end, force=True)
+    assert len(pe.printed) == 4
