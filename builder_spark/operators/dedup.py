@@ -113,10 +113,30 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard for pairs (id_a < id_b) with sim ≥ threshold.
 
-    With ``candidates`` (e.g. from LSH), only those pairs are scored;
-    without, candidate generation is a common-token join (correct but
-    O(sum of df²) — small corpora only).
+    With ``candidates`` (e.g. from LSH), ONLY those pairs are scored:
+    the candidate list is joined to per-doc token arrays and the
+    intersection is computed JVM-side with ``array_intersect`` — no
+    token-level explode, no all-pairs work. Cost is O(|candidates| ×
+    avg tokens), the shape that survives 100 TB.
+
+    Without candidates, generation falls back to a common-token join
+    (correct but O(sum over tokens of df²) — small corpora / already-
+    blocked partitions only).
     """
+    if candidates is not None:
+        toks = df.select(
+            F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_t")
+        )
+        pairs = candidates.join(
+            toks.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta")), "id_a"
+        ).join(toks.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+        inter = F.size(F.array_intersect("_ta", "_tb"))
+        union = F.size("_ta") + F.size("_tb") - inter
+        return (
+            pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(text_col))).alias("_w")
     )
@@ -129,8 +149,6 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
     return (
