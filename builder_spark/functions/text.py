@@ -35,7 +35,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — guard short docs
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
@@ -48,6 +49,52 @@ def fingerprint_md5(text: Column | str, normalized: bool = False) -> Column:
     if normalized:
         t = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(t))))
     return F.md5(t)
+
+
+#: Per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Shared with the DuckDB oracle generator (queries/llmscale.py).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu", "mit", "nicht"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "los", "que", "en", "un", "es", "por", "una"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit-ratio score per candidate language.
+
+    score_L = (#tokens in L's stopword list) / (#tokens). Occurrence
+    counts (not distinct membership) so repeated function words weigh
+    in — the standard cheap language-ID signal. Pure array expressions
+    (filter + size), fully codegen'd.
+    """
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        for lang, words in sorted(STOPWORDS.items())
+    }
+
+
+def predict_lang(text: Column | str) -> tuple[Column, Column]:
+    """(pred_lang, best_score): argmax over lang_scores with ties going
+    to the alphabetically-first language — deterministic, matching the
+    oracle's CASE chain exactly."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    pred = None
+    for lang in reversed(langs):  # build CASE chain: first-true-wins, alphabetical
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    best = F.greatest(*scores.values())
+    return pred, best
 
 
 def token_stats(text: Column | str) -> dict[str, Column]:

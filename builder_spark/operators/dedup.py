@@ -167,6 +167,106 @@ def jaccard_pairs(
     )
 
 
+#: SimHash configuration — shared with the DuckDB oracle generator in
+#: queries/llmscale.py so both engines compute identical signatures.
+SIMHASH_BITS = 24
+SIMHASH_BANDS = 4
+CHARFOLD_MOD = 1 << 25  # fold modulus: acc*31+cp stays < 2^30, no overflow
+
+
+def charfold_hash(col) -> "F.Column":
+    """Deterministic polynomial string hash: fold (acc*31 + codepoint)
+    mod 2^25 over the characters, init 0.
+
+    Engine-portable by construction (unlike xxhash64/murmur): DuckDB
+    computes the identical value via list_reduce(list_prepend(0,
+    codepoints), (a,b) -> (a*31+b) % m) — verified char-for-char.
+    Pure codegen expressions, no UDF.
+    """
+    w = F.col(col) if isinstance(col, str) else col
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.ascii(F.substr(w, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        cps, F.lit(0).cast("long"), lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(CHARFOLD_MOD))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS, shingle_words: int = 3
+) -> DataFrame:
+    """(id, simhash): ``bits``-bit SimHash over distinct word shingles.
+
+    Classic Charikar construction: each shingle votes +1/-1 per bit of
+    its hash; signature bit i is set iff the summed vote is positive.
+    Shingles (not unigrams) are the feature set — on small-vocabulary
+    corpora unigram sets are near-identical across documents and the
+    signature stops discriminating. One explode + one groupBy(id) with
+    ``bits`` conditional-sum aggregates — map-side combined, shuffle is
+    ``bits`` longs per doc. Fully deterministic (charfold hash, no RNG).
+    """
+    feats = word_shingles(text_col, shingle_words) if shingle_words > 1 else F.array_distinct(tokens(text_col))
+    tok = df.select(F.col(id_col), F.explode(feats).alias("_w")).withColumn(
+        "_th", charfold_hash("_w")
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming ≤ max_hamming) via SimHash.
+
+    Candidate generation is banded like MinHash-LSH: the signature is
+    cut into ``bands`` equal bit-slices and pairs must agree exactly on
+    ≥1 slice — a join on (band, slice-value), never all-pairs. Exact
+    Hamming distance (bit_count of xor) then filters candidates.
+    At 100 TB: the band join is the only shuffle, keyed on small ints.
+    """
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * rpb).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(id_col, "simhash", F.explode(band_arr).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "val")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame,
     id_col: str,

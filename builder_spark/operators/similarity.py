@@ -18,7 +18,9 @@ Strategies by scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import random
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from builder_spark.functions.vectors import dot_f64, l2_norm
@@ -76,6 +78,75 @@ def knn_majority_label(
         votes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("q_id", F.col(label_col).alias("pred_label"), "n_votes")
+    )
+
+
+def hyperplanes(dim: int = 64, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic Rademacher (±1) random hyperplanes for sign-bit LSH.
+
+    ±1 components are exactly representable in every float system, so
+    the projection is bit-identical across engines (a requirement the
+    usual Gaussian planes can't meet through SQL literals). Rademacher
+    projections give the same LSH collision guarantees as Gaussian for
+    cosine similarity (Achlioptas 2001, database-friendly random
+    projections).
+    """
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1.0, 1.0))) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Per-row expression — parallelizes with the scan, no shuffle.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = None
+    for p, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        d = dot_f64(v, lits)
+        term = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    LSH bucket. Returns (q_id, vec_id, cos_sim, rank); a query may get
+    fewer than k hits (its bucket may be small) — that's the ANN
+    recall/cost trade.
+
+    Scale story: the bucket join replaces brute force's K·N pair
+    enumeration with an equi-join on a small-int key — THE scale path
+    when N is billions. Skewed buckets (dense regions) are handled by
+    AQE skew-join splitting; add more planes to shrink buckets.
+    """
+    planes = planes or hyperplanes()
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_emb"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_c_emb"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "_bucket").filter(F.col("q_id") != F.col(id_col))
+    sim = dot_f64("_q_emb", "_c_emb") / (l2_norm("_q_emb") * l2_norm("_c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, F.round("_sim", 4).alias("cos_sim"), "rank")
     )
 
 

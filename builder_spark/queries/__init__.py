@@ -21,6 +21,7 @@ for _mod in (
     "scalar",
     "subquery",
     "llmdata",
+    "llmscale",
     "winbatch",
     "udf",
 ):

@@ -1,0 +1,218 @@
+"""Scale-path LLM-data operators: SimHash dedup, LSH-bucketed ANN,
+language ID, multimodal binary decode (SURVEY.md §2.B rows 71-74).
+
+Each oracle is GENERATED from the same constants the Spark operators
+use (hash modulus, stopword lists, hyperplane literals) so both engines
+compute bit-identical values — the SQL is long but mechanical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.functions.text import STOPWORDS, lang_scores, predict_lang
+from builder_spark.operators.dedup import (
+    CHARFOLD_MOD,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    simhash_near_dupes,
+)
+from builder_spark.operators.multimodal import attach_binary, extract_payload_features
+from builder_spark.operators.similarity import hyperplanes, lsh_bucketed_topk
+from builder_spark.registry import register
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_oracle(bits: int, bands: int, max_hamming: int) -> str:
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    band_vals = ", ".join(str(b) for b in range(bands))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]))) AS w
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(w)+1),
+                               i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+                       (a, b) -> (a*31 + b) % {CHARFOLD_MOD}) AS h
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+        bk AS (
+            SELECT doc_id, simhash, band, (simhash >> (band * {rpb})) & {mask} AS val
+            FROM sig CROSS JOIN (SELECT unnest([{band_vals}]) AS band)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.simhash AS sa, b.simhash AS sb
+            FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(0, {bits}),
+                       i -> (xor(sa, sb) >> CAST(i AS INT)) & 1)) AS INT) AS hamming
+            FROM pairs
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_oracle(SIMHASH_BITS, SIMHASH_BANDS, _SIMHASH_MAX_HAMMING),
+    category="llm-dedup",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over a 24-bit signature of
+    3-word shingles), banded candidate generation — no all-pairs.
+    Deterministic: the shingle hash is an engine-portable polynomial
+    fold, not xxhash."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dupes(d, "doc_id", "text", max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(STOPWORDS)
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+            " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        )
+
+    score_cols = ",\n                   ".join(f"{score(lg)} AS s_{lg}" for lg in langs)
+    case = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lg} >= s_{other}" for other in langs if other != lg)
+        + f" THEN '{lg}'"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   {score_cols}
+            FROM documents
+        )
+        SELECT doc_id, lang, CASE {case} END AS pred_lang,
+               round({best}, 4) AS stop_score,
+               CAST(CASE {case} END = lang AS INT) AS is_match
+        FROM s
+    """
+
+
+@register("q_lang_id", oracle=_lang_id_oracle(), category="llm-text")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID per document (argmax over per-language
+    function-word hit rates, alphabetical tie-break). The fixture text
+    is synthetic so predictions skew 'en' — the graded artifact is the
+    deterministic scoring, not accuracy."""
+    d = load_table(spark, sf_dir, "documents")
+    pred, best = predict_lang("text")
+    _ = lang_scores  # re-exported for callers wanting raw scores
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.round(best, 4).alias("stop_score"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+_PLANES = hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+def _ann_oracle(planes: list[list[float]]) -> str:
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(str(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, CAST([{lits}] AS DOUBLE[])),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(plane)} > 0 THEN {1 << p} ELSE 0 END)" for p, plane in enumerate(planes)
+    )
+    norm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)))"
+    pair_dot = (
+        "list_sum(list_transform(list_zip(q.q_emb, c.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.q_id, c.vec_id,
+                   {pair_dot} / ({norm.format(v="q.q_emb")} * {norm.format(v="c.embedding")}) AS sim
+            FROM q JOIN b c USING (bucket)
+            WHERE c.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, round(sim, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM pairs
+        QUALIFY rank <= 5
+    """
+
+
+@register("q_ann_lsh", oracle=_ann_oracle(_PLANES), category="llm-similarity")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane (sign-bit) LSH buckets, cosine
+    top-5 within the query's bucket. Deterministic ±1 planes (seed 42)
+    make this oracle-checkable — rare for ANN. The bucket equi-join is
+    the 100 TB path: no K·N pair enumeration."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
+
+
+@register(
+    "q_mm_decode",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(sum(length(text)) AS BIGINT) AS total_cp,
+               CAST(sum(list_sum(list_transform(range(1, length(text)+1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))))) AS BIGINT) AS total_cp_sum
+        FROM documents
+        GROUP BY source
+    """,
+    category="llm-multimodal",
+)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: text → opaque binary column + metadata
+    struct → Arrow-batched mapInPandas feature extraction (the decode
+    stub; see operators/multimodal.py) → per-source rollup. Grades the
+    real plumbing (schema, batching, declared output schema) with a
+    deterministic fake decoder."""
+    d = attach_binary(load_table(spark, sf_dir, "documents"))
+    feats = extract_payload_features(d, id_col="doc_id", keep_cols=("source",))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_cp").alias("total_cp"),
+        F.sum("cp_sum").alias("total_cp_sum"),
+    )
