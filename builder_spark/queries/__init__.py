@@ -24,6 +24,7 @@ for _mod in (
     "llmscale",
     "winbatch",
     "udf",
+    "sourcesink",
 ):
     try:  # modules land incrementally; missing ones are not an error mid-build
         __import__(f"builder_spark.queries.{_mod}")

@@ -1,0 +1,83 @@
+"""Source/sink connector queries: csv and json roundtrips (SURVEY.md
+§2.B rows 75-76; parquet roundtrip is q_write_roundtrip in udf.py).
+
+Each writes a fixture slice through builder_spark.sources, reads it
+back with an EXPLICIT schema (text formats never infer in pipeline
+code), and aggregates; the oracle aggregates the ORIGINAL table, so a
+hash-match proves the sink+source pair is lossless for every type that
+crossed the text boundary (bigint, double, string).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+from builder_spark.sources import read_csv, read_json, write_csv, write_json
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category="source-sink",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source roundtrip on orders (bigint/string/double cross
+    the text boundary; Spark writes shortest-roundtrip doubles, so the
+    re-read values are bit-identical)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_csv_roundtrip")
+    write_csv(o, out)
+    back = read_csv(
+        spark,
+        out,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("custkey_sum"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+        SELECT p_size,
+               count(*) AS n,
+               round(sum(p_retailprice), 4) AS retail_total,
+               count(DISTINCT p_type) AS n_types
+        FROM part
+        GROUP BY p_size
+    """,
+    category="source-sink",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source roundtrip on part (int/double/string)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_size", "p_retailprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_json_roundtrip")
+    write_json(p, out)
+    back = read_json(
+        spark, out, schema="p_partkey bigint, p_type string, p_size int, p_retailprice double"
+    )
+    return back.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p_retailprice"), 4).alias("retail_total"),
+        F.countDistinct("p_type").alias("n_types"),
+    )

@@ -1,0 +1,90 @@
+"""Plan-shape assertions: the operators must produce the physical plans
+the 100 TB design calls for — filters pushed to the scan, columns
+pruned, small dimensions broadcast, no gratuitous shuffles. A change
+that silently degrades the plan fails here before any benchmark runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_spans,
+)
+from builder_spark.registry import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+REGISTRY = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_quantity"
+    )
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), f"filter not pushed: {pf}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    # 2-column projection must read 2 columns, not all 16
+    assert all(s.count(",") == 1 for s in schemas), schemas
+
+
+def test_multiway_join_broadcasts_dimensions(spark):
+    df = REGISTRY["q_join_multi"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df), "star join should broadcast small dims"
+
+
+def test_group_agg_is_single_shuffle(spark):
+    df = REGISTRY["q_agg_group"].fn(spark, SF_DIR)
+    # partial agg (map-side) + final agg = exactly one hash exchange
+    assert count_exchanges(df) == 1
+
+
+def test_broadcast_hint_respected(spark):
+    df = REGISTRY["q_join_broadcast"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    # the K-queries side must broadcast: candidates stream past it with
+    # zero shuffle on the big side (until the per-query top-k window)
+    df = REGISTRY["q_cosine_topk"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_ann_bucket_join_no_pair_blowup(spark):
+    df = REGISTRY["q_ann_lsh"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)  # bucket equi-join, query side broadcast
+
+
+def test_scan_agg_is_codegen_fused(spark):
+    df = REGISTRY["q_agg_group"].fn(spark, SF_DIR)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_agg_global", 1),   # global agg: partial + single-partition final
+        ("q_distinct", 1),     # distinct = one hash exchange
+        ("q_dedup_exact", 1),  # window dedup: one shuffle on the key
+        ("q_win_session", 1),  # sessionization: one shuffle on user_id
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
