@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from builder_spark.functions.text import tokens, word_shingles
+from builder_spark.operators.partitioning import spread
 
 #: splitmix64-style fixed constants; k permutations h_i(x) = a_i*x + b_i
 #: in wrapping 64-bit arithmetic (Java long overflow is defined).
@@ -64,7 +65,7 @@ def minhash_signatures(
     One explode + one groupBy(id) with k min-aggregates — map-side
     combine keeps the shuffle at k longs per document.
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("_shingle")
     )
     h = F.pmod(F.xxhash64("_shingle"), F.lit(_P))  # reduce to [0, p)
@@ -207,7 +208,7 @@ def simhash_signatures(
     ``bits`` longs per doc. Fully deterministic (charfold hash, no RNG).
     """
     feats = word_shingles(text_col, shingle_words) if shingle_words > 1 else F.array_distinct(tokens(text_col))
-    tok = df.select(F.col(id_col), F.explode(feats).alias("_w")).withColumn(
+    tok = spread(df, id_col).select(F.col(id_col), F.explode(feats).alias("_w")).withColumn(
         "_th", charfold_hash("_w")
     )
     votes = tok.groupBy(id_col).agg(

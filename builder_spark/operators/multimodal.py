@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from builder_spark.operators.partitioning import spread
+
 try:  # pragma: no cover - decode libs absent in this container
     import PIL.Image  # noqa: F401
 
@@ -100,4 +102,4 @@ def extract_payload_features(
             )
             yield out
 
-    return df.select(id_col, *keep, "payload").mapInPandas(_features, schema=schema)
+    return spread(df.select(id_col, *keep, "payload"), id_col).mapInPandas(_features, schema=schema)

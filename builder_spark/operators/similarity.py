@@ -41,6 +41,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q_emb")
     )
+    # no spread here: the K·N dot products are cheap enough that an
+    # extra exchange costs more than single-partition compute at bench
+    # scale; at cluster scale the candidate scan is already multi-split
     c = candidates.select(F.col(id_col), F.col(vec_col).alias("_c_emb"))
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col(id_col))
     sim = dot_f64("_q_emb", "_c_emb") / (l2_norm("_q_emb") * l2_norm("_c_emb"))

@@ -223,25 +223,52 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (row 25): per event, the latest order at-or-before the
-    event timestamp for that user. Spark has no native ASOF, so this is
-    the candidate-join + row_number rewrite: the equi key (user_id)
-    drives a normal shuffled/broadcast join, the range predicate prunes
-    candidates, and a per-event window keeps the newest. Deterministic
-    ties: (o_orderdate, o_orderkey) DESC. At 100 TB the equi key bounds
-    the fan-out; for dense keys, bucket both sides on the key and
-    range-partition within buckets."""
-    ev = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
-    cand = ev.join(
-        o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts), "inner"
+    event timestamp for that user. Spark has no native ASOF; this is
+    the UNION + running-last rewrite — the scalable algorithm: tag both
+    sides, union them, sort each user's timeline once, and carry the
+    most recent order forward with last(ignorenulls) over a running
+    frame. ONE shuffle on the key and NO candidate fan-out (the naive
+    candidate-join + row_number rewrite materializes |events_u| ×
+    |orders_u| rows per user — quadratic in key density; this is
+    linear). Tie discipline: orders sort before events at equal
+    timestamps (≤ semantics), same-timestamp orders by o_orderkey asc
+    so the running last picks the max key — matching the oracle's
+    (o_orderdate, o_orderkey) DESC rn=1."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    timeline = ev.unionByName(o)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_kind").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        timeline.withColumn("_last_key", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("_last_date", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter((F.col("_kind") == 1) & F.col("_last_key").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("_last_key").alias("o_orderkey"),
+            F.col("_last_date").alias("o_orderdate"),
+        )
     )
 
 
