@@ -91,6 +91,76 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(spark, deduped.select("event_id", "ts", "user_id"), "append")
 
 
+@register("q_stream_sliding", oracle=None, category="streaming")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour windows sliding every 15 minutes (each event
+    lands in 4 overlapping windows). Batch twin (graded): q_win_sliding."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("win_start"), "n", "value_sum")
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register("q_stream_session", oracle=None, category="streaming")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user sessionization with F.session_window (30-min
+    inactivity gap): state is one open session per user, closed and
+    emitted when the watermark passes the gap. Batch twin (graded):
+    q_win_session (lag + gap-flag + running sum)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register("q_stream_stateful", oracle=None, category="streaming")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum, max) maintained in explicit state
+    across micro-batches, emitted as updates. This is the escape hatch
+    for operators watermark+window can't express (per-key custom
+    accumulators, CEP-ish logic); state lives in the state store
+    (RocksDB at scale) keyed by user, so it shards with the shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    def track(key, pdf_iter, state):
+        import pandas as pd
+
+        cnt, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((cnt, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [cnt], "value_sum": [round(total, 4)], "value_max": [mx]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n bigint, value_sum double, value_max double",
+        stateStructType="cnt bigint, total double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_df(spark, out, "update")
+
+
 @register("q_stream_late", oracle=None, category="streaming")
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data semantics demo: three ordered micro-batches (recent

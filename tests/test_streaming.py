@@ -26,6 +26,45 @@ def test_stream_dedup_keeps_every_unique_event(spark, sf_dir):
     assert len({r.event_id for r in rows}) == n_events
 
 
+def test_stream_session_matches_batch_twin(spark, sf_dir):
+    # session_window(30 min) must produce the same (user, start, n)
+    # sessions as the batch lag + gap-flag + running-sum construction
+    stream = REGISTRY["q_stream_session"].fn(spark, sf_dir)
+    batch = REGISTRY["q_win_session"].fn(spark, sf_dir)
+    s = {(r.user_id, str(r.session_start)): r.n_events for r in stream.collect()}
+    b = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_stream_stateful_matches_groupby(spark, sf_dir):
+    # final per-user state (count/sum/max) == plain batch aggregation;
+    # update-mode sink may emit one row per user per micro-batch, so
+    # keep the LAST row per user (availableNow preserves batch order)
+    out = REGISTRY["q_stream_stateful"].fn(spark, sf_dir)
+    final = {}
+    for r in out.collect():
+        final[r.user_id] = (r.n, r.value_sum, r.value_max)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        r.user_id: (r.n, r.value_sum, r.value_max)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.max("value").alias("value_max"),
+        )
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u in final:
+        assert final[u][0] == batch[u][0], u
+        assert abs(final[u][1] - batch[u][1]) < 1e-6, u
+        assert final[u][2] == batch[u][2], u
+
+
 def test_stream_late_drops_day1(spark, sf_dir):
     out = REGISTRY["q_stream_late"].fn(spark, sf_dir)
     days = sorted(str(r.day_start) for r in out.collect())
