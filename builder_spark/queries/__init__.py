@@ -14,6 +14,7 @@ Module map (SURVEY.md §2.B rows):
 from builder_spark.queries import relational  # noqa: F401
 
 for _mod in (
+    "relational2",
     "joins",
     "setops",
     "grouping",

@@ -1,0 +1,224 @@
+"""Relational breadth, batch 2: pivot/unpivot, exact percentiles,
+min_by/max_by, string_agg, decimal aggregation, MapType, and
+regexp_extract_all (SURVEY.md §2.B rows 85-92).
+
+Parity notes (probed against DuckDB 1.0 before declaring):
+- F.percentile == quantile_cont bit-for-bit (same linear interpolation).
+- Decimal sums are exact in both engines; both sides cast to
+  DECIMAL(38,2) so the result TYPE also agrees.
+- min_by/max_by tie-break: the ordering value embeds the key
+  (price*1e6 + key, exact below 2^53) so ties are impossible.
+- Map ops ride on events.props (JSON string) via from_json → MapType;
+  the oracle unnests json_keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+        FROM orders
+        GROUP BY year(o_orderdate)
+    """,
+    category="grouping",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-status columns per year. Pivot values are DECLARED
+    (not discovered) — at scale an undeclared pivot is two jobs, the
+    first being a distinct scan just to learn the columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        WITH base AS (
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(o_totalprice), 4) AS total_price,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   CAST(count(*) AS DOUBLE) AS n_orders
+            FROM orders GROUP BY year(o_orderdate)
+        )
+        SELECT o_year, 'total_price' AS metric, total_price AS value FROM base
+        UNION ALL SELECT o_year, 'avg_price', avg_price FROM base
+        UNION ALL SELECT o_year, 'n_orders', n_orders FROM base
+    """,
+    category="grouping",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-year metrics → long (metric, value)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    return base.unpivot(
+        "o_year", ["total_price", "avg_price", "n_orders"], "metric", "value"
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(median(o_totalprice), 4) AS med
+        FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) —
+    the graded twin of approx_percentile, which is sketch-based and
+    engine-specific. Exact percentiles need a per-group sort; at scale
+    prefer approx_percentile for dashboards, exact for contracts."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+    )
+
+
+@register(
+    "q_argminmax",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS priciest_order,
+               arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS cheapest_order,
+               round(max(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax): the ordering value embeds the key
+    (price·1e6 + key stays exact under 2^53) so ties can't make the
+    answer engine-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    ordv = F.col("o_totalprice") * 1000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+        SELECT year(o_orderdate) AS o_year,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+               string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities
+        FROM orders GROUP BY year(o_orderdate)
+    """,
+    category="aggregation",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg / listagg with deterministic ordering: sorted distinct
+    set joined with a separator (collect_set order is arbitrary —
+    array_sort makes it an honest value)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.withColumn("o_year", F.year("o_orderdate")).groupBy("o_year").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+    )
+
+
+@register(
+    "q_decimal_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS exact_total,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregation",
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation — no float rounding discipline needed:
+    both engines sum DECIMAL(18,2) exactly and agree digit-for-digit.
+    The capability path for money columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("exact_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        SELECT k AS key,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS BIGINT) AS vsum,
+               CAST(min(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS INT) AS vmin,
+               CAST(max(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS INT) AS vmax
+        FROM (SELECT props, unnest(json_keys(props::JSON)) AS k FROM events)
+        GROUP BY k
+    """,
+    category="scalar",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON string → map<string,int> via from_json,
+    explode to (key, value), aggregate per key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(F.explode(F.from_json("props", "map<string,int>")).alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@register(
+    "q_regexp_extract_all",
+    oracle="""
+        SELECT p_partkey,
+               len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+               array_to_string(regexp_extract_all(p_name, '[a-z]+'), '-') AS joined,
+               regexp_extract_all(p_type, '[A-Z]+')[1] AS first_type_word
+        FROM part
+    """,
+    category="scalar",
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: all matches as an array (count, join, head)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(words, "-").alias("joined"),
+        F.element_at(F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0), 1).alias(
+            "first_type_word"
+        ),
+    )
