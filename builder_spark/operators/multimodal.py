@@ -68,6 +68,20 @@ def decode_audio(payload: bytes) -> dict:
     raise NotImplementedError("audio decode requires torchaudio/pyav (not installed)")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB — wire PIL's ``Image.resize``
+    inside the same mapInPandas batch loop as the decode."""
+    raise NotImplementedError("image resize requires PIL (not installed here)")
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """Sample every n-th frame from a video payload. STUB — wire pyav
+    demux/decode here; emit one row per frame via mapInPandas (the
+    output may have MORE rows than the input, which mapInPandas
+    allows and a scalar pandas_udf does not)."""
+    raise NotImplementedError("frame sampling requires pyav (not installed here)")
+
+
 def extract_payload_features(
     df: DataFrame, id_col: str = "doc_id", keep_cols: tuple[str, ...] = ("source",)
 ) -> DataFrame:

@@ -153,6 +153,65 @@ def lsh_bucketed_topk(
     )
 
 
+def blocked_topk_pandas(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the
+    throughput path for K·N at cluster scale (~10-100× the
+    expression-per-element form; one BLAS GEMM per Arrow batch).
+
+    Shape: the K queries collect to the driver (K is small by
+    contract), ship to executors inside the UDF closure, and each
+    candidate batch computes Q·Cᵀ in one matmul, emitting only its
+    per-batch top-k per query — the global window then ranks
+    K × n_batches × k rows instead of K·N. Same result as
+    brute_force_topk up to float summation order (numpy reduces
+    pairwise; the expression form reduces sequentially), which is why
+    the ORACLE-graded query keeps the expression form: bit-parity with
+    SQL engines needs identical reduction order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)  # K × B
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = c_ids != q_ids[qi]
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(-row[idx], kind="stable")[: k]]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_c.extend(c_ids[top])
+                out_s.extend(row[top])
+            yield pd.DataFrame({"q_id": out_q, id_col: out_c, "_sim": out_s})
+
+    partials = candidates.select(id_col, vec_col).mapInPandas(
+        score, schema=f"q_id long, {id_col} long, _sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, F.round("_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str = "vec_id",
