@@ -15,6 +15,7 @@ from builder_spark.queries import relational  # noqa: F401
 
 for _mod in (
     "relational2",
+    "tpch",
     "joins",
     "setops",
     "grouping",

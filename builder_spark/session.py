@@ -23,6 +23,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 64 MB broadcast threshold (default 10 MB): on modern executor
+    # memory a mid-size dimension is still far cheaper to ship than to
+    # shuffle the fact table; AQE demotes if runtime size disagrees.
+    # Measured ~20% on the 4-way star join at sf0.1.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 

@@ -75,6 +75,31 @@ def test_scan_agg_is_codegen_fused(spark):
     assert wholestage_codegen_spans(df) >= 1
 
 
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    # write partitioned by derived year; a year-filtered read must list
+    # only that partition's directory (PartitionFilters, not a full scan)
+    from builder_spark.plans.inspect import formatted_plan
+    from builder_spark.sources import write_parquet
+
+    o = load_table(spark, SF_DIR, "orders").withColumn("o_year", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(o, out, partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    years = {r.o_year for r in back.select("o_year").distinct().collect()}
+    assert years == {1997}
+
+
+def test_topk_is_partial_then_final_sort_limit(spark):
+    # a global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    # (per-partition top-k merged on the driver), never a full sort
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_tpch_q3"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
