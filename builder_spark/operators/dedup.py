@@ -284,6 +284,64 @@ def simhash_near_dupes(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc id in the component (the canonical survivor).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round, labels flow across edges (both directions) and
+    every node keeps the minimum seen. Converges in O(component
+    diameter) rounds — near-dup clusters are dense, so diameter is
+    small. Each round is one join + one aggregate (two shuffles) and the
+    loop exits early when a round changes nothing.
+
+    Lineage discipline (CRITICAL for iteration): each round's labels are
+    `localCheckpoint()`ed — persist alone keeps the full logical plan,
+    which doubles per round until Catalyst's plan-string rendering (and
+    eventually the optimizer itself) blows up. Checkpointing truncates
+    the plan so every round optimizes a constant-size query. On a real
+    cluster, swap `localCheckpoint` for `checkpoint` with a durable
+    `spark.sparkContext.setCheckpointDir` so executor loss can't lose
+    intermediate state. This is the iterative-algorithm escape hatch:
+    Spark has no recursive CTE, so the DRIVER loops while every round
+    stays a declarative, shuffle-bounded DataFrame op.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    bi = bi.localCheckpoint(eager=True)
+    labels = (
+        bi.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = bi.join(labels, bi.v == labels.node).select(
+            F.col("u").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def minhash_near_dupes(
     df: DataFrame,
     id_col: str,

@@ -8,7 +8,7 @@ compute bit-identical values — the SQL is long but mechanical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
@@ -17,6 +17,7 @@ from builder_spark.operators.dedup import (
     CHARFOLD_MOD,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    jaccard_pairs,
     simhash_near_dupes,
 )
 from builder_spark.operators.multimodal import attach_binary, extract_payload_features
@@ -186,6 +187,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path: no K·N pair enumeration."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
+
+
+_CLUSTER_TAU = 0.95
+
+_JACCARD_PAIRS_CTE = f"""
+        tok AS (
+            SELECT doc_id AS _id, unnest(list_distinct(string_split(text, ' '))) AS _w
+            FROM documents
+        ),
+        sizes AS (SELECT _id, count(*) AS _sz FROM tok GROUP BY _id),
+        inter AS (
+            SELECT a._id AS id_a, b._id AS id_b, count(*) AS _inter
+            FROM tok a JOIN tok b ON a._w = b._w AND a._id < b._id
+            GROUP BY a._id, b._id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+            WHERE round(_inter / CAST(sa._sz + sb._sz - _inter AS DOUBLE), 4) >= {_CLUSTER_TAU}
+        )"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        {_JACCARD_PAIRS_CTE},
+        bi AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach (node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+            UNION
+            SELECT b.u, r.r FROM bi b JOIN reach r ON r.node = b.v
+        ),
+        labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labels
+    """,
+    category="llm-dedup",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS, not just pairs: connected components over
+    exact-Jaccard ≥ 0.95 pairs via driver-looped min-label propagation
+    (Spark's iterative-algorithm path — each round is a declarative
+    join+agg). cluster_id = min doc_id = the canonical document a
+    dedup pipeline keeps. Oracle: DuckDB recursive CTE reachability."""
+    from builder_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=_CLUSTER_TAU)
+    labels = dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
 @register(
