@@ -212,6 +212,75 @@ def blocked_topk_pandas(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates are pre-assigned to
+    their nearest centroid (the "inverted file" cells); each query
+    scores only the cells of its ``n_probe`` nearest centroids.
+    Returns (q_id, vec_id, cos_sim, rank).
+
+    Centroids are the ``n_centroids`` candidates with the smallest ids
+    — deterministic (no k-means iterations), so the whole operator is
+    oracle-expressible; a production build would swap in trained
+    centroids without touching the plan shape.
+
+    Scale story: assignment is a per-row argmax against a BROADCAST
+    centroid table (no shuffle — it rides the candidate scan); the
+    probe join is an equi-join on centroid id, so the pair count drops
+    from K·N to K·(n_probe/n_centroids)·N. Cell skew (dense regions)
+    is AQE skew-join territory; more centroids → smaller cells. The
+    assignment column is write-once at ingest in a real pipeline
+    (partitionBy(cell) on disk → the probe join prunes whole files).
+    """
+    cents = (
+        candidates.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_c_emb"))
+    )
+
+    def nearest(side: DataFrame, rank_alias: str, keep: int) -> DataFrame:
+        sim = dot_f64("_emb", "_c_emb") / (l2_norm("_emb") * l2_norm("_c_emb"))
+        w = Window.partitionBy("_id").orderBy(F.col("_csim").desc(), F.col("c_id").asc())
+        return (
+            side.join(F.broadcast(cents), how="cross")
+            .withColumn("_csim", sim)
+            .withColumn(rank_alias, F.row_number().over(w))
+            .filter(F.col(rank_alias) <= keep)
+            .select("_id", "_emb", "c_id")
+        )
+
+    c_assigned = nearest(
+        candidates.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_emb")),
+        "_crank",
+        keep=1,
+    ).select(F.col("_id").alias(id_col), F.col("_emb").alias("_c_vec"), "c_id")
+    q_probes = nearest(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_emb")),
+        "_prank",
+        keep=n_probe,
+    ).select(F.col("_id").alias("q_id"), F.col("_emb").alias("_q_vec"), "c_id")
+
+    pairs = c_assigned.join(F.broadcast(q_probes), "c_id").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    sim = dot_f64("_q_vec", "_c_vec") / (l2_norm("_q_vec") * l2_norm("_c_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, F.round("_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -189,6 +189,127 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
 
 
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id AS _id,
+                   unnest(list_distinct(CASE WHEN length(text) < 5 THEN [text]
+                       ELSE list_transform(range(1, length(text) - 3),
+                                           i -> substring(text, i, 5)) END)) AS _g
+            FROM documents
+        ),
+        sizes AS (SELECT _id, count(*) AS _sz FROM tok GROUP BY _id),
+        inter AS (
+            SELECT a._id AS id_a, b._id AS id_b, count(*) AS _inter
+            FROM tok a JOIN tok b ON a._g = b._g AND a._id < b._id
+            GROUP BY a._id, b._id
+        )
+        SELECT id_a, id_b,
+               round(_inter / CAST(sa._sz + sb._sz - _inter AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa._id = id_a
+        JOIN sizes sb ON sb._id = id_b
+        WHERE round(_inter / CAST(sa._sz + sb._sz - _inter AS DOUBLE), 4) >= 0.8
+    """,
+    category="llm-dedup",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs (≥ 0.8) — the n-gram
+    family twin of word-token q_jaccard_pairs: robust to tokenization
+    differences and single-word edits. Candidate generation is a
+    common-gram equi-join on DISTINCT grams per doc; at 100 TB this
+    runs behind a MinHash/LSH blocker so only candidate pairs are
+    scored (operators/dedup.py::jaccard_pairs candidates path)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "array_distinct(CASE WHEN length(text) < 5 THEN array(text) "
+        "ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END)"
+    )
+    tok = d.select(F.col("doc_id").alias("_id"), F.explode(grams).alias("_g"))
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.round(
+        F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"), 4
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_IVF_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_IVF_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding AS c_emb
+            FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DOT.format(a="e.embedding", b="c.c_emb")}
+                                / ({_IVF_NORM.format(v="e.embedding")} * {_IVF_NORM.format(v="c.c_emb")}) DESC,
+                                c.c_id ASC
+                   ) AS _r
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY _r = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVF_DOT.format(a="q.embedding", b="c.c_emb")}
+                                / ({_IVF_NORM.format(v="q.embedding")} * {_IVF_NORM.format(v="c.c_emb")}) DESC,
+                                c.c_id ASC
+                   ) AS _r
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 20
+            QUALIFY _r <= 4
+        ),
+        pairs AS (
+            SELECT p.q_id, a.vec_id,
+                   {_IVF_DOT.format(a="p.q_emb", b="a.embedding")}
+                   / ({_IVF_NORM.format(v="p.q_emb")} * {_IVF_NORM.format(v="a.embedding")}) AS sim
+            FROM probes p JOIN assign a ON p.c_id = a.c_id
+            WHERE a.vec_id <> p.q_id
+        )
+        SELECT q_id, vec_id, round(sim, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM pairs
+        QUALIFY rank <= 5
+    """,
+    category="llm-similarity",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates pre-assigned to nearest-centroid
+    cells (16 deterministic centroids = lowest vec_ids), each query
+    probes its 4 nearest cells, cosine top-5 within the probed cells.
+    The inverted-file twin of q_ann_lsh — cell assignment is a
+    broadcast argmax riding the scan, and the probe join is an
+    equi-join on cell id (K·N/4 pairs instead of K·N)."""
+    from builder_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 20), e, k=5, n_centroids=16, n_probe=4)
+
+
 _CLUSTER_TAU = 0.95
 
 _JACCARD_PAIRS_CTE = f"""
