@@ -284,6 +284,91 @@ def simhash_near_dupes(
     )
 
 
+WINNOW_K = 5  # character-gram size
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per document (Schleimer,
+    Wilkerson, Aiken 2003 — the MOSS algorithm): hash every k-char
+    gram, slide a w-gram window, keep each window's minimum hash.
+    Guarantees every match of length ≥ k+w-1 shares a fingerprint
+    while storing only ~2/(w+1) of the gram hashes.
+
+    Returns (id, fp) with distinct fingerprints per document.
+
+    Portability: gram hash = charfold polynomial (engine-portable,
+    see charfold_hash) so a DuckDB oracle computes identical values;
+    tie-break inside a window is plain min (the paper's rightmost-min
+    refinement only changes WHICH duplicate hash survives — the
+    selected hash VALUE, which is all we emit, is identical).
+
+    Scale: everything up to the final explode is per-row array math
+    riding the scan (no shuffle); the explode fans out ~2n/(w+1) rows
+    per doc which then feed a fingerprint equi-join — same shape as
+    the LSH band join, no all-pairs."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: charfold_hash(F.substr(t, i, F.lit(k)))
+    )
+    n_wins = F.greatest(F.size(F.col("_g")) - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
+    )
+    return (
+        df.select(F.col(id_col), grams.alias("_g"))
+        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_containment: float = 0.5,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Near-dup/containment pairs from shared winnowed fingerprints:
+    (id_a, id_b, shared_fp, containment) where containment =
+    shared / min(|fp_a|, |fp_b|) — the plagiarism-detection metric
+    (robust when one doc embeds the other)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared_fp") / F.least("_na", "_nb").cast("double"), 4),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "shared_fp", "containment")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

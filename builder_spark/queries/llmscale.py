@@ -189,6 +189,60 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
 
 
+def _winnow_oracle(k: int, w: int, min_containment: float) -> str:
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, length({s}) + 1),"
+        " j -> CAST(ascii(substr({s}, CAST(j AS INT), 1)) AS BIGINT))),"
+        f" (a, b) -> (a*31 + b) % {CHARFOLD_MOD})"
+    )
+    gram = f"substring(text, CAST(i AS INT), {k})"
+    return f"""
+        WITH gh AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),
+                       i -> {charfold.format(s=gram)}) AS g
+            FROM documents
+        ),
+        fps AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(g) - {w - 1}, 1) + 1),
+                       j -> list_min(g[CAST(j AS INT):CAST(j AS INT) + {w - 1}])))) AS fp
+            FROM gh
+        ),
+        sizes AS (SELECT doc_id, count(*) AS _n FROM fps GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, shared_fp,
+               round(shared_fp / CAST(least(sa._n, sb._n) AS DOUBLE), 4) AS containment
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(shared_fp / CAST(least(sa._n, sb._n) AS DOUBLE), 4) >= {min_containment}
+    """
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=_winnow_oracle(5, 4, 0.8),
+    category="llm-dedup",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): 5-char
+    gram hashes, 4-gram windows, keep each window's min hash; pairs
+    sharing ≥80% of the smaller doc's fingerprints. Every substring
+    match of ≥8 chars is guaranteed a shared fingerprint while storing
+    ~40% of the hashes — the storage/recall dial for 100 TB dedup."""
+    from builder_spark.operators.dedup import winnow_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_containment_pairs(d, "doc_id", "text", min_containment=0.8)
+
+
 @register(
     "q_ngram_jaccard",
     oracle="""
