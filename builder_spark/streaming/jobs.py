@@ -196,3 +196,59 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("day_start"), "n")
     )
     return run_stream_to_df(spark, agg, "append")
+
+
+@register("q_stream_static_join", oracle=None, category="streaming")
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins the
+    customer table (user_id = c_custkey) and counts per market segment.
+    The static side is re-planned per micro-batch (so dim updates are
+    picked up) and broadcast — stream-static inner joins need no
+    watermark because the static side never ages out of state."""
+    ev = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register("q_stream_stream_join", oracle=None, category="streaming")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase pairs with the same user's clicks from the preceding
+    hour. BOTH sides are watermarked and the range condition bounds the
+    join state — Spark derives how long each side's rows must be
+    retained (1h + watermark) and evicts behind it; without the time
+    bound, stream-stream state grows forever (a bug at 100 TB/day)."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts", "purchase_value")
+    return run_stream_to_df(spark, joined, "append")

@@ -73,3 +73,46 @@ def test_stream_late_drops_day1(spark, sf_dir):
     assert not days[0].startswith("2024-01-01")
     # the still-open final day is withheld in append mode
     assert not days[-1].startswith("2024-01-30")
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    # streaming purchase⟕click-within-1h inner join == the same join in batch
+    out = REGISTRY["q_stream_stream_join"].fn(spark, sf_dir)
+    s = {(r.purchase_id, r.click_id) for r in out.collect()}
+    from builder_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert s == b
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    out = REGISTRY["q_stream_static_join"].fn(spark, sf_dir)
+    s = {(r.c_mktsegment, r.event_type): r.n for r in out.collect()}
+    from builder_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    batch = (
+        ev.join(c, ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = {(r.c_mktsegment, r.event_type): r.n for r in batch.collect()}
+    assert s == b
