@@ -35,3 +35,25 @@ def l2_norm(v: Column | str) -> Column:
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity in double precision."""
     return dot_f64(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_i8(v: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: q = clamp(floor(x·scale + 0.5), ±127).
+
+    floor(x+0.5) instead of round(): explicit half-up-toward-+inf is
+    bit-identical across engines, while round()'s half-away/half-even
+    modes differ between SQL dialects.
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    return F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.floor(x.cast("double") * scale + 0.5), F.lit(-127.0)), F.lit(127.0)
+        ).cast("long"),
+    )
+
+
+def dequantize(q: Column | str, scale: Column) -> Column:
+    """Inverse of quantize_i8 (lossy): x̂ = q / scale."""
+    q = F.col(q) if isinstance(q, str) else q
+    return F.transform(q, lambda x: x.cast("double") / scale)

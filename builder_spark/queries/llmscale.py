@@ -189,6 +189,68 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
 
 
+@register(
+    "q_vec_quantize",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, label, embedding,
+                   127.0 / list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings
+        ),
+        err AS (
+            SELECT label,
+                   list_sum(list_transform(embedding, x ->
+                       abs(CAST(x AS DOUBLE) -
+                           least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5),
+                                          -127.0), 127.0) / scale)
+                   )) / len(embedding) AS mean_err,
+                   list_max(list_transform(embedding, x ->
+                       abs(CAST(x AS DOUBLE) -
+                           least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5),
+                                          -127.0), 127.0) / scale)
+                   )) AS max_err
+            FROM q
+        )
+        SELECT label,
+               round(avg(mean_err), 6) AS avg_mean_abs_err,
+               round(max(max_err), 6) AS worst_abs_err,
+               count(*) AS n_vecs
+        FROM err GROUP BY label
+    """,
+    category="llm-similarity",
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (symmetric, per-vector absmax
+    scale) with reconstruction-error stats per label — the 4×
+    compression every 100 TB vector store applies before ANN. Pure
+    array expressions riding the scan (no UDF, no shuffle until the
+    tiny final agg); floor(x+0.5) rounding is engine-portable where
+    round() half-mode is not."""
+    from builder_spark.functions.vectors import dequantize, quantize_i8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    e = e.withColumn("_scale", F.lit(127.0) / absmax)
+    q = quantize_i8("embedding", F.col("_scale"))
+    deq = dequantize(q, F.col("_scale"))
+    abs_err = F.zip_with(
+        "embedding", deq, lambda x, d: F.abs(x.cast("double") - d)
+    )
+    per_vec = e.select(
+        "label",
+        (F.aggregate(abs_err, F.lit(0.0), lambda a, x: a + x) / F.size("embedding")).alias(
+            "_mean_err"
+        ),
+        F.array_max(abs_err).alias("_max_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.round(F.avg("_mean_err"), 6).alias("avg_mean_abs_err"),
+        F.round(F.max("_max_err"), 6).alias("worst_abs_err"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def _winnow_oracle(k: int, w: int, min_containment: float) -> str:
     charfold = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT),"
