@@ -189,6 +189,75 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
 
 
+_KNUTH = 2654435761  # 2^32 / φ — multiplicative hash constant
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS sampled_revenue
+        FROM orders
+        WHERE (CAST(o_orderkey AS HUGEINT) * {_KNUTH}) % 4294967296 % 100 < 10
+        GROUP BY o_orderstatus
+    """,
+    category="llm-pipeline",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via multiplicative (Knuth) key hashing
+    — unlike TABLESAMPLE, the same rows are selected on every engine,
+    every run, every partitioning, so downstream metrics are
+    reproducible and the sample is a pure pushed-down filter (no
+    shuffle, no RNG state). At 100 TB key ranges, swap the raw
+    multiply for xxhash64 to avoid bigint overflow — here the fixture
+    keys keep the product exact."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(F.pmod(F.col("o_orderkey") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    return (
+        o.filter(bucket < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sampled_revenue"),
+        )
+    )
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 % 100 < 80
+                        THEN 'train'
+                        WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        FROM s GROUP BY split, lang
+    """,
+    category="llm-pipeline",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash —
+    the split every training pipeline needs: stable under reruns,
+    re-partitioning, and engine moves (no RNG), and any engine can
+    recompute membership from the key alone. Per-split×lang counts
+    verify stratification."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
 @register(
     "q_vec_quantize",
     oracle="""
