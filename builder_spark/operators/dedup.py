@@ -154,31 +154,82 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    tok = df.select(
-        F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(text_col))).alias("_w")
+    items = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_arr")
     )
-    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = tok.select(F.col("_id").alias("id_a"), F.col("_w"))
-    b = tok.select(F.col("_id").alias("id_b"), F.col("_w"))
-    inter = (
+    cands = prefix_filter_candidates(items, threshold)
+    return jaccard_from_sets(items, cands, threshold)
+
+
+def prefix_filter_candidates(items: DataFrame, tau: float) -> DataFrame:
+    """Complete candidate pairs (id_a < id_b) for Jaccard ≥ tau via
+    PREFIX FILTERING (Chaudhuri et al. SSJoin '06 / Bayardo PPJoin
+    '07): rank each set's elements by global document frequency
+    (rarest first, ties by value) and explode only the first
+    ``|d| − ⌈τ·|d|⌉ + 1`` elements; two sets with Jaccard ≥ τ MUST
+    share a prefix element (J ≥ τ ⇒ overlap ≥ τ·max(|A|,|B|); if the
+    whole prefix missed, overlap ≤ |d| − prefix_len < τ·|d| —
+    contradiction). Input: ``items`` = (_id, _arr) with DISTINCT
+    elements. Output pairs are a strict superset of the true ≥ τ
+    pairs; verify with jaccard_from_sets.
+
+    Scale: this is what replaces the naive common-token join — hot
+    tokens ("the", common 5-grams) sit at the END of the frequency
+    order, so they never enter a prefix unless a doc is almost all
+    hot tokens. Join fan-out collapses from Σ df² over ALL tokens to
+    Σ df_prefix² over rare ones. The ε in the ceil guards against
+    double rounding of τ·|d| shrinking the prefix below completeness.
+    """
+    tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
+    gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
+    w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
+    prefix_len = F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz") - F.lit(1e-9)) + 1
+    prefix = (
+        tok.join(gdf, "_w")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_sz", "_rn", "_w")
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"), "_w"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), F.col("_rn").alias("_rnb"), "_w"
+    )
+    # PPJoin refinements, both sound (never drop a true ≥ τ pair):
+    # size filter — J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ; positional
+    # filter — matching at prefix positions (i, j) caps the possible
+    # overlap at 1 + min(|A|−i, |B|−j), which must reach the required
+    # overlap ⌈τ/(1+τ)·(|A|+|B|)⌉ (ε-relaxed against double rounding).
+    required = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("_sza") + F.col("_szb")) - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(F.col("_sza") - F.col("_rna"), F.col("_szb") - F.col("_rnb"))
+    return (
         a.join(b, "_w")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .filter(F.col("_sza") >= F.ceil(F.lit(tau) * F.col("_szb") - F.lit(1e-9)))
+        .filter(F.col("_szb") >= F.ceil(F.lit(tau) * F.col("_sza") - F.lit(1e-9)))
+        .filter(ubound >= required)
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+
+
+def jaccard_from_sets(
+    items: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: both element arrays join in
+    whole (two broadcast-or-shuffle hash joins keyed on id), and the
+    intersection is computed JVM-side with array_intersect — no
+    element-level explode, cost O(|candidates| · avg set size)."""
+    a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
+    b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
+    pairs = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter")
-                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
-                4,
-            ),
-        )
+        pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -342,27 +393,51 @@ def winnow_containment_pairs(
     shared / min(|fp_a|, |fp_b|) — the plagiarism-detection metric
     (robust when one doc embeds the other)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    items = fps.groupBy(id_col).agg(F.collect_set("fp").alias("_arr")).select(
+        F.col(id_col).alias("_id"), "_arr"
     )
+    # Candidate generation: prefix(Jaccard-style, rarity-ranked) on one
+    # side × FULL fingerprint list on the other. Containment's overlap
+    # bound only holds for the SMALLER set (I ≥ c·min), so the smaller
+    # doc's prefix must hit the larger doc's full list; joining
+    # prefix×full in one direction + unordered normalization covers
+    # both assignments. Complete for containment ≥ c; hot fingerprints
+    # never enter a prefix, so no quadratic fan-out.
+    tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
+    gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
+    rank_w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
+    prefix_len = (
+        F.col("_sz") - F.ceil(F.lit(min_containment) * F.col("_sz") - F.lit(1e-9)) + 1
+    )
+    prefix = (
+        tok.join(gdf, "_w")
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col("_id").alias("_pid"), "_w")
+    )
+    cands = (
+        prefix.join(tok.select(F.col("_id").alias("_fid"), "_w"), "_w")
+        .filter(F.col("_pid") != F.col("_fid"))
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_fa"))
+    b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_fb"))
+    shared = F.size(F.array_intersect("_fa", "_fb"))
     return (
-        pairs.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))),
-            "id_b",
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared_fp", shared)
         .withColumn(
             "containment",
-            F.round(F.col("shared_fp") / F.least("_na", "_nb").cast("double"), 4),
+            F.round(
+                F.col("shared_fp")
+                / F.least(F.size("_fa"), F.size("_fb")).cast("double"),
+                4,
+            ),
         )
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "shared_fp", "containment")
