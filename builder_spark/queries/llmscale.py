@@ -189,6 +189,68 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES)
 
 
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        dlen AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        tf AS (
+            SELECT doc_id, lang, term, count(*) AS n FROM tok GROUP BY doc_id, lang, term
+        ),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.lang, tf.term,
+                   round(sum((tf.n / CAST(dlen.n_tok AS DOUBLE))
+                             * ln(n_docs.n / CAST(dft.df AS DOUBLE))), 4) AS tfidf
+            FROM tf
+            JOIN dlen USING (doc_id)
+            JOIN dft USING (term)
+            CROSS JOIN n_docs
+            GROUP BY tf.lang, tf.term
+        )
+        SELECT lang, term, tfidf,
+               row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+        QUALIFY rnk <= 5
+    """,
+    category="llm-text",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per language by corpus-summed
+    TF-IDF — the classic text-analytics reduction (term weighting for
+    search/quality filtering). Ranking happens AFTER rounding to 4
+    decimals so sub-ulp ln() differences between engines cannot flip
+    ranks (ties then break on the term itself). Scale: tf and df are
+    both map-side-combined aggs; df joins tf on term (broadcastable —
+    vocabulary ≪ corpus); no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: fixture-cheap; at scale pass via agg broadcast
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .groupBy("lang", "term")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("n_tok").cast("double"))
+                    * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+                ),
+                4,
+            ).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
 _KNUTH = 2654435761  # 2^32 / φ — multiplicative hash constant
 
 
