@@ -130,3 +130,62 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS act_week
+            FROM events
+        ),
+        ret AS (
+            SELECT cohort_week,
+                   date_diff('day', cohort_week, act_week) // 7 AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act JOIN first_seen USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset, n_users,
+               round(n_users / CAST(
+                   max(CASE WHEN week_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cohort_week) AS DOUBLE), 4) AS retention
+        FROM ret
+    """,
+    category="analytics",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the classic product-analytics rollup:
+    users cohorted by first-activity week; for each (cohort, week
+    offset) the distinct-user count and its ratio to the cohort's own
+    week-0 size. Both engines truncate weeks to Monday, so bucket
+    edges agree; offsets are exact multiples of 7 days, so the
+    ``//7`` vs float-divide-then-truncate difference cannot bite.
+    Scale: two map-side-combinable aggs over events plus one shuffle
+    join keyed on user_id — cohort table is |users| rows (≪ events,
+    broadcastable); no per-day fan-out, output is O(weeks²)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    act = ev.select("user_id", week.alias("act_week")).distinct()
+    ret = (
+        act.join(F.broadcast(first_seen), "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_week")
+    cohort_size = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w)
+    return ret.withColumn(
+        "retention",
+        F.round(F.col("n_users") / cohort_size.cast("double"), 4),
+    )
