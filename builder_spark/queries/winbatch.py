@@ -189,3 +189,72 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retention",
         F.round(F.col("n_users") / cohort_size.cast("double"), 4),
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+        ),
+        s4 AS (
+            SELECT e.user_id, min(e.ts) AS t4
+            FROM events e JOIN s3 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_signup,
+               (SELECT count(*) FROM s2) AS n_view,
+               (SELECT count(*) FROM s3) AS n_click,
+               (SELECT count(*) FROM s4) AS n_purchase
+    """,
+    category="analytics",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: a user
+    reaches stage k+1 via the first stage-(k+1) event STRICTLY AFTER
+    their stage-k arrival time (the standard product-analytics
+    definition, not mere per-type existence). Timestamps compare
+    microsecond-exact — both engines truncate the parquet nanos the
+    same way, so strict-> boundaries agree. Scale: each stage is a
+    pushed-down filter + combinable min-agg; the stage-k user table
+    only shrinks, so every join is broadcastable; no windows, no
+    all-event shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str) -> DataFrame:
+        prev_t = prev.columns[-1]
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t2")
+    s3 = first_after(s2, "click", "t3")
+    s4 = first_after(s3, "purchase", "t4")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(s1, "n_signup"), (s2, "n_view"), (s3, "n_click"), (s4, "n_purchase")]
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
