@@ -309,3 +309,28 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(l2_norm("embedding")), 4).alias("avg_l2_norm"),
     )
+
+
+@register(
+    "q_doc_len_hist",
+    oracle="""
+        SELECT length(text) // 100 AS bucket,
+               count(*) AS n_docs,
+               round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_len
+        FROM documents
+        GROUP BY 1
+    """,
+    category="llm-text",
+)
+def q_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 100-char buckets — the first-look
+    corpus profile before length-based quality filtering. Bucket id is
+    integer floor-division (identical semantics both engines on
+    non-negative lengths); length() counts codepoints in both. Scale:
+    single map-side-combinable agg, bucket cardinality tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return d.groupBy(F.floor(ln / 100).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ln.cast("double")), 4).alias("avg_len"),
+    )
