@@ -258,3 +258,32 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+        SELECT isodow(ts) AS dow,
+               hour(ts) AS hr,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    category="analytics",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the traffic-shape profile
+    behind load-aware scheduling. Uses ISO day-of-week (Mon=1..Sun=7)
+    on both engines: Spark's default dayofweek() is Sunday=1 while
+    DuckDB's dow is Sunday=0, so the ISO form is the only
+    alignment-safe choice. Scale: one combinable agg, 168 output
+    rows max."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("bigint").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
