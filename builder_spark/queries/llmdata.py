@@ -334,3 +334,38 @@ def q_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(ln.cast("double")), 4).alias("avg_len"),
     )
+
+
+@register(
+    "q_vocab_stats",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_tokens,
+               count(DISTINCT term) AS vocab,
+               round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 4)
+                   AS type_token_ratio
+        FROM tok
+        GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus vocabulary profile: token volume, distinct
+    vocabulary size, and type-token ratio (lexical diversity — a
+    standard corpus-quality signal). Fixture text is single-spaced so
+    whitespace split agrees between engines. Scale: explode then one
+    agg — count(distinct) shuffles (lang, term) pairs, which is the
+    vocabulary (≪ token stream) after map-side partial dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+        F.round(
+            F.countDistinct("term") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("type_token_ratio"),
+    )
