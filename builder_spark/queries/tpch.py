@@ -377,3 +377,137 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    category="tpch",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): revenue between a nation pair in
+    both directions, per ship year. The nation-pair disjunction is
+    applied AFTER the two broadcast nation joins but the per-side
+    nation sets are implied filters Catalyst pushes into the customer
+    and supplier dimension scans; the shipdate band prunes lineitem at
+    the scan. lineitem⨝orders is the only shuffle join — all
+    dimensions broadcast."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = ["NATION_1", "NATION_2"]
+    ns = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    nc = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("c_n_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_n_nationkey"))
+        .filter(F.col("n_name") != F.col("cust_nation"))
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("vol"), 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+        SELECT year(o.o_orderdate) AS o_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS mkt_share
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN region r   ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    category="tpch",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): one nation's share of
+    region-wide revenue for one part type, per order year. The share
+    is a conditional-sum ratio inside a single aggregation — no
+    self-join, one pass over the joined fact. part and the customer-
+    side region filter prune lineitem via broadcast-hash-join runtime
+    filters; orders carries the date band to its scan. round() applies
+    to the final ratio only (division of two full-precision sums), so
+    the 4-decimal hash is stable across summation orders."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf_dir, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_n_nationkey"),
+        F.col("n_regionkey").alias("c_n_regionkey"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_n_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_n_nationkey"))
+        .join(F.broadcast(r), F.col("c_n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_n_nationkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
