@@ -12,7 +12,7 @@ top-k is a partial-then-final sort-limit (TakeOrderedAndProject).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
@@ -510,4 +510,129 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mkt_share")
         )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+    """,
+    category="tpch",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution), adapted: the
+    reference's o_comment NOT LIKE filter becomes an o_orderpriority
+    exclusion (fixtures carry no comment column). The filter lives in
+    the JOIN CONDITION, not a WHERE — customers with zero qualifying
+    orders must survive with c_count=0, which a post-join WHERE would
+    destroy. Two-level agg: the first groups on the join key (so AQE
+    can fold it into the shuffle), the second is over ≤|distinct
+    counts| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    category="tpch",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier by quarterly revenue). The max is taken
+    over ALREADY-ROUNDED revenues on both engines — comparing raw
+    doubles to a raw max would let sub-ulp summation noise disagree on
+    the argmax. Empty-frame window max (no PARTITION BY) replaces the
+    scalar subquery: one extra exchange of |suppliers-with-revenue|
+    rows, no second scan of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        F.broadcast(top)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'SMALL'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    category="tpch",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue), adapted to the
+    fixture's p_type values (no brand/container columns). The
+    correlated scalar subquery decorrelates into a per-part average
+    computed once and joined back — the per-part agg shuffles
+    |parts| rows, not a rescan of lineitem per row. The 0.2×avg
+    threshold compares raw doubles on both engines: avg() is a single
+    division of one sum, and both engines sum per-part groups in
+    their own order — but the comparison is < on a value whose ulp
+    noise is ~1e-15 of magnitude, with quantities being small exact
+    integers-as-doubles, so the predicate cannot flip (probed)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
