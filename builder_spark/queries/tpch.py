@@ -636,3 +636,65 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+        WITH ll AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM ll WHERE late)
+        SELECT s.s_name, count(*) AS numwait
+        FROM l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM ll l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM ll l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 10
+    """,
+    category="tpch",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting), adapted: "late" =
+    shipped >60 days after order date (fixture has no commit/receipt
+    dates). The double-correlated EXISTS / NOT EXISTS pair is
+    rewritten as ONE per-order aggregate — n_suppliers and
+    n_late_suppliers per order — because for a late supplier l1:
+    "another supplier exists" ⇔ n_supp ≥ 2, and "no OTHER supplier is
+    late" ⇔ n_late_supp = 1. One shuffle on orderkey replaces two
+    correlated rescans of lineitem; the oracle keeps the literal
+    EXISTS form so the rewrite is what's being graded. Top-10 tie-broken
+    on s_name."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    ll = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    stats = ll.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    l1 = ll.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    return (
+        l1.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
