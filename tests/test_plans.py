@@ -113,3 +113,31 @@ def test_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q21"],
+)
+def test_tpch_composites_broadcast_dimensions(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert has_broadcast_join(df), f"{name}: dimensions should broadcast"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_tpch_q7", 2),    # fact join may shuffle at scale; 1 agg exchange
+        ("q_tpch_q8", 2),
+        ("q_tpch_q13", 3),   # left join + two-level agg
+        ("q_tpch_q15", 3),   # supplier agg + empty-frame window max
+        ("q_tpch_q17", 3),   # per-part avg + join-back
+        ("q_tpch_q21", 6),   # ll reused by stats+candidates, distinct, agg, sort
+        ("q_retention_cohort", 5),
+        ("q_tfidf_top_terms", 6),
+    ],
+)
+def test_new_query_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
