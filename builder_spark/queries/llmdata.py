@@ -369,3 +369,59 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("term") / F.count(F.lit(1)).cast("double"), 4
         ).alias("type_token_ratio"),
     )
+
+
+@register(
+    "q_top_bigrams",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bigram
+            FROM tok
+        ),
+        cnt AS (
+            SELECT lang, bigram, count(*) AS n
+            FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, bigram ASC) AS rnk
+        FROM cnt
+        QUALIFY rnk <= 5
+    """,
+    category="llm-text",
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — collocation mining for
+    boilerplate detection (repeated bigrams flag templated text).
+    Bigram arrays are built with 1-based element_at over a 1..n-1
+    index sequence — identical indexing to DuckDB's list_transform
+    over range(1, len) — rather than a self-zip, so each token is
+    touched once. Ties rank alphabetically after the count. Scale:
+    the bigram construction rides the scan (no shuffle); the count
+    agg shuffles distinct (lang, bigram) pairs post map-side combine;
+    top-k is a bounded window over per-lang counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return cnt.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
