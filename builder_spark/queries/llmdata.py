@@ -425,3 +425,61 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return cnt.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, lang,
+                   len(list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1]))
+                       AS n_bigrams,
+                   len(list_distinct(list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])))
+                       AS n_distinct
+            FROM tok
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(1.0 - n_distinct / CAST(n_bigrams AS DOUBLE)), 4)
+                   AS avg_repetition,
+               sum(CASE WHEN 1.0 - n_distinct / CAST(n_bigrams AS DOUBLE) > 0.2
+                        THEN 1 ELSE 0 END) AS n_repetitive
+        FROM bg
+        GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-bigram fraction (the Gopher repetition family
+    of quality rules: templated/spammy text repeats n-grams), rolled
+    up per language with a >0.2 repetitive-doc count. All per-doc
+    work is array expressions riding the scan — no explode, so no
+    token-stream shuffle at all; the only exchange is the final
+    per-lang agg. Flag threshold compares exact small-integer ratios,
+    round() only on the final avg."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "lang", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct") / F.col("n_bigrams").cast("double")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(rep), 4).alias("avg_repetition"),
+        F.sum(F.when(rep > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+    )

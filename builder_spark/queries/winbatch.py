@@ -287,3 +287,40 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "q_daily_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               round((n - avg(n) OVER (PARTITION BY event_type))
+                     / stddev_samp(n) OVER (PARTITION BY event_type), 4)
+                   AS zscore
+        FROM daily
+    """,
+    category="analytics",
+)
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume z-scores — the monitoring primitive
+    behind traffic-anomaly alerts. Counts are exact integers, so the
+    windowed mean/stddev are deterministic up to summation order;
+    round(·,4) absorbs that before the hash. Scale: the daily rollup
+    is a combinable agg (≈types×days rows out); the z-score window
+    partitions by event_type over that tiny aggregate, never over raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return daily.withColumn(
+        "zscore",
+        F.round((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4),
+    )
