@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
 from builder_spark.registry import register
-from builder_spark.sources import read_csv, read_json, write_csv, write_json
+from builder_spark.sources import read_csv, read_json, read_orc, write_csv, write_json, write_orc
 
 
 @register(
@@ -80,4 +80,35 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("p_retailprice"), 4).alias("retail_total"),
         F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(c_nationkey) AS BIGINT) AS nation_sum,
+               round(sum(c_acctbal), 4) AS acctbal_total
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    category="source-sink",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source roundtrip on customer — the third columnar
+    format next to parquet (same stripe-stat pushdown machinery in
+    Spark's native reader). Binary columnar format, so the roundtrip
+    is bit-lossless by construction; the oracle runs the same agg on
+    the ORIGINAL table, proving it."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_orc_roundtrip")
+    write_orc(c, out)
+    back = read_orc(spark, out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_nationkey").alias("nation_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("acctbal_total"),
     )

@@ -9,8 +9,10 @@ re-implementing I/O. See ``io.py``.
 from builder_spark.sources.io import (  # noqa: F401
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
