@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
 from builder_spark.registry import register
-from builder_spark.sources import read_csv, read_json, read_orc, write_csv, write_json, write_orc
+from builder_spark.sources import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_orc,
+)
 
 
 @register(
@@ -111,4 +119,41 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c_nationkey").alias("nation_sum"),
         F.round(F.sum("c_acctbal"), 4).alias("acctbal_total"),
+    )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 4) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    category="source-sink",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over two tables bucketed on the join key — the co-located
+    join that replaces the fact⨝fact shuffle at 100 TB (bucket layout
+    is computed once at write time, then every subsequent join on the
+    key is exchange-free; tests/test_plans.py asserts zero Exchange
+    with broadcast disabled). Bucket counts MUST match on both sides.
+    The oracle joins the original tables, proving the bucketed layout
+    is a pure physical transform."""
+    base = os.path.join(tempfile.gettempdir(), "builder_spark_bucketed")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "bkt_orders", ["o_custkey"], 8, sort_cols=["o_custkey"],
+                   path=os.path.join(base, "orders"))
+    write_bucketed(c, "bkt_customer", ["c_custkey"], 8, sort_cols=["c_custkey"],
+                   path=os.path.join(base, "customer"))
+    ob, cb = spark.table("bkt_orders"), spark.table("bkt_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
     )

@@ -11,6 +11,7 @@ from builder_spark.sources.io import (  # noqa: F401
     read_json,
     read_orc,
     read_parquet,
+    write_bucketed,
     write_csv,
     write_json,
     write_orc,

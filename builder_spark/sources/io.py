@@ -96,3 +96,26 @@ def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table — THE co-located-join primitive at scale:
+    two tables bucketed on the same key with the same bucket count
+    join with ZERO exchange (each task reads matching bucket files
+    from both sides). Requires ``saveAsTable`` (bucket metadata lives
+    in the catalog, not the files); ``path`` makes it an external
+    table so the data outlives the in-memory catalog."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

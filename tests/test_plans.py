@@ -141,3 +141,22 @@ def test_new_query_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge-join with ZERO exchange — the co-located-join
+    contract that replaces the fact⨝fact shuffle at scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # build FIRST: load_table defensively re-applies RUNTIME_CONFS (incl.
+    # the 64 MB threshold); physical planning is lazy, so the conf at
+    # explain time below is what decides the join strategy.
+    df = REGISTRY["q_join_bucketed"].fn(spark, SF_DIR)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = count_exchanges(df)
+        # budget: 1 exchange max (the groupBy) — the join itself must add none
+        assert n <= 1, f"bucketed join leaked exchanges: {n}"
+        assert not has_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
