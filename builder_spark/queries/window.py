@@ -218,3 +218,43 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cdist"),
     )
+
+
+@register(
+    "q_window_firstlast",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    category="window",
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer order history
+    (first vs latest basket size — the churn-drift signal). The frame
+    is UNBOUNDED on BOTH ends: with the default frame (unbounded
+    preceding → current row) last_value degenerates to the current row
+    and nth_value goes null until row 2 — the classic window trap,
+    sidestepped identically on both engines. Total order via
+    (o_orderdate, o_orderkey) makes every value deterministic; DISTINCT
+    collapses the per-row duplicates. Prices are untouched doubles (no
+    arithmetic), so no rounding is needed for the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).distinct()
