@@ -224,14 +224,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF — the classic text-analytics reduction (term weighting for
     search/quality filtering). Ranking happens AFTER rounding to 4
     decimals so sub-ulp ln() differences between engines cannot flip
-    ranks (ties then break on the term itself). Scale: tf and df are
-    both map-side-combined aggs; df joins tf on term (broadcastable —
-    vocabulary ≪ corpus); no all-pairs anywhere."""
+    ranks (ties then break on the term itself). Scale: the raw token
+    stream is shuffled ONCE (into tf); doc length and document
+    frequency both derive from tf — dlen as sum(n) per doc, dft as a
+    plain count (tf is already distinct per (doc,term), so no
+    countDistinct shuffle of token pairs). df joins tf on term
+    (broadcastable — vocabulary ≪ corpus); no all-pairs anywhere."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
-    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
-    dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("n").alias("n_tok"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar: fixture-cheap; at scale pass via agg broadcast
     scored = (
         tf.join(dlen, "doc_id")
