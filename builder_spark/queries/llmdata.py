@@ -358,16 +358,20 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size, and type-token ratio (lexical diversity — a
     standard corpus-quality signal). Fixture text is single-spaced so
     whitespace split agrees between engines. Scale: explode then one
-    agg — count(distinct) shuffles (lang, term) pairs, which is the
-    vocabulary (≪ token stream) after map-side partial dedup."""
+    map-side-combined agg over (lang, term) — only the vocabulary
+    (≪ token stream) crosses the wire — then a per-lang rollup."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
-    return tok.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("term").alias("vocab"),
-        F.round(
-            F.countDistinct("term") / F.count(F.lit(1)).cast("double"), 4
-        ).alias("type_token_ratio"),
+    # one map-side-combined agg over (lang, term) — the vocabulary —
+    # then a tiny rollup; avoids countDistinct's two-phase shuffle of
+    # the raw token stream.
+    per_term = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    return per_term.groupBy("lang").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.count(F.lit(1)) / F.sum("n").cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
     )
 
 
