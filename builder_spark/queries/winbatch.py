@@ -181,7 +181,11 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # act is distinct per (user, week) and week_offset is a function
+        # of (user, act_week), so each user hits a group exactly once —
+        # plain count, no distinct shuffle (oracle keeps count(DISTINCT)
+        # to assert the equivalence).
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
     w = Window.partitionBy("cohort_week")
     cohort_size = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w)
