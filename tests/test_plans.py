@@ -134,7 +134,10 @@ def test_tpch_composites_broadcast_dimensions(spark, name):
         ("q_tpch_q17", 3),   # per-part avg + join-back
         ("q_tpch_q21", 6),   # ll reused by stats+candidates, distinct, agg, sort
         ("q_retention_cohort", 5),
-        ("q_tfidf_top_terms", 6),
+        # 7 exchange NODES but only ONE carries the raw token stream
+        # (tok→tf); dlen/dft/join/rank all shuffle vocabulary-sized
+        # aggregates of tf. Node count is the budget; bytes are the win.
+        ("q_tfidf_top_terms", 7),
     ],
 )
 def test_new_query_shuffle_budget(spark, name, max_exchanges):
