@@ -222,3 +222,34 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_type_word"
         ),
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+        SELECT event_type,
+               round(sum(value), 4) AS sum_value,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation through
+    ``operators.partitioning.salted_sum_count`` — the skew escape
+    hatch when one key dominates and map-side partials can't compress
+    it (each of the 16 salt buckets of a hot key lands on a different
+    reducer, then a vocabulary-sized second phase merges). The oracle
+    is the PLAIN group-by: salting must be invisible in the result —
+    sum/count are reassociable, and round(·,4) absorbs the summation-
+    order change the re-bucketing introduces."""
+    from builder_spark.operators.partitioning import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_sum_count(ev, ["event_type"], "value", n=16)
+    return agg.select(
+        "event_type",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+        F.col("count_value").alias("n"),
+    )
