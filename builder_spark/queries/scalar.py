@@ -287,3 +287,32 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
         ).alias("vec_sum"),
     )
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+        SELECT doc_id, pos, term FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+            WHERE doc_id < 50
+        ) WHERE pos <= 3
+    """,
+    category="scalar",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode — first 3 tokens of each doc with their
+    1-based position (lead-token features for quality classifiers).
+    Spark's posexplode emits 0-based positions, DuckDB's
+    generate_subscripts is 1-based; the +1 here is the entire parity
+    story. In DuckDB, parallel unnests in one SELECT zip positionally,
+    which is exactly posexplode's contract. Scale: array slice happens
+    BEFORE the explode (slice(toks,1,3) rides the scan), so the
+    exploded stream is 3 rows/doc, not |tokens| rows/doc."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
