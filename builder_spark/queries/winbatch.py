@@ -328,3 +328,67 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zscore",
         F.round((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate),
+                             (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 4) AS monetary
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT *,
+                   ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quartile,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile
+            FROM per_cust
+        )
+        SELECT r_quartile, f_quartile, m_quartile,
+               count(*) AS n_customers,
+               round(avg(monetary), 4) AS avg_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    category="analytics",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles, the
+    workhorse customer-value rollup. Every ntile ordering carries a
+    c_custkey tie-break (quartile boundaries would otherwise be
+    engine-dependent for tied values: frequency ties are common).
+    Monetary is rounded BEFORE the m-quartile ordering so sub-ulp sum
+    noise can't flip boundary customers. Scale: per-customer agg is one
+    combinable shuffle; the three global ntiles each sort the
+    per-customer AGGREGATE (|customers| rows, not orders) — at 100 TB
+    swap for percent_rank over approx quantile boundaries if even
+    that sort bites."""
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("_mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_cust_mx"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .withColumn("recency_days", F.datediff(F.col("_mx"), F.col("_cust_mx")))
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = (
+        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
+        .withColumn("f_quartile", F.ntile(4).over(wf))
+        .withColumn("m_quartile", F.ntile(4).over(wm))
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
