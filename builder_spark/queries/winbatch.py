@@ -392,3 +392,104 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS prev_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+                   AS prob
+        FROM cnt
+    """,
+    category="analytics",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov chain of user
+    behavior — the input to next-action prediction and bot detection).
+    lag() per user with a (ts, event_id) total order; the row-
+    normalized probabilities divide exact integer counts, so only the
+    final ratio needs round(4). Scale: one user_id shuffle for the lag,
+    then a 25-cell aggregate — the probability window runs over the
+    CELL table, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return cnt.withColumn(
+        "prob", F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 4)
+    )
+
+
+@register(
+    "q_pareto_customers",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   sum(revenue) OVER (
+                       ORDER BY revenue DESC, o_custkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_revenue,
+                   sum(revenue) OVER () AS total_revenue,
+                   row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk
+            FROM per_cust
+        )
+        SELECT count(*) AS n_top_customers,
+               max(rnk) = count(*) AS contiguous,
+               round(min(cum_revenue / total_revenue), 4) AS first_share
+        FROM ranked
+        WHERE cum_revenue / total_revenue <= 0.5
+    """,
+    category="analytics",
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): how many top customers make up
+    the first 50% of revenue. Per-customer revenue is rounded BEFORE
+    the cumulative window, so the running sum adds identical values in
+    an identical (revenue DESC, custkey ASC) order on both engines —
+    the cum/total ratio is then bit-reproducible and the 0.5 cut
+    cannot flip. Scale: windows run over the |customers| aggregate;
+    at 100 TB replace the global sort with percent_rank bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    wc = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    wr = Window.orderBy(*order)
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum_revenue"),
+        F.sum("revenue").over(wt).alias("total_revenue"),
+        F.row_number().over(wr).alias("rnk"),
+    ).filter(F.col("cum_revenue") / F.col("total_revenue") <= 0.5)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top_customers"),
+        (F.max("rnk") == F.count(F.lit(1))).alias("contiguous"),
+        F.round(F.min(F.col("cum_revenue") / F.col("total_revenue")), 4).alias(
+            "first_share"
+        ),
+    )
