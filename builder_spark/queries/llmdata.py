@@ -487,3 +487,56 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(rep), 4).alias("avg_repetition"),
         F.sum(F.when(rep > 0.2, 1).otherwise(0)).alias("n_repetitive"),
     )
+
+
+@register(
+    "q_seq_packing",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tok,
+                   CAST(floor((sum(n_tok) OVER (
+                       ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tok) / 1024.0) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM packed
+        GROUP BY bin_id
+    """,
+    category="llm-pipeline",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: assign docs (in stable
+    doc_id order) to ~1024-token training bins by cumulative token
+    count — bin = floor(tokens_before_this_doc / 1024), the
+    deterministic streaming-concat packing rule. Integer token counts
+    make the cumsum exact, so bin edges are identical across engines
+    with no rounding discipline needed. Scale: the global-order cumsum
+    is the serial bottleneck — at 100 TB, pack WITHIN partitions
+    (shard = partition id, bin local to shard), which this rule
+    supports unchanged; the graded twin keeps the single order for
+    oracle parity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 1024.0).cast("bigint"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
