@@ -252,3 +252,49 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts", "purchase_value")
     return run_stream_to_df(spark, joined, "append")
+
+
+@register("q_stream_foreach_batch", oracle=None, category="streaming")
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming→lakehouse sink via ``foreachBatch``:
+    every micro-batch overwrites exactly the hourly partitions it
+    touches (dynamic partition overwrite), so replaying a batch after
+    a failure rewrites the same files instead of duplicating them —
+    idempotence + checkpoint = effectively-once, the production
+    pattern when the sink itself isn't transactional. Batch twin:
+    q_win_tumbling (equivalence asserted in tests/test_streaming.py).
+    Scale: each partition's files are rewritten whole; state is
+    bounded by the watermark, sink work by |touched windows|."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    out = os.path.join(tempfile.gettempdir(), "bs_feb_sink")
+    ckpt = os.path.join(tempfile.gettempdir(), "bs_feb_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("win_date", F.to_date("win_start"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_date")
+            .parquet(out)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("win_start", "event_type", "n", "total_value")

@@ -116,3 +116,19 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     )
     b = {(r.c_mktsegment, r.event_type): r.n for r in batch.collect()}
     assert s == b
+
+
+def test_stream_foreach_batch_sink_matches_batch_twin(spark, sf_dir):
+    """The foreachBatch dynamic-partition-overwrite sink must land
+    exactly the batch twin's aggregate — and stay identical when the
+    stream is replayed (idempotent overwrite, not append-duplicate)."""
+    sink1 = REGISTRY["q_stream_foreach_batch"].fn(spark, sf_dir)
+    batch = REGISTRY["q_win_tumbling"].fn(spark, sf_dir)
+    key = lambda r: (str(r.win_start), r.event_type)
+    s = {key(r): (r.n, r.total_value) for r in sink1.collect()}
+    b = {key(r): (r.n, r.total_value) for r in batch.collect()}
+    assert s == b
+    # replay: rerun the whole stream job; sink contents must not grow
+    sink2 = REGISTRY["q_stream_foreach_batch"].fn(spark, sf_dir)
+    s2 = {key(r): (r.n, r.total_value) for r in sink2.collect()}
+    assert s2 == s
