@@ -253,3 +253,69 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value"), 4).alias("sum_value"),
         F.col("count_value").alias("n"),
     )
+
+
+@register(
+    "q_robust_stats",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med_value
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(any_value(m.med_value), 4) AS med_value,
+               round(median(abs(e.value - m.med_value)), 4) AS mad_value
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    """,
+    category="aggregation",
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread per group: median and MAD (median
+    absolute deviation) — outlier-proof twins of avg/stddev. MAD is
+    inherently two-pass (deviations need the median first): a
+    per-group median agg broadcast-joined back, then a second median
+    over deviations. Both engines interpolate medians identically
+    (probed in row 87). Scale: two combinable aggs + a 5-row broadcast
+    — events never shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med_value"), 4).alias("med_value"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med_value"))), 4).alias(
+                "mad_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_regression",
+    oracle="""
+        SELECT event_type,
+               round(regr_slope(value, hour(ts)), 4) AS slope,
+               round(regr_intercept(value, hour(ts)), 4) AS intercept,
+               round(regr_r2(value, hour(ts)), 4) AS r2,
+               regr_count(value, hour(ts)) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (value ~ hour-of-day per event
+    type) — trend detection as a single combinable aggregate, no ML
+    library. regr_* are closed-form moment sums, so they map-side
+    combine like any sum; both engines use the same textbook
+    formulas and round(4) absorbs moment-accumulation order."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", hr), 4).alias("slope"),
+        F.round(F.regr_intercept("value", hr), 4).alias("intercept"),
+        F.round(F.regr_r2("value", hr), 4).alias("r2"),
+        F.regr_count("value", hr).alias("n"),
+    )
