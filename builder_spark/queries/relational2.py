@@ -319,3 +319,87 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", hr), 4).alias("r2"),
         F.regr_count("value", hr).alias("n"),
     )
+
+
+@register(
+    "q_bit_bool_agg",
+    oracle="""
+        SELECT l_returnflag,
+               bit_and(l_linenumber) AS all_bits,
+               bit_or(l_linenumber) AS any_bits,
+               bit_xor(l_linenumber) AS parity_bits,
+               bool_and(l_quantity > 1) AS all_gt1,
+               bool_or(l_quantity > 49) AS any_gt49
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates — the flag-combination family
+    (permission masks, feature-presence rollups). All five are
+    associative+commutative, so they map-side combine; exact integer/
+    boolean semantics leave nothing to round."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("all_bits"),
+        F.bit_or("l_linenumber").alias("any_bits"),
+        F.bit_xor("l_linenumber").alias("parity_bits"),
+        F.bool_and(F.col("l_quantity") > 1).alias("all_gt1"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_gt49"),
+    )
+
+
+@register(
+    "q_moments",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   avg(value) AS mu,
+                   avg(value * value) AS m2r,
+                   avg(value * value * value) AS m3r,
+                   avg(value * value * value * value) AS m4r
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(m3c / pow(m2c, 1.5), 4) AS skewness,
+               round(m4c / (m2c * m2c) - 3.0, 4) AS excess_kurtosis
+        FROM (
+            SELECT event_type, n,
+                   m2r - mu * mu AS m2c,
+                   m3r - 3 * mu * m2r + 2 * mu * mu * mu AS m3c,
+                   m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu AS m4c
+            FROM m
+        )
+    """,
+    category="aggregation",
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from EXPLICIT raw
+    moments (E[x^k] → central via binomial expansion) — built-in
+    skewness/kurtosis differ between engines in bias correction
+    (sample vs population), so the portable form IS the raw-moment
+    algebra, identical on both sides. One combinable agg; the
+    fixture's value range (~0-100) keeps x⁴ ≈ 1e8 — far inside double
+    precision, so the raw-moment route is numerically safe here (at
+    wide ranges switch to Welford/co-moment accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mu"),
+        F.avg(v * v).alias("m2r"),
+        F.avg(v * v * v).alias("m3r"),
+        F.avg(v * v * v * v).alias("m4r"),
+    )
+    mu, m2r, m3r, m4r = F.col("mu"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    m2c = m2r - mu * mu
+    m3c = m3r - 3 * mu * m2r + 2 * mu * mu * mu
+    m4c = m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu
+    return m.select(
+        "event_type",
+        "n",
+        F.round(m3c / F.pow(m2c, 1.5), 4).alias("skewness"),
+        F.round(m4c / (m2c * m2c) - 3.0, 4).alias("excess_kurtosis"),
+    )
