@@ -540,3 +540,52 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "q_edit_distance",
+    oracle="""
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a
+        JOIN part b
+          ON a.p_type = b.p_type
+         AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    category="llm-dedup",
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy matching (typo-level name dedup).
+    Levenshtein is O(len²) per pair, so NEVER all-pairs: the join
+    blocks on (p_type, p_size) and a ±2 length band — the band is a
+    correct prefilter because |len(a)−len(b)| lower-bounds the edit
+    distance. Both engines implement textbook unit-cost Levenshtein,
+    so distances are exact integers. Scale: block keys are the shuffle
+    key; block size bounds the quadratic term, the same shape as the
+    LSH-bucketed joins."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("_na"),
+        "p_type",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("_nb"),
+        "p_type",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_type", "p_size"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("_na") - F.length("_nb")) <= 2)
+        )
+        .withColumn("dist", F.levenshtein("_na", "_nb"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+    )
