@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Scale smoke: run heavy operators at ~10× the bench scale factor.
+
+The grading fixtures stop at sf0.1 (600k lineitem / 5k docs). This
+tool manufactures a 10× corpus in /tmp by unioning the sf0.1 tables N
+times with key offsets (ids stay unique, distributions unchanged) and
+times the operators whose cost curves matter — joins, dedup, vector
+top-k, sessionization. A roughly-linear wall-clock ratio vs bench is
+the evidence that the plans scale; superlinear blowup flags an
+operator whose shuffle or fan-out is size-sensitive.
+
+Usage: python tools/scale_smoke.py [N]   # default N=10
+Writes one JSON line, mirroring bench.py's shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from builder_spark.catalog import TABLES, load_table  # noqa: E402
+from builder_spark.registry import load_all  # noqa: E402
+from builder_spark.session import get_spark  # noqa: E402
+
+#: operators worth scaling: the ones with joins/windows/quadratic risk
+HEAVY = [
+    "q_agg_group",
+    "q_join_multi",
+    "q_join_asof",
+    "q_dedup_fuzzy",
+    "q_cosine_topk",
+    "q_win_session",
+    "q_tfidf_top_terms",
+    "q_tpch_q21",
+]
+
+#: per-table key columns to offset so replicas don't collide
+_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_scaled(spark, src_dir: str, n: int, out_dir: str) -> None:
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t in _OFFSETS:
+            key_cols = _OFFSETS[t]
+            mx = {c: df.agg(F.max(c)).first()[0] + 1 for c in key_cols}
+            parts = []
+            for i in range(n):
+                p = df
+                for c in key_cols:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * mx[c]))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df  # dimensions stay as-is (realistic: dims ≪ facts)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(tempfile.gettempdir(), f"bs_scale_{n}x")
+    spark = get_spark("builder-spark-scale-smoke")
+    registry = load_all()
+
+    if not os.path.exists(os.path.join(out_dir, "_READY")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        build_scaled(spark, src, n, out_dir)
+        open(os.path.join(out_dir, "_READY"), "w").close()
+
+    registry["q_agg_group"].fn(spark, out_dir).count()  # warmup
+    times = {}
+    for name in HEAVY:
+        t0 = time.time()
+        registry[name].fn(spark, out_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "scale_multiple": n,
+                "base": src,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
