@@ -493,3 +493,89 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_share"
         ),
     )
+
+
+@register(
+    "q_date_spine",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                   CAST(max(o_orderdate) AS DATE) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY 1
+        )
+        SELECT s.day, coalesce(d.n, 0) AS n_orders,
+               coalesce(d.total, 0.0) AS total_price
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    category="analytics",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine: a generated contiguous calendar LEFT-joined to the
+    daily rollup so zero-activity days appear explicitly — the pattern
+    every time-series chart and gap-detection job needs (a plain
+    GROUP BY silently drops empty days). The spine is built from one
+    min/max agg + sequence-explode: O(days) rows from a 1-row driver,
+    no calendar table to maintain. Scale: daily rollup is combinable;
+    the spine side is tiny and broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@register(
+    "q_scd2_periods",
+    oracle="""
+        SELECT user_id,
+               value AS segment_value,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS valid_to,
+               (lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'signup'
+    """,
+    category="analytics",
+)
+def q_scd2_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction: each change
+    event opens a validity period [valid_from, valid_to) closed by the
+    NEXT change (lead), open-ended on the latest — the standard
+    history-tracking dimension build. One window over a pushed-down
+    filter; at scale this is the incremental dim-build pattern (only
+    users with new events need their last period re-closed)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("segment_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
