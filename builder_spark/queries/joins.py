@@ -283,3 +283,103 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return n.crossJoin(r).select("n_name", "r_name")
+
+
+@register(
+    "q_temporal_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, value AS segment_value, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS valid_to
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT round(d.segment_value, 0) AS segment_bucket,
+               count(*) AS n_purchases,
+               round(sum(e.value), 4) AS purchase_value
+        FROM events e
+        JOIN dim d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    category="join",
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase matched to the
+    SCD2 dimension period covering its timestamp — how you join facts
+    to history-tracked dimensions without leaking future attributes.
+    Equi key user_id carries the join; the interval test is a residual
+    filter, so this stays a hash/sort-merge join, never a nested-loop.
+    Each fact matches EXACTLY one period (periods partition the
+    timeline per user), so no row blowup. Scale: same as any keyed
+    join + an O(1) residual."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("segment_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_pts"), F.col("value").alias("_pv")
+    )
+    return (
+        purchases.join(dim, "user_id")
+        .filter(
+            (F.col("_pts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("_pts") < F.col("valid_to")))
+        )
+        .groupBy(F.round("segment_value", 0).alias("segment_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("_pv"), 4).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "q_not_in_null_trap",
+    oracle="""
+        SELECT
+            (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT nullif(c_custkey, 1) FROM customer)) AS n_not_in,
+            (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM customer c
+                 WHERE nullif(c.c_custkey, 1) = o.o_custkey)) AS n_not_exists
+    """,
+    category="subquery",
+)
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, graded: when the subquery list contains a
+    NULL, ANSI three-valued logic makes ``x NOT IN (...)`` UNKNOWN for
+    every x — zero rows — while NOT EXISTS (null-rejecting equality)
+    still eliminates only real matches. Both engines implement ANSI
+    semantics; this query pins that the engine's null-aware anti-join
+    (Spark plans NOT IN as one) agrees. Returns both counts side by
+    side: (0, customers-minus-one's orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey"), F.lit(1)).alias("k")
+    )
+    o.createOrReplaceTempView("_nt_orders")
+    c.createOrReplaceTempView("_nt_keys")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT count(*) FROM _nt_orders
+             WHERE o_custkey NOT IN (SELECT k FROM _nt_keys)) AS n_not_in,
+            (SELECT count(*) FROM _nt_orders o
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM _nt_keys c WHERE c.k = o.o_custkey)) AS n_not_exists
+        """
+    )
