@@ -16,6 +16,7 @@ from builder_spark.queries import relational  # noqa: F401
 for _mod in (
     "relational2",
     "tpch",
+    "tpch2",
     "joins",
     "setops",
     "grouping",
