@@ -25,6 +25,7 @@ for _mod in (
     "subquery",
     "llmdata",
     "llmscale",
+    "textops",
     "winbatch",
     "udf",
     "sourcesink",
