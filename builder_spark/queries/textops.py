@@ -27,6 +27,28 @@ from builder_spark.catalog import load_table
 from builder_spark.operators.dedup import CHARFOLD_MOD, charfold_hash
 from builder_spark.registry import register
 
+
+def _word_grams(text_col, n: int):
+    """Distinct n-word grams of a single-space-tokenized text column —
+    the same construction both in Spark and (mechanically generated)
+    DuckDB SQL, so gram sets are string-identical across engines."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def _grams_sql(n: int) -> str:
+    parts = "||' '||".join(f"string_split(text, ' ')[i+{j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 0) + 1), "
+        f"i -> {parts}))"
+    )
+
 #: Carter-Wegman permutations h_i(x) = (A[i]*x + B[i]) mod P over the
 #: charfold hash (< 2^25). Primes; A[i]*x < 2^27 * 2^25 = 2^52.
 _P = 2147483647
@@ -261,5 +283,223 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_slope(F.log(F.col("freq")), F.log(F.col("rnk"))), 4).alias("zipf_slope"),
             F.round(F.regr_r2(F.log(F.col("freq")), F.log(F.col("rnk"))), 4).alias("zipf_r2"),
             F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+_BENCH_DOCS = 20  # doc_id < 20 plays the held-out benchmark/eval set
+_CONTAM_N = 4  # gram width — the fixture vocab is tiny, so 4-word grams
+#               discriminate like the 8-13-grams used on natural text
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest({_grams_sql(_CONTAM_N)}) AS w
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT w FROM g WHERE doc_id < {_BENCH_DOCS}),
+        corpus AS (
+            SELECT doc_id, w, count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM g WHERE doc_id >= {_BENCH_DOCS}
+        )
+        SELECT c.doc_id,
+               count(*) AS n_shared,
+               any_value(c.n_grams) AS n_grams,
+               round(count(*) / CAST(any_value(c.n_grams) AS DOUBLE), 4)
+                   AS contamination_ratio
+        FROM corpus c JOIN bench b ON c.w = b.w
+        GROUP BY c.doc_id
+    """,
+    category="llm-pipeline",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training documents share 4-word
+    grams with the held-out benchmark set (doc_id < 20 stands in for
+    the eval corpus). The benchmark gram set is tiny by construction —
+    it BROADCASTS, so the check is a map-side semi-join riding the
+    training-corpus scan: no shuffle of the corpus token stream at any
+    scale. Per-doc distinct grams are computed once (array_distinct
+    before explode) so n_shared counts gram types, not occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", _word_grams(F.col("text"), _CONTAM_N).alias("g"))
+    bench = (
+        grams.filter(F.col("doc_id") < _BENCH_DOCS)
+        .select(F.explode("g").alias("w"))
+        .distinct()
+    )
+    corpus = (
+        grams.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .withColumn("n_grams", F.size("g"))
+        .select("doc_id", "n_grams", F.explode("g").alias("w"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.any_value("n_grams").alias("n_grams"),
+            F.round(F.count(F.lit(1)) / F.any_value("n_grams").cast("double"), 4).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        uni AS (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+        ),
+        n1 AS (SELECT sum(c) AS n FROM uni),
+        bg AS (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1])) AS b
+            FROM documents
+        ),
+        bgc AS (SELECT b, count(*) AS c_ab FROM bg GROUP BY b),
+        n2 AS (SELECT sum(c_ab) AS n FROM bgc),
+        pmi AS (
+            SELECT string_split(b, ' ')[1] AS w1,
+                   string_split(b, ' ')[2] AS w2,
+                   c_ab,
+                   round(ln((c_ab * n1.n * n1.n) /
+                            CAST(n2.n * ua.c * ub.c AS DOUBLE)), 4) AS pmi
+            FROM bgc, n1, n2
+            JOIN uni ua ON ua.w = string_split(b, ' ')[1]
+            JOIN uni ub ON ub.w = string_split(b, ' ')[2]
+            WHERE c_ab >= {_PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, c_ab, pmi
+        FROM pmi
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT 20
+    """,
+    category="llm-text",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word bigrams — collocation
+    mining (multi-word expressions, boilerplate phrases). PMI =
+    ln(P(ab) / (P(a)·P(b))) computed as one exact-integer ratio
+    (c_ab·N1²)/(N2·c_a·c_b) — products stay < 2^53 at fixture scale,
+    so the only float ops are one division and one ln (note in code:
+    at 100 TB token counts, switch to ln-of-factors to avoid bigint
+    overflow). Ranking happens AFTER round(·,4) with (w1, w2)
+    tie-breaks so a 1-ulp ln() difference between engines cannot
+    reorder the top-20. Unigram sides broadcast onto the bigram
+    aggregate; the token stream shuffles twice (unigram + bigram
+    counts), each map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    bgc = (
+        d.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    w_all = Window.partitionBy()
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    n2_col = F.sum("c_ab").over(w_all)
+    # NOTE: n2 must include ALL bigrams, not just frequent ones — count
+    # before the min-count filter.
+    bgc_all = (
+        d.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n2 = bgc_all.agg(F.sum("c_ab").alias("n2"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bgc_all.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("b"), " ").getItem(1))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n1") * F.col("n1"))
+                    / (F.col("n2") * F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+_KNUTH = 2654435761  # 2^32/φ — same constant as q_hash_sample/q_hash_split
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang, cnt,
+                   (SELECT min(cnt) FROM c) * 10000 // cnt AS thresh
+            FROM c
+        )
+        SELECT d.lang,
+               any_value(t.cnt) AS n_total,
+               any_value(t.thresh) AS thresh,
+               sum(CASE WHEN (CAST(d.doc_id AS HUGEINT) * {_KNUTH})
+                             % 4294967296 % 10000 < t.thresh
+                        THEN 1 ELSE 0 END) AS n_sampled
+        FROM documents d JOIN t ON d.lang = t.lang
+        GROUP BY d.lang
+    """,
+    category="llm-pipeline",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling to language balance: each
+    language keeps ~min_lang_count documents via a per-stratum
+    Knuth-hash threshold. The threshold is EXACT integer arithmetic
+    (min_cnt·10000 div cnt) so both engines derive identical cut
+    points, and membership is a pure hash filter — reproducible across
+    runs, engines, and partitionings, no RNG state. At scale: strata
+    thresholds are a |langs|-row broadcast; the sample predicate rides
+    the corpus scan (at 100 TB keys swap the raw multiply for
+    xxhash64 & mask to stay in 64-bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    t = c.withColumn("min_cnt", F.min("cnt").over(w_all)).selectExpr(
+        "lang", "cnt", "min_cnt * 10000 div cnt AS thresh"
+    )
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(10000))
+    return (
+        d.join(F.broadcast(t), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("cnt").alias("n_total"),
+            F.any_value("thresh").alias("thresh"),
+            F.sum(F.when(bucket < F.col("thresh"), 1).otherwise(0)).alias("n_sampled"),
         )
     )
