@@ -118,10 +118,11 @@ def q_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, pairs reported when ≥3/8 signature slots agree
     (estimated Jaccard ≥ 0.375).
 
-    Plan: explode shingles → ONE groupBy(doc) with 8 min-aggregates
-    (partial aggregation collapses the token stream map-side) →
-    band-explode (4 rows/doc) → self-equi-join on (band, val) →
-    distinct pairs → signature rejoin. No O(n²) stage anywhere."""
+    Plan: per-row shingle hashes → 8 array_min permutations (pure
+    array expressions — the signature stage rides the scan with zero
+    shuffle) → band-explode (4 rows/doc) → self-equi-join on
+    (band, val) → distinct pairs → signature rejoin. No O(n²) stage
+    anywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -133,17 +134,31 @@ def q_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    h = charfold_hash(F.col("w"))
+    hashes = F.transform(sh, charfold_hash)
+    # repartition = materialization boundary: the band self-join and
+    # the two signature rejoins would otherwise re-evaluate the whole
+    # charfold expression tree once per consumer (see
+    # operators/dedup.py::minhash_signatures).
+    # NOTE: the shingle-less-doc filter runs on the cheap token count
+    # BEFORE the hash projection — a later filter on size(_h) would be
+    # pushed below the projection and re-evaluate the charfold tree
+    # once per sig column (see operators/dedup.py::minhash_signatures).
     sig = (
-        d.select("doc_id", F.explode(sh).alias("w"))
-        .select("doc_id", h.alias("h"))
-        .groupBy("doc_id")
-        .agg(
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", hashes.alias("_h"))
+        .select(
+            "doc_id",
             *[
-                F.min(F.pmod(F.col("h") * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))).alias(f"s{i}")
+                F.array_min(
+                    F.transform(
+                        F.col("_h"),
+                        lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P)),
+                    )
+                ).alias(f"s{i}")
                 for i in range(_K)
-            ]
+            ],
         )
+        .repartition(F.col("doc_id"))
     )
     bands = F.array(
         *[
