@@ -27,6 +27,7 @@ for _mod in (
     "llmscale",
     "textops",
     "winbatch",
+    "analytics2",
     "udf",
     "sourcesink",
 ):

@@ -1,0 +1,289 @@
+"""Time-series and query-shape additions: linear-interpolation gap
+fill, year-over-year growth, LATERAL per-group top-n, null-preserving
+explode_outer, and weighted median.
+
+Determinism notes: the interpolation grid uses integer epoch-day
+arithmetic (no datediff sign ambiguity); the weighted-median cumsum
+runs over a UNIQUE total order (price, orderkey, linenumber) so both
+engines add doubles in the same sequence; YoY ratios round after the
+division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_interpolate",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS vc
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(day) AS lo, max(day) AS hi FROM daily
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM daily) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                FROM bounds
+            ) d
+        ),
+        g AS (
+            SELECT s.user_id, s.day,
+                   date_diff('day', DATE '1970-01-01', CAST(s.day AS DATE)) AS dnum,
+                   daily.vc
+            FROM spine s LEFT JOIN daily
+              ON daily.user_id = s.user_id AND daily.day = s.day
+        ),
+        ff AS (
+            SELECT user_id, day, dnum, vc,
+                   last_value(vc IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN vc IS NOT NULL THEN dnum END IGNORE NULLS)
+                       OVER w_prev AS pd,
+                   first_value(vc IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN vc IS NOT NULL THEN dnum END IGNORE NULLS)
+                       OVER w_next AS nd
+            FROM g
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY dnum
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY dnum
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day,
+               CASE WHEN vc IS NOT NULL THEN vc
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        (pv * (nd - dnum) + nv * (dnum - pd)) // (nd - pd)
+               END AS v_filled_cents,
+               (vc IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+        FROM ff
+    """,
+    category="analytics",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a per-user daily spine: purchase-value
+    gaps are filled by the straight line between the nearest known
+    days; leading/trailing gaps stay null. Built from two
+    IGNORE-NULLS window passes (forward last, backward first) over the
+    zero-filled spine — no self-join, no per-gap scan. At 100 TB the
+    spine join shuffles on user_id once and the windows reuse that
+    partitioning.
+
+    Exactness discipline: values are interpolated in integer CENTS
+    with floor division — fixture values carry 2 decimals, so the
+    cent totals are exact integers in both engines and the weighted
+    average (pv·(nd−d) + nv·(d−pd)) div (nd−pd) involves zero float
+    operations. (A float formulation flaked at a round(·,4) boundary:
+    engines disagree on half-way rounding of an ulp-noisy quotient.)"""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("vc"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    spine = daily.select("user_id").distinct().crossJoin(F.broadcast(days))
+    g = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date")).alias("dnum"),
+        "vc",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("dnum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("dnum")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ff = g.select(
+        "user_id",
+        "day",
+        "dnum",
+        "vc",
+        F.last("vc", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("vc").isNotNull(), F.col("dnum")), ignorenulls=True)
+        .over(w_prev)
+        .alias("pd"),
+        F.first("vc", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(F.col("vc").isNotNull(), F.col("dnum")), ignorenulls=True)
+        .over(w_next)
+        .alias("nd"),
+    )
+    interp = F.expr("(pv * (nd - dnum) + nv * (dnum - pd)) div (nd - pd)")
+    return ff.select(
+        "user_id",
+        "day",
+        F.when(F.col("vc").isNotNull(), F.col("vc"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("v_filled_cents"),
+        (F.col("vc").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()).alias(
+            "interpolated"
+        ),
+    )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+        WITH yearly AS (
+            SELECT o_orderpriority, year(o_orderdate) AS yr,
+                   sum(o_totalprice) AS rev
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, yr,
+               round(rev, 4) AS revenue,
+               round(100.0 * (rev - lag(rev) OVER w) / lag(rev) OVER w, 4)
+                   AS yoy_pct
+        FROM yearly
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+    """,
+    category="analytics",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority — the lag-based
+    growth metric every BI layer needs. First year's growth is null.
+    One shuffle for the yearly aggregate; the lag window runs over the
+    ≤|priorities|×|years| aggregate. The ratio rounds AFTER division
+    of full-precision sums (same-ulp inputs: each year's rev is summed
+    in engine order, hence the round on revenue too)."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        F.round("rev", 4).alias("revenue"),
+        F.round(
+            100.0 * (F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w), 4
+        ).alias("yoy_pct"),
+    )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+        SELECT n.n_name, t.c_name, t.bal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 4) AS bal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) t
+    """,
+    category="join",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, its top-2 customers by
+    balance. Exercises the lateral-join query shape (Spark plans it as
+    a rewritten window/join — LateralJoin in the analyzer) rather than
+    the explicit row_number formulation graded in
+    ``q_window_topk_group``. Ties broken on c_custkey so the LIMIT is
+    total-ordered."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lt_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lt_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.bal
+        FROM _lt_nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 4) AS bal
+            FROM _lt_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+        SELECT p.p_partkey, u.g
+        FROM part p
+        LEFT JOIN LATERAL (
+            SELECT unnest(regexp_extract_all(p.p_name, 'gear')) AS g
+        ) u ON true
+    """,
+    category="scalar/array",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: parts whose name contains no 'gear'
+    matches still emit one row with a NULL match — the OUTER variant's
+    whole point (an inner explode silently drops them, the classic
+    fan-out data-loss bug). Spark ``explode_outer`` ≡ DuckDB
+    LEFT JOIN LATERAL unnest."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.explode_outer(F.regexp_extract_all(F.col("p_name"), F.lit("gear"), 0)).alias("g"),
+    )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice, l_quantity,
+                   sum(l_quantity) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 4) AS weighted_median
+        FROM w
+        WHERE cw >= tw / 2
+        GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first price
+    whose cumulative weight reaches half the total. The running sum
+    uses a UNIQUE total order (price, orderkey, linenumber) so both
+    engines accumulate doubles in the same sequence — bit-identical
+    cumsums; quantities are exact-integer doubles so tw/2 is exact.
+    One shuffle on the group key serves both windows and the final
+    min-aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    return (
+        l.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.sum("l_quantity").over(w_cum).alias("cw"),
+            F.sum("l_quantity").over(w_tot).alias("tw"),
+        )
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
+    )

@@ -32,13 +32,17 @@ from builder_spark.registry import register
 
 def _bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partsupp stand-in: distinct (part, supplier) pairs with the min
-    observed unit price (supply-cost proxy), rounded BEFORE any min/
-    equality so the argmin is ulp-stable across engines."""
+    observed unit price (supply-cost proxy) in integer MILLI-CENTS:
+    cents·1000 floor-divided by quantity. Prices carry 2 decimals and
+    quantities are integral, so every step is exact integer arithmetic
+    — the argmin cannot flip on float rounding (a round(·,4) of the
+    raw quotient DID flip at a half boundary between engines)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    unit = F.expr(
+        "cast(round(l_extendedprice * 100) as bigint) * 1000"
+        " div cast(l_quantity as bigint)"
     )
+    return l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("unit_cost"))
 
 
 @register(
@@ -46,7 +50,8 @@ def _bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+                       // CAST(l_quantity AS BIGINT)) AS unit_cost
             FROM lineitem GROUP BY 1, 2
         ),
         euro AS (
@@ -77,9 +82,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     EUROPE supplier(s) quoting the per-part minimum unit price. The
     correlated min subquery decorrelates into a per-part window min
     over the Europe-filtered bridge — one exchange on l_partkey, no
-    rescan. unit_cost is rounded before the min so both engines agree
-    on the argmin set exactly; the top-100 is totally ordered
-    (acctbal DESC, nation, supplier, part)."""
+    rescan. unit_cost is exact integer milli-cents (see ``_bridge``)
+    so both engines agree on the argmin set exactly; the top-100 is
+    totally ordered (acctbal DESC, nation, supplier, part)."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
