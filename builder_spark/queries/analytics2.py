@@ -287,3 +287,101 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
     )
+
+
+@register(
+    "q_sequence_islands",
+    oracle="""
+        WITH f AS (
+            SELECT o_orderkey AS k,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders WHERE o_orderstatus = 'F'
+        ),
+        isl AS (
+            SELECT k, k - rn AS grp FROM f
+        )
+        SELECT min(k) AS island_start,
+               max(k) AS island_end,
+               count(*) AS island_len
+        FROM isl
+        GROUP BY grp
+    """,
+    category="analytics",
+)
+def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive o_orderkey values
+    among finished orders, via the classic key-minus-row_number
+    grouping trick (consecutive keys share k − rn). One global sort
+    window then one aggregate; at 100 TB the global row_number is the
+    scale concern — per-partition islands with boundary stitching is
+    the distributed variant, noted here because the fixture's key
+    space is dense enough for the single window to dominate anyway.
+    All-integer arithmetic — no float discipline needed."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select(F.col("o_orderkey").alias("k"), F.row_number().over(w).alias("rn"))
+        .select("k", (F.col("k") - F.col("rn")).alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) // 100
+                       AS rev_dollars
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT rev_dollars AS x,
+                   row_number() OVER (ORDER BY rev_dollars, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   sum(rev_dollars) OVER () AS s0
+            FROM per_cust
+        )
+        SELECT CAST(any_value(n) AS INT) AS n_customers,
+               any_value(s0) AS total_dollars,
+               (2 * sum(i * x) - (any_value(n) + 1) * any_value(s0)) * 10000
+                   // (any_value(n) * any_value(s0)) AS gini_bp
+        FROM ranked
+    """,
+    category="analytics",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration, in basis
+    points. The whole computation is EXACT integer arithmetic: revenue
+    → exact cents → floor-dollars, ranks are a unique total order,
+    and Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) stays in BIGINT with a
+    final integer division ×10⁴ — no float op anywhere, so no
+    rounding-boundary risk. Dollar resolution keeps Σi·xᵢ·10⁴ < 2⁶³
+    through sf0.1 (at larger n, shift to HUGEINT/decimal or block the
+    rank-weighted sum per range partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr("cast(round(sum(o_totalprice) * 100) as bigint) div 100").alias("rev_dollars")
+    )
+    w_rank = Window.orderBy("rev_dollars", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.col("rev_dollars").alias("x"),
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev_dollars").over(w_all).alias("s0"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("int").alias("n_customers"),
+        F.any_value("s0").alias("total_dollars"),
+        F.expr(
+            "(2 * sum(i * x) - (any_value(n) + 1) * any_value(s0)) * 10000"
+            " div (any_value(n) * any_value(s0))"
+        ).alias("gini_bp"),
+    )

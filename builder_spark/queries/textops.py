@@ -518,3 +518,150 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bucket < F.col("thresh"), 1).otherwise(0)).alias("n_sampled"),
         )
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+        WITH tf AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (
+            SELECT lang, w, count(*) AS c FROM tf GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT lang, sum(c) AS n, count(*) AS vocab,
+                   sum(c * ln(c)) AS clogc
+            FROM cnt GROUP BY lang
+        )
+        SELECT lang, n AS n_tokens, vocab,
+               round(ln(n) - clogc / n, 4) AS entropy_nats,
+               round((ln(n) - clogc / n) / ln(vocab), 4) AS efficiency
+        FROM pl
+    """,
+    category="llm-text",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per language (nats),
+    plus efficiency = H / ln(vocab) — a templated/repetitive corpus
+    scores low. Uses the H = ln(N) − Σc·ln(c)/N identity so the
+    aggregate is a single combinable sum over the term-frequency
+    table; Σc·ln(c) accumulates in engine order (noise ~1e-13 of
+    magnitude) and rounds at 4, the same discipline as the graded
+    stddev/corr queries."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pl = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+    )
+    h = F.log("n") - F.col("clogc") / F.col("n")
+    return pl.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(h, 4).alias("entropy_nats"),
+        F.round(h / F.log("vocab"), 4).alias("efficiency"),
+    )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, n_chars,
+                   md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 10), ' '))
+                       AS fingerprint
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, n_chars, fingerprint,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_dupes
+            FROM fp
+        )
+        SELECT fingerprint, doc_id AS kept_doc_id, n_chars, n_dupes
+        FROM ranked WHERE rn = 1 AND n_dupes >= 2
+    """,
+    category="llm-dedup",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware prefix dedup: documents sharing the same leading
+    10 words are treated as truncation variants of one source, and the
+    BEST copy (longest, then lowest id) is kept instead of an
+    arbitrary first — the policy real pipelines want when crawls of
+    the same page differ in cutoff. Reports only groups that actually
+    had duplicates. Ranking keys are exact integers, so the kept-row
+    choice is deterministic; one shuffle on the 16-byte fingerprint,
+    never on the text."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    w_cnt = Window.partitionBy("fingerprint")
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " "))
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count(F.lit(1)).over(w_cnt))
+        .filter((F.col("rn") == 1) & (F.col("n_dupes") >= 2))
+        .select("fingerprint", F.col("doc_id").alias("kept_doc_id"), "n_chars", "n_dupes")
+    )
+
+
+@register(
+    "q_vec_pairwise",
+    oracle="""
+        WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        b AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 100 AND vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE))), 4) AS dot,
+               round(sqrt(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(a.embedding[i] AS DOUBLE)
+                         - CAST(b.embedding[i] AS DOUBLE))
+                        * (CAST(a.embedding[i] AS DOUBLE)
+                           - CAST(b.embedding[i] AS DOUBLE))))), 4) AS l2_dist,
+               round(list_max(list_transform(range(1, 65),
+                   i -> abs(CAST(a.embedding[i] AS DOUBLE)
+                            - CAST(b.embedding[i] AS DOUBLE)))), 4) AS linf_dist
+        FROM a JOIN b ON b.vec_id = a.vec_id + 100
+    """,
+    category="llm-similarity",
+)
+def q_vec_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector algebra via zip_with: dot product, L2 and
+    L∞ distance for aligned embedding pairs (vec i vs vec i+100).
+    Both engines traverse the arrays in index order with float→double
+    widening, so the accumulation sequence — and hence every double —
+    is identical before the round. Per-row array math rides the scan;
+    the only join is the aligned-id equi-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    da = F.transform(F.col("va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    prod = F.zip_with(da, db, lambda x, y: x * y)
+    diff = F.zip_with(da, db, lambda x, y: x - y)
+    ssum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 100)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ssum(prod), 4).alias("dot"),
+            F.round(F.sqrt(ssum(F.transform(diff, lambda x: x * x))), 4).alias("l2_dist"),
+            F.round(F.array_max(F.transform(diff, lambda x: F.abs(x))), 4).alias("linf_dist"),
+        )
+    )
