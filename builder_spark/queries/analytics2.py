@@ -385,3 +385,105 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (any_value(n) * any_value(s0))"
         ).alias("gini_bp"),
     )
+
+
+@register(
+    "q_ohlc_hourly",
+    oracle="""
+        WITH e AS (
+            SELECT date_trunc('hour', ts) AS hour, value, ts, event_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        rn AS (
+            SELECT hour, value,
+                   row_number() OVER (PARTITION BY hour
+                                      ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (PARTITION BY hour
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT hour,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS volume
+        FROM rn
+        GROUP BY hour
+    """,
+    category="analytics",
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup: hourly open/high/low/close/volume of
+    purchase values — the time-series downsampling shape (financial
+    bars, metric rollups). Open/close come from row_number over the
+    total order (ts, event_id) — not argmin on a possibly-tied
+    timestamp — so both engines pick identical rows; the two
+    row_numbers share one hour-partitioned sort. Every output is a raw
+    value, min/max, or count: zero float accumulation, no rounding
+    discipline needed."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = e.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "value", "ts", "event_id")
+    w_a = Window.partitionBy("hour").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_d = Window.partitionBy("hour").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+        SELECT p.p_partkey, p.p_name,
+               round(p.p_retailprice, 4) AS p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+        )
+    """,
+    category="analytics",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front): parts not dominated on (price low, size
+    low) — the multi-criteria shortlist operator. Implemented as a
+    window sweep, not the naive O(n²) self-join the oracle states:
+    aggregate per price group (min size), running-min over strictly
+    cheaper groups, then keep rows at their group's min size that beat
+    every cheaper group — an O(n log n) plan whose only heavy op is
+    one sort over |distinct prices|. A row above its own group's min
+    size is dominated at equal price; a group whose min doesn't
+    undercut all cheaper groups is dominated outright. Price
+    comparisons are raw doubles on both engines (same values, same
+    comparisons — no arithmetic)."""
+    p = load_table(spark, sf_dir, "part")
+    grp_min = p.groupBy("p_retailprice").agg(F.min("p_size").alias("_gmin"))
+    w_prev = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = grp_min.withColumn("_pmin", F.min("_gmin").over(w_prev))
+    return (
+        p.join(prev_min, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("_gmin"))
+            & (F.col("_pmin").isNull() | (F.col("_gmin") < F.col("_pmin")))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 4).alias("p_retailprice"),
+            "p_size",
+        )
+    )
