@@ -146,6 +146,69 @@ def test_new_query_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # partsupp-bridge TPC-H completions: every dimension broadcasts
+        "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
+        "q_tpch_q20", "q_tpch_q22",
+        # benchmark gram set / strata thresholds / query vectors are
+        # tiny by construction — they must broadcast, the big side
+        # must stream past
+        "q_contamination", "q_stratified_sample", "q_vec_pairwise",
+    ],
+)
+def test_small_side_broadcasts(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert has_broadcast_join(df), f"{name}: small side should broadcast"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # pure per-row array math must ride the scan: ZERO exchanges
+        "q_doc_chunking",
+        "q_explode_outer",
+        "q_vec_pairwise",  # aligned-id join broadcasts; no shuffle at all
+    ],
+)
+def test_per_row_ops_are_shuffle_free(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n == 0, f"{name}: {n} exchanges for a per-row operator"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_tpch_q2", 2),   # bridge agg + per-part window min
+        ("q_tpch_q9", 1),   # single agg pass, all dims broadcast
+        ("q_tpch_q11", 2),  # per-part agg + empty-frame window total
+        ("q_tpch_q16", 3),  # distinct bridge + anti-join + countDistinct
+        ("q_tpch_q20", 3),  # (part,supp) agg + window share + distinct
+        ("q_tpch_q22", 2),  # scalar-avg broadcast + anti-join + agg
+        ("q_minhash_banded", 4),   # sig boundary + band self-join + distinct
+        ("q_zipf_slope", 2),       # tf agg + per-lang rank window
+        ("q_contamination", 2),    # bench-gram distinct + per-doc agg
+        ("q_pmi_bigrams", 7),      # 2 token-stream aggs; rest vocab-sized
+        ("q_stratified_sample", 3),
+        ("q_interpolate", 3),      # daily agg + spine join + user windows
+        ("q_yoy_growth", 2),
+        ("q_weighted_median", 1),  # ONE shuffle serves both windows + agg
+        ("q_sequence_islands", 1),
+        ("q_gini_concentration", 2),
+        ("q_token_entropy", 2),
+        ("q_dedup_keep_best", 1),  # one shuffle on the 16-byte fingerprint
+        ("q_ohlc_hourly", 1),      # hour shuffle shared by windows + agg
+        ("q_skyline", 2),          # price-group agg + running-min window
+    ],
+)
+def test_added_query_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Two tables bucketed on the join key with equal bucket counts
     must sort-merge-join with ZERO exchange — the co-located-join
