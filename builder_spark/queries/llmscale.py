@@ -22,7 +22,7 @@ from builder_spark.operators.dedup import (
 )
 from builder_spark.operators.multimodal import attach_binary, extract_payload_features
 from builder_spark.operators.similarity import hyperplanes, lsh_bucketed_topk
-from builder_spark.registry import register
+from builder_spark.registry import QUERIES, register
 
 _SIMHASH_MAX_HAMMING = 3
 
@@ -636,3 +636,125 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cp").alias("total_cp"),
         F.sum("cp_sum").alias("total_cp_sum"),
     )
+
+
+_FRAME_CP = 16  # "frame" = 16 codepoints of the decoded payload
+_FRAME_EVERY = 3  # keep every 3rd frame (frame-sampling rate)
+
+
+@register(
+    "q_mm_framesample",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, text, length(text) AS n,
+                   unnest(range(1, length(text) + 1,
+                                {_FRAME_CP * _FRAME_EVERY})) AS st
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((st - 1) // {_FRAME_CP} AS INT) AS frame_idx,
+               CAST(length(substr(text, st, {_FRAME_CP})) AS INT) AS frame_cp,
+               CAST(octet_length(encode(substr(text, st, {_FRAME_CP})))
+                   AS INT) AS frame_bytes,
+               md5(substr(text, st, {_FRAME_CP})) AS frame_md5
+        FROM s
+    """,
+    category="llm-multimodal",
+)
+def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-style payloads: each document
+    becomes an opaque binary payload; an Arrow-batched ``mapInPandas``
+    decodes it (UTF-8 — the stand-in for a real container demuxer),
+    slices fixed-width frames, KEEPS EVERY 3rd (the sampling step a
+    video pipeline runs before feature extraction), and emits one row
+    per sampled frame with a declared schema (idx, sizes, checksum).
+    The decode runs vectorized per Arrow batch in Python — the real
+    multimodal hot path — while the oracle replays the same frames
+    with string arithmetic. Fan-out is bounded (≈ n_cp/48 rows per
+    doc) and embarrassingly parallel; at 100 TB add
+    ``repartitionByRange`` on payload size so big media spread evenly
+    (see operators/multimodal.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = attach_binary(load_table(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def _frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_cp": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")  # the "decode" step
+                for st in range(0, len(text), _FRAME_CP * _FRAME_EVERY):
+                    frame = text[st : st + _FRAME_CP]
+                    fb = frame.encode("utf-8")
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(st // _FRAME_CP)
+                    out["frame_cp"].append(len(frame))
+                    out["frame_bytes"].append(len(fb))
+                    out["frame_md5"].append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _frames,
+        schema="doc_id bigint, frame_idx int, frame_cp int, frame_bytes int, frame_md5 string",
+    )
+
+
+@register(
+    "q_ann_recall",
+    oracle=None,  # assembled below — composes the two registered oracles
+    category="llm-similarity",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH-bucketed index
+    against exact brute-force cosine, per query vector — the metric
+    that decides whether an approximate index is shippable. Both
+    inputs are deterministic (fixed Rademacher planes), so recall is
+    exactly reproducible; the oracle literally composes the two
+    registered oracle SQLs as subqueries and re-derives it. The join
+    is on (q_id, candidate id) over two k·|queries|-row frames —
+    negligible at any scale; the expensive parts are the underlying
+    top-k queries themselves."""
+    from builder_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5).select(
+        "q_id", F.col("vec_id").alias("e_vid")
+    )
+    approx = lsh_bucketed_topk(
+        e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES
+    ).select(F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    hits = exact.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("e_vid") == F.col("a_vid")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.count("a_vid").alias("n_hits"),
+        F.round(F.count("a_vid") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    exact = QUERIES["q_cosine_topk"].oracle
+    approx = QUERIES["q_ann_lsh"].oracle
+    return f"""
+        SELECT e.q_id,
+               count(a.vec_id) AS n_hits,
+               round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY e.q_id
+    """
+
+
+# late-bind the composed oracle (both component oracles are registered
+# by the time this module's registrations run)
+QUERIES["q_ann_recall"] = QUERIES["q_ann_recall"].__class__(
+    name="q_ann_recall",
+    fn=QUERIES["q_ann_recall"].fn,
+    oracle=_ann_recall_oracle(),
+    category="llm-similarity",
+)
