@@ -758,3 +758,64 @@ QUERIES["q_ann_recall"] = QUERIES["q_ann_recall"].__class__(
     oracle=_ann_recall_oracle(),
     category="llm-similarity",
 )
+
+
+@register(
+    "q_mm_resize",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, text,
+                   array_to_string(list_transform(
+                       range(1, length(text) + 1, 2),
+                       i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS orig_bytes,
+               CAST(sum(octet_length(encode(resized))) AS BIGINT) AS resized_bytes,
+               CAST(count(DISTINCT md5(resized)) AS BIGINT) AS distinct_resized
+        FROM r
+        GROUP BY source
+    """,
+    category="llm-multimodal",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image-style payloads: binary in → binary out
+    through Arrow-batched ``mapInPandas``. The stand-in "resize"
+    decodes the payload and keeps every 2nd codepoint (a deterministic
+    2:1 downsample the oracle can replay); a real deployment swaps the
+    body for PIL thumbnail/resize (see operators/multimodal.py stubs)
+    while the graded plumbing — binary columns both directions,
+    declared schema, per-source size accounting — stays identical.
+    Completes the decode / feature-extract / frame-sample / RESIZE
+    quartet. Per-row work, zero shuffle before the rollup."""
+    import hashlib
+
+    import pandas as pd
+
+    d = attach_binary(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "payload"
+    )
+
+    def _resize(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "orig_b": [], "resized": []}
+            for doc_id, source, payload in zip(pdf["doc_id"], pdf["source"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                small = text[::2].encode("utf-8")
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["orig_b"].append(len(bytes(payload)))
+                out["resized"].append(small)
+            yield pd.DataFrame(out)
+
+    resized = d.mapInPandas(
+        _resize, schema="doc_id bigint, source string, orig_b bigint, resized binary"
+    )
+    return resized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("orig_b").alias("orig_bytes"),
+        F.sum(F.octet_length("resized")).alias("resized_bytes"),
+        F.countDistinct(F.md5("resized")).alias("distinct_resized"),
+    )

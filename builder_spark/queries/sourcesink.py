@@ -157,3 +157,34 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "q_text_roundtrip",
+    oracle="""
+        SELECT count(*) AS n_lines,
+               CAST(sum(length(text)) AS BIGINT) AS total_cp,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_lines
+        FROM documents
+    """,
+    category="source-sink",
+)
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink+source roundtrip: the documents corpus
+    written as raw lines (the rawest corpus interchange format) and
+    read back with ``spark.read.text``. Fixture text is newline-free
+    single-space words, so line framing is lossless; the hash-match
+    against stats on the ORIGINAL table proves it. At 100 TB the text
+    source splits on line boundaries within files — fully parallel
+    ingest with no schema inference cost."""
+    from builder_spark.sources import read_text, write_text
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_text_roundtrip")
+    write_text(d, out)
+    back = read_text(spark, out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_cp"),
+        F.countDistinct(F.md5("value")).alias("distinct_lines"),
+    )

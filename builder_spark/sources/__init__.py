@@ -11,9 +11,11 @@ from builder_spark.sources.io import (  # noqa: F401
     read_json,
     read_orc,
     read_parquet,
+    read_text,
     write_bucketed,
     write_csv,
     write_json,
     write_orc,
     write_parquet,
+    write_text,
 )

@@ -119,3 +119,16 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one row per line, column ``value``.
+    The rawest ingest format — upstream of any schema; pair with
+    from_json/split/regexp parsing downstream."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: df must have exactly one string column. Rows become
+    lines — the producer contract for line-oriented corpora."""
+    df.write.mode(mode).text(path)
