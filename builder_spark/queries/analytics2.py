@@ -487,3 +487,51 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
         )
     )
+
+
+@register(
+    "q_benford",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice > 0
+        ),
+        d AS (
+            SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM c
+        ),
+        agg AS (
+            SELECT digit, count(*) AS cnt, sum(count(*)) OVER () AS total
+            FROM d GROUP BY digit
+        )
+        SELECT digit, cnt,
+               round(cnt / CAST(total AS DOUBLE), 4) AS observed_p,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_p
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: first-digit distribution of order totals
+    vs the ln(1+1/d)/ln(10) expectation — the classic fraud /
+    synthetic-data detector. The leading digit comes from the INTEGER
+    cents value's string form (integer→string is exact on both
+    engines; float→string formatting is NOT and is never used). One
+    aggregate over 9 digit groups plus an empty-frame total; ratios
+    round after division of identical integers."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    n = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(n.cast("string"), 1, 1).cast("int")
+    w_all = Window.partitionBy()
+    agg = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(w_all))
+    )
+    return agg.select(
+        "digit",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total").cast("double"), 4).alias("observed_p"),
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4).alias("benford_p"),
+    )
