@@ -535,3 +535,59 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt") / F.col("total").cast("double"), 4).alias("observed_p"),
         F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4).alias("benford_p"),
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+                   nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer
+        )
+        SELECT count(*) AS n_rows,
+               count(bal) AS n_bal,
+               count(DISTINCT seg) AS n_seg_distinct,
+               CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_seg,
+               CAST(sum(CASE WHEN (bal > 5000.0) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_pred,
+               round(avg(bal), 4) AS avg_bal_nonnull,
+               bool_or(bal IS NULL) AS any_null_bal,
+               (SELECT count(*) FROM (SELECT seg FROM t GROUP BY seg))
+                   AS n_groups_incl_null
+        FROM t
+    """,
+    category="subquery",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null-semantics battery, pinned in one row: count(col) skips
+    nulls while count(*) doesn't; count(DISTINCT) ignores the null;
+    GROUP BY collects all nulls into ONE group; aggregates ignore
+    nulls; three-valued logic makes (null > x) UNKNOWN; null-safe
+    comparison (<=> / IS NOT DISTINCT FROM) treats null = null as
+    true. An engine that diverges on any of these silently corrupts
+    every downstream query — this is the canary."""
+    t = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    t.createOrReplaceTempView("_ns_t")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count(bal) AS n_bal,
+               count(DISTINCT seg) AS n_seg_distinct,
+               CAST(sum(CASE WHEN seg <=> NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_seg,
+               CAST(sum(CASE WHEN (bal > 5000.0) IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unknown_pred,
+               round(avg(bal), 4) AS avg_bal_nonnull,
+               bool_or(bal IS NULL) AS any_null_bal,
+               (SELECT count(*) FROM (SELECT seg FROM _ns_t GROUP BY seg))
+                   AS n_groups_incl_null
+        FROM _ns_t
+        """
+    )

@@ -665,3 +665,61 @@ def q_vec_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.array_max(F.transform(diff, lambda x: F.abs(x))), 4).alias("linf_dist"),
         )
     )
+
+
+@register(
+    "q_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_distinct(list_slice(toks, 1, n // 2)) AS a,
+                   list_distinct(list_slice(toks, n // 2 + 1, n)) AS b
+            FROM t
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(a || b)) AS u,
+               list_sort(list_intersect(a, b)) AS i,
+               list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS d,
+               CAST(len(list_distinct(a || b)) AS INT) AS n_union,
+               CAST(len(list_intersect(a, b)) AS INT) AS n_inter,
+               round(len(list_intersect(a, b))
+                     / CAST(len(list_distinct(a || b)) AS DOUBLE), 4)
+                   AS half_jaccard
+        FROM h
+    """,
+    category="scalar/array",
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra battery: union / intersect / except between
+    each document's first-half and second-half token sets, plus the
+    half-vs-half Jaccard (an intra-document self-similarity signal —
+    near 1 means the halves repeat each other). Results are
+    array_sort-ed so multiset order can't differ between engines; all
+    per-row array math, zero shuffle. Pins Spark array_union/
+    array_intersect/array_except dedup semantics against the DuckDB
+    list_* equivalents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    half = (n / 2).cast("int")
+    h = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(toks, 1, half)).alias("a"),
+        F.array_distinct(F.slice(toks, half + 1, n - half)).alias("b"),
+    )
+    union = F.array_union("a", "b")
+    inter = F.array_intersect("a", "b")
+    return h.select(
+        "doc_id",
+        F.array_sort(union).alias("u"),
+        F.array_sort(inter).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("d"),
+        F.size(union).alias("n_union"),
+        F.size(inter).alias("n_inter"),
+        F.round(F.size(inter) / F.size(union).cast("double"), 4).alias("half_jaccard"),
+    )
