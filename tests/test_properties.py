@@ -100,3 +100,66 @@ def test_exact_dedup_keeps_one_row_per_key(spark, data):
     for r in rows_out:
         assert r.id == mins[r.k]
     assert exact_dedup(out, key="k", order_col="id").count() == len(rows_out)
+
+
+asof_data = st.tuples(
+    st.lists(  # events: (user, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # orders: (user, t); order key = list index
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@_settings
+@given(data=asof_data)
+def test_asof_union_running_last_matches_naive(spark, data):
+    """The union + running-last as-of algorithm (q_join_asof's core)
+    must agree with the obvious quadratic definition — for each event,
+    the order with max (t, key) among t <= event.t on the same user —
+    on ANY timeline, including ties between orders, order-vs-event
+    timestamp ties (<= semantics: the order wins), and users with
+    orders but no events or vice versa."""
+    events, orders = data
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)], ["event_id", "user_id", "t"]
+    )
+    od = spark.createDataFrame(
+        [(k, u, t) for k, (u, t) in enumerate(orders)], ["o_key", "user_id", "t"]
+    ) if orders else spark.createDataFrame([], "o_key long, user_id long, t long")
+
+    # algorithm under test (mirror of q_join_asof)
+    left = ev.select(
+        "user_id", F.col("t").alias("_t"), F.lit(1).alias("_kind"), "event_id",
+        F.lit(None).cast("long").alias("o_key"),
+    )
+    right = od.select(
+        "user_id", F.col("t").alias("_t"), F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("event_id"), "o_key",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_kind").asc(), F.col("o_key").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.event_id, r.o_key)
+        for r in left.unionByName(right)
+        .withColumn("_last", F.last("o_key", ignorenulls=True).over(w))
+        .filter((F.col("_kind") == 1) & F.col("_last").isNotNull())
+        .select("event_id", F.col("_last").alias("o_key"))
+        .collect()
+    }
+
+    # naive quadratic reference in plain Python
+    want = set()
+    for i, (u, t) in enumerate(events):
+        cands = [(ot, k) for k, (ou, ot) in enumerate(orders) if ou == u and ot <= t]
+        if cands:
+            want.add((i, max(cands)[1]))
+    assert got == want
