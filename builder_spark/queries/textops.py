@@ -723,3 +723,101 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(inter).alias("n_inter"),
         F.round(F.size(inter) / F.size(union).cast("double"), 4).alias("half_jaccard"),
     )
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(iters: int) -> str:
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        r{k} AS (
+            SELECT n.w,
+                   0.15 / (SELECT count(*) FROM nodes)
+                   + {_PR_DAMP} * coalesce((
+                       SELECT sum(p.pr / d.d)
+                       FROM bg e
+                       JOIN r{k - 1} p ON p.w = e.src
+                       JOIN deg d ON d.src = e.src
+                       WHERE e.dst = n.w), 0.0) AS pr
+            FROM nodes n
+        )""")
+    return f"""
+        WITH bg AS (
+            SELECT DISTINCT string_split(text, ' ')[i] AS src,
+                            string_split(text, ' ')[i+1] AS dst
+            FROM documents,
+                 unnest(range(1, len(string_split(text, ' ')))) t(i)
+        ),
+        nodes AS (
+            SELECT DISTINCT w FROM (
+                SELECT src AS w FROM bg UNION ALL SELECT dst FROM bg)
+        ),
+        deg AS (SELECT src, count(*) AS d FROM bg GROUP BY src),
+        r0 AS (
+            SELECT w, 1.0 / (SELECT count(*) FROM nodes) AS pr FROM nodes
+        ),{",".join(its)}
+        SELECT w, round(pr, 4) AS pagerank FROM r{iters}
+    """
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    category="llm-text",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the word co-occurrence (bigram) graph, 5 fixed
+    iterations, damping 0.85 — TextRank's core, the iterative-
+    algorithm showcase beyond connected components. Dangling mass is
+    dropped (nodes with no out-edges contribute nothing), a defined
+    deterministic variant both engines replay identically; the oracle
+    unrolls the iterations as chained CTEs. Per iteration: one
+    edge⨝rank join and one dst aggregate — at scale the edge list is
+    partitioned by src and ranks broadcast if small (or co-partitioned
+    if not), with localCheckpoint every few rounds to cut lineage
+    (see operators/dedup.py::dedup_clusters for the same pattern).
+    Float noise stays ~1e-13: ranks are sums of many divisions, so
+    round(·,4) cannot sit on a decimal half."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("src"), F.element_at(toks, i + 1).alias("dst")
+        ),
+    )
+    edges = (
+        d.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+        .repartition(F.col("src"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("w"))
+        .unionByName(edges.select(F.col("dst").alias("w")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # driver-side scalar: iteration constant
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("w", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "w"), "w", "left")
+            .select(
+                "w",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("w", F.round("pr", 4).alias("pagerank"))
