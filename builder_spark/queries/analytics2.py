@@ -591,3 +591,168 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ns_t
         """
     )
+
+
+@register(
+    "q_iqr_outliers",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               count(*) AS n,
+               CAST(sum(CASE WHEN l.l_extendedprice
+                                  > q.q3 + 1.5 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(sum(CASE WHEN l.l_extendedprice
+                                  < q.q1 - 1.5 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               round(any_value(q.q3 + 1.5 * (q.q3 - q.q1)), 4) AS high_fence
+        FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
+    category="analytics",
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per group: values beyond Q3+1.5·IQR /
+    Q1−1.5·IQR flagged — the standard robust anomaly screen. Exact
+    interpolated quartiles (bit-identical interpolation, probed in
+    q_percentiles) computed once per group and broadcast back onto
+    the fact scan; the fence comparisons are raw doubles derived from
+    identical quartile values, so counts can't flip. Two passes over
+    lineitem (quantiles need a sort), both group-partitioned."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    high = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    low = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        l.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_extendedprice") > high, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.when(F.col("l_extendedprice") < low, 1).otherwise(0)).alias("n_low"),
+            F.round(F.any_value(high), 4).alias("high_fence"),
+        )
+    )
+
+
+@register(
+    "q_abtest_proportions",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                   max(CASE WHEN event_type = 'purchase'
+                                 AND ts < TIMESTAMP '2024-01-03'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+            FROM assign GROUP BY arm
+        ),
+        wide AS (
+            SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+                   max(CASE WHEN arm = 'A' THEN conv END) AS ca,
+                   max(CASE WHEN arm = 'B' THEN n END) AS nb,
+                   max(CASE WHEN arm = 'B' THEN conv END) AS cb
+            FROM arms
+        )
+        SELECT na, ca, nb, cb,
+               round(ca / CAST(na AS DOUBLE), 4) AS p_a,
+               round(cb / CAST(nb AS DOUBLE), 4) AS p_b,
+               round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                     / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                            * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                            * (1.0 / na + 1.0 / nb)), 4) AS z_score
+        FROM wide
+    """,
+    category="analytics",
+)
+def q_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: users split into deterministic arms by
+    key parity, conversion = ever purchased, pooled-proportion z —
+    the experimentation readout every product pipeline ships. All
+    inputs to the closed form are exact integers, so both engines
+    evaluate the identical float expression; one shuffle on user_id
+    then constant-size arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    early_buy = (F.col("event_type") == "purchase") & (F.col("ts") < "2024-01-03")
+    assign = e.groupBy("user_id").agg(
+        F.max(F.when(early_buy, 1).otherwise(0)).alias("converted")
+    ).withColumn("arm", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"))
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")).cast("double")
+    z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return wide.select(
+        "na", "ca", "nb", "cb",
+        F.round(pa, 4).alias("p_a"),
+        F.round(pb, 4).alias("p_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+        WITH stage AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id,
+                   date_diff('microsecond', t_view, t_buy) AS us
+            FROM stage
+            WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+        )
+        SELECT count(*) AS n_converted,
+               CAST(floor(quantile_cont(us, 0.5) / 1000000) AS BIGINT) AS p50_sec,
+               CAST(floor(quantile_cont(us, 0.9) / 1000000) AS BIGINT) AS p90_sec,
+               CAST(min(us) // 1000000 AS BIGINT) AS min_sec
+        FROM conv
+    """,
+    category="analytics",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, first view → first later purchase;
+    p50/p90/min of the latency. Latencies are exact integer
+    microseconds (timestamp subtraction — no float until the
+    percentile interpolation, whose inputs are identical ints on both
+    engines); the result floors to whole seconds, far from any
+    interpolation ulp. One user_id shuffle; the percentile runs over
+    |converted users| rows."""
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    conv = stage.filter(
+        F.col("t_view").isNotNull() & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        (F.unix_micros(F.col("t_buy")) - F.unix_micros(F.col("t_view"))).alias("us")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("us", 0.5) / 1000000).cast("bigint").alias("p50_sec"),
+        F.floor(F.percentile("us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
+        F.expr("cast(min(us) div 1000000 as bigint)").alias("min_sec"),
+    )
