@@ -756,3 +756,44 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percentile("us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
         F.expr("cast(min(us) div 1000000 as bigint)").alias("min_sec"),
     )
+
+
+@register(
+    "q_interval_arith",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+            FROM orders WHERE o_orderkey < 200
+        )
+        SELECT o_orderkey, d,
+               CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+               CAST(d + INTERVAL 90 DAY AS DATE) AS plus_90d,
+               last_day(d) AS month_end,
+               CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+               CAST(dayofyear(d) AS INT) AS doy,
+               CAST(day(last_day(d)) AS INT) AS days_in_month
+        FROM t
+    """,
+    category="scalar/date",
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic battery: month addition (with
+    end-of-month CLAMPING — Jan 31 + 1 month = Feb 29, probed
+    identical in both engines), fixed-day offsets, last_day, quarter
+    truncation, day-of-year, and days-in-month. All results cast to
+    DATE on both sides because Spark's add_months returns DATE while
+    DuckDB's interval add keeps the timestamp. Pure per-row date
+    math riding the scan."""
+    t = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    return t.select(
+        "o_orderkey",
+        "d",
+        F.add_months("d", 1).alias("plus_month"),
+        F.date_add("d", 90).alias("plus_90d"),
+        F.last_day("d").alias("month_end"),
+        F.date_trunc("quarter", "d").cast("date").alias("quarter_start"),
+        F.dayofyear("d").alias("doy"),
+        F.dayofmonth(F.last_day("d")).alias("days_in_month"),
+    )
