@@ -819,3 +819,65 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("resized")).alias("resized_bytes"),
         F.countDistinct(F.md5("resized")).alias("distinct_resized"),
     )
+
+
+@register(
+    "q_knn_accuracy",
+    oracle=None,  # assembled below from the registered q_knn_label oracle
+    category="llm-similarity",
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the 5-NN majority-label predictor:
+    per-class precision-style readout — for each TRUE label of the
+    held-out queries, how many were predicted correctly. The
+    evaluation joins predictions back to ground truth (both
+    deterministic) and, like q_ann_recall, its oracle composes the
+    registered q_knn_label oracle as a subquery so prediction and
+    evaluation can never drift apart."""
+    from builder_spark.operators.similarity import knn_majority_label
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = knn_majority_label(
+        e.filter(F.col("vec_id") < 50), e.filter(F.col("vec_id") >= 50), k=5
+    ).select("q_id", "pred_label")
+    truth = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(pred, "q_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("accuracy"),
+        )
+    )
+
+
+QUERIES["q_knn_accuracy"] = QUERIES["q_knn_accuracy"].__class__(
+    name="q_knn_accuracy",
+    fn=QUERIES["q_knn_accuracy"].fn,
+    oracle=f"""
+        WITH pred AS ({QUERIES["q_knn_label"].oracle}),
+        truth AS (
+            SELECT vec_id AS q_id, label AS true_label
+            FROM embeddings WHERE vec_id < 50
+        )
+        SELECT t.true_label,
+               count(*) AS n,
+               CAST(sum(CASE WHEN p.pred_label = t.true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN p.pred_label = t.true_label
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        FROM truth t JOIN pred p ON p.q_id = t.q_id
+        GROUP BY t.true_label
+    """,
+    category="llm-similarity",
+)

@@ -821,3 +821,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("w", F.round("pr", 4).alias("pagerank"))
+
+
+@register(
+    "q_lm_perplexity",
+    oracle="""
+        WITH tf AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        lm AS (
+            SELECT w, count(*) AS c FROM tf GROUP BY w
+        ),
+        n_tot AS (SELECT sum(c) AS n FROM lm),
+        scored AS (
+            SELECT d.doc_id, d.lang,
+                   count(*) AS n_toks,
+                   sum(ln(lm.c / CAST(n_tot.n AS DOUBLE))) AS ll
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents) d
+            JOIN lm ON lm.w = d.w
+            CROSS JOIN n_tot
+            GROUP BY d.doc_id, d.lang
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(-ll / n_toks), 4) AS avg_cross_entropy,
+               CAST(sum(CASE WHEN -ll / n_toks > 5.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_surprising
+        FROM scored
+        GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring — the statistical ancestor of model-based
+    perplexity filtering: each document's per-token cross-entropy
+    under the corpus unigram distribution, rolled up per language
+    with a high-surprise document count. The LM is a vocab-sized
+    broadcast joined onto the exploded token stream; one doc-level
+    aggregate then one language rollup. ln() terms sum in engine
+    order (~1e-13 noise) and round at 4 — the accepted float
+    discipline; the 5.0-nat surprise threshold sits far from any
+    observed value's ulp (documents score ~2-4 nats)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.log(F.col("c") / F.col("n").cast("double"))).alias("ll"),
+        )
+    )
+    ce = -F.col("ll") / F.col("n_toks")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ce), 4).alias("avg_cross_entropy"),
+        F.sum(F.when(ce > 5.0, 1).otherwise(0)).alias("n_surprising"),
+    )
