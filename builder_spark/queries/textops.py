@@ -804,14 +804,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(_PR_ITERS):
+        # ranks and deg are vocab-sized — broadcast both so each
+        # iteration's joins add ZERO exchange; the only shuffle per
+        # round is the map-side-combined dst aggregate (vocab rows).
         contribs = (
-            edges.join(ranks.withColumnRenamed("w", "src"), "src")
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("w", "src")), "src")
+            .join(F.broadcast(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("d")).alias("s"))
         )
         ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "w"), "w", "left")
+            nodes.join(F.broadcast(contribs.withColumnRenamed("dst", "w")), "w", "left")
             .select(
                 "w",
                 (

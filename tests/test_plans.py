@@ -209,6 +209,40 @@ def test_added_query_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_benford", 2),           # digit agg + empty-frame total
+        ("q_null_semantics", 4),    # single-row battery + scalar subquery
+        ("q_array_setops", 0),      # pure per-row array math
+        ("q_interval_arith", 0),    # pure per-row date math
+        ("q_mm_framesample", 0),    # mapInPandas rides the scan
+        ("q_iqr_outliers", 2),      # quartile agg + fact re-agg (quartiles broadcast)
+        ("q_abtest_proportions", 3),
+        ("q_funnel_latency", 2),
+        ("q_knn_accuracy", 2),
+        ("q_lm_perplexity", 5),     # ONE token-stream agg; rest vocab/doc-sized
+        ("q_ann_recall", 5),
+        ("q_text_roundtrip", 2),
+        ("q_mm_resize", 2),
+    ],
+)
+def test_latest_query_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_pagerank_broadcasts_rank_vector(spark):
+    """Each PageRank iteration must broadcast the vocab-sized rank and
+    degree frames — the edge list never reshuffles for the join. (No
+    exchange-NODE budget here: an unrolled iterative plan repeats its
+    lineage per round and ReusedExchange dedups at runtime, so node
+    counts overstate executed shuffles.)"""
+    df = REGISTRY["q_pagerank"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Two tables bucketed on the join key with equal bucket counts
     must sort-merge-join with ZERO exchange — the co-located-join
