@@ -797,3 +797,120 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("d").alias("doy"),
         F.dayofmonth(F.last_day("d")).alias("days_in_month"),
     )
+
+
+@register(
+    "q_rank_correlation",
+    oracle="""
+        WITH rev AS (
+            SELECT l.l_partkey,
+                   CAST(sum(CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01'
+                            THEN round(l.l_extendedprice * 100) ELSE 0 END)
+                        AS BIGINT) AS rev_a,
+                   CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                            THEN round(l.l_extendedprice * 100) ELSE 0 END)
+                        AS BIGINT) AS rev_b
+            FROM lineitem l
+            GROUP BY l.l_partkey
+            HAVING rev_a > 0 AND rev_b > 0
+        ),
+        rk AS (
+            SELECT l_partkey,
+                   row_number() OVER (ORDER BY rev_a DESC, l_partkey) AS ra,
+                   row_number() OVER (ORDER BY rev_b DESC, l_partkey) AS rb
+            FROM rev
+        )
+        SELECT count(*) AS n_parts,
+               round(corr(ra, rb), 4) AS spearman_rho,
+               round(1 - 6.0 * sum((ra - rb) * (ra - rb))
+                         / (count(*) * (CAST(count(*) AS BIGINT)
+                                        * count(*) - 1)), 4) AS spearman_closed
+        FROM rk
+    """,
+    category="analytics",
+)
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between early and late part-revenue
+    rankings — the rank-stability / drift metric (is this period's
+    bestseller list the same list?). Revenues accumulate as exact
+    integer cents so the rankings (unique tie-broken total orders)
+    are identical across engines; reported both as corr() of ranks
+    and the closed form 1 − 6·Σd²/(n(n²−1)) (equal when ranks are
+    distinct — a built-in cross-check). Two windows over the per-part
+    aggregate, one fact-table shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100)
+    rev = (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < "1997-01-01", cents).otherwise(0))
+            .cast("long")
+            .alias("rev_a"),
+            F.sum(F.when(F.col("l_shipdate") >= "1997-01-01", cents).otherwise(0))
+            .cast("long")
+            .alias("rev_b"),
+        )
+        .filter((F.col("rev_a") > 0) & (F.col("rev_b") > 0))
+    )
+    w_a = Window.orderBy(F.col("rev_a").desc(), F.col("l_partkey"))
+    w_b = Window.orderBy(F.col("rev_b").desc(), F.col("l_partkey"))
+    rk = rev.select(
+        F.row_number().over(w_a).alias("ra"), F.row_number().over(w_b).alias("rb")
+    )
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+    return rk.agg(
+        n.alias("n_parts"),
+        F.round(F.corr("ra", "rb"), 4).alias("spearman_rho"),
+        F.round(1 - 6.0 * d2 / (n * (n.cast("long") * n - 1)), 4).alias("spearman_closed"),
+    )
+
+
+@register(
+    "q_chisq_independence",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, user_id % 2 AS grp, count(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT o.event_type, o.grp, o.o,
+                   sum(o.o) OVER (PARTITION BY o.event_type) AS row_t,
+                   sum(o.o) OVER (PARTITION BY o.grp) AS col_t,
+                   sum(o.o) OVER () AS n
+            FROM obs o
+        )
+        SELECT CAST(count(*) AS INT) AS n_cells,
+               round(sum((o - row_t * col_t / CAST(n AS DOUBLE))
+                         * (o - row_t * col_t / CAST(n AS DOUBLE))
+                         / (row_t * col_t / CAST(n AS DOUBLE))), 4) AS chi2
+        FROM tot
+    """,
+    category="analytics",
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of the
+    user-parity cohort? Observed vs expected over the 5×2 contingency
+    table, expected = row·col/N from exact integer marginals — the
+    only float ops are the final per-cell terms, summed over 10 cells
+    (noise ~1e-15, round 4). Contingency tables and independence
+    screens are the categorical-drift primitive for feature
+    monitoring. One shuffle to the table, windows over 10 rows."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", (F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("grp")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    exp = F.col("row_t") * F.col("col_t") / F.col("n").cast("double")
+    return tot.agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4).alias("chi2"),
+    )
