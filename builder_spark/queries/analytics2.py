@@ -914,3 +914,176 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_cells"),
         F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4).alias("chi2"),
     )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+        WITH a AS (
+            SELECT value FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT value FROM events WHERE event_type = 'click'
+        ),
+        pts AS (
+            SELECT value AS v FROM a UNION SELECT value FROM b
+        ),
+        cdf AS (
+            SELECT p.v,
+                   (SELECT count(*) FROM a WHERE a.value <= p.v)
+                       / CAST((SELECT count(*) FROM a) AS DOUBLE) AS fa,
+                   (SELECT count(*) FROM b WHERE b.value <= p.v)
+                       / CAST((SELECT count(*) FROM b) AS DOUBLE) AS fb
+            FROM pts p
+        )
+        SELECT round(max(abs(fa - fb)), 4) AS ks_d,
+               CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b
+        FROM cdf
+    """,
+    category="analytics",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: the max ECDF gap
+    between purchase and click value distributions — the
+    distribution-drift detector (data-quality monitoring, feature
+    shift). The oracle states the quadratic correlated-subquery
+    definition; the Spark plan is the O(n log n) merge: tag + union
+    both samples, one global sort window accumulates each sample's
+    running count, D = max |i/n − j/m|. ECDF fractions are ratios of
+    identical exact integers — no float accumulation. Ties are
+    handled by evaluating BOTH cdfs at every distinct value (max of
+    per-value last step), matching the subquery definition exactly."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("value").alias("v"), F.lit(1).alias("is_a"), F.lit(0).alias("is_b")
+    )
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("value").alias("v"), F.lit(0).alias("is_a"), F.lit(1).alias("is_b")
+    )
+    u = a.unionByName(b)
+    w_run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    run = u.select(
+        "v",
+        F.sum("is_a").over(w_run).alias("ca"),
+        F.sum("is_b").over(w_run).alias("cb"),
+        F.sum("is_a").over(w_all).alias("na"),
+        F.sum("is_b").over(w_all).alias("nb"),
+    )
+    # at tied values keep the LAST row per v (both counts fully
+    # advanced) — that is the ECDF evaluated AT v on both sides
+    per_v = run.groupBy("v").agg(
+        F.max("ca").alias("ca"),
+        F.max("cb").alias("cb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double")
+    )
+    return per_v.agg(
+        F.round(F.max(gap), 4).alias("ks_d"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+        WITH tf AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (SELECT w, count(*) AS c FROM tf GROUP BY w),
+        rk AS (
+            SELECT c,
+                   row_number() OVER (ORDER BY c DESC, w ASC) AS rnk,
+                   sum(c) OVER () AS total,
+                   sum(c) OVER (ORDER BY c DESC, w ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM cnt
+        )
+        SELECT k,
+               round(max(CASE WHEN rnk <= k THEN cum ELSE 0 END)
+                     / CAST(any_value(total) AS DOUBLE), 4) AS coverage
+        FROM rk CROSS JOIN (SELECT unnest([10, 20, 50, 100]) AS k)
+        GROUP BY k
+    """,
+    category="llm-text",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the token volume do
+    the top-k most frequent terms cover (k = 10/20/50/100) — the
+    tokenizer/vocab-size design curve. Cumulative counts run over the
+    unique (count DESC, word ASC) order so both engines accumulate
+    identical exact integers; one token-stream shuffle, then windows
+    over vocabulary-sized data crossed with 4 k-values."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    w_all = Window.partitionBy()
+    rk = cnt.select(
+        "c",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("c").over(w_all).alias("total"),
+        F.sum("c").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    ks = spark.createDataFrame([(10,), (20,), (50,), (100,)], "k int")
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0))
+                / F.any_value("total").cast("double"),
+                4,
+            ).alias("coverage")
+        )
+    )
+
+
+@register(
+    "q_interevent_gaps",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        )
+        SELECT count(*) AS n_gaps,
+               CAST(floor(quantile_cont(gap_us, 0.5) / 1000000) AS BIGINT)
+                   AS p50_sec,
+               CAST(floor(quantile_cont(gap_us, 0.9) / 1000000) AS BIGINT)
+                   AS p90_sec,
+               CAST(max(gap_us) // 1000000 AS BIGINT) AS max_sec
+        FROM seq WHERE gap_us IS NOT NULL
+    """,
+    category="analytics",
+)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution: per-user consecutive-event
+    spacing in exact integer microseconds (lag over the total
+    (ts, event_id) order), with p50/p90/max floored to whole seconds.
+    The spacing profile drives session-gap threshold choices (the
+    30-minute q_win_session cutoff) and bot detection. One user_id
+    shuffle; percentiles over |events| exact ints."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.floor(F.percentile("gap_us", 0.5) / 1000000).cast("bigint").alias("p50_sec"),
+        F.floor(F.percentile("gap_us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
+        F.expr("cast(max(gap_us) div 1000000 as bigint)").alias("max_sec"),
+    )
