@@ -1087,3 +1087,70 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percentile("gap_us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
         F.expr("cast(max(gap_us) div 1000000 as bigint)").alias("max_sec"),
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+        WITH binned AS (
+            SELECT CAST(floor(value) AS BIGINT) AS bin,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT bin, ca, cb,
+                   sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+            FROM binned
+        )
+        SELECT CAST(count(*) AS INT) AS n_bins,
+               round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+                   (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                   * ln((ca / CAST(na AS DOUBLE))
+                        / (cb / CAST(nb AS DOUBLE)))
+                   ELSE 0 END), 4) AS psi,
+               CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_onesided_bins
+        FROM tot
+    """,
+    category="analytics",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month's purchase-value distribution — the standard ML
+    feature-drift score (PSI > 0.2 ⇒ retrain). Unit-width integer
+    bins (floor(value) — exact for both engines), exact integer bin
+    counts and marginals; only the final 10-ish per-bin terms are
+    float, summed and rounded. One-sided bins (mass in only one
+    period) are excluded from the sum and reported separately, the
+    standard smoothing-free treatment. Pairs with q_ks_test: PSI is
+    binned and weights the tails, KS is exact and order-based."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    early = F.col("ts") < "2024-01-16"
+    binned = e.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.sum(F.when(early, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~early, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    tot = binned.select(
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    term = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0), (pa - pb) * F.log(pa / pb)
+    ).otherwise(0.0)
+    return tot.agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.round(F.sum(term), 4).alias("psi"),
+        F.sum(F.when((F.col("ca") == 0) | (F.col("cb") == 0), 1).otherwise(0)).alias(
+            "n_onesided_bins"
+        ),
+    )
