@@ -1154,3 +1154,138 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_onesided_bins"
         ),
     )
+
+
+@register(
+    "q_cdc_upsert",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS status,
+                   o_totalprice AS price, 0 AS version, 'I' AS op
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey AS k,
+                   'X' AS status, o_totalprice + 10.0 AS price,
+                   1 AS version, 'U' AS op
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey AS k, NULL, NULL, 1 AS version, 'D' AS op
+            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+        ),
+        merged AS (
+            SELECT *, row_number() OVER (PARTITION BY k
+                                         ORDER BY version DESC, op ASC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        ),
+        final AS (
+            SELECT k, status, price FROM merged WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT status, count(*) AS n, round(sum(price), 4) AS total
+        FROM final GROUP BY status
+    """,
+    category="analytics",
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction — MERGE INTO semantics without a table
+    format: a change log (updates for keys ≡0 mod 3, delete
+    tombstones for keys ≡0 mod 7 minus the update set) applied over
+    the base snapshot by latest-version-wins window dedup, tombstones
+    dropped last. This is the upsert pattern for plain-parquet lakes
+    (Delta/Iceberg MERGE replaces the window with a file-level
+    rewrite, same logical semantics). One shuffle on the key; at
+    100 TB the window partitions by key exactly as MERGE's join
+    would. Versions are exact ints, so the kept row is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 10.0).alias("price"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 != 0)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(1).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("version").desc(), F.col("op").asc())
+    final = (
+        base.unionByName(upd)
+        .unionByName(dels)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return final.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 4).alias("total")
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey AS k, o_totalprice AS price
+            FROM orders WHERE o_orderkey < 10000
+        ),
+        b AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN o_totalprice + 5.0 ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 10500
+        ),
+        d AS (
+            SELECT coalesce(a.k, b.k) AS k,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.price <> b.price THEN 'changed'
+                        ELSE 'unchanged' END AS diff
+            FROM a FULL JOIN b ON a.k = b.k
+        )
+        SELECT diff, count(*) AS n,
+               CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        FROM d GROUP BY diff
+    """,
+    category="analytics",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    versions as added / removed / changed / unchanged via one full
+    outer join — the data-diff primitive behind regression checks and
+    replication audits. The 'changed' test compares doubles derived
+    identically on both engines (same source value, same +5.0 shift),
+    so classification is deterministic. One co-partitioned shuffle
+    join on the key; at scale, pre-bucketing both snapshots makes the
+    diff exchange-free (see q_join_bucketed)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 10000).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("pa")
+    )
+    b = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 10500)).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("pb"),
+    )
+    d = a.join(b, a.ka == b.kb, "full").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("pa") != F.col("pb"), "changed")
+        .otherwise("unchanged")
+        .alias("diff"),
+    )
+    return d.groupBy("diff").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
