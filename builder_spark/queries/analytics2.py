@@ -1289,3 +1289,43 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "q_histogram_log2",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 0
+        ),
+        b AS (
+            SELECT length(bin(cents)) - 1 AS bucket, cents FROM c
+        )
+        SELECT bucket,
+               CAST(power(2, bucket) AS BIGINT) AS bucket_lo_cents,
+               count(*) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM b GROUP BY bucket
+    """,
+    category="analytics",
+)
+def q_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) buckets of order values: the
+    latency/size histogram shape whose bucket is floor(log2(x)) —
+    computed as bit length of the exact integer cents (length of the
+    binary string minus one), NOT floating log2, so bucket edges can
+    never waver on ulp. One 9-bucket-ish aggregate riding the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = (F.length(F.bin(cents)) - 1).alias("bucket")
+    return (
+        o.select(cents.alias("cents"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("bucket")).cast("long").alias("bucket_lo_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
