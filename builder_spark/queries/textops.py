@@ -885,3 +885,88 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ce), 4).alias("avg_cross_entropy"),
         F.sum(F.when(ce > 5.0, 1).otherwise(0)).alias("n_surprising"),
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   (SELECT max(n_chars) FROM documents) AS mx
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang, n_chars,
+                   n_chars * 10000 // mx AS thresh,
+                   (CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 % 10000
+                       AS bucket
+            FROM t
+        )
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN bucket < thresh THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars
+        FROM s GROUP BY lang
+    """,
+    category="llm-pipeline",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted sampling: P(keep) ∝ n_chars —
+    the upweight-long-documents policy, with zero RNG. Per-doc
+    thresholds are exact integer arithmetic (chars·10⁴ div max_chars)
+    against the Knuth-hash bucket, so the same documents are kept on
+    every engine, run, and partitioning. The max is a 1-row broadcast;
+    the filter rides the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("mx"))
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(10000))
+    kept = F.when(bucket < F.expr("n_chars * 10000 div mx"), 1).otherwise(0)
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_chars")).alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+        WITH u AS (
+            SELECT label, i AS dim,
+                   CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(0, 8)) t(i)
+        )
+        SELECT label, CAST(dim AS INT) AS dim,
+               count(*) AS n,
+               round(avg(x), 4) AS centroid,
+               round(stddev_samp(x), 4) AS spread
+        FROM u GROUP BY label, dim
+    """,
+    category="llm-similarity",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (first 8 dimensions) with
+    per-dimension spread — the class-prototype computation behind
+    nearest-centroid classification and embedding-space drift checks.
+    Dimensions explode to (label, dim) rows so the centroid is a
+    plain combinable aggregate: one shuffle of |rows|×8 scalar
+    values, map-side combined; at 64 dims and 100 TB you'd aggregate
+    arrays element-wise per partition instead (same result, fewer
+    rows), noted here because the fixture width makes explode
+    cheaper."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        "label",
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("dim", "x"),
+    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    return pairs.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 4).alias("centroid"),
+        F.round(F.stddev_samp("x"), 4).alias("spread"),
+    )
