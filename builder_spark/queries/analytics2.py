@@ -1329,3 +1329,84 @@ def q_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+        SELECT 'o_orderkey' AS col, count(*) AS n,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               round(min(o_orderkey), 4) AS min_val,
+               round(max(o_orderkey), 4) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               CAST(count(*) - count(o_custkey) AS BIGINT),
+               count(DISTINCT o_custkey),
+               round(min(o_custkey), 4), round(max(o_custkey), 4)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(count(*) - count(o_totalprice) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               count(DISTINCT o_orderstatus),
+               NULL, NULL
+        FROM orders
+    """,
+    category="analytics",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in long form: per column — row count, null
+    count, distinct count, numeric min/max (rounded; string columns
+    profile cardinality only, so no float-to-string formatting ever
+    crosses the engine boundary). The ingest-time data-quality report
+    every pipeline runs first. Spark computes ALL columns' stats in a
+    single pass (one agg with per-column expressions) and unpivots to
+    rows — one scan, not one scan per column; the oracle's UNION ALL
+    form is the semantic spec, not the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("c_ok"),
+        F.countDistinct("o_orderkey").alias("d_ok"),
+        F.round(F.min("o_orderkey"), 4).alias("mn_ok"),
+        F.round(F.max("o_orderkey"), 4).alias("mx_ok"),
+        F.count("o_custkey").alias("c_ck"),
+        F.countDistinct("o_custkey").alias("d_ck"),
+        F.round(F.min("o_custkey"), 4).alias("mn_ck"),
+        F.round(F.max("o_custkey"), 4).alias("mx_ck"),
+        F.count("o_totalprice").alias("c_tp"),
+        F.countDistinct("o_totalprice").alias("d_tp"),
+        F.round(F.min("o_totalprice"), 4).alias("mn_tp"),
+        F.round(F.max("o_totalprice"), 4).alias("mx_tp"),
+        F.count("o_orderstatus").alias("c_st"),
+        F.countDistinct("o_orderstatus").alias("d_st"),
+    )
+    rows = [
+        ("o_orderkey", "c_ok", "d_ok", "mn_ok", "mx_ok"),
+        ("o_custkey", "c_ck", "d_ck", "mn_ck", "mx_ck"),
+        ("o_totalprice", "c_tp", "d_tp", "mn_tp", "mx_tp"),
+        ("o_orderstatus", "c_st", "d_st", None, None),
+    ]
+    parts = []
+    for col, c, dist, mn, mx in rows:
+        parts.append(
+            wide.select(
+                F.lit(col).alias("col"),
+                F.col("n").alias("n"),
+                (F.col("n") - F.col(c)).alias("n_null"),
+                F.col(dist).alias("n_distinct"),
+                (F.col(mn).cast("double") if mn else F.lit(None).cast("double")).alias("min_val"),
+                (F.col(mx).cast("double") if mx else F.lit(None).cast("double")).alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
 from builder_spark.operators.dedup import CHARFOLD_MOD, charfold_hash
-from builder_spark.registry import register
+from builder_spark.registry import QUERIES, register
 
 
 def _word_grams(text_col, n: int):
@@ -970,3 +970,83 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 4).alias("centroid"),
         F.round(F.stddev_samp("x"), 4).alias("spread"),
     )
+
+
+@register(
+    "q_dedup_summary",
+    oracle=None,  # assembled below by composing the registered oracles
+    category="llm-dedup",
+)
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup dashboard: one row per dedup family with how much
+    it fires — exact-text groups, 10-word-prefix (truncation) groups,
+    deterministic-MinHash candidate pairs, SimHash near-dup pairs.
+    The operational readout a pipeline owner checks before choosing
+    which dedup stage to enable. Like q_ann_recall, the oracle
+    composes the REGISTERED family oracles as subqueries, so the
+    summary can never disagree with the graded per-family queries.
+    Spark side: four independent counts unioned — each subplan is the
+    same plan the standalone query runs."""
+    from builder_spark.queries.llmscale import q_simhash
+
+    d = load_table(spark, sf_dir, "documents")
+
+    exact_groups = (
+        d.groupBy(F.md5("text").alias("f"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("exact_text_groups").alias("family"), "n")
+    )
+    prefix_groups = (
+        d.groupBy(
+            F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")).alias("f")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("prefix10_groups").alias("family"), "n")
+    )
+    minhash_pairs = (
+        q_minhash_banded(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("minhash_pairs").alias("family"), "n")
+    )
+    simhash_pairs = (
+        q_simhash(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("simhash_pairs").alias("family"), "n")
+    )
+    return exact_groups.unionByName(prefix_groups).unionByName(minhash_pairs).unionByName(
+        simhash_pairs
+    )
+
+
+def _dedup_summary_oracle() -> str:
+    mh = QUERIES["q_minhash_banded"].oracle
+    sh = QUERIES["q_simhash"].oracle
+    return f"""
+        SELECT 'exact_text_groups' AS family,
+               count(*) AS n
+        FROM (SELECT md5(text) f, count(*) c FROM documents
+              GROUP BY 1 HAVING count(*) >= 2)
+        UNION ALL
+        SELECT 'prefix10_groups',
+               count(*)
+        FROM (SELECT md5(array_to_string(
+                  list_slice(string_split(text, ' '), 1, 10), ' ')) f,
+                  count(*) c
+              FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        UNION ALL
+        SELECT 'minhash_pairs', count(*) FROM ({mh})
+        UNION ALL
+        SELECT 'simhash_pairs', count(*) FROM ({sh})
+    """
+
+
+QUERIES["q_dedup_summary"] = QUERIES["q_dedup_summary"].__class__(
+    name="q_dedup_summary",
+    fn=QUERIES["q_dedup_summary"].fn,
+    oracle=_dedup_summary_oracle(),
+    category="llm-dedup",
+)
