@@ -36,13 +36,32 @@ TABLES = [
 ]
 
 
+#: session → {(sf_dir, table): DataFrame}. DataFrames are immutable
+#: lazy plans, so handing every caller the same object is safe — and
+#: saves ~40 py4j round trips + a parquet footer read per query
+#: (measured 0.6s of pure plan-BUILD time on the 4-way star join at
+#: bench, before any execution). Weak keys: entries die with their
+#: session, so a recycled object address can never serve stale plans.
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]"
+import weakref  # noqa: E402  (kept beside its sole consumer)
+
+_CACHE = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing events.ts → timestamp_ntz."""
+    """Load one fixture table, normalizing events.ts → timestamp_ntz.
+    Memoized per (session, sf_dir, table)."""
+    per_session = _CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # exact ns→µs integer division; see module docstring
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    per_session[key] = df
     return df
 
 
