@@ -881,3 +881,86 @@ QUERIES["q_knn_accuracy"] = QUERIES["q_knn_accuracy"].__class__(
     """,
     category="llm-similarity",
 )
+
+
+@register(
+    "q_centroid_classify",
+    oracle="""
+        WITH cen AS (
+            SELECT label, i AS dim,
+                   avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS c
+            FROM embeddings, unnest(range(0, 64)) t(i)
+            WHERE vec_id >= 50
+            GROUP BY label, i
+        ),
+        q AS (
+            SELECT vec_id, label AS true_label, embedding
+            FROM embeddings WHERE vec_id < 50
+        ),
+        dist AS (
+            SELECT q.vec_id, q.true_label, cen.label AS cand,
+                   round(sum(
+                       (CAST(q.embedding[CAST(cen.dim AS INT) + 1] AS DOUBLE)
+                        - cen.c)
+                       * (CAST(q.embedding[CAST(cen.dim AS INT) + 1] AS DOUBLE)
+                          - cen.c)), 4) AS d2
+            FROM q CROSS JOIN cen
+            GROUP BY q.vec_id, q.true_label, cen.label
+        ),
+        pred AS (
+            SELECT vec_id, true_label, cand AS pred_label
+            FROM dist
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, cand ASC) = 1
+        )
+        SELECT true_label,
+               count(*) AS n,
+               CAST(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM pred GROUP BY true_label
+    """,
+    category="llm-similarity",
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: full-64-dim class
+    prototypes from the training split, each query assigned to its
+    closest centroid by squared L2; per-class correct counts. The
+    cheap-and-cheerful baseline every embedding pipeline compares kNN
+    against — O(|classes|) per query instead of O(|train|). The
+    argmin ranks AFTER round(d2, 4) with a label tie-break, so the
+    ~1e-13 centroid/accumulation noise between engines cannot flip
+    the assignment. Centroids are a |classes|×64 broadcast; queries
+    stream past."""
+    e = load_table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") >= 50).select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    cen = train.groupBy("label", "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding")).alias("dim", "qx"),
+    )
+    dist = (
+        q.join(F.broadcast(cen.withColumnRenamed("label", "cand")), "dim")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("qx").cast("double") - F.col("c"))
+                    * (F.col("qx").cast("double") - F.col("c"))
+                ),
+                4,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cand").asc())
+    pred = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+    )
