@@ -1050,3 +1050,158 @@ QUERIES["q_dedup_summary"] = QUERIES["q_dedup_summary"].__class__(
     oracle=_dedup_summary_oracle(),
     category="llm-dedup",
 )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["key", "value", "table"]
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM tok
+            WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+            GROUP BY doc_id, w
+        ),
+        df AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(
+                       ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tf.tf * ({_BM25_K1} + 1)
+                       / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                          + {_BM25_B} * dl.len / stats.avg_len))
+                   ) AS score
+            FROM tf
+            JOIN df ON df.w = tf.w
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scored
+        ORDER BY round(score, 4) DESC, doc_id ASC
+        LIMIT 10
+    """,
+    category="llm-text",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term
+    query — the sparse half of every hybrid RAG stack. All formula
+    inputs are exact integers (tf, df, doc length, N) plus one avg,
+    so both engines evaluate identical doubles; the top-10 ranks
+    AFTER round(·,4) with doc_id tie-break. Plan: one token-stream
+    aggregate for doc lengths, a term-filtered tf aggregate (the IN
+    filter prunes the stream before the shuffle), df and corpus
+    stats as tiny broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len"))
+    tf = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avg_len"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+_RRF_K = 60
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=None,  # assembled below from the registered component oracles
+    category="llm-text",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25 top-10) and dense
+    (cosine top-5 for query vector 0) rankings — the standard hybrid-
+    search combiner: score(d) = Σ 1/(60 + rank_d). Ranks are exact
+    ints from both graded components, so fusion arithmetic is
+    identical everywhere; missing-from-one-list documents contribute
+    only their present rank (no imputation). The oracle composes the
+    two registered oracles — fusion can never disagree with what the
+    components grade."""
+    bm = (
+        q_bm25_search(spark, sf_dir)
+        .select("doc_id", F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))).alias("r_lex"))
+    )
+    from builder_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(e.filter(F.col("vec_id") == 0), e, k=5)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    )
+    fused = bm.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+            4,
+        ).alias("rrf"),
+        "r_lex",
+        "r_dense",
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def _rrf_oracle() -> str:
+    bm = QUERIES["q_bm25_search"].oracle
+    cos = QUERIES["q_cosine_topk"].oracle
+    return f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+            FROM ({bm})
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id, rank AS r_dense
+            FROM ({cos}) WHERE q_id = 0
+        )
+        SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + lex.r_lex), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + dense.r_dense), 0.0), 4)
+                   AS rrf,
+               lex.r_lex, dense.r_dense
+        FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
+QUERIES["q_rrf_fusion"] = QUERIES["q_rrf_fusion"].__class__(
+    name="q_rrf_fusion",
+    fn=QUERIES["q_rrf_fusion"].fn,
+    oracle=_rrf_oracle(),
+    category="llm-text",
+)
