@@ -1410,3 +1410,65 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "q_wilson_interval",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                                 AND ts < TIMESTAMP '2024-01-08'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT count(*) AS n, CAST(sum(conv) AS BIGINT) AS k FROM per_user
+        )
+        SELECT n, k,
+               round(k / CAST(n AS DOUBLE), 4) AS p_hat,
+               round((k / CAST(n AS DOUBLE) + 1.9208 / n
+                      - 1.96 * sqrt((k / CAST(n AS DOUBLE))
+                                    * (1 - k / CAST(n AS DOUBLE)) / n
+                                    + 0.9604 / (n * CAST(n AS DOUBLE) * n) * n)
+                     ) / (1 + 3.8416 / n), 4) AS wilson_lo,
+               round((k / CAST(n AS DOUBLE) + 1.9208 / n
+                      + 1.96 * sqrt((k / CAST(n AS DOUBLE))
+                                    * (1 - k / CAST(n AS DOUBLE)) / n
+                                    + 0.9604 / (n * CAST(n AS DOUBLE) * n) * n)
+                     ) / (1 + 3.8416 / n), 4) AS wilson_hi
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for the first-week conversion
+    rate — the binomial interval that behaves at small n and extreme
+    p where the naive Wald interval collapses; the number a growth
+    dashboard should print next to every rate. Inputs are two exact
+    integers (n, k); both engines evaluate the identical closed-form
+    float expression (z=1.96 constants pre-squared as literals) and
+    round at 4. One user-level shuffle then constant-size math."""
+    e = load_table(spark, sf_dir, "events")
+    conv = F.max(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") < "2024-01-08"), 1
+        ).otherwise(0)
+    )
+    agg = (
+        e.groupBy("user_id")
+        .agg(conv.alias("conv"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    center = p + 1.9208 / F.col("n")
+    margin = 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * n * F.col("n")) * F.col("n"))
+    denom = 1 + 3.8416 / F.col("n")
+    return agg.select(
+        "n",
+        "k",
+        F.round(p, 4).alias("p_hat"),
+        F.round((center - margin) / denom, 4).alias("wilson_lo"),
+        F.round((center + margin) / denom, 4).alias("wilson_hi"),
+    )
