@@ -964,3 +964,81 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_correct"
         ),
     )
+
+
+@register(
+    "q_ndcg_ann",
+    oracle=None,  # assembled below from the registered component oracles
+    category="llm-similarity",
+)
+def q_ndcg_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the LSH-bucketed ANN ranking, per query: graded
+    relevance = 6 − exact_rank for documents in the exact top-5 (0
+    otherwise), DCG = Σ rel/log2(rank+1) over the ANN list, normalized
+    by the ideal DCG of the exact ranking. Completes the retrieval
+    eval set (recall@k = set overlap, nDCG = position-weighted). All
+    ranks are exact ints; log2 of small int literals is identical
+    across engines; round(·,4) last. The oracle composes the two
+    registered oracles — same pattern as q_ann_recall."""
+    from builder_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5).select(
+        "q_id", F.col("vec_id").alias("e_vid"), (6 - F.col("rank")).alias("rel")
+    )
+    approx = lsh_bucketed_topk(
+        e.filter(F.col("vec_id") < 20), e, k=5, planes=_PLANES
+    ).select(F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid"), F.col("rank").alias("a_rank"))
+    dcg = (
+        approx.join(
+            exact,
+            (F.col("a_qid") == F.col("q_id")) & (F.col("a_vid") == F.col("e_vid")),
+            "left",
+        )
+        .groupBy("a_qid")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0))
+                / F.log2(F.col("a_rank") + 1)
+            ).alias("dcg")
+        )
+        .withColumnRenamed("a_qid", "q_id")
+    )
+    # ideal DCG is a constant: exact ranks 1..5 carry rel 5..1
+    import math
+
+    idcg_const = sum((6 - r) / math.log2(r + 1) for r in range(1, 6))
+    return dcg.select(
+        "q_id",
+        F.round(F.col("dcg") / F.lit(idcg_const), 4).alias("ndcg_at_5"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    import math
+
+    cos = QUERIES["q_cosine_topk"].oracle
+    ann = QUERIES["q_ann_lsh"].oracle
+    idcg = sum((6 - r) / math.log2(r + 1) for r in range(1, 6))
+    return f"""
+        WITH exact AS (
+            SELECT q_id, vec_id, 6 - rank AS rel FROM ({cos})
+        ),
+        approx AS (
+            SELECT q_id, vec_id, rank FROM ({ann})
+        )
+        SELECT a.q_id,
+               round(sum(coalesce(e.rel, 0) / log2(a.rank + 1))
+                     / {idcg!r}, 4) AS ndcg_at_5
+        FROM approx a
+        LEFT JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        GROUP BY a.q_id
+    """
+
+
+QUERIES["q_ndcg_ann"] = QUERIES["q_ndcg_ann"].__class__(
+    name="q_ndcg_ann",
+    fn=QUERIES["q_ndcg_ann"].fn,
+    oracle=_ndcg_oracle(),
+    category="llm-similarity",
+)
