@@ -1205,3 +1205,122 @@ QUERIES["q_rrf_fusion"] = QUERIES["q_rrf_fusion"].__class__(
     oracle=_rrf_oracle(),
     category="llm-text",
 )
+
+
+@register(
+    "q_degree_distribution",
+    oracle="""
+        WITH bg AS (
+            SELECT DISTINCT string_split(text, ' ')[i] AS src,
+                            string_split(text, ' ')[i+1] AS dst
+            FROM documents,
+                 unnest(range(1, len(string_split(text, ' ')))) t(i)
+        ),
+        deg AS (
+            SELECT src, count(*) AS d FROM bg GROUP BY src
+        )
+        SELECT d AS degree, count(*) AS n_nodes,
+               CAST(sum(count(*)) OVER (ORDER BY d DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_nodes_at_least
+        FROM deg GROUP BY d
+    """,
+    category="llm-text",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the word co-occurrence graph with a
+    complementary cumulative count (how many nodes have degree ≥ d) —
+    the graph-shape diagnostic behind hub detection and PageRank
+    convergence estimates, all exact integers. Edge dedup is one
+    shuffle; the distribution and its cumulative run over ≤|distinct
+    degrees| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("src"), F.element_at(toks, i + 1).alias("dst")
+        ),
+    )
+    edges = d.select(F.explode(bigrams).alias("e")).select("e.src", "e.dst").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return dist.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        F.sum("n_nodes").over(w).alias("n_nodes_at_least"),
+    )
+
+
+@register(
+    "q_minhash_calibration",
+    oracle=None,  # assembled below: composes q_minhash_banded + exact Jaccard
+    category="llm-dedup",
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality calibration: for every MinHash candidate pair,
+    compare the 8-slot Jaccard ESTIMATE against the exact shingle-set
+    Jaccard — mean signed error, mean absolute error, worst
+    overestimate. The report that tells you whether k=8 permutations
+    are enough before scaling the sketch to the full corpus. Exact
+    Jaccard runs ONLY on the candidate pairs (|candidates| ·
+    array_intersect, never all pairs). Oracle composes the registered
+    q_minhash_banded oracle with the same 3-word-shingle set math."""
+    pairs = q_minhash_banded(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _word_grams(F.col("text"), 3).alias("g"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "est_jaccard",
+            (inter / union.cast("double")).alias("exact_j"),
+        )
+    )
+    err = F.col("est_jaccard") - F.col("exact_j")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(err), 4).alias("mean_err"),
+        F.round(F.avg(F.abs(err)), 4).alias("mean_abs_err"),
+        F.round(F.max(err), 4).alias("max_overestimate"),
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    mh = QUERIES["q_minhash_banded"].oracle
+    grams = _grams_sql(3)
+    return f"""
+        WITH pairs AS (
+            SELECT id_a, id_b, est_jaccard FROM ({mh})
+        ),
+        sh AS (
+            SELECT doc_id, {grams} AS g FROM documents
+        ),
+        scored AS (
+            SELECT p.est_jaccard,
+                   len(list_intersect(a.g, b.g))
+                   / CAST(len(a.g) + len(b.g)
+                          - len(list_intersect(a.g, b.g)) AS DOUBLE) AS exact_j
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b
+        )
+        SELECT count(*) AS n_pairs,
+               round(avg(est_jaccard - exact_j), 4) AS mean_err,
+               round(avg(abs(est_jaccard - exact_j)), 4) AS mean_abs_err,
+               round(max(est_jaccard - exact_j), 4) AS max_overestimate
+        FROM scored
+    """
+
+
+QUERIES["q_minhash_calibration"] = QUERIES["q_minhash_calibration"].__class__(
+    name="q_minhash_calibration",
+    fn=QUERIES["q_minhash_calibration"].fn,
+    oracle=_minhash_calibration_oracle(),
+    category="llm-dedup",
+)
