@@ -1394,10 +1394,12 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_totalprice", "c_tp", "d_tp", "mn_tp", "mx_tp"),
         ("o_orderstatus", "c_st", "d_st", None, None),
     ]
-    parts = []
-    for col, c, dist, mn, mx in rows:
-        parts.append(
-            wide.select(
+    # one explode over an array of per-column structs — a 4-way union
+    # of selects from the same agg would repeat the whole scan+agg
+    # subtree per branch (measured 8 exchange nodes vs 2)
+    structs = F.array(
+        *[
+            F.struct(
                 F.lit(col).alias("col"),
                 F.col("n").alias("n"),
                 (F.col("n") - F.col(c)).alias("n_null"),
@@ -1405,11 +1407,10 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col(mn).cast("double") if mn else F.lit(None).cast("double")).alias("min_val"),
                 (F.col(mx).cast("double") if mx else F.lit(None).cast("double")).alias("max_val"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for col, c, dist, mn, mx in rows
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
 
 
 @register(

@@ -233,6 +233,40 @@ def test_latest_query_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_rank_correlation", 2),
+        ("q_chisq_independence", 2),
+        ("q_ks_test", 1),          # ONE sort window is the whole merge
+        ("q_vocab_coverage", 2),
+        ("q_interevent_gaps", 2),
+        ("q_psi_drift", 2),
+        ("q_cdc_upsert", 2),       # union + one key window, one agg
+        ("q_snapshot_diff", 3),
+        ("q_histogram_log2", 1),
+        ("q_weighted_sample", 2),
+        ("q_label_centroids", 1),
+        ("q_profile_table", 4),    # multi-countDistinct expand phases,
+                                   # ONE scan (explode unpivot, no union)
+        ("q_wilson_interval", 2),
+        ("q_centroid_classify", 4),
+        ("q_bm25_search", 7),      # token-stream agg counted once; rest tiny
+        ("q_degree_distribution", 4),
+        # composition reports run several registered subqueries — their
+        # budget is the sum of the parts:
+        ("q_dedup_summary", 12),
+        ("q_rrf_fusion", 10),
+        ("q_ndcg_ann", 5),
+        ("q_minhash_calibration", 5),
+    ],
+)
+def test_final_batch_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_pagerank_broadcasts_rank_vector(spark):
     """Each PageRank iteration must broadcast the vocab-sized rank and
     degree frames — the edge list never reshuffles for the join. (No
