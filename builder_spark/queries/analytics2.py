@@ -1473,3 +1473,113 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 4).alias("wilson_lo"),
         F.round((center + margin) / denom, 4).alias("wilson_hi"),
     )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(date_trunc('month', ts) AS DATE) AS month,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT month, week, day,
+               CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN week IS NOT NULL THEN 'week'
+                    WHEN month IS NOT NULL THEN 'month'
+                    ELSE 'total' END AS grain,
+               count(*) AS n,
+               round(sum(value), 4) AS revenue
+        FROM e
+        GROUP BY GROUPING SETS ((month, week, day), (month, week),
+                                (month), ())
+    """,
+    category="grouping",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass: day, ISO-week,
+    month, and grand-total purchase aggregates via GROUPING SETS over
+    pre-truncated keys — the materialized-rollup shape dashboards
+    read, computed without rescanning per grain (Spark's Expand
+    replays each row into its grouping sets map-side). The grain
+    label derives from key nullness, portable across engines; both
+    engines truncate weeks to Monday."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "value",
+    )
+    e.createOrReplaceTempView("_tr_e")
+    return spark.sql(
+        """
+        SELECT month, week, day,
+               CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN week IS NOT NULL THEN 'week'
+                    WHEN month IS NOT NULL THEN 'month'
+                    ELSE 'total' END AS grain,
+               count(*) AS n,
+               round(sum(value), 4) AS revenue
+        FROM _tr_e
+        GROUP BY GROUPING SETS ((month, week, day), (month, week),
+                                (month), ())
+        """
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+                   count(DISTINCT e.user_id) AS active_users,
+                   count(DISTINCT CASE WHEN date_trunc('day', e.ts) = f.first_day
+                                       THEN e.user_id END) AS new_users
+            FROM events e JOIN first_seen f ON f.user_id = e.user_id
+            GROUP BY 1
+        )
+        SELECT day, active_users, new_users,
+               active_users - new_users AS returning_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
+    category="analytics",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day — active users, first-ever-seen (new)
+    users, returning users, and the cumulative acquired-user curve.
+    The daily readout every growth team starts with. first-seen is a
+    user-level min; the classification joins it back (broadcast —
+    |users| rows) onto the event stream; the cumulative curve windows
+    over ≤|days| rows. All exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct(
+                F.when(F.date_trunc("day", "ts") == F.col("first_day"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
