@@ -1583,3 +1583,71 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents,
+                   sum(cents) OVER () AS total_cents
+            FROM per_part
+        ),
+        classed AS (
+            SELECT l_partkey, cents,
+                   CASE WHEN (cum_cents - cents) * 100 < total_cents * 80
+                            THEN 'A'
+                        WHEN (cum_cents - cents) * 100 < total_cents * 95
+                            THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked
+        )
+        SELECT abc, count(*) AS n_parts,
+               round(sum(cents) / 100.0, 4) AS revenue,
+               CAST(min(cents) AS BIGINT) AS min_cents
+        FROM classed GROUP BY abc
+    """,
+    category="analytics",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue;
+    class A = parts whose PRECEDING cumulative share is under 80%,
+    B under 95%, C the tail. The classification predicate is pure
+    integer arithmetic — (cum−self)·100 < total·80 in exact cents —
+    so class boundaries cannot move between engines (a float
+    share-ratio comparison would flake exactly at a boundary part).
+    One fact shuffle to per-part cents, one rank window over |parts|."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("cents")
+    )
+    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    before = (F.col("cum_cents") - F.col("cents")) * 100
+    classed = ranked.withColumn(
+        "abc",
+        F.when(before < F.col("total_cents") * 80, "A")
+        .when(before < F.col("total_cents") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("cents") / 100.0, 4).alias("revenue"),
+        F.min("cents").alias("min_cents"),
+    )

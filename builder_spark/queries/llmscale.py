@@ -1042,3 +1042,46 @@ QUERIES["q_ndcg_ann"] = QUERIES["q_ndcg_ann"].__class__(
     oracle=_ndcg_oracle(),
     category="llm-similarity",
 )
+
+
+@register(
+    "q_langid_confusion",
+    oracle=None,  # assembled below from the registered q_lang_id oracle
+    category="llm-text",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language identifier:
+    (true lang, predicted lang) counts plus per-cell share of the true
+    class — the evaluation every classifier in the pipeline gets
+    before being trusted to route documents. Oracle composes the
+    registered q_lang_id oracle, so the matrix always reflects exactly
+    what the graded predictor does."""
+    pred = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share_of_true",
+            F.round(F.col("n") / F.sum("n").over(w).cast("double"), 4),
+        )
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    li = QUERIES["q_lang_id"].oracle
+    return f"""
+        WITH pred AS (SELECT lang, pred_lang FROM ({li}))
+        SELECT lang, pred_lang, count(*) AS n,
+               round(count(*) / CAST(sum(count(*))
+                     OVER (PARTITION BY lang) AS DOUBLE), 4) AS share_of_true
+        FROM pred GROUP BY lang, pred_lang
+    """
+
+
+QUERIES["q_langid_confusion"] = QUERIES["q_langid_confusion"].__class__(
+    name="q_langid_confusion",
+    fn=QUERIES["q_langid_confusion"].fn,
+    oracle=_langid_confusion_oracle(),
+    category="llm-text",
+)
