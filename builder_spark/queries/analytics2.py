@@ -1651,3 +1651,87 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents") / 100.0, 4).alias("revenue"),
         F.min("cents").alias("min_cents"),
     )
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+        SELECT p.p_brand,
+               count(*) AS n_lines,
+               round(regr_slope(ln(l.l_quantity),
+                                ln(l.l_extendedprice / l.l_quantity)), 4)
+                   AS elasticity,
+               round(regr_r2(ln(l.l_quantity),
+                             ln(l.l_extendedprice / l.l_quantity)), 4) AS r2
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+        HAVING count(*) >= 100
+    """,
+    category="analytics",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity per brand: regr_slope of ln(quantity) on
+    ln(unit price) — the log-log demand-curve fit, the pricing team's
+    first regression. Inputs to both ln() are identical per-row
+    doubles (unit price = the same division on both engines), the
+    regression reduces combinable moment sums, and brands under 100
+    lines are dropped (HAVING on an exact count). part broadcasts;
+    one fact shuffle to brand groups."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ln_q = F.log("l_quantity")
+    ln_up = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(ln_q, ln_up), 4).alias("elasticity"),
+            F.round(F.regr_r2(ln_q, ln_up), 4).alias("r2"),
+        )
+        .filter(F.col("n_lines") >= 100)
+    )
+
+
+@register(
+    "q_dim_variance",
+    oracle="""
+        WITH u AS (
+            SELECT i AS dim,
+                   CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(0, 64)) t(i)
+        ),
+        v AS (
+            SELECT CAST(dim AS INT) AS dim,
+                   round(var_samp(x), 4) AS variance,
+                   round(avg(x), 4) AS mean
+            FROM u GROUP BY dim
+        )
+        SELECT dim, variance, mean,
+               row_number() OVER (ORDER BY variance DESC, dim ASC)
+                   AS var_rank
+        FROM v
+        QUALIFY var_rank <= 10
+    """,
+    category="llm-similarity",
+)
+def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diagnostics: the 10 highest-variance dimensions
+    with their means — the proto-PCA screen for dead or dominating
+    axes before building an index (a dimension with ~0 variance is
+    wasted storage; one with huge variance dominates L2). Rank is
+    taken AFTER round(variance,4) with a dim tie-break so cross-
+    engine moment-sum noise cannot reorder the board."""
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    v = u.groupBy("dim").agg(
+        F.round(F.var_samp("x"), 4).alias("variance"),
+        F.round(F.avg("x"), 4).alias("mean"),
+    )
+    w = Window.orderBy(F.col("variance").desc(), F.col("dim").asc())
+    return (
+        v.withColumn("var_rank", F.row_number().over(w))
+        .filter(F.col("var_rank") <= 10)
+    )
