@@ -1735,3 +1735,71 @@ def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.withColumn("var_rank", F.row_number().over(w))
         .filter(F.col("var_rank") <= 10)
     )
+
+
+_EWM_ALPHA = 0.3
+
+
+@register(
+    "q_exp_smoothing",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, cents,
+                   row_number() OVER (ORDER BY day) - 1 AS t
+            FROM daily
+        ),
+        acc AS (
+            SELECT day, cents, t,
+                   sum(cents / power({1 - _EWM_ALPHA}, t))
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS wsum,
+                   first_value(cents) OVER (ORDER BY t) AS x0
+            FROM idx
+        )
+        SELECT day, cents,
+               round(CASE WHEN t = 0 THEN CAST(cents AS DOUBLE)
+                          ELSE {_EWM_ALPHA} * power({1 - _EWM_ALPHA}, t)
+                               * (wsum - x0)
+                               + power({1 - _EWM_ALPHA}, t) * x0
+                     END, 4) AS smoothed
+        FROM acc
+    """,
+    category="analytics",
+)
+def q_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α=0.3) of daily purchase revenue,
+    S_t = α·x_t + (1−α)·S_{t−1} with S_0 = x_0, computed WITHOUT a
+    sequential loop: the closed form S_t = (1−α)^t·x_0 +
+    α·(1−α)^t·(Σ_{i≤t} x_i/(1−α)^i − x_0) needs one running sum — the
+    classic power-weight linearization that turns a recurrence into a
+    window aggregate (fine for ~30 buckets; beyond ~300 the
+    (1/(1−α))^t factor overflows double and you shard the recurrence
+    per partition). Both engines accumulate the cumsum sequentially in
+    the same t-order, so the doubles agree before round(·,4)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w_ord) - 1)
+    beta = 1 - _EWM_ALPHA
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acc = idx.select(
+        "day",
+        "cents",
+        "t",
+        F.sum(F.col("cents") / F.pow(F.lit(beta), F.col("t"))).over(w_run).alias("wsum"),
+        F.first("cents").over(Window.orderBy("t")).alias("x0"),
+    )
+    smoothed = F.when(F.col("t") == 0, F.col("cents").cast("double")).otherwise(
+        _EWM_ALPHA * F.pow(F.lit(beta), F.col("t")) * (F.col("wsum") - F.col("x0"))
+        + F.pow(F.lit(beta), F.col("t")) * F.col("x0")
+    )
+    return acc.select("day", "cents", F.round(smoothed, 4).alias("smoothed"))
