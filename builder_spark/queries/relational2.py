@@ -154,21 +154,25 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_agg",
     oracle="""
         SELECT o_orderstatus,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS exact_total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS total_cents,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
     """,
     category="aggregation",
 )
 def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decimal aggregation — no float rounding discipline needed:
-    both engines sum DECIMAL(18,2) exactly and agree digit-for-digit.
-    The capability path for money columns."""
+    """Exact decimal aggregation — both engines sum DECIMAL(18,2) exactly.
+    The OUTPUT is integer cents: DuckDB round-trips DECIMAL(38,2) (>18
+    precision) to pandas as float64, so a decimal output column hash-
+    mismatches even when values are digit-identical (CORRECTNESS_r01).
+    BIGINT cents is exact and engine-portable; the decimal math stays
+    internal."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("exact_total"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("total_cents"),
         F.count(F.lit(1)).alias("n"),
     )
 

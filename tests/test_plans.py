@@ -267,6 +267,17 @@ def test_final_batch_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+def test_dedup_embed_no_nested_loop(spark):
+    """q_dedup_embed must generate candidates via the banded (band,
+    bucket) equi-join — an all-pairs BroadcastNestedLoopJoin here is
+    the O(n²) scale-killer the r01 verdict flagged."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_dedup_embed"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked back in"
+
+
 def test_pagerank_broadcasts_rank_vector(spark):
     """Each PageRank iteration must broadcast the vocab-sized rank and
     degree frames — the edge list never reshuffles for the join. (No

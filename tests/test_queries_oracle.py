@@ -61,6 +61,23 @@ def test_query_matches_oracle(name, spark, duck):
     if q.oracle is None:
         assert s_rows is not None  # rows-only: it ran and returned a result
         return
+    # Driver-canon parity guard: the driver's canonicalizer pandas-sorts and
+    # hashes output columns, which crashes on array/map/struct values
+    # (unhashable — q_agg_collect in CORRECTNESS_r01) and silently float64s
+    # DuckDB DECIMAL(>18) (q_decimal_agg hash mismatch). Keep graded outputs
+    # scalar: serialize arrays via concat_ws, money via integer cents.
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        assert not t.startswith(("array", "map", "struct")), (
+            f"{name}: oracle-graded output column {f.name!r} has complex type "
+            f"{t}; driver canon cannot hash it — serialize to string"
+        )
+        if t.startswith("decimal"):
+            prec = int(t.split("(")[1].split(",")[0])
+            assert prec <= 18, (
+                f"{name}: output column {f.name!r} is {t}; DuckDB returns "
+                f"precision>18 as float64 — cast output to bigint cents"
+            )
     res = duck.execute(q.oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
