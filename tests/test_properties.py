@@ -163,3 +163,37 @@ def test_asof_union_running_last_matches_naive(spark, data):
         if cands:
             want.add((i, max(cands)[1]))
     assert got == want
+
+
+def test_prefix_filter_candidates_are_output_bound(spark):
+    """The PPJoin prefix-filter candidate set must be COMPLETE (superset
+    of all true >= tau pairs) and TIGHT (bounded by a small multiple of
+    the true pair count, not by sum-of-token-df^2). The fixture corpus
+    is adversarially dense — 31-word vocabulary, ~59% of all pairs are
+    true near-dups at tau=0.6 — so candidate count is inherently
+    Theta(output); this guard pins the ratio so a regression to a hot-
+    token common-token join (candidates -> all-pairs regardless of
+    output) fails here."""
+    from builder_spark.catalog import load_table
+    from builder_spark.functions.text import tokens
+    from builder_spark.operators.dedup import (
+        jaccard_from_sets,
+        prefix_filter_candidates,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select(
+        F.col("doc_id").alias("_id"), F.array_distinct(tokens("text")).alias("_arr")
+    )
+    cands = prefix_filter_candidates(items, 0.6)
+    n_cand = cands.count()
+    true_pairs = jaccard_from_sets(items, cands, 0.6)
+    n_true = true_pairs.count()
+    assert n_cand >= n_true  # complete
+    assert n_cand <= 1.6 * n_true + 100, (
+        f"candidate set no longer output-bound: {n_cand} candidates "
+        f"for {n_true} true pairs"
+    )

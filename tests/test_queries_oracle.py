@@ -84,3 +84,20 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(sdf.columns) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert canon_rows(sdf.columns, s_rows) == canon_rows(d_cols, d_rows)
+
+
+def test_agg_approx_within_hll_error_of_exact(spark):
+    """q_agg_approx has no oracle (HLL sketches differ across engines) —
+    pin it to its exact graded twin instead so it can't silently rot:
+    approx_count_distinct at rsd=0.02 must be within 5% per group."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["q_agg_approx"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in REGISTRY["q_agg_distinct_users"].fn(spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
