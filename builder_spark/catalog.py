@@ -58,9 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # exact ns→µs integer division; see module docstring
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # exact ns→µs integer division; see module docstring
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Fixture regenerated as parquet timestamp[us] (naive). All
+            # events queries were written against the LTZ ``timestamp``
+            # the nanos path produced (unix_micros etc. reject NTZ);
+            # session tz is pinned UTC, so the cast is value-identical
+            # to DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[key] = df
     return df
 

@@ -349,9 +349,9 @@ def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_cust
         )
         SELECT CAST(any_value(n) AS INT) AS n_customers,
-               any_value(s0) AS total_dollars,
-               (2 * sum(i * x) - (any_value(n) + 1) * any_value(s0)) * 10000
-                   // (any_value(n) * any_value(s0)) AS gini_bp
+               CAST(any_value(s0) AS BIGINT) AS total_dollars,
+               CAST((2 * sum(i * x) - (any_value(n) + 1) * any_value(s0)) * 10000
+                   // (any_value(n) * any_value(s0)) AS BIGINT) AS gini_bp
         FROM ranked
     """,
     category="analytics",

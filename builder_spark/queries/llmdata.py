@@ -505,8 +505,8 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                round(avg(1.0 - n_distinct / CAST(n_bigrams AS DOUBLE)), 4)
                    AS avg_repetition,
-               sum(CASE WHEN 1.0 - n_distinct / CAST(n_bigrams AS DOUBLE) > 0.2
-                        THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(sum(CASE WHEN 1.0 - n_distinct / CAST(n_bigrams AS DOUBLE) > 0.2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM bg
         GROUP BY lang
     """,

@@ -199,7 +199,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_total,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
                round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS k_avg
         FROM events
         GROUP BY event_type
@@ -224,7 +224,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                len(embedding) AS dim,
                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-               list_transform(embedding[2:4], x -> round(CAST(x AS DOUBLE), 4)) AS mid_vals,
+               round(CAST(embedding[2] AS DOUBLE), 4) AS mid_val_1,
+               round(CAST(embedding[3] AS DOUBLE), 4) AS mid_val_2,
+               round(CAST(embedding[4] AS DOUBLE), 4) AS mid_val_3,
                round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
                CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_1based
         FROM embeddings
@@ -233,16 +235,18 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array basics over the 64-dim float embedding column. All float32
-    values are cast to DOUBLE before rounding on both engines."""
+    values are cast to DOUBLE before rounding on both engines. Array
+    slices are emitted as scalar element columns (driver canon cannot
+    hash array cells — CORRECTNESS_r02 crash)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
-        F.transform(F.slice(emb, 2, 3), lambda x: F.round(x.cast("double"), 4)).alias(
-            "mid_vals"
-        ),
+        F.round(F.element_at(emb, 2).cast("double"), 4).alias("mid_val_1"),
+        F.round(F.element_at(emb, 3).cast("double"), 4).alias("mid_val_2"),
+        F.round(F.element_at(emb, 4).cast("double"), 4).alias("mid_val_3"),
         F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
         F.array_position(emb, F.array_max(emb)).cast("int").alias("argmax_1based"),
     )
@@ -252,7 +256,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_hof",
     oracle="""
         SELECT vec_id,
-               list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2, 4)) AS doubled_head,
+               round(CAST(embedding[1] AS DOUBLE) * 2, 4) AS doubled_1,
+               round(CAST(embedding[2] AS DOUBLE) * 2, 4) AS doubled_2,
+               round(CAST(embedding[3] AS DOUBLE) * 2, 4) AS doubled_3,
                round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm,
                len(list_filter(embedding, x -> x > 0)) AS n_pos,
                round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum
@@ -264,14 +270,15 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions: transform / aggregate / filter over the
     embedding array — the JVM-side way to do vector math (no UDF).
     Multiply-by-2 is exact in floating point; sums accumulate in DOUBLE
-    sequentially on both engines."""
+    sequentially on both engines. Transformed head elements come out as
+    scalar columns (driver canon cannot hash array cells)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double") * 2, 4)
-        ).alias("doubled_head"),
+        F.round(F.element_at(emb, 1).cast("double") * 2, 4).alias("doubled_1"),
+        F.round(F.element_at(emb, 2).cast("double") * 2, 4).alias("doubled_2"),
+        F.round(F.element_at(emb, 3).cast("double") * 2, 4).alias("doubled_3"),
         F.round(
             F.sqrt(
                 F.aggregate(

@@ -484,9 +484,9 @@ _KNUTH = 2654435761  # 2^32/φ — same constant as q_hash_sample/q_hash_split
         SELECT d.lang,
                any_value(t.cnt) AS n_total,
                any_value(t.thresh) AS thresh,
-               sum(CASE WHEN (CAST(d.doc_id AS HUGEINT) * {_KNUTH})
+               CAST(sum(CASE WHEN (CAST(d.doc_id AS HUGEINT) * {_KNUTH})
                              % 4294967296 % 10000 < t.thresh
-                        THEN 1 ELSE 0 END) AS n_sampled
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM documents d JOIN t ON d.lang = t.lang
         GROUP BY d.lang
     """,
@@ -534,7 +534,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(c * ln(c)) AS clogc
             FROM cnt GROUP BY lang
         )
-        SELECT lang, n AS n_tokens, vocab,
+        SELECT lang, CAST(n AS BIGINT) AS n_tokens, vocab,
                round(ln(n) - clogc / n, 4) AS entropy_nats,
                round((ln(n) - clogc / n) / ln(vocab), 4) AS efficiency
         FROM pl
@@ -682,9 +682,9 @@ def q_vec_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT doc_id,
-               list_sort(list_distinct(a || b)) AS u,
-               list_sort(list_intersect(a, b)) AS i,
-               list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS d,
+               coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+               coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+               coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS d,
                CAST(len(list_distinct(a || b)) AS INT) AS n_union,
                CAST(len(list_intersect(a, b)) AS INT) AS n_inter,
                round(len(list_intersect(a, b))
@@ -716,9 +716,10 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.array_intersect("a", "b")
     return h.select(
         "doc_id",
-        F.array_sort(union).alias("u"),
-        F.array_sort(inter).alias("i"),
-        F.array_sort(F.array_except("a", "b")).alias("d"),
+        # comma-joined strings, not arrays: driver canon cannot hash lists
+        F.concat_ws(",", F.array_sort(union)).alias("u"),
+        F.concat_ws(",", F.array_sort(inter)).alias("i"),
+        F.concat_ws(",", F.array_sort(F.array_except("a", "b"))).alias("d"),
         F.size(union).alias("n_union"),
         F.size(inter).alias("n_inter"),
         F.round(F.size(inter) / F.size(union).cast("double"), 4).alias("half_jaccard"),

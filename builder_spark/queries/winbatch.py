@@ -87,10 +87,10 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ),
         sessions AS (
-            SELECT *, sum(new_session) OVER (
+            SELECT *, CAST(sum(new_session) OVER (
                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_id
+            ) AS BIGINT) AS session_id
             FROM gaps
         )
         SELECT user_id, session_id,

@@ -107,10 +107,10 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
         SELECT o_custkey, o_orderkey, o_orderdate,
-               sum(CAST(floor(o_totalprice) AS BIGINT)) OVER (
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_spend,
+               ) AS BIGINT) AS running_spend,
                count(*) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -170,10 +170,10 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range",
     oracle="""
         SELECT p_brand, p_partkey, p_size,
-               sum(CAST(floor(p_retailprice) AS BIGINT)) OVER (
+               CAST(sum(CAST(floor(p_retailprice) AS BIGINT)) OVER (
                    PARTITION BY p_brand ORDER BY p_size
                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
-               ) AS near_size_spend
+               ) AS BIGINT) AS near_size_spend
         FROM part
     """,
     category="window",

@@ -42,8 +42,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     sdf = spark.readStream.schema(batch_schema).parquet(stage)
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # fixture regenerated as parquet timestamp[us]; normalize to LTZ
+        # exactly like catalog.load_table (session tz pinned UTC)
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 

@@ -4,13 +4,12 @@ manual knob for other scale factors."""
 
 from __future__ import annotations
 
-import datetime
-import math
 import os
 
 import duckdb
 import pytest
 
+from builder_spark.canon import canon_rows, fetch_duckdb, fetch_spark
 from builder_spark.catalog import TABLES
 from builder_spark.registry import load_all
 
@@ -30,37 +29,14 @@ def duck():
     con.close()
 
 
-def canon_val(v) -> str:
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return f"b:{int(v)}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v:.6f}"
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return "t:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_val(x) for x in v) + "]"
-    return "s:" + str(v)
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
-
-
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, duck):
     q = REGISTRY[name]
     sdf = q.fn(spark, SF_DIR)
-    s_rows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
-        assert s_rows is not None  # rows-only: it ran and returned a result
+        assert sdf.collect() is not None  # rows-only: it ran, returned a result
         return
+    s_cols, s_rows = fetch_spark(sdf)
     # Driver-canon parity guard: the driver's canonicalizer pandas-sorts and
     # hashes output columns, which crashes on array/map/struct values
     # (unhashable — q_agg_collect in CORRECTNESS_r01) and silently float64s
@@ -78,12 +54,10 @@ def test_query_matches_oracle(name, spark, duck):
                 f"{name}: output column {f.name!r} is {t}; DuckDB returns "
                 f"precision>18 as float64 — cast output to bigint cents"
             )
-    res = duck.execute(q.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(d_cols)
+    d_cols, d_rows = fetch_duckdb(duck, q.oracle)
+    assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
-    assert canon_rows(sdf.columns, s_rows) == canon_rows(d_cols, d_rows)
+    assert canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows)
 
 
 def test_agg_approx_within_hll_error_of_exact(spark):

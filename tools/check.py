@@ -13,8 +13,6 @@ Usage: python tools/check.py [query ...]   # no args = all
 from __future__ import annotations
 
 import argparse
-import datetime
-import math
 import os
 import sys
 import traceback
@@ -23,55 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from builder_spark.canon import canon_rows, fetch_duckdb, fetch_spark  # noqa: E402
 from builder_spark.catalog import TABLES  # noqa: E402
 from builder_spark.registry import load_all  # noqa: E402
 from builder_spark.session import get_spark  # noqa: E402
-
-
-def canon_val(v) -> str:
-    """Canonical string for one value; float formatting absorbs sub-1e-6
-    representation noise (queries already round(·,4) on both sides)."""
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return f"b:{int(v)}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        if math.isinf(v):
-            return f"f:{'+' if v > 0 else '-'}inf"
-        return f"f:{v:.6f}"
-    if isinstance(v, str):
-        return "s:" + v
-    if isinstance(v, datetime.datetime):
-        return "t:" + v.isoformat()
-    if isinstance(v, datetime.date):
-        return "d:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_val(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}={canon_val(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, (bytes, bytearray)):
-        return "x:" + bytes(v).hex()
-    try:  # numpy scalars etc.
-        import numpy as np
-
-        if isinstance(v, np.integer):
-            return f"i:{int(v)}"
-        if isinstance(v, np.floating):
-            return canon_val(float(v))
-        if isinstance(v, np.ndarray):
-            return canon_val(list(v))
-    except ImportError:
-        pass
-    return "o:" + repr(v)
-
-
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -94,8 +47,7 @@ def main() -> int:
         q = registry[name]
         try:
             sdf = q.fn(spark, args.sf)
-            s_cols = list(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols, s_rows = fetch_spark(sdf)
         except Exception:
             print(f"FAIL {name}: spark raised")
             traceback.print_exc()
@@ -106,9 +58,7 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_cols, d_rows = fetch_duckdb(con, q.oracle)
         except Exception:
             print(f"FAIL {name}: duckdb raised")
             traceback.print_exc()
