@@ -18,6 +18,17 @@ def test_stream_tumbling_matches_batch_twin(spark, sf_dir):
     assert s == b
 
 
+def test_stream_sliding_matches_batch_twin(spark, sf_dir):
+    # 1h windows sliding 15 min: stream counts per window start must
+    # equal the batch F.window(…, slide) twin's (q_win_sliding emits
+    # total_value, the stream emits value_sum — compare n per window)
+    stream = REGISTRY["q_stream_sliding"].fn(spark, sf_dir)
+    batch = REGISTRY["q_win_sliding"].fn(spark, sf_dir)
+    s = {str(r.win_start): r.n for r in stream.collect()}
+    b = {str(r.win_start): r.n for r in batch.collect()}
+    assert s == b
+
+
 def test_stream_dedup_keeps_every_unique_event(spark, sf_dir):
     out = REGISTRY["q_stream_dedup"].fn(spark, sf_dir)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
