@@ -383,3 +383,71 @@ def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SELECT 1 FROM _nt_keys c WHERE c.k = o.o_custkey)) AS n_not_exists
         """
     )
+
+
+@register(
+    "q_range_join_bucketed",
+    oracle="""
+        WITH intervals AS (
+            SELECT CAST(i AS BIGINT) AS interval_id,
+                   TIMESTAMP '2024-01-01 00:00:00' + CAST(i AS INT) * INTERVAL 14 HOUR AS s,
+                   TIMESTAMP '2024-01-01 00:00:00' + CAST(i AS INT) * INTERVAL 14 HOUR
+                       + INTERVAL 6 HOUR AS e
+            FROM range(0, 50) t(i)
+        )
+        SELECT interval_id,
+               count(*) AS n_events,
+               round(sum(value), 4) AS value_sum
+        FROM intervals JOIN events ev ON ev.ts >= s AND ev.ts < e
+        GROUP BY interval_id
+    """,
+    category="join",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval) join — events falling inside 50 fixed
+    6-hour windows spaced 14 hours apart — via the BUCKETED rewrite:
+    each interval explodes into its covered hour buckets, each event
+    maps to its one hour bucket, and the match becomes an EQUI-join on
+    the bucket plus an O(1) residual ``s <= ts < e``. A naive interval
+    join has no equi key, so Spark would plan a BroadcastNestedLoopJoin
+    scanning every (interval, event) pair — the rewrite is THE pattern
+    that keeps interval matching shuffle-joinable at 100 TB (bucket
+    granularity chosen so each row lands in O(width/granularity)
+    buckets; here 6 buckets per interval, 1 per event). The oracle
+    states the naive BETWEEN join — same result, quadratic plan —
+    which is exactly the parity this query pins."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    base_us = 1_704_067_200_000_000  # epoch µs of 2024-01-01 00:00:00 UTC
+    intervals = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("interval_id"),
+            (F.lit(base_us) + F.col("id") * (14 * hour_us)).alias("s_us"),
+            (F.lit(base_us) + F.col("id") * (14 * hour_us) + 6 * hour_us).alias("e_us"),
+        )
+    )
+    # one row per (interval, covered hour bucket): 6 buckets each
+    ibuckets = intervals.select(
+        "interval_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour_us).cast("long"),
+                ((F.col("e_us") - 1) / hour_us).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    evb = ev.select(
+        F.col("value"),
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") / hour_us).cast("long").alias("bucket"),
+    )
+    joined = evb.join(F.broadcast(ibuckets), "bucket").filter(
+        (F.col("ts_us") >= F.col("s_us")) & (F.col("ts_us") < F.col("e_us"))
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

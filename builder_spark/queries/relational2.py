@@ -407,3 +407,25 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3c / F.pow(m2c, 1.5), 4).alias("skewness"),
         F.round(m4c / (m2c * m2c) - 3.0, 4).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "q_percentile_approx",
+    oracle=None,  # GK sketch (Spark) vs t-digest (DuckDB) — different
+    # algorithms, not hash-matchable; the rank-error-bound pytest in
+    # tests/test_queries_oracle.py is the correctness guard, and
+    # q_percentiles is the exact graded twin of this family
+    category="agg",
+)
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) p50/p90/p99 per event type
+    — the 100 TB path for quantiles: a mergeable bounded-size sketch
+    per group (map-side combined) instead of exact percentile's full
+    sort/collect of every value. accuracy=10000 bounds rank error at
+    n/10000 per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )

@@ -1325,3 +1325,105 @@ QUERIES["q_minhash_calibration"] = QUERIES["q_minhash_calibration"].__class__(
     oracle=_minhash_calibration_oracle(),
     category="llm-dedup",
 )
+
+
+#: Count-min sketch geometry: 3 depth rows × 256 counters. Row hashes
+#: are affine transforms of the engine-portable charfold value modulo
+#: the Mersenne prime 2^31−1, so both engines compute identical buckets
+#: in exact int64 arithmetic (max product 1031·2^25 < 2^36).
+_CMS_PLANES = [(31, 7), (131, 51), (1031, 97)]
+_CMS_P = 2_147_483_647
+_CMS_W = 256
+
+
+def _cms_oracle() -> str:
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, length(w) + 1),"
+        " j -> CAST(ascii(substr(w, CAST(j AS INT), 1)) AS BIGINT))),"
+        f" (a, b) -> (a*31 + b) % {CHARFOLD_MOD})"
+    )
+    case = " ".join(
+        f"WHEN {d} THEN {a} * h + {b}" for d, (a, b) in enumerate(_CMS_PLANES)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        cf AS (SELECT w, c, {charfold} AS h FROM tf),
+        wb AS (
+            SELECT w, c, d.d AS d,
+                   ((CASE d.d {case} END) % {_CMS_P}) % {_CMS_W} AS bucket
+            FROM cf CROSS JOIN (VALUES (0), (1), (2)) d(d)
+        ),
+        counters AS (
+            SELECT d, bucket, CAST(sum(c) AS BIGINT) AS total
+            FROM wb GROUP BY d, bucket
+        ),
+        est AS (
+            SELECT w, min(c) AS c, min(total) AS est
+            FROM wb JOIN counters USING (d, bucket)
+            GROUP BY w
+        )
+        SELECT w AS word,
+               CAST(c AS BIGINT) AS n_exact,
+               CAST(est AS BIGINT) AS cms_est,
+               CAST(est - c AS BIGINT) AS overestimate
+        FROM est
+        QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 10
+    """
+
+
+@register("q_heavy_hitters_cms", oracle=_cms_oracle(), category="llm-text")
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate the top-10 token counts
+    from a 3×256 counter array and report the overestimate vs truth.
+    The sketch is THE streaming/mergeable answer to "top terms over
+    100 TB": counters are a fixed 3·256-cell array regardless of corpus
+    size, partial counters merge by cell-wise addition (one combinable
+    aggregate — map-side combined here), and est(w) = min over rows of
+    counter[h_d(w)] ≥ true(w) always (one-sided error). Everything is
+    exact int64 arithmetic on the charfold hash, so the DuckDB oracle
+    reproduces the sketch bit-for-bit — the estimates themselves are
+    graded, not just the true counts. Counters build from the term-
+    frequency table (identical totals, vocab-sized input) rather than
+    the raw token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cf = tf.withColumn("h", charfold_hash("w"))
+    wb = cf.select(
+        "w",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(di).alias("d"),
+                        (
+                            ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for di, (a, b) in enumerate(_CMS_PLANES)
+                ]
+            )
+        ).alias("db"),
+    ).select("w", "c", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    counters = wb.groupBy("d", "bucket").agg(F.sum("c").alias("total"))
+    est = (
+        wb.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("w")
+        .agg(F.min("c").alias("c"), F.min("total").alias("est"))
+    )
+    w_top = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    return (
+        est.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= 10)
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").cast("bigint").alias("n_exact"),
+            F.col("est").cast("bigint").alias("cms_est"),
+            (F.col("est") - F.col("c")).cast("bigint").alias("overestimate"),
+        )
+    )

@@ -75,3 +75,32 @@ def test_agg_approx_within_hll_error_of_exact(spark):
     assert approx.keys() == exact.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_percentile_approx_within_rank_bound_of_exact(spark):
+    """q_percentile_approx has no oracle (GK vs t-digest sketches) —
+    pin it to exact quantiles instead: each approx pXX must lie within
+    the exact [XX-2, XX+2] percentile band per event_type."""
+    from pyspark.sql import functions as F
+
+    from builder_spark.catalog import load_table
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx, r.p99_approx)
+        for r in REGISTRY["q_percentile_approx"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    bands = {
+        r.event_type: r.b
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", [0.48, 0.52, 0.88, 0.92, 0.97, 1.0]).alias("b")
+        )
+        .collect()
+    }
+    assert approx.keys() == bands.keys()
+    for et, (p50, p90, p99) in approx.items():
+        lo50, hi50, lo90, hi90, lo99, hi99 = bands[et]
+        assert lo50 <= p50 <= hi50, (et, p50, lo50, hi50)
+        assert lo90 <= p90 <= hi90, (et, p90, lo90, hi90)
+        assert lo99 <= p99 <= hi99, (et, p99, lo99, hi99)
