@@ -1427,3 +1427,142 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.col("c")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+#: Bloom geometry: 128 words × 63 usable bits (sign bit never set, so
+#: int64 shift semantics can't diverge between engines), k=3 affine
+#: hashes over the member key modulo the Mersenne prime 2^31−1.
+_BLOOM_M = 128 * 63
+
+
+def _bloom_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {a} * {{key}} + {b}"
+        for d, (a, b) in enumerate(_CMS_PLANES)
+    )
+    h = f"((CASE d.d {case} END) % {_CMS_P}) % {_BLOOM_M}"
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        mb AS (
+            SELECT {h.format(key="k")} AS h
+            FROM members CROSS JOIN (VALUES (0), (1), (2)) d(d)
+        ),
+        fw AS (
+            SELECT h // 63 AS word, bit_or(CAST(1 AS BIGINT) << (h % 63)) AS bits
+            FROM mb GROUP BY 1
+        ),
+        pb AS (
+            SELECT c_custkey, c_mktsegment, {h.format(key="c_custkey")} AS h
+            FROM customer CROSS JOIN (VALUES (0), (1), (2)) d(d)
+        ),
+        pr AS (
+            SELECT c_custkey, c_mktsegment,
+                   min(CASE WHEN fw.bits IS NOT NULL
+                             AND (fw.bits & (CAST(1 AS BIGINT) << (h % 63))) != 0
+                            THEN 1 ELSE 0 END) AS hit
+            FROM pb LEFT JOIN fw ON fw.word = h // 63
+            GROUP BY 1, 2
+        ),
+        fin AS (
+            SELECT pr.c_mktsegment, pr.hit,
+                   CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
+            FROM pr LEFT JOIN members m ON m.k = pr.c_custkey
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(is_m) AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN hit = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN hit = 0 AND is_m = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_neg
+        FROM fin
+        GROUP BY c_mktsegment
+    """
+
+
+def _mask() -> "F.Column":
+    """``1 << bit`` as int64. Built via SQL shiftleft: the Python
+    F.shiftleft only takes a literal shift count, the SQL form shifts
+    by a column. (Function, not module constant: F.expr needs a live
+    SparkContext, and this module imports before any session exists.)"""
+    return F.expr("shiftleft(cast(1 as bigint), bit)")
+
+
+def _bloom_hashes(key_col) -> "list":
+    """The k (word, bit) probe pairs for one key — exact int64."""
+    out = []
+    for di, (a, b) in enumerate(_CMS_PLANES):
+        h = ((F.lit(a) * key_col + F.lit(b)) % _CMS_P) % _BLOOM_M
+        out.append(
+            F.struct(
+                F.floor(h / 63).cast("long").alias("word"),
+                (h % 63).cast("int").alias("bit"),
+            )
+        )
+    return out
+
+
+@register("q_bloom_membership", oracle=_bloom_oracle(), category="llm-pipeline")
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter approximate membership: build an 8064-bit filter
+    (128 int64 words, k=3) over the urgent-order customer keys, probe
+    EVERY customer, and report per-segment hit/member/false-positive/
+    false-negative counts — n_false_neg is structurally zero (the
+    one-sided Bloom guarantee) and the oracle replays the identical
+    filter bit-for-bit, so the sketch itself is graded. This is the
+    approximate-membership family (HLL=distinct, CMS=frequency,
+    GK=quantiles, Bloom=membership): at 100 TB the filter is a fixed
+    128-word array built with ONE combinable bit_or aggregate and
+    broadcast to the probe scan — the shape of runtime join pruning
+    (ship the filter, not the key set)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    mb = members.select(F.explode(F.array(*_bloom_hashes(F.col("k")))).alias("wm"))
+    filter_words = (
+        mb.select("wm.word", "wm.bit")
+        .withColumn("mask", _mask())
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    pb = (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode(F.array(*_bloom_hashes(F.col("c_custkey")))).alias("wm"),
+        )
+        .select("c_custkey", "c_mktsegment", "wm.word", "wm.bit")
+        .withColumn("mask", _mask())
+    )
+    probed = pb.join(F.broadcast(filter_words), "word", "left")
+    hit_d = F.when(
+        F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_key = probed.groupBy("c_custkey", "c_mktsegment").agg(
+        F.min(hit_d).alias("hit")
+    )
+    fin = per_key.join(
+        F.broadcast(members.withColumn("is_m", F.lit(1))),
+        F.col("c_custkey") == F.col("k"),
+        "left",
+    ).select("c_mktsegment", "hit", F.coalesce("is_m", F.lit(0)).alias("is_m"))
+    return fin.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("hit").alias("n_bloom_hits"),
+        F.sum("is_m").alias("n_members"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("is_m") == 0), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("hit") == 0) & (F.col("is_m") == 1), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )

@@ -311,3 +311,27 @@ def test_bucketed_join_is_exchange_free(spark):
         assert not has_broadcast_join(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_range_join_bucketed_no_nested_loop(spark):
+    """q_range_join_bucketed exists to prove the bucketed rewrite: the
+    interval match must plan as an equi-join on the hour bucket (hash
+    or sort-merge), never the BroadcastNestedLoopJoin a raw keyless
+    BETWEEN join would get."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_range_join_bucketed"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "interval join fell back to O(N*M)"
+    assert "Join" in plan  # sanity: it is still a join, on the bucket key
+
+
+def test_heavy_hitters_counters_broadcast(spark):
+    """The 768-cell counter table must broadcast back onto the vocab
+    frame — re-shuffling the vocab to meet a tiny aggregate would be
+    backwards at scale."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_heavy_hitters_cms"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
