@@ -401,13 +401,40 @@ class PrintExecutor:
 
 
 class ExecutionManager:
-    """Walks the expanded graph in topo order, runs should-run jobs,
-    retries failures, re-evaluates state after each completion."""
+    """Walks the expanded graph, runs should-run jobs, retries failures,
+    re-evaluates state after each completion.
+
+    ``max_workers > 1`` dispatches every READY job (all graph
+    predecessors finished) concurrently on a thread pool — wave
+    scheduling. A SparkSession accepts job submissions from many
+    threads (each thread's actions become independent Spark jobs, FIFO/
+    FAIR-scheduled across the cluster), so independent pipeline
+    branches overlap their stages instead of serializing on the driver:
+    the difference between a 1000-executor cluster draining one branch
+    at a time and all branches at once. should-run/staleness is always
+    evaluated AFTER the job's predecessors finish (submission time),
+    preserving the serial path's freshness semantics; results are only
+    mutated on the coordinating thread.
+    """
 
     def __init__(self, manager: BuildManager, executor) -> None:
         self.manager = manager
         self.executor = executor
         self.results: dict[str, str] = {}
+
+    def _run_one(self, cj: ConcreteJob, now: float | None, force: bool) -> str:
+        """Evaluate + execute one job with retries. Never raises."""
+        if not cj.get_should_run(now=now, force=force):
+            return "skipped"
+        attempts = 0
+        while True:
+            try:
+                self.executor.execute(cj)
+                return "ran"
+            except Exception:
+                attempts += 1
+                if attempts > cj.job.retries:
+                    return "failed"
 
     def start_execution(
         self,
@@ -415,22 +442,35 @@ class ExecutionManager:
         end: datetime,
         force: bool = False,
         now: float | None = None,
+        max_workers: int = 1,
     ) -> dict[str, str]:
         """Build [start, end). Returns unique_id → 'ran'|'skipped'|'failed'."""
         bg = self.manager.expand(start, end)
-        for cj in bg.topological():
-            if not cj.get_should_run(now=now, force=force):
-                self.results[cj.unique_id] = "skipped"
-                continue
-            attempts = 0
-            while True:
-                try:
-                    self.executor.execute(cj)
-                    self.results[cj.unique_id] = "ran"
-                    break
-                except Exception:
-                    attempts += 1
-                    if attempts > cj.job.retries:
-                        self.results[cj.unique_id] = "failed"
-                        break
+        if max_workers <= 1:
+            for cj in bg.topological():
+                self.results[cj.unique_id] = self._run_one(cj, now, force)
+            return self.results
+
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        g = bg.graph
+        indeg = {n: g.in_degree(n) for n in g.nodes}
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures: dict = {}
+
+            def submit(n: str) -> None:
+                futures[pool.submit(self._run_one, bg.jobs[n], now, force)] = n
+
+            for n, d in indeg.items():
+                if d == 0:
+                    submit(n)
+            while futures:
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for f in done:
+                    n = futures.pop(f)
+                    self.results[n] = f.result()
+                    for succ in g.successors(n):
+                        indeg[succ] -= 1
+                        if indeg[succ] == 0:
+                            submit(succ)
         return self.results

@@ -277,3 +277,118 @@ def test_spark_pipeline_end_to_end(spark, sf_dir, tmp_path):
     pe = PrintExecutor(spark)
     ExecutionManager(bm, pe).start_execution(start, end, force=True)
     assert len(pe.printed) == 4
+
+
+# --- parallel execution ------------------------------------------------------
+
+
+def test_parallel_execution_overlaps_independent_branches(tmp_path):
+    """Diamond DAG a → (b, c) → d: with max_workers=2 the two middle
+    branches must run CONCURRENTLY (overlapping wall intervals), and d
+    must start only after both finish."""
+    import threading
+
+    spans: dict[str, tuple[float, float]] = {}
+    lock = threading.Lock()
+
+    def node(name, secs):
+        def run(ctx):
+            t0 = time.time()
+            time.sleep(secs)
+            with lock:
+                spans[name] = (t0, time.time())
+
+        return run
+
+    bm = BuildManager()
+    bm.add(Job(name="a", run=node("a", 0.01), targets=f"{tmp_path}/a/d=%Y-%m-%d"))
+    for mid in ("b", "c"):
+        bm.add(
+            Job(
+                name=mid,
+                run=node(mid, 0.3),
+                targets=f"{tmp_path}/{mid}/d=%Y-%m-%d",
+                depends=[f"{tmp_path}/a/d=%Y-%m-%d"],
+            )
+        )
+    bm.add(
+        Job(
+            name="d",
+            run=node("d", 0.01),
+            targets=f"{tmp_path}/d/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/b/d=%Y-%m-%d", f"{tmp_path}/c/d=%Y-%m-%d"],
+        )
+    )
+    r = ExecutionManager(bm, FileExecutor()).start_execution(
+        D0, D0 + timedelta(days=1), max_workers=2
+    )
+    assert set(r.values()) == {"ran"}
+    (b0, b1), (c0, c1) = spans["b"], spans["c"]
+    assert b0 < c1 and c0 < b1, "b and c did not overlap — not parallel"
+    assert spans["d"][0] >= max(b1, c1) - 0.01, "d started before its deps finished"
+    assert spans["a"][1] <= min(b0, c0) + 0.01, "b/c started before a finished"
+
+
+def test_parallel_matches_serial_results(tmp_path):
+    """Same DAG, same freshness state → identical result map from the
+    serial and parallel paths (parallel build in a sibling root)."""
+
+    def mk(root):
+        bm = BuildManager()
+        bm.add(Job(name="a", run=lambda ctx: None, targets=f"{root}/a/d=%Y-%m-%d"))
+        bm.add(
+            Job(
+                name="b",
+                run=lambda ctx: None,
+                targets=f"{root}/b/d=%Y-%m-%d",
+                depends=[f"{root}/a/d=%Y-%m-%d"],
+            )
+        )
+        return bm
+
+    end = D0 + timedelta(days=2)
+    serial = ExecutionManager(mk(f"{tmp_path}/s"), FileExecutor()).start_execution(
+        D0, end
+    )
+    par = ExecutionManager(mk(f"{tmp_path}/p"), FileExecutor()).start_execution(
+        D0, end, max_workers=4
+    )
+    assert {k.split("@")[0] + "@" + k.split("@")[1] for k in serial} == {
+        k for k in par
+    }
+    assert list(sorted(serial.values())) == list(sorted(par.values()))
+    # second parallel run: everything fresh → all skipped
+    par2 = ExecutionManager(mk(f"{tmp_path}/p"), FileExecutor()).start_execution(
+        D0, end, max_workers=4
+    )
+    assert set(par2.values()) == {"skipped"}
+
+
+def test_parallel_failed_dep_skips_downstream(tmp_path):
+    """A failing producer leaves its target missing → the consumer is
+    not buildable and must be skipped, not crash the pool."""
+
+    def boom(ctx):
+        raise RuntimeError("boom")
+
+    bm = BuildManager()
+    bm.add(Job(name="a", run=boom, targets=f"{tmp_path}/a/d=%Y-%m-%d"))
+    bm.add(
+        Job(
+            name="b",
+            run=lambda ctx: None,
+            targets=f"{tmp_path}/b/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/a/d=%Y-%m-%d"],
+        )
+    )
+
+    class RunOnlyExecutor:
+        def execute(self, cj):
+            cj.job.run(None)
+            touch(os.path.join(cj.target.unique_id, "_SUCCESS"))
+
+    r = ExecutionManager(bm, RunOnlyExecutor()).start_execution(
+        D0, D0 + timedelta(days=1), max_workers=2
+    )
+    assert r[f"a@{D0.isoformat()}"] == "failed"
+    assert r[f"b@{D0.isoformat()}"] == "skipped"
