@@ -451,3 +451,48 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_lineitems,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join — the skew escape hatch when one join key
+    dominates the big side (AQE's skew-join split handles moderate
+    skew; salting is the explicit fix when a single key exceeds what
+    one reducer can hold). Big side gets a row-position salt in
+    [0, 16); the dimension side replicates 16× (acceptable exactly when
+    it was near-broadcastable); the join runs on (key, salt), so a hot
+    key's rows spread over 16 reducers instead of one. The oracle is
+    the PLAIN join — salting must be invisible in the result, and
+    round(·,4) absorbs the summation-order change from re-bucketing.
+    The sort-merge path is forced (broadcast disabled per-join via
+    hint) so the salted exchange is actually exercised."""
+    from builder_spark.operators.partitioning import (
+        replicate_for_salted_join,
+        with_salt,
+    )
+
+    li = with_salt(load_table(spark, sf_dir, "lineitem"), 16)
+    o = replicate_for_salted_join(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        16,
+    )
+    joined = li.hint("merge").join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (li["_salt"] == o["_salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
