@@ -56,6 +56,18 @@ def main() -> None:
         df.count()  # full pipeline materialization (AQE-final plan)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Second pass: steady-state timings. The cold pass above carries
+    # one-time costs that amortize to zero on a long-lived cluster
+    # (whole-stage codegen compilation, Python worker pool spin-up,
+    # broadcast builds); the warm pass is the per-query throughput that
+    # extrapolates to repeated production runs. Both are reported;
+    # "value" stays the cold total for round-over-round comparability.
+    warm: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +76,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total_sec": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )
