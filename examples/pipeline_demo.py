@@ -109,8 +109,21 @@ def main() -> None:
             pe.execute(cj)
             break
 
+    # forced backfill, wave-parallel: day buckets of hourly_rollup are
+    # independent, so max_workers=4 overlaps their Spark jobs; each
+    # daily_top_types bucket still waits for its producer bucket
+    t0 = time.time()
+    r4 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(
+        start, end, force=True, max_workers=4
+    )
+    assert sum(v == "ran" for v in r4.values()) == 6, r4
+    print(f"[parallel] forced 3-day backfill, max_workers=4: {time.time() - t0:.1f}s")
+
     shutil.rmtree(root, ignore_errors=True)
-    print("\ndemo OK: cold build, staleness skip, incremental rebuild, dry run")
+    print(
+        "\ndemo OK: cold build, staleness skip, incremental rebuild, "
+        "dry run, parallel backfill"
+    )
 
 
 if __name__ == "__main__":
