@@ -496,3 +496,67 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "q_bloom_pruned_join",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000
+        GROUP BY c_mktsegment
+    """,
+    category="join",
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (semi-join reduction) pattern: before the exact
+    join, the fact scan is pre-filtered by a Bloom filter built over
+    the selective dimension's keys. The 8064-bit filter (128 int64
+    words, ~1 KB) is collected to the driver and inlined as a LITERAL
+    array, so the probe is a pure per-row predicate riding the fact
+    scan — zero extra shuffle, exactly how Spark's own runtime bloom
+    pushdown (spark.sql.optimizer.runtime.bloomFilter) ships a
+    subquery's filter to a scan. Most non-matching rows die at the
+    scan; the exact join that follows eliminates the false positives,
+    so the result EQUALS the plain join (the oracle) — the filter only
+    prunes, never decides. Same filter construction as
+    q_bloom_membership; Bloom guarantees no false negatives.
+
+    Scale: the driver collect moves 128 longs regardless of data size
+    (same contract as Spark's InSubqueryExec broadcast); the dimension
+    side is an aggregate of the selective dim, so building the filter
+    costs one combinable bit_or pass."""
+    from builder_spark.queries.textops import _CMS_P, _CMS_PLANES, _BLOOM_M, _bloom_hashes, _mask
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    filter_rows = (
+        dim.select(F.explode(F.array(*_bloom_hashes(F.col("c_custkey")))).alias("wm"))
+        .select("wm.word", "wm.bit")
+        .withColumn("mask", _mask())
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    words = {int(r["word"]): int(r["bits"]) for r in filter_rows}
+    lits = ",".join(str(words.get(i, 0)) + "L" for i in range(_BLOOM_M // 63))
+    probe_terms = []
+    for a, b in _CMS_PLANES:
+        h = f"(({a}L * o_custkey + {b}L) % {_CMS_P}L) % {_BLOOM_M}L"
+        probe_terms.append(
+            f"(element_at(array({lits}), cast(({h}) div 63 as int) + 1)"
+            f" & shiftleft(1L, cast(({h}) % 63 as int))) != 0"
+        )
+    pruned = o.filter(F.expr(" AND ".join(probe_terms)))
+    return (
+        pruned.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )

@@ -335,3 +335,17 @@ def test_heavy_hitters_counters_broadcast(spark):
     df = REGISTRY["q_heavy_hitters_cms"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_pruned_join_probe_rides_scan(spark):
+    """The inlined Bloom probe must sit in the Filter directly above
+    the fact FileScan (zero extra shuffle — the runtime-filter shape);
+    the exact join stays a broadcast hash join and only the final
+    aggregation exchanges."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_bloom_pruned_join"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "shiftleft" in plan  # the probe predicate survived into the plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the group-by
