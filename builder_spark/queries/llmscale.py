@@ -1085,3 +1085,154 @@ QUERIES["q_langid_confusion"] = QUERIES["q_langid_confusion"].__class__(
     oracle=_langid_confusion_oracle(),
     category="llm-text",
 )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings — exact-integer Lloyd iterations
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIST = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (pagerank pattern).
+    All arithmetic is exact int64: vectors quantize to milli-units,
+    centroid updates are floor(sum/count) — identical in both engines,
+    so assignments can never diverge by a final-ulp tie."""
+    its = []
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        its.append(f"""
+        a{t} AS (
+            SELECT q.vec_id, q.v, c.j,
+                   {_KM_DIST.format(a="q.v", b="c.c")} AS dist
+            FROM q CROSS JOIN {prev} c
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY dist ASC, c.j ASC) = 1
+        ),
+        m{t} AS (
+            SELECT j, i,
+                   CAST(floor(sum(x) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cd
+            FROM (SELECT j, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS i
+                  FROM a{t})
+            GROUP BY j, i
+        ),
+        c{t} AS (
+            SELECT p.j,
+                   coalesce(list(m.cd ORDER BY m.i), any_value(p.c)) AS c
+            FROM {prev} p LEFT JOIN m{t} m ON m.j = p.j
+            GROUP BY p.j
+        )""")
+        prev = f"c{t}"
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS j, v AS c FROM q WHERE vec_id < {_KM_K}),
+        {",".join(its)},
+        final AS (
+            SELECT q.vec_id, c.j,
+                   {_KM_DIST.format(a="q.v", b="c.c")} AS dist
+            FROM q CROSS JOIN {prev} c
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY dist ASC, c.j ASC) = 1
+        )
+        SELECT CAST(j AS BIGINT) AS cluster_id,
+               count(*) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia
+        FROM final
+        GROUP BY j
+    """
+
+
+@register("q_kmeans_embed", oracle=_kmeans_oracle(), category="llm-similarity")
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (K=8, 2 Lloyd
+    iterations, deterministic init = first K vectors) — the embedding-
+    curation primitive behind corpus diversity sampling and
+    near-duplicate pruning at training-data scale.
+
+    Numerics: everything is EXACT int64 — vectors quantize once to
+    milli-units (floor(x·1000 + 0.5), deterministic on both engines),
+    distances are integer sums, and centroid updates floor-divide
+    integer sums by counts (floor of a correctly-rounded double
+    quotient, deterministic for these magnitudes). Float means would
+    differ between engines in the last ulp and could flip an argmin
+    near a tie; the integer pipeline cannot diverge, which is why the
+    full ITERATIVE computation hash-matches the oracle, not just a
+    summary. Empty clusters keep their previous centroid.
+
+    Scale shape per iteration: assignment is a per-row expression over
+    K broadcast literal centroids (rides the scan, zero shuffle);
+    the update is ONE combinable (cluster, dim) aggregate whose K·64
+    output rows collect to the driver (the broadcast-next-round
+    pattern; a billion-vector corpus shuffles only K·64 longs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+    centroids = {
+        int(r["vec_id"]): [int(x) for x in r["v"]]
+        for r in q.filter(F.col("vec_id") < _KM_K).collect()
+    }
+
+    def assign(df):
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(c) for c in centroids[j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j in sorted(centroids)
+            ]
+        )
+        best = F.element_at(F.array_sort(dists), 1)
+        return df.withColumn("j", best["j"]).withColumn("dist", best["dist"])
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(q)
+        sums = (
+            assigned.select("j", F.posexplode("v").alias("i", "x"))
+            .groupBy("j", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            # Python // is exact floor division; equal to both engines'
+            # floor(double quotient) at these magnitudes (error < 1/n)
+            new.setdefault(int(r["j"]), [0] * 64)[int(r["i"])] = int(r["s"]) // int(
+                r["n"]
+            )
+        for j in centroids:  # empty clusters keep their previous centroid
+            if j in new:
+                centroids[j] = new[j]
+
+    return (
+        assign(q)
+        .groupBy(F.col("j").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+    )
