@@ -1153,6 +1153,73 @@ def _kmeans_oracle() -> str:
     """
 
 
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Run the exact-integer Lloyd loop; returns (quantized_df, a
+    per-row assign(df) -> df+columns fn exposing the K sorted
+    (dist, j) structs, final centroids dict)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+    centroids = {
+        int(r["vec_id"]): [int(x) for x in r["v"]]
+        for r in q.filter(F.col("vec_id") < _KM_K).collect()
+    }
+
+    def sorted_dists(df):
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(c) for c in centroids[j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j in sorted(centroids)
+            ]
+        )
+        return df.withColumn("ds", F.array_sort(dists))
+
+    def assign(df):
+        best = F.element_at(F.col("ds"), 1)
+        return (
+            sorted_dists(df)
+            .withColumn("j", best["j"])
+            .withColumn("dist", best["dist"])
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(q)
+        sums = (
+            assigned.select("j", F.posexplode("v").alias("i", "x"))
+            .groupBy("j", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            # Python // is exact floor division; equal to both engines'
+            # floor(double quotient) at these magnitudes (error < 1/n)
+            new.setdefault(int(r["j"]), [0] * 64)[int(r["i"])] = int(r["s"]) // int(
+                r["n"]
+            )
+        for j in centroids:  # empty clusters keep their previous centroid
+            if j in new:
+                centroids[j] = new[j]
+
+    return q, assign, centroids
+
+
 @register("q_kmeans_embed", oracle=_kmeans_oracle(), category="llm-similarity")
 def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus (K=8, 2 Lloyd
@@ -1175,64 +1242,71 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the update is ONE combinable (cluster, dim) aggregate whose K·64
     output rows collect to the driver (the broadcast-next-round
     pattern; a billion-vector corpus shuffles only K·64 longs)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
-        ).alias("v"),
-    )
-    centroids = {
-        int(r["vec_id"]): [int(x) for x in r["v"]]
-        for r in q.filter(F.col("vec_id") < _KM_K).collect()
-    }
-
-    def assign(df):
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(c) for c in centroids[j]]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, d: acc + d,
-                    ).alias("dist"),
-                    F.lit(j).alias("j"),
-                )
-                for j in sorted(centroids)
-            ]
-        )
-        best = F.element_at(F.array_sort(dists), 1)
-        return df.withColumn("j", best["j"]).withColumn("dist", best["dist"])
-
-    for _ in range(_KM_ITERS):
-        assigned = assign(q)
-        sums = (
-            assigned.select("j", F.posexplode("v").alias("i", "x"))
-            .groupBy("j", "i")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new: dict[int, list[int]] = {}
-        for r in sums:
-            # Python // is exact floor division; equal to both engines'
-            # floor(double quotient) at these magnitudes (error < 1/n)
-            new.setdefault(int(r["j"]), [0] * 64)[int(r["i"])] = int(r["s"]) // int(
-                r["n"]
-            )
-        for j in centroids:  # empty clusters keep their previous centroid
-            if j in new:
-                centroids[j] = new[j]
-
+    _q, assign, _c = _kmeans_fit(spark, sf_dir)
     return (
-        assign(q)
+        assign(_q)
         .groupBy(F.col("j").cast("bigint").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum("dist").cast("bigint").alias("inertia"),
+        )
+    )
+
+
+def _silhouette_oracle() -> str:
+    """Simplified (centroid-based) silhouette over the SAME unrolled
+    Lloyd CTEs as q_kmeans_embed: a = dist to own centroid, b = dist to
+    the nearest other centroid — both exact ints, so only the final
+    ratio is floating point."""
+    base = _kmeans_oracle()
+    prefix = base[: base.index("final AS")]
+    return f"""{prefix}ranked AS (
+            SELECT q.vec_id, c.j,
+                   {_KM_DIST.format(a="q.v", b="c.c")} AS dist,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_KM_DIST.format(a="q.v", b="c.c")} ASC,
+                                               c.j ASC) AS rk
+            FROM q CROSS JOIN c{_KM_ITERS} c
+        ),
+        ab AS (
+            SELECT vec_id,
+                   min(CASE WHEN rk = 1 THEN j END) AS j,
+                   min(CASE WHEN rk = 1 THEN dist END) AS a,
+                   min(CASE WHEN rk = 2 THEN dist END) AS b
+            FROM ranked GROUP BY vec_id
+        )
+        SELECT CAST(j AS BIGINT) AS cluster_id,
+               count(*) AS n_members,
+               round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                              ELSE (b - a) / CAST(greatest(a, b) AS DOUBLE)
+                         END), 4) AS avg_silhouette
+        FROM ab
+        GROUP BY j
+    """
+
+
+@register("q_kmeans_silhouette", oracle=_silhouette_oracle(), category="llm-similarity")
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per k-means cluster — the cluster-
+    quality companion of q_kmeans_embed (how separated is each cluster:
+    s = (b−a)/max(a,b) with a = distance to own centroid, b = distance
+    to the nearest OTHER centroid; the O(N·K) centroid form, not the
+    O(N²) pairwise one). a and b come exact-int from the shared
+    integer Lloyd fit, so the only float op is the final ratio; the
+    per-cluster average rounds at 4 like every graded float aggregate.
+    Composes the SAME unrolled-CTE oracle as q_kmeans_embed."""
+    q, assign, _c = _kmeans_fit(spark, sf_dir)
+    scored = assign(q)
+    a = F.col("dist")
+    b = F.element_at(F.col("ds"), 2)["dist"]
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b).cast("double")
+    )
+    return (
+        scored.withColumn("s", s)
+        .groupBy(F.col("j").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("s"), 4).alias("avg_silhouette"),
         )
     )
