@@ -349,3 +349,15 @@ def test_bloom_pruned_join_probe_rides_scan(spark):
     assert "BroadcastHashJoin" in plan
     assert "shiftleft" in plan  # the probe predicate survived into the plan
     assert plan.count("Exchange hashpartitioning") <= 1  # only the group-by
+
+
+def test_salted_join_is_sort_merge_on_salted_key(spark):
+    """q_salted_join must actually exercise the salted exchange: a
+    sort-merge join whose keys include the salt column (broadcast
+    would bypass the skew mechanism being graded)."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_salted_join"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
