@@ -258,3 +258,79 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     ).distinct()
+
+
+@register(
+    "q_global_cumsum_distributed",
+    oracle="""
+        SELECT o_orderkey, o_orderdate,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT)
+                   AS running_revenue,
+               row_number() OVER w AS global_rank
+        FROM orders
+        WINDOW w AS (ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def q_global_cumsum_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running sum + rank computed WITHOUT a single-partition
+    window — the distributed form of the scale boundary SCALE.md flags
+    for every empty-PARTITION-BY window:
+
+    1. ``repartitionByRange`` on the total order (o_orderdate,
+       o_orderkey) — rows land in sorted, non-overlapping ranges.
+    2. A LOCAL window per range partition (partition key =
+       ``spark_partition_id()``) computes within-partition cumsum/rank
+       — each of the 32 partitions works independently.
+    3. Per-partition totals (32 rows) cumsum into prefix OFFSETS —
+       the only single-partition window, over data whose size equals
+       the partition COUNT, not the row count — and broadcast back.
+    4. global = local + offset of all earlier partitions.
+
+    The result is independent of where the range boundaries fall
+    (offsets absorb any split), values are exact integers, and no
+    stage ever holds more than one range partition — the same plan
+    ranks 100 TB. The oracle states the naive global window, which IS
+    single-partition; equivalence proves the stitching is invisible."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = F.floor(F.col("o_totalprice")).cast("bigint")
+    ranged = (
+        o.select("o_orderkey", "o_orderdate", spend.alias("_v"))
+        .repartitionByRange(32, F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "o_orderkey",
+        "o_orderdate",
+        "_pid",
+        F.sum("_v").over(local_w).alias("_local_sum"),
+        F.count(F.lit(1)).over(local_w).alias("_local_rank"),
+    )
+    # 32-row prefix table: offset = totals of all EARLIER partitions
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            (F.sum("_t").over(off_w) - F.col("_t")).alias("_off_sum"),
+            (F.sum("_n").over(off_w) - F.col("_n")).alias("_off_n"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("_local_sum") + F.col("_off_sum")).cast("bigint").alias(
+            "running_revenue"
+        ),
+        (F.col("_local_rank") + F.col("_off_n")).cast("int").alias("global_rank"),
+    )
