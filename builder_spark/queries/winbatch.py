@@ -579,3 +579,49 @@ def q_scd2_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_rolling_distinct",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du),
+        expanded AS (
+            SELECT DISTINCT days.d, du.user_id
+            FROM days
+            JOIN du ON du.d >= days.d - INTERVAL 6 DAY AND du.d <= days.d
+        )
+        SELECT d AS day, count(*) AS dau_7d
+        FROM expanded
+        GROUP BY d
+    """,
+    category="analytics",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    distinct count every growth dashboard needs, in its SCALABLE form:
+    events first collapse to the (day, user) grain (one dedup shuffle
+    of day·user keys, not events), then each day joins the 7 trailing
+    day-buckets via an exploded offset spine and dedups users once
+    more. Distinct-over-a-sliding-window cannot be expressed as a
+    window aggregate without holding per-frame user sets in memory
+    (collect_set over a RANGE frame — per-row sets of unbounded size);
+    the day-grain rewrite bounds state at |days|·|daily users| and
+    every step is a plain combinable agg. The oracle states the naive
+    interval join over the same day grain."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    expanded = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d", "user_id"
+        )
+        .select(F.date_add(F.col("d"), F.col("off")).alias("day"), "user_id")
+        .join(du.select(F.col("d").alias("day")).distinct(), "day", "left_semi")
+        .distinct()
+    )
+    return expanded.groupBy("day").agg(F.count(F.lit(1)).alias("dau_7d"))
