@@ -188,3 +188,56 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_cp"),
         F.countDistinct(F.md5("value")).alias("distinct_lines"),
     )
+
+
+@register(
+    "q_binaryfile_source",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+        WHERE doc_id < 200
+    """,
+    category="source-sink",
+)
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal INGEST path: opaque files read through Spark's
+    ``binaryFile`` source — (path, modificationTime, length, content)
+    rows with the payload as a binary column, which is exactly how
+    images/audio/video enter a 100 TB pipeline (one row per object,
+    pathGlobFilter + recursiveFileLookup prune the listing, each file
+    is one task — no line-splitting assumption on opaque bytes).
+
+    Files are staged executor-side (foreachPartition, no driver
+    collect) with payload = utf-8 bytes of the document text, so the
+    oracle can recompute every checksum from the ORIGINAL table:
+    a hash-match proves the write→list→read→checksum chain is
+    byte-lossless. doc_id round-trips through the file NAME
+    (regexp_extract on path) — the id-in-path pattern object stores
+    rely on."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = os.path.join(tempfile.gettempdir(), "builder_spark_binaryfile_src")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_files(rows) -> None:
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(write_files)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
