@@ -241,3 +241,51 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "q_compaction",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+               round(sum(l_extendedprice), 4) AS price_sum,
+               64 AS files_before,
+               4 AS files_after
+        FROM lineitem
+        WHERE l_orderkey % 10 = 0
+    """,
+    category="source-sink",
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    dataset needs (streaming sinks and over-parallel writes fragment
+    tables into files far below the row-group sweet spot; reads then
+    pay per-file open/footer costs and lose row-group statistics).
+    Writes a deliberately fragmented copy (repartition(64) → 64 files),
+    compacts with a single repartition(4) rewrite, and proves BOTH
+    invariants the real job must hold: content identity (row count +
+    key/price checksums vs the ORIGINAL table — the graded hash) and
+    layout change (file counts are part of the output row, pinned to
+    the declared parallelism). At scale the same rewrite runs per
+    partition-slice with dynamic partition overwrite so compaction is
+    incremental and replay-idempotent."""
+    import glob as _glob
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    frag = os.path.join(tempfile.gettempdir(), "builder_spark_compact_frag")
+    tight = os.path.join(tempfile.gettempdir(), "builder_spark_compact_tight")
+    for p in (frag, tight):
+        shutil.rmtree(p, ignore_errors=True)
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    files_before = len(_glob.glob(os.path.join(frag, "*.parquet")))
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(tight)
+    files_after = len(_glob.glob(os.path.join(tight, "*.parquet")))
+    back = spark.read.parquet(tight)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+    )
