@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
@@ -288,4 +288,63 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(files_after).cast("int").alias("files_after"),
+    )
+
+
+_Z_INTERLEAVE = "(((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) + (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) + (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) + (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) + (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) + (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) + (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) + (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15) + (((a >> 8) & 1) << 16) + (((b >> 8) & 1) << 17) + (((a >> 9) & 1) << 18) + (((b >> 9) & 1) << 19) + (((a >> 10) & 1) << 20) + (((b >> 10) & 1) << 21) + (((a >> 11) & 1) << 22) + (((b >> 11) & 1) << 23) + (((a >> 12) & 1) << 24) + (((b >> 12) & 1) << 25) + (((a >> 13) & 1) << 26) + (((b >> 13) & 1) << 27) + (((a >> 14) & 1) << 28) + (((b >> 14) & 1) << 29) + (((a >> 15) & 1) << 30) + (((b >> 15) & 1) << 31)"
+
+
+@register(
+    "q_zorder_layout",
+    oracle="""
+        WITH z AS (
+            SELECT o_orderkey,
+                   o_custkey % 65536 AS a,
+                   CAST(floor(o_totalprice) AS BIGINT) % 65536 AS b
+            FROM orders
+        ),
+        zv AS (
+            SELECT o_orderkey, a, b, {Z} AS zval FROM z
+        ),
+        bucketed AS (
+            SELECT a, b, ntile(32) OVER (ORDER BY zval ASC, o_orderkey ASC) AS bucket
+            FROM zv
+        )
+        SELECT bucket, count(*) AS n,
+               CAST(min(a) AS BIGINT) AS min_cust, CAST(max(a) AS BIGINT) AS max_cust,
+               CAST(min(b) AS BIGINT) AS min_price, CAST(max(b) AS BIGINT) AS max_price
+        FROM bucketed
+        GROUP BY bucket
+    """.replace("{Z}", _Z_INTERLEAVE),
+    category="source-sink",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key — the data-layout primitive behind
+    OPTIMIZE ZORDER / multi-dimensional data skipping: interleaving the
+    bits of two columns gives ONE sort key under which file-sized runs
+    of rows have narrow min/max ranges on BOTH columns, so parquet
+    row-group stats can prune scans filtered on either. The query
+    computes the 32-bit interleave (exact int64 bit ops, identical in
+    both engines), splits the z-sorted order into 32 file-sized
+    buckets, and returns each bucket's per-column ranges — the
+    quantity data skipping actually consumes. Writing would be
+    ``df.repartitionByRange(32, zval).sortWithinPartitions(zval)``;
+    the graded part is the key + layout math."""
+    o = load_table(spark, sf_dir, "orders")
+    z = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("a"),
+        (F.floor(F.col("o_totalprice")).cast("bigint") % 65536).alias("b"),
+    ).withColumn("zval", F.expr(_Z_INTERLEAVE))
+    w = Window.orderBy(F.col("zval").asc(), F.col("o_orderkey").asc())
+    return (
+        z.withColumn("bucket", F.ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").cast("bigint").alias("min_cust"),
+            F.max("a").cast("bigint").alias("max_cust"),
+            F.min("b").cast("bigint").alias("min_price"),
+            F.max("b").cast("bigint").alias("max_price"),
+        )
     )
