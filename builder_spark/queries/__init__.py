@@ -11,29 +11,24 @@ Module map (SURVEY.md §2.B rows):
 - udf:        Python/pandas UDF surface + sinks (65-70)
 """
 
-from builder_spark.queries import relational  # noqa: F401
-
-for _mod in (
-    "relational2",
-    "tpch",
-    "tpch2",
-    "joins",
-    "setops",
-    "grouping",
-    "window",
-    "scalar",
-    "subquery",
-    "llmdata",
-    "llmscale",
-    "textops",
-    "winbatch",
-    "analytics2",
-    "udf",
-    "sourcesink",
-):
-    try:  # modules land incrementally; missing ones are not an error mid-build
-        __import__(f"builder_spark.queries.{_mod}")
-    except ImportError:
-        pass
+from builder_spark.queries import (  # noqa: F401
+    analytics2,
+    grouping,
+    joins,
+    llmdata,
+    llmscale,
+    relational,
+    relational2,
+    scalar,
+    setops,
+    sourcesink,
+    subquery,
+    textops,
+    tpch,
+    tpch2,
+    udf,
+    winbatch,
+    window,
+)
 
 import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register here)

@@ -1,0 +1,79 @@
+"""Guard the graded surface: registry size, SURVEY.md consistency, loud imports.
+
+The driver grades exactly what ``load_all()`` returns; a silent import failure
+or a SURVEY/registry drift would shrink the graded surface without any error.
+These tests make both failure modes loud.
+"""
+
+import re
+from pathlib import Path
+
+from builder_spark.registry import QUERIES, load_all
+
+ROOT = Path(__file__).resolve().parent.parent
+
+EXPECTED_COUNT = 222
+
+
+def _survey_keys() -> set[str]:
+    """Parse the §2.B inventory table: rows look like ``| 17 | `q_join_inner` | ...``."""
+    text = (ROOT / "SURVEY.md").read_text()
+    keys = set()
+    for m in re.finditer(r"^\|\s*\d+\s*\|\s*`(q_[a-z0-9_]+)`", text, re.M):
+        keys.add(m.group(1))
+    return keys
+
+
+def test_registry_count_exact():
+    reg = load_all()
+    assert len(reg) == EXPECTED_COUNT, (
+        f"registry has {len(reg)} queries, expected {EXPECTED_COUNT} — "
+        "a query module failed to import or register"
+    )
+
+
+def test_registry_matches_survey():
+    reg = set(load_all())
+    survey = _survey_keys()
+    assert len(survey) == EXPECTED_COUNT, f"SURVEY.md table has {len(survey)} rows"
+    assert reg == survey, (
+        f"registry-only: {sorted(reg - survey)}; survey-only: {sorted(survey - reg)}"
+    )
+
+
+def test_rotation_orders_ungraded_first():
+    """Not-yet-driver-graded queries must precede graded ones so each round's
+    ~50-query window hits fresh queries."""
+    import glob
+    import json
+
+    graded = set()
+    for p in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(p)))
+    keys = list(load_all())
+    seen_graded = False
+    for k in keys:
+        if k in graded:
+            seen_graded = True
+        else:
+            assert not seen_graded, f"ungraded {k} ordered after a graded query"
+
+
+def test_query_module_imports_are_loud():
+    """builder_spark.queries must not swallow ImportError: every module in the
+    package is imported unconditionally."""
+    src = (ROOT / "builder_spark" / "queries" / "__init__.py").read_text()
+    assert "except ImportError" not in src
+    # every .py module in the package is imported by the package __init__
+    pkg = ROOT / "builder_spark" / "queries"
+    for mod in pkg.glob("*.py"):
+        if mod.name == "__init__.py":
+            continue
+        assert mod.stem in src, f"queries/{mod.name} not imported by queries/__init__.py"
+
+
+def test_all_registered_queries_have_category_fn():
+    load_all()
+    for name, q in QUERIES.items():
+        assert callable(q.fn), name
+        assert q.name == name
