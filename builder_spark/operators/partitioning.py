@@ -83,3 +83,81 @@ def partition_report(df: DataFrame) -> dict[str, int]:
     """Partition-count diagnostic (triggers partition planning, cheap)."""
     n = df.rdd.getNumPartitions()
     return {"num_partitions": n, "default_parallelism": df.sparkSession.sparkContext.defaultParallelism}
+
+
+def stitched_running(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    running: dict[str, str | Column] | None = None,
+    rank_name: str | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global running sums / row rank over a TOTAL order, without a
+    single-partition window — the scale pattern for every empty
+    PARTITION-BY frame over fact-grain data.
+
+    1. ``repartitionByRange`` on the order columns: rows land in
+       sorted, non-overlapping ranges (equal keys never split across
+       partitions — RangePartitioner boundaries are key values).
+    2. A LOCAL window per range partition (keyed on
+       ``spark_partition_id()``) computes within-partition running
+       sums and row counts: all partitions work independently.
+    3. Per-partition totals (``num_partitions`` rows) cumsum into
+       prefix OFFSETS — the only single-partition window, over data
+       whose size equals the partition COUNT — broadcast back.
+    4. global = local + offset of all earlier partitions.
+
+    The result is independent of where the sampled range boundaries
+    fall (offsets absorb any split). The input is persisted for the
+    duration of the plan: it feeds both the local window and the
+    offsets aggregate, and both sides MUST see the same sampled
+    boundaries (exchange reuse is not guaranteed).
+
+    Returns ``df`` plus one ``bigint`` column per ``running`` entry
+    (global inclusive running sum in total order) and, if
+    ``rank_name``, the global 1-based row number.
+    """
+    from pyspark.sql import Window
+
+    running = running or {}
+    order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for out, src in running.items():
+        local = local.withColumn(f"_loc_{out}", F.sum(src).over(local_w))
+    if rank_name:
+        local = local.withColumn("_loc_rn", F.count(F.lit(1)).over(local_w))
+
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aggs = [F.sum(src).alias(f"_t_{out}") for out, src in running.items()]
+    aggs.append(F.count(F.lit(1)).alias("_t_n"))
+    offsets = ranged.groupBy("_pid").agg(*aggs)
+    sel = [F.col("_pid")]
+    for out in running:
+        sel.append((F.sum(f"_t_{out}").over(off_w) - F.col(f"_t_{out}")).alias(f"_off_{out}"))
+    sel.append((F.sum("_t_n").over(off_w) - F.col("_t_n")).alias("_off_n"))
+    offsets = offsets.select(*sel)
+
+    joined = local.join(F.broadcast(offsets), "_pid")
+    for out in running:
+        joined = joined.withColumn(
+            out, (F.col(f"_loc_{out}") + F.col(f"_off_{out}")).cast("bigint")
+        )
+    if rank_name:
+        joined = joined.withColumn(
+            rank_name, (F.col("_loc_rn") + F.col("_off_n")).cast("bigint")
+        )
+    drop = ["_pid", "_off_n"]
+    drop += [c for out in running for c in (f"_loc_{out}", f"_off_{out}")]
+    if rank_name:
+        drop.append("_loc_rn")
+    return joined.drop(*drop)

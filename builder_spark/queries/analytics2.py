@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
+from builder_spark.operators.partitioning import stitched_running
 from builder_spark.registry import register
 
 
@@ -311,17 +312,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of consecutive o_orderkey values
     among finished orders, via the classic key-minus-row_number
-    grouping trick (consecutive keys share k − rn). One global sort
-    window then one aggregate; at 100 TB the global row_number is the
-    scale concern — per-partition islands with boundary stitching is
-    the distributed variant, noted here because the fixture's key
-    space is dense enough for the single window to dominate anyway.
-    All-integer arithmetic — no float discipline needed."""
+    grouping trick (consecutive keys share k − rn). The global
+    row_number is computed by range-partition stitching
+    (``stitched_running``): a local rank per sorted range partition
+    plus broadcast prefix offsets — no single-partition window, so
+    the same plan ranks 100 TB of keys. All-integer arithmetic —
+    no float discipline needed."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy("o_orderkey")
+    ranked = stitched_running(
+        o.select(F.col("o_orderkey").alias("k")), ["k"], rank_name="rn"
+    )
     return (
-        o.select(F.col("o_orderkey").alias("k"), F.row_number().over(w).alias("rn"))
-        .select("k", (F.col("k") - F.col("rn")).alias("grp"))
+        ranked.select("k", (F.col("k") - F.col("rn")).alias("grp"))
         .groupBy("grp")
         .agg(
             F.min("k").alias("island_start"),
@@ -949,11 +951,15 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-drift detector (data-quality monitoring, feature
     shift). The oracle states the quadratic correlated-subquery
     definition; the Spark plan is the O(n log n) merge: tag + union
-    both samples, one global sort window accumulates each sample's
-    running count, D = max |i/n − j/m|. ECDF fractions are ratios of
+    both samples, then running per-sample counts over the value order
+    via range-partition stitching (``stitched_running`` — local
+    window per sorted range + broadcast prefix offsets, never a
+    single-partition window), D = max |i/n − j/m|. Sample sizes are
+    a 1-row aggregate broadcast back. ECDF fractions are ratios of
     identical exact integers — no float accumulation. Ties are
     handled by evaluating BOTH cdfs at every distinct value (max of
-    per-value last step), matching the subquery definition exactly."""
+    per-value last step; equal values never split across range
+    partitions), matching the subquery definition exactly."""
     e = load_table(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "purchase").select(
         F.col("value").alias("v"), F.lit(1).alias("is_a"), F.lit(0).alias("is_b")
@@ -962,27 +968,15 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"), F.lit(0).alias("is_a"), F.lit(1).alias("is_b")
     )
     u = a.unionByName(b)
-    w_run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    run = u.select(
-        "v",
-        F.sum("is_a").over(w_run).alias("ca"),
-        F.sum("is_b").over(w_run).alias("cb"),
-        F.sum("is_a").over(w_all).alias("na"),
-        F.sum("is_b").over(w_all).alias("nb"),
-    )
+    run = stitched_running(u, ["v"], running={"ca": "is_a", "cb": "is_b"})
     # at tied values keep the LAST row per v (both counts fully
     # advanced) — that is the ECDF evaluated AT v on both sides
-    per_v = run.groupBy("v").agg(
-        F.max("ca").alias("ca"),
-        F.max("cb").alias("cb"),
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
-    )
+    per_v = run.groupBy("v").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    totals = u.agg(F.sum("is_a").alias("na"), F.sum("is_b").alias("nb"))
     gap = F.abs(
         F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double")
     )
-    return per_v.agg(
+    return per_v.crossJoin(F.broadcast(totals)).agg(
         F.round(F.max(gap), 4).alias("ks_d"),
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),

@@ -300,6 +300,12 @@ def q_global_cumsum_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(32, F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
         .withColumn("_pid", F.spark_partition_id())
     )
+    # repartitionByRange SAMPLES to pick boundaries; this frame feeds two
+    # subplans (local window + offsets aggregate). persist() pins one
+    # materialization so both sides see identical _pid assignment even if
+    # Spark declines to reuse the exchange — otherwise an independent
+    # resample could split rows differently and corrupt the stitch.
+    ranged = ranged.persist()
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())

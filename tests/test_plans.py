@@ -373,3 +373,41 @@ def test_global_cumsum_is_range_partitioned(spark):
     plan = formatted_plan(df)
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_sequence_islands", "q_ks_test", "q_zorder_layout"]
+)
+def test_fact_grain_windows_are_range_partitioned(spark, name):
+    """The three formerly single-partition global windows now use
+    range-partition stitching: the fact is range-partitioned and the
+    partition-count-sized offsets table is broadcast back. The only
+    remaining single-partition frames are over ~32-row aggregates."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan, f"{name}: no range partitioning in plan"
+    assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
+
+
+def test_stitched_running_matches_naive_window(spark):
+    """Property: stitched_running == the naive single-partition window
+    on the same data, for running sums and rank, regardless of where
+    the sampled range boundaries fall."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 7).alias("v")
+    )
+    got = stitched_running(df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn")
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "o_orderkey",
+        F.sum("v").over(w).cast("bigint").alias("rv"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+    )
+    assert got.select("o_orderkey", "rv", "rn").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("o_orderkey", "rv", "rn")).count() == 0
