@@ -45,6 +45,8 @@ def canon_val(v) -> str:
             return "∅"
         if math.isinf(v):
             return f"f:{'+' if v > 0 else '-'}inf"
+        if v == 0:  # -0.0 == 0.0 to the driver's pandas hash; don't diverge on sign
+            v = 0.0
         return f"f:{v:.6f}"
     if isinstance(v, datetime.datetime):
         if v != v:  # pd.NaT (NaT != NaT, like NaN) — a missing value

@@ -473,4 +473,10 @@ class ExecutionManager:
                         indeg[succ] -= 1
                         if indeg[succ] == 0:
                             submit(succ)
+        if len(self.results) != g.number_of_nodes():
+            # nodes whose in-degree never reached 0 — the expanded graph
+            # has a cycle; match the serial path, which raises via
+            # nx.topological_sort instead of returning partial results
+            unreachable = sorted(n for n in g.nodes if n not in self.results)
+            raise ValueError(f"dependency cycle: {len(unreachable)} unreachable nodes, e.g. {unreachable[:3]}")
         return self.results

@@ -1124,7 +1124,8 @@ def _kmeans_oracle() -> str:
         ),
         c{t} AS (
             SELECT p.j,
-                   coalesce(list(m.cd ORDER BY m.i), any_value(p.c)) AS c
+                   CASE WHEN count(m.cd) = 0 THEN any_value(p.c)
+                        ELSE list(m.cd ORDER BY m.i) END AS c
             FROM {prev} p LEFT JOIN m{t} m ON m.j = p.j
             GROUP BY p.j
         )""")

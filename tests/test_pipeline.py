@@ -392,3 +392,29 @@ def test_parallel_failed_dep_skips_downstream(tmp_path):
     )
     assert r[f"a@{D0.isoformat()}"] == "failed"
     assert r[f"b@{D0.isoformat()}"] == "skipped"
+
+
+def test_parallel_execution_raises_on_cycle(tmp_path):
+    """The wave-parallel path must not silently return partial results
+    when the expanded graph is cyclic — it raises like the serial
+    (nx.topological_sort) path does."""
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="x",
+            run=lambda ctx: None,
+            targets=f"{tmp_path}/x/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/y/d=%Y-%m-%d"],
+        )
+    )
+    bm.add(
+        Job(
+            name="y",
+            run=lambda ctx: None,
+            targets=f"{tmp_path}/y/d=%Y-%m-%d",
+            depends=[f"{tmp_path}/x/d=%Y-%m-%d"],
+        )
+    )
+    em = ExecutionManager(bm, FileExecutor())
+    with pytest.raises(Exception):
+        em.start_execution(D0, D0 + timedelta(days=1), max_workers=4)
