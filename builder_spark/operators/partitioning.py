@@ -91,6 +91,7 @@ def stitched_running(
     running: dict[str, str | Column] | None = None,
     rank_name: str | None = None,
     num_partitions: int = 32,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global running sums / row rank over a TOTAL order, without a
     single-partition window — the scale pattern for every empty
@@ -113,6 +114,14 @@ def stitched_running(
     offsets aggregate, and both sides MUST see the same sampled
     boundaries (exchange reuse is not guaranteed).
 
+    With ``partition_cols``, the running sums and rank restart per
+    group — the stitched form of ``PARTITION BY g ORDER BY ...`` where
+    the group cardinality is far below the cluster's parallelism (a
+    3-value key would otherwise sort a third of the table on one
+    reducer). Ranges are taken over (group, order) so a group's rows
+    stay contiguous; offsets are per (partition, group) and the prefix
+    runs within each group over the partition order.
+
     Returns ``df`` plus one ``bigint`` column per ``running`` entry
     (global inclusive running sum in total order) and, if
     ``rank_name``, the global 1-based row number.
@@ -120,14 +129,16 @@ def stitched_running(
     from pyspark.sql import Window
 
     running = running or {}
+    pc = list(partition_cols or [])
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
+    range_exprs = [F.col(c).asc() for c in pc] + order_exprs
     ranged = (
-        df.repartitionByRange(num_partitions, *order_exprs)
+        df.repartitionByRange(num_partitions, *range_exprs)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     local_w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *pc)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -137,17 +148,21 @@ def stitched_running(
     if rank_name:
         local = local.withColumn("_loc_rn", F.count(F.lit(1)).over(local_w))
 
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    off_w = (
+        Window.partitionBy(*pc)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     aggs = [F.sum(src).alias(f"_t_{out}") for out, src in running.items()]
     aggs.append(F.count(F.lit(1)).alias("_t_n"))
-    offsets = ranged.groupBy("_pid").agg(*aggs)
-    sel = [F.col("_pid")]
+    offsets = ranged.groupBy("_pid", *pc).agg(*aggs)
+    sel = [F.col(c) for c in ["_pid", *pc]]
     for out in running:
         sel.append((F.sum(f"_t_{out}").over(off_w) - F.col(f"_t_{out}")).alias(f"_off_{out}"))
     sel.append((F.sum("_t_n").over(off_w) - F.col("_t_n")).alias("_off_n"))
     offsets = offsets.select(*sel)
 
-    joined = local.join(F.broadcast(offsets), "_pid")
+    joined = local.join(F.broadcast(offsets), ["_pid", *pc])
     for out in running:
         joined = joined.withColumn(
             out, (F.col(f"_loc_{out}") + F.col(f"_off_{out}")).cast("bigint")
@@ -161,3 +176,20 @@ def stitched_running(
     if rank_name:
         drop.append("_loc_rn")
     return joined.drop(*drop)
+
+
+def ntile_from_rank(k: int, rank_col: str, n_col: str) -> Column:
+    """Closed-form ``ntile(k)`` from a global 1-based rank and total
+    count: the first ``N % k`` tiles hold ``N div k + 1`` rows, the
+    rest ``N div k`` — SQL-standard semantics, identical in Spark and
+    DuckDB. Lets a stitched distributed rank replace the
+    single-partition window ``ntile(k) OVER (ORDER BY ...)``."""
+    return (
+        F.expr(
+            f"CASE WHEN {rank_col} <= ({n_col} % {k}) * ({n_col} div {k} + 1)"
+            f"     THEN ({rank_col} - 1) div ({n_col} div {k} + 1) + 1"
+            f"     ELSE ({n_col} % {k})"
+            f"          + ({rank_col} - ({n_col} % {k}) * ({n_col} div {k} + 1) - 1)"
+            f"            div ({n_col} div {k}) + 1 END"
+        )
+    ).cast("int")

@@ -264,27 +264,28 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag: the first price
-    whose cumulative weight reaches half the total. The running sum
-    uses a UNIQUE total order (price, orderkey, linenumber) so both
-    engines accumulate doubles in the same sequence — bit-identical
-    cumsums; quantities are exact-integer doubles so tw/2 is exact.
-    One shuffle on the group key serves both windows and the final
-    min-aggregate."""
+    whose cumulative weight reaches half the total. l_returnflag has 3
+    values, so a plain PARTITION BY window would sort a third of the
+    fact table on one reducer; instead the grouped stitched running
+    sum (``stitched_running`` with ``partition_cols``) range-partitions
+    on (flag, price, orderkey, linenumber) and restarts the stitch per
+    flag — the cumulative weight spreads over the whole cluster.
+    Quantities are exact-integer doubles summed as BIGINT, so the
+    half-total comparison is exact integer arithmetic (2·cw ≥ tw ⟺
+    cw ≥ tw/2) on both engines."""
     l = load_table(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = stitched_running(
+        l.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        running={"cw": "l_quantity"},
+        partition_cols=["l_returnflag"],
     )
-    w_tot = Window.partitionBy("l_returnflag")
+    totals = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("bigint").alias("tw")
+    )
     return (
-        l.select(
-            "l_returnflag",
-            "l_extendedprice",
-            F.sum("l_quantity").over(w_cum).alias("cw"),
-            F.sum("l_quantity").over(w_tot).alias("tw"),
-        )
-        .filter(F.col("cw") >= F.col("tw") / 2)
+        run.join(F.broadcast(totals), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
+from builder_spark.operators.partitioning import ntile_from_rank, stitched_running
 from builder_spark.registry import register
 
 
@@ -364,10 +365,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent for tied values: frequency ties are common).
     Monetary is rounded BEFORE the m-quartile ordering so sub-ulp sum
     noise can't flip boundary customers. Scale: per-customer agg is one
-    combinable shuffle; the three global ntiles each sort the
-    per-customer AGGREGATE (|customers| rows, not orders) — at 100 TB
-    swap for percent_rank over approx quantile boundaries if even
-    that sort bites."""
+    combinable shuffle; each quartile is a STITCHED global rank
+    (range-partitioned local rank + broadcast prefix offsets, never a
+    single-partition sort of the |customers| aggregate) fed through
+    closed-form ntile arithmetic — billions of customers at 100 TB
+    stay spread across the cluster."""
     o = load_table(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("_mx"))
     per_cust = (
@@ -380,13 +382,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(max_date))
         .withColumn("recency_days", F.datediff(F.col("_mx"), F.col("_cust_mx")))
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    ck = F.col("o_custkey").asc()
+    scored = stitched_running(
+        per_cust, [F.col("recency_days").asc(), ck], rank_name="_r_rn"
+    )
+    scored = stitched_running(scored, [F.col("frequency").desc(), ck], rank_name="_f_rn")
+    scored = stitched_running(scored, [F.col("monetary").desc(), ck], rank_name="_m_rn")
+    n_cust = per_cust.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(wr))
-        .withColumn("f_quartile", F.ntile(4).over(wf))
-        .withColumn("m_quartile", F.ntile(4).over(wm))
+        scored.crossJoin(F.broadcast(n_cust))
+        .withColumn("r_quartile", ntile_from_rank(4, "_r_rn", "_n"))
+        .withColumn("f_quartile", ntile_from_rank(4, "_f_rn", "_n"))
+        .withColumn("m_quartile", ntile_from_rank(4, "_m_rn", "_n"))
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -442,54 +449,56 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pareto_customers",
     oracle="""
         WITH per_cust AS (
-            SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+            SELECT o_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
-            SELECT o_custkey, revenue,
-                   sum(revenue) OVER (
-                       ORDER BY revenue DESC, o_custkey ASC
+            SELECT o_custkey, rev_cents,
+                   CAST(sum(rev_cents) OVER (
+                       ORDER BY rev_cents DESC, o_custkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_revenue,
-                   sum(revenue) OVER () AS total_revenue,
-                   row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk
+                   ) AS BIGINT) AS cum_cents,
+                   CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+                   row_number() OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS rnk
             FROM per_cust
         )
         SELECT count(*) AS n_top_customers,
                max(rnk) = count(*) AS contiguous,
-               round(min(cum_revenue / total_revenue), 4) AS first_share
+               round(min(cum_cents / CAST(total_cents AS DOUBLE)), 4) AS first_share
         FROM ranked
-        WHERE cum_revenue / total_revenue <= 0.5
+        WHERE 2 * cum_cents <= total_cents
     """,
     category="analytics",
 )
 def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto): how many top customers make up
-    the first 50% of revenue. Per-customer revenue is rounded BEFORE
-    the cumulative window, so the running sum adds identical values in
-    an identical (revenue DESC, custkey ASC) order on both engines —
-    the cum/total ratio is then bit-reproducible and the 0.5 cut
-    cannot flip. Scale: windows run over the |customers| aggregate;
-    at 100 TB replace the global sort with percent_rank bucketing."""
+    the first 50% of revenue. Per-customer revenue becomes EXACT cents
+    before the cumulative sum, so the running total is integer
+    arithmetic — order-independent, which lets the global window run as
+    range-partition stitching (``stitched_running``: local cumsum per
+    sorted range of the |customers| aggregate + broadcast prefix
+    offsets) instead of a single-partition sort; billions of customers
+    at 100 TB stay spread across the cluster. The 50% cut compares
+    2·cum ≤ total in integers — no ratio rounding can flip it."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_cents")
     )
-    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
-    wc = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = Window.partitionBy()
-    wr = Window.orderBy(*order)
-    ranked = per_cust.select(
-        "o_custkey",
-        "revenue",
-        F.sum("revenue").over(wc).alias("cum_revenue"),
-        F.sum("revenue").over(wt).alias("total_revenue"),
-        F.row_number().over(wr).alias("rnk"),
-    ).filter(F.col("cum_revenue") / F.col("total_revenue") <= 0.5)
-    return ranked.agg(
+    ranked = stitched_running(
+        per_cust,
+        [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+        running={"cum_cents": "rev_cents"},
+        rank_name="rnk",
+    )
+    total = per_cust.agg(F.sum("rev_cents").alias("total_cents"))
+    top = ranked.crossJoin(F.broadcast(total)).filter(
+        2 * F.col("cum_cents") <= F.col("total_cents")
+    )
+    return top.agg(
         F.count(F.lit(1)).alias("n_top_customers"),
         (F.max("rnk") == F.count(F.lit(1))).alias("contiguous"),
-        F.round(F.min(F.col("cum_revenue") / F.col("total_revenue")), 4).alias(
+        F.round(F.min(F.col("cum_cents") / F.col("total_cents").cast("double")), 4).alias(
             "first_share"
         ),
     )

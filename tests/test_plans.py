@@ -411,3 +411,67 @@ def test_stitched_running_matches_naive_window(spark):
     )
     assert got.select("o_orderkey", "rv", "rn").exceptAll(want).count() == 0
     assert want.exceptAll(got.select("o_orderkey", "rv", "rn")).count() == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q_pareto_customers", "q_rfm_segments", "q_weighted_median"]
+)
+def test_customer_grain_windows_are_range_partitioned(spark, name):
+    """Customer-grain (and 3-value-key) windows also go through the
+    stitching pattern: range partitioning + broadcast offsets."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan, f"{name}: no range partitioning in plan"
+    assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
+
+
+def test_grouped_stitched_running_matches_naive_window(spark):
+    """stitched_running with partition_cols == the naive PARTITION BY
+    window on the same data."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", (F.col("o_orderkey") % 5).alias("v")
+    )
+    got = stitched_running(
+        df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn",
+        partition_cols=["o_orderstatus"],
+    ).select("o_orderkey", "o_orderstatus", "rv", "rn")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.sum("v").over(w).cast("bigint").alias("rv"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ntile_from_rank_matches_builtin_ntile(spark):
+    """Closed-form ntile == Spark's ntile for several k, including
+    N % k != 0 and N < k."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import ntile_from_rank
+
+    for n_rows, k in [(103, 4), (32, 32), (7, 10), (96, 3)]:
+        df = spark.range(n_rows).withColumn("rn", F.col("id") + 1)
+        df = df.withColumn("_n", F.lit(n_rows).cast("bigint"))
+        got = df.withColumn("t", ntile_from_rank(k, "rn", "_n"))
+        want = df.withColumn("t", F.ntile(k).over(Window.orderBy("id")))
+        diff = (
+            got.select("id", "t")
+            .join(want.select("id", F.col("t").alias("t2")), "id")
+            .filter(F.col("t") != F.col("t2"))
+            .count()
+        )
+        assert diff == 0, f"ntile mismatch for N={n_rows}, k={k}"
