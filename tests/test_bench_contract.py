@@ -31,3 +31,19 @@ def test_headline_queries_execute(spark):
         # .count() = the exact action bench takes; a plan-build or
         # execution error here is the r02 failure mode
         reg[name].fn(spark, SF_DIR).count()
+
+
+def test_join_multi_dims_stay_broadcast(spark):
+    """r03 bench showed a nominal q_join_multi cold regression; the
+    risk worth guarding is AQE demoting the dimension broadcasts to
+    shuffle joins. Pin: after execution, the final (AQE) plan contains
+    NO sort-merge or shuffled-hash join — every join in the star is a
+    BroadcastHashJoin at bench scale. (The residual cold delta is
+    JIT/IO noise: warm time is unchanged round-over-round.)"""
+    reg = load_all()
+    df = reg["q_join_multi"].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, "dimension broadcast was demoted"
+    assert "ShuffledHashJoin" not in final, "dimension broadcast was demoted"
