@@ -367,18 +367,21 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     final integer division ×10⁴ — no float op anywhere, so no
     rounding-boundary risk. Dollar resolution keeps Σi·xᵢ·10⁴ < 2⁶³
     through sf0.1 (at larger n, shift to HUGEINT/decimal or block the
-    rank-weighted sum per range partition)."""
+    rank-weighted sum per range partition). The rank is a STITCHED
+    global row_number and the (n, Σx) totals are a broadcast 1-row
+    aggregate — no single-partition window over the |customers|
+    aggregate."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.expr("cast(round(sum(o_totalprice) * 100) as bigint) div 100").alias("rev_dollars")
     )
-    w_rank = Window.orderBy("rev_dollars", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        F.col("rev_dollars").alias("x"),
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("rev_dollars").over(w_all).alias("s0"),
+    totals = per_cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_dollars").alias("s0")
+    )
+    ranked = (
+        stitched_running(per_cust, ["rev_dollars", "o_custkey"], rank_name="i")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col("rev_dollars").alias("x"), "i", "n", "s0")
     )
     return ranked.agg(
         F.any_value("n").cast("int").alias("n_customers"),
@@ -839,8 +842,10 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so the rankings (unique tie-broken total orders)
     are identical across engines; reported both as corr() of ranks
     and the closed form 1 − 6·Σd²/(n(n²−1)) (equal when ranks are
-    distinct — a built-in cross-check). Two windows over the per-part
-    aggregate, one fact-table shuffle."""
+    distinct — a built-in cross-check). Both rankings are STITCHED
+    global ranks (range-partitioned local rank + broadcast prefix
+    offsets) — the per-part aggregate is unbounded at 100 TB, so no
+    single-partition sort anywhere."""
     l = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100)
     rev = (
@@ -855,11 +860,12 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rev_a") > 0) & (F.col("rev_b") > 0))
     )
-    w_a = Window.orderBy(F.col("rev_a").desc(), F.col("l_partkey"))
-    w_b = Window.orderBy(F.col("rev_b").desc(), F.col("l_partkey"))
-    rk = rev.select(
-        F.row_number().over(w_a).alias("ra"), F.row_number().over(w_b).alias("rb")
+    rk = stitched_running(
+        rev, [F.col("rev_a").desc(), F.col("l_partkey").asc()], rank_name="ra"
     )
+    rk = stitched_running(
+        rk, [F.col("rev_b").desc(), F.col("l_partkey").asc()], rank_name="rb"
+    ).select("ra", "rb")
     n = F.count(F.lit(1))
     d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
     return rk.agg(
@@ -1619,21 +1625,19 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — (cum−self)·100 < total·80 in exact cents —
     so class boundaries cannot move between engines (a float
     share-ratio comparison would flake exactly at a boundary part).
-    One fact shuffle to per-part cents, one rank window over |parts|."""
+    The cumulative sum is STITCHED over range partitions of the
+    per-part aggregate (|parts| is unbounded at 100 TB) and the total
+    is a broadcast 1-row aggregate — no single-partition window."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("cents")
     )
-    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "l_partkey",
-        "cents",
-        F.sum("cents").over(w_cum).alias("cum_cents"),
-        F.sum("cents").over(w_all).alias("total_cents"),
-    )
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    ranked = stitched_running(
+        per_part,
+        [F.col("cents").desc(), F.col("l_partkey").asc()],
+        running={"cum_cents": "cents"},
+    ).crossJoin(F.broadcast(total))
     before = (F.col("cum_cents") - F.col("cents")) * 100
     classed = ranked.withColumn(
         "abc",

@@ -414,7 +414,15 @@ def test_stitched_running_matches_naive_window(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_pareto_customers", "q_rfm_segments", "q_weighted_median"]
+    "name",
+    [
+        "q_pareto_customers",
+        "q_rfm_segments",
+        "q_weighted_median",
+        "q_gini_concentration",
+        "q_abc_classification",
+        "q_rank_correlation",
+    ],
 )
 def test_customer_grain_windows_are_range_partitioned(spark, name):
     """Customer-grain (and 3-value-key) windows also go through the
