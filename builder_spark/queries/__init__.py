@@ -13,10 +13,13 @@ Module map (SURVEY.md §2.B rows):
 
 from builder_spark.queries import (  # noqa: F401
     analytics2,
+    analytics3,
     grouping,
     joins,
     llmdata,
+    llmdata3,
     llmscale,
+    orderstats,
     relational,
     relational2,
     scalar,

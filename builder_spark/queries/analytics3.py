@@ -1,0 +1,261 @@
+"""Operational analytics additions: key-skew diagnostics, day-over-day
+movers, cumulative active users, forward-fill (LOCF), exact per-group
+medians, and equi-width histograms.
+
+Determinism notes follow the repo conventions: counts and cents are
+exact integers; ratios round(·,4) only after division of identical
+integers; every ordered selection carries a unique tie-break; windows
+run either per-key (user grain) or over bounded day/group aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+
+@register(
+    "q_skew_metrics",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_key_rows,
+               round(avg(c), 4) AS avg_key_rows,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_key_share,
+               round(max(c) / (sum(c) / CAST(count(*) AS DOUBLE)), 4)
+                   AS skew_factor
+        FROM per_key
+    """,
+    category="analytics",
+)
+def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts reduced to the
+    numbers that decide a salting/AQE strategy — hottest key's share
+    and its multiple of the mean. This is the operator you run BEFORE
+    choosing a shuffle plan at 100 TB; one combinable aggregate per
+    key, one 1-row reduction, no windows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.avg("c"), 4).alias("avg_key_rows"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_key_share"),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count(F.lit(1)).cast("double")), 4
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "q_day_over_day_movers",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        delta AS (
+            SELECT day, event_type, n,
+                   lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+            FROM daily
+        )
+        SELECT day, event_type, n, prev_n,
+               CAST(n - prev_n AS BIGINT) AS abs_change,
+               round((n - prev_n) / CAST(prev_n AS DOUBLE), 4) AS rel_change
+        FROM delta
+        WHERE prev_n IS NOT NULL
+        ORDER BY abs(n - prev_n) DESC, day ASC, event_type ASC
+        LIMIT 10
+    """,
+    category="analytics",
+)
+def q_day_over_day_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-over-day volume movers per event type — the 'what
+    changed yesterday' report. Daily rollup is a combinable aggregate
+    (days×types rows); lag + top-10 run over that bounded table with a
+    full unique tie-break (abs change, day, type) so the LIMIT is
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return (
+        delta.select(
+            "day",
+            "event_type",
+            "n",
+            "prev_n",
+            (F.col("n") - F.col("prev_n")).cast("bigint").alias("abs_change"),
+            F.round(
+                (F.col("n") - F.col("prev_n")) / F.col("prev_n").cast("double"), 4
+            ).alias("rel_change"),
+        )
+        .orderBy(F.abs(F.col("abs_change")).desc(), F.col("day").asc(), F.col("event_type").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_running_active_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+            FROM events GROUP BY user_id
+        ),
+        per_day AS (
+            SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+        )
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_users
+        FROM per_day
+    """,
+    category="analytics",
+)
+def q_running_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — computed the scale-correct
+    way: NOT a running COUNT(DISTINCT) window over events (that
+    re-scans every prefix), but first-touch attribution (min day per
+    user — one combinable agg), then a cumsum over the bounded day
+    table. The standard growth-curve query."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", F.col("ts")))).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "q_ffill_locf",
+    oracle="""
+        WITH obs AS (
+            SELECT event_id, user_id, ts, value,
+                   CASE WHEN event_type = 'purchase' THEN value END AS px
+            FROM events
+        ),
+        filled AS (
+            SELECT event_id, user_id,
+                   last_value(px IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_purchase_value
+            FROM obs
+        )
+        SELECT event_id, user_id, round(last_purchase_value, 4) AS last_purchase_value
+        FROM filled
+        WHERE event_id % 50 = 0 AND last_purchase_value IS NOT NULL
+    """,
+    category="analytics",
+)
+def q_ffill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / last-observation-carried-forward: annotate every
+    event with the user's most recent purchase value — the sensor-
+    backfill and sparse-feature-propagation primitive. One user-grain
+    window (last_value IGNORE NULLS over a unique (ts, event_id)
+    order); output sampled to every 50th event id. User grain
+    partitions freely at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    px = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "event_id",
+        "user_id",
+        F.last(px, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return filled.filter(
+        (F.col("event_id") % 50 == 0) & F.col("last_purchase_value").isNotNull()
+    ).select(
+        "event_id", "user_id", F.round("last_purchase_value", 4).alias("last_purchase_value")
+    )
+
+
+@register(
+    "q_group_median_exact",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregation",
+)
+def q_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median and p90 (linearly interpolated, the
+    quantile_cont / percentile definition both engines share) — the
+    per-segment price profile. Spark's ``percentile`` is the exact
+    JVM-side aggregate (not percentile_approx): sorts each group's
+    values inside the aggregate buffer, fine while groups fit memory;
+    for fact-grain groups switch to the stitched rank selection of
+    q_percentile_grid_exact. Inputs are identical doubles, the
+    interpolation formula is shared, and round(·,4) absorbs final-ulp
+    noise."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_hist_equiwidth",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT bucket,
+               round(bucket * 25.0, 4) AS lo,
+               round((bucket + 1) * 25.0, 4) AS hi,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM b GROUP BY bucket
+    """,
+    category="analytics",
+)
+def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of purchase values (width 25): the
+    profiling/monitoring histogram, computed as a single combinable
+    aggregate on floor(value/width) — no sort, no window, scales
+    linearly. floor() semantics match across engines (both truncate
+    toward −∞ for positive widths); bin edges are exact multiples."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 25.0, 4).alias("lo"),
+            F.round((F.col("bucket") + 1) * 25.0, 4).alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )

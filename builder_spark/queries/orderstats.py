@@ -1,0 +1,200 @@
+"""Fact-grain order statistics — exact global quantiles, deciles, and
+rank fractions computed WITHOUT a single-partition sort.
+
+These are the queries that make the stitched-rank primitive
+(``operators/partitioning.py::stitched_running``) a first-class
+operator: every global ``ORDER BY`` here runs as range-partitioned
+local ranks + broadcast prefix offsets, so the same plan computes an
+exact median over 100 TB of rows. Values quantize to exact integer
+cents before ranking — rank selection and tile arithmetic are then
+pure int64, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.operators.partitioning import ntile_from_rank, stitched_running
+from builder_spark.registry import register
+
+_LI_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@register(
+    "q_decile_stats",
+    oracle=f"""
+        WITH c AS (
+            SELECT {_LI_CENTS} AS cents, l_orderkey, l_linenumber FROM lineitem
+        ),
+        r AS (
+            SELECT cents,
+                   ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                       AS decile
+            FROM c
+        )
+        SELECT decile, count(*) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM r GROUP BY decile
+    """,
+    category="order-stats",
+)
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile stats of line-item price over the FULL fact table —
+    the feature-binning / monotone-calibration primitive. ntile(10) is
+    reproduced exactly from a stitched global rank plus closed-form
+    tile arithmetic (first N%10 deciles get one extra row); no stage
+    ever sorts more than one range partition."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sel = l.select(
+        F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    ranked = stitched_running(
+        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn"
+    )
+    n_total = sel.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("decile", ntile_from_rank(10, "rn", "_n"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "q_global_median_exact",
+    oracle=f"""
+        WITH c AS (SELECT {_O_CENTS} AS cents, o_orderkey FROM orders),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM c
+        )
+        SELECT round(avg(cents) / 100.0, 4) AS median_price,
+               CAST(any_value(n) AS BIGINT) AS n_orders
+        FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    """,
+    category="order-stats",
+)
+def q_global_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (not approx) of order value at fact grain:
+    stitched rank + broadcast count, then select the middle row (odd n)
+    or average the two middle rows (even n). The standard exact-median-
+    at-scale recipe — an order-statistic SELECTION, so only rank
+    arithmetic crosses partitions, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.select(F.expr(_O_CENTS).alias("cents"), "o_orderkey")
+    ranked = stitched_running(sel, ["cents", "o_orderkey"], rank_name="rn")
+    n_total = sel.agg(F.count(F.lit(1)).alias("n"))
+    lo = (F.col("n") + 1) - (F.col("n") + 1) % 2  # 2*((n+1) div 2)
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .agg(
+            F.round(F.avg("cents") / 100.0, 4).alias("median_price"),
+            F.any_value("n").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_percentile_grid_exact",
+    oracle=f"""
+        WITH c AS (
+            SELECT {_LI_CENTS} AS cents, l_orderkey, l_linenumber FROM lineitem
+        ),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                       AS rn
+            FROM c
+        ),
+        n AS (SELECT count(*) AS n FROM c),
+        g AS (SELECT unnest([10, 25, 50, 75, 90]) AS pct)
+        SELECT g.pct, round(r.cents / 100.0, 4) AS value
+        FROM g, n, r
+        WHERE r.rn = (g.pct * n.n + 99) // 100
+    """,
+    category="order-stats",
+)
+def q_percentile_grid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p10/p25/p50/p75/p90 of line-item price (lower/type-1
+    quantile: the value at rank ceil(p·n)) — the quality-report grid a
+    data pipeline publishes per snapshot. One stitched rank over the
+    fact, then 5 broadcast rank probes; ceil is the integer form
+    (p·n + 99) div 100 on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sel = l.select(
+        F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    ranked = stitched_running(
+        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn"
+    )
+    n_total = sel.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        n_total.select(
+            F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct"),
+            "n",
+        )
+        .withColumn("k", F.expr("(pct * n + 99) div 100"))
+        .select("pct", "k")
+    )
+    return (
+        ranked.join(F.broadcast(grid), ranked.rn == grid.k)
+        .select("pct", F.round(F.col("cents") / 100.0, 4).alias("value"))
+    )
+
+
+@register(
+    "q_cume_dist_global",
+    oracle=f"""
+        WITH c AS (SELECT o_orderkey, {_O_CENTS} AS cents FROM orders),
+        r AS (
+            SELECT o_orderkey, cents,
+                   round(percent_rank() OVER w, 4) AS pct_rank,
+                   round(cume_dist() OVER w, 4) AS cdist,
+                   ntile(100) OVER w AS centile
+            FROM c WINDOW w AS (ORDER BY cents, o_orderkey)
+        )
+        SELECT o_orderkey, cents, pct_rank, cdist, centile
+        FROM r WHERE o_orderkey % 100 = 0
+    """,
+    category="order-stats",
+)
+def q_cume_dist_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank fractions — percent_rank, cume_dist, percentile
+    bucket — for a sampled subset of orders, computed over the FULL
+    table via one stitched rank (the ordering is unique, so
+    percent_rank = (rn−1)/(n−1) and cume_dist = rn/n exactly). The
+    'where does this row sit in the whole distribution' annotation,
+    distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.select("o_orderkey", F.expr(_O_CENTS).alias("cents"))
+    ranked = stitched_running(sel, ["cents", "o_orderkey"], rank_name="rn")
+    n_total = sel.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.round((F.col("rn") - 1) / (F.col("_n") - 1).cast("double"), 4).alias(
+                "pct_rank"
+            ),
+            F.round(F.col("rn") / F.col("_n").cast("double"), 4).alias("cdist"),
+            ntile_from_rank(100, "rn", "_n").alias("centile"),
+        )
+    )

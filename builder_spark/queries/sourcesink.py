@@ -364,3 +364,80 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").cast("bigint").alias("max_price"),
         )
     )
+
+
+@register(
+    "q_hive_partitioned_source",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 4) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    category="source-sink",
+)
+def q_hive_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout roundtrip: write events
+    partitioned by event_type (directory-per-value), read back with a
+    partition filter, and aggregate — a hash-match proves the
+    partition column survives the directory encoding and the pruned
+    read sees exactly the original slice. At 100 TB the filtered scan
+    reads ONE directory out of five; tests/test_plans.py asserts the
+    pruned file listing (partition pruning happens at planning time)."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "builder_spark_hive_part")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.select("event_id", "user_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "q_schema_evolution_merge",
+    oracle="""
+        SELECT coalesce(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                             THEN o_orderpriority END, '(absent)') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM orders GROUP BY 1
+    """,
+    category="source-sink",
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: an old batch written WITHOUT
+    o_orderpriority and a new batch WITH it, read together under
+    ``mergeSchema=true`` — the added column null-fills for old rows
+    and the '(absent)' group in the output counts EXACTLY the old
+    batch, proving the merge didn't smear values across batches. This
+    is the append-only table evolution every long-lived dataset goes
+    through; schema merging is a footer-union at planning time, no
+    data rewrite."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), "builder_spark_schema_evo")
+    shutil.rmtree(base, ignore_errors=True)
+    cut = F.col("o_orderdate") >= "1995-01-01"
+    o.filter(~cut).select("o_orderkey", "o_totalprice", "o_orderdate").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "batch=old"))
+    o.filter(cut).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(base, "batch=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=old"), os.path.join(base, "batch=new")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(absent)")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

@@ -483,3 +483,41 @@ def test_ntile_from_rank_matches_builtin_ntile(spark):
             .count()
         )
         assert diff == 0, f"ntile mismatch for N={n_rows}, k={k}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_decile_stats",
+        "q_global_median_exact",
+        "q_percentile_grid_exact",
+        "q_cume_dist_global",
+    ],
+)
+def test_order_stats_are_range_partitioned(spark, name):
+    """The fact-grain order-statistic queries are built on the stitched
+    rank: range partitioning on the order + broadcast offsets, never a
+    single-partition sort of the fact."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan, f"{name}: no range partitioning"
+    assert "BroadcastHashJoin" in plan, f"{name}: offsets/grid not broadcast"
+
+
+def test_hive_partitioned_read_prunes(spark):
+    """q_hive_partitioned_source's filtered read-back must prune to the
+    one event_type directory (PartitionFilters in the scan node)."""
+    import os
+    import tempfile
+
+    # run the query once so the partitioned layout exists on disk
+    REGISTRY["q_hive_partitioned_source"].fn(spark, SF_DIR).collect()
+    path = os.path.join(tempfile.gettempdir(), "builder_spark_hive_part")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().explainString(
+        back._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
