@@ -36,6 +36,10 @@ HEADLINE = [
     "q_cosine_topk",
     "q_win_session",
     "q_text_stats",
+    # added r04: stitched fact-grain global ranking (range partition +
+    # local windows + broadcast offsets) — the pattern every global
+    # order statistic runs on; timed so a stitching regression shows up
+    "q_decile_stats",
 ]
 
 

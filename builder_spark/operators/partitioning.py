@@ -112,7 +112,11 @@ def stitched_running(
     fall (offsets absorb any split). The input is persisted for the
     duration of the plan: it feeds both the local window and the
     offsets aggregate, and both sides MUST see the same sampled
-    boundaries (exchange reuse is not guaranteed).
+    boundaries (exchange reuse is not guaranteed). At 100 TB, if the
+    persist is too heavy, the alternative is explicit boundaries:
+    approxQuantile the order key once on the driver and assign the
+    partition id with a deterministic width_bucket expression — then
+    both subplans recompute identically with no materialization.
 
     With ``partition_cols``, the running sums and rank restart per
     group — the stitched form of ``PARTITION BY g ORDER BY ...`` where
