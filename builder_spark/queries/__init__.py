@@ -1,14 +1,18 @@
 """Graded query modules — importing this package registers every query.
 
 Module map (SURVEY.md §2.B rows):
-- relational: scan/filter/project/distinct/agg/join/sort/set ops (1-13, 17-26, 34-39)
-- grouping:   rollup/cube/grouping sets (14-16)
-- window:     ranking/lag/frames (27-33)
-- scalar:     string/date/math/json/array functions (40-48)
-- subquery:   IN/scalar/correlated subqueries (49-51)
-- llmdata:    dedup/similarity/multimodal/text stats (52-58)
-- winbatch:   tumbling/sliding/session windows on batch (59-61)
-- udf:        Python/pandas UDF surface + sinks (65-70)
+- relational/relational2: scan/filter/project/distinct/agg/pivot/percentile
+- grouping:   rollup/cube/grouping sets
+- joins:      inner/outer/semi/anti/theta/asof/temporal/salted/bloom-pruned
+- setops, window, scalar, subquery: set ops, frames, functions, subqueries
+- tpch/tpch2: the 22 TPC-H composites
+- llmdata/llmscale/llmdata3/textops: dedup, similarity, multimodal,
+  text analysis, corpus curation
+- winbatch/analytics2/analytics3: stream-on-batch windows + analytics
+- orderstats: exact fact-grain order statistics via stitched ranks
+- udf:        Python/pandas UDF surface + sinks
+- sourcesink: csv/json/orc/text/binaryFile/bucketed/partitioned/
+  schema-evolution ingest + layout maintenance
 """
 
 from builder_spark.queries import (  # noqa: F401

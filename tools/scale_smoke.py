@@ -40,6 +40,7 @@ HEAVY = [
     "q_win_session",
     "q_tfidf_top_terms",
     "q_tpch_q21",
+    "q_decile_stats",  # stitched fact-grain global rank at 10x
 ]
 
 #: per-table key columns to offset so replicas don't collide
