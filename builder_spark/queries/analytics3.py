@@ -259,3 +259,61 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000
+                       AS gap_s
+            FROM events WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id,
+               count(*) AS n_intervals,
+               CAST(sum(gap_s) AS BIGINT) AS total_dur_s,
+               round(sum(cents * gap_s) / (100.0 * sum(gap_s)), 4) AS twap
+        FROM seq
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING sum(gap_s) > 0
+    """,
+    category="analytics",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by how long it was current (gap to the next event) — the
+    correct average for irregularly sampled series, where the plain
+    mean over-weights bursts. Values quantize to exact cents and gaps
+    to exact whole seconds (identical epoch-µs arithmetic both
+    engines), so the weighted sum is pure int64 and the single
+    division rounds once. One user-grain window + one aggregate —
+    partitions freely at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = F.expr("(unix_micros(_next_ts) - unix_micros(ts)) div 1000000")
+    seq = (
+        ev.withColumn("_next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            gap_s.alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("gap_s").cast("bigint").alias("total_dur_s"),
+            F.round(
+                F.sum(F.col("cents") * F.col("gap_s"))
+                / (F.lit(100.0) * F.sum("gap_s")),
+                4,
+            ).alias("twap"),
+        )
+        .filter(F.col("total_dur_s") > 0)
+    )

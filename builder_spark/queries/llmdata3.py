@@ -194,3 +194,139 @@ def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(ratio), 4).alias("avg_distinct_ratio"),
     )
+
+
+_KNUTH = 2654435761  # 2^32 / φ — engine-portable multiplicative hash
+
+
+@register(
+    "q_reservoir_sample_det",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               md5(CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR)) AS h
+        FROM lineitem
+        ORDER BY h ASC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
+    """,
+    category="llm-pipeline",
+)
+def q_reservoir_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample (the distributed reservoir): rank
+    every row by an engine-portable hash of its key and keep the k
+    smallest. Unlike rand()-based reservoirs the selection is
+    reproducible across engines, runs, and partitionings; unlike a
+    global sort it executes as TakeOrderedAndProject — each partition
+    keeps its local top-k and only k·partitions rows reach the driver
+    merge (plan-tested). The standard 'fixed-size eval slice at 100
+    TB' primitive."""
+    l = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws("_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
+    return (
+        l.select("l_orderkey", "l_linenumber", h.alias("h"))
+        .orderBy(F.col("h").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT count(*) AS n_batch,
+               CAST(sum(CASE WHEN f IN (SELECT f FROM corpus)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+               CAST(sum(CASE WHEN f NOT IN (SELECT f FROM corpus)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(count(DISTINCT CASE WHEN f NOT IN (SELECT f FROM corpus)
+                          THEN f END) AS BIGINT) AS n_new_distinct
+        FROM batch
+    """,
+    category="llm-dedup",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch screened against the
+    existing corpus by content fingerprint — the shape every append-
+    only corpus pipeline runs per increment (dedup against history
+    WITHOUT rescanning history's text). Only 16-byte md5 fingerprints
+    cross the join; the corpus side is a distinct-fingerprint set
+    (broadcastable when small, shuffle-by-fingerprint when not), and
+    the batch needs one semi/anti-join pass."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("f")).distinct()
+    batch = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", F.md5("text").alias("f"))
+    dup = batch.join(corpus, "f", "left_semi")
+    new = batch.join(corpus, "f", "left_anti")
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_dup = dup.agg(F.count(F.lit(1)).alias("n_dup_vs_corpus"))
+    n_new = new.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.countDistinct("f").alias("n_new_distinct"),
+    )
+    return n_batch.crossJoin(F.broadcast(n_dup)).crossJoin(F.broadcast(n_new))
+
+
+@register(
+    "q_sample_bias_check",
+    oracle=f"""
+        WITH agg AS (
+            SELECT event_type,
+                   count(*) AS nf,
+                   sum(CASE WHEN (CAST(event_id AS HUGEINT) * {_KNUTH})
+                            % 4294967296 % 100 < 10 THEN 1 ELSE 0 END) AS ns
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(nf) AS BIGINT) AS tf, CAST(sum(ns) AS BIGINT) AS ts
+            FROM agg
+        )
+        SELECT agg.event_type,
+               CAST(agg.nf AS BIGINT) AS n_full,
+               CAST(agg.ns AS BIGINT) AS n_sample,
+               round(agg.nf / CAST(tot.tf AS DOUBLE), 4) AS share_full,
+               round(agg.ns / CAST(tot.ts AS DOUBLE), 4) AS share_sample,
+               round(abs(agg.nf / CAST(tot.tf AS DOUBLE)
+                         - agg.ns / CAST(tot.ts AS DOUBLE)), 4) AS share_gap
+        FROM agg, tot
+    """,
+    category="llm-pipeline",
+)
+def q_sample_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-bias audit: does the deterministic 10% hash sample
+    preserve the category distribution? Per event type, the full-data
+    share vs the sampled share and their gap — the check a pipeline
+    runs before trusting sampled metrics. One scan computes both
+    (conditional sum), totals come from the 5-row aggregate; shares
+    divide exact integers and round once."""
+    ev = load_table(spark, sf_dir, "events")
+    in_sample = (
+        F.pmod(F.pmod(F.col("event_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100)) < 10
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("ns"),
+    )
+    tot = agg.agg(
+        F.sum("nf").cast("bigint").alias("tf"), F.sum("ns").cast("bigint").alias("ts")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("nf").cast("bigint").alias("n_full"),
+        F.col("ns").cast("bigint").alias("n_sample"),
+        F.round(F.col("nf") / F.col("tf").cast("double"), 4).alias("share_full"),
+        F.round(F.col("ns") / F.col("ts").cast("double"), 4).alias("share_sample"),
+        F.round(
+            F.abs(
+                F.col("nf") / F.col("tf").cast("double")
+                - F.col("ns") / F.col("ts").cast("double")
+            ),
+            4,
+        ).alias("share_gap"),
+    )

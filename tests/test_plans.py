@@ -524,3 +524,15 @@ def test_hive_partitioned_read_prunes(spark):
     )
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_reservoir_sample_is_take_ordered(spark):
+    """q_reservoir_sample_det must execute as TakeOrderedAndProject
+    (per-partition top-k + driver merge of k·partitions rows), never a
+    global sort."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_reservoir_sample_det"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, "global sort crept in"
