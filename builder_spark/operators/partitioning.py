@@ -92,6 +92,7 @@ def stitched_running(
     rank_name: str | None = None,
     num_partitions: int = 32,
     partition_cols: list[str] | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Global running sums / row rank over a TOTAL order, without a
     single-partition window — the scale pattern for every empty
@@ -108,15 +109,20 @@ def stitched_running(
        whose size equals the partition COUNT — broadcast back.
     4. global = local + offset of all earlier partitions.
 
-    The result is independent of where the sampled range boundaries
-    fall (offsets absorb any split). The input is persisted for the
-    duration of the plan: it feeds both the local window and the
-    offsets aggregate, and both sides MUST see the same sampled
-    boundaries (exchange reuse is not guaranteed). At 100 TB, if the
-    persist is too heavy, the alternative is explicit boundaries:
-    approxQuantile the order key once on the driver and assign the
-    partition id with a deterministic width_bucket expression — then
-    both subplans recompute identically with no materialization.
+    The result is independent of where the range boundaries fall
+    (offsets absorb any split). Two boundary strategies:
+
+    - default (``boundaries=None``): ``repartitionByRange`` SAMPLES
+      boundaries, so the ranged frame is persisted — it feeds both the
+      local window and the offsets aggregate, and both sides MUST see
+      the same sampled assignment (exchange reuse is not guaranteed).
+    - ``boundaries=[...]`` (e.g. from :func:`range_boundaries`): the
+      partition id becomes a DETERMINISTIC expression (count of
+      boundaries ≤ the first order column), so both subplans compute
+      identical assignments with NO persist — the scale-preferred path
+      when materializing the input is too heavy. Requires the first
+      order column to be a plain ascending column name; boundary
+      quality only affects balance, never correctness.
 
     With ``partition_cols``, the running sums and rank restart per
     group — the stitched form of ``PARTITION BY g ORDER BY ...`` where
@@ -135,12 +141,23 @@ def stitched_running(
     running = running or {}
     pc = list(partition_cols or [])
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
-    range_exprs = [F.col(c).asc() for c in pc] + order_exprs
-    ranged = (
-        df.repartitionByRange(num_partitions, *range_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    if boundaries is not None:
+        first = order_cols[0]
+        if not isinstance(first, str):
+            raise ValueError("explicit boundaries need a plain ascending first order column")
+        pid = F.lit(0)
+        for b in sorted(set(boundaries)):
+            pid = pid + F.when(F.col(first) >= F.lit(b), 1).otherwise(0)
+        # deterministic assignment: no physical range exchange needed —
+        # the local window's own (_pid, groups) exchange distributes rows
+        ranged = df.withColumn("_pid", pid)
+    else:
+        range_exprs = [F.col(c).asc() for c in pc] + order_exprs
+        ranged = (
+            df.repartitionByRange(num_partitions, *range_exprs)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
     local_w = (
         Window.partitionBy("_pid", *pc)
         .orderBy(*order_exprs)
@@ -197,3 +214,13 @@ def ntile_from_rank(k: int, rank_col: str, n_col: str) -> Column:
             f"            div ({n_col} div {k}) + 1 END"
         )
     ).cast("int")
+
+
+def range_boundaries(df: DataFrame, col: str, num_partitions: int = 32) -> list:
+    """Approximate equi-depth boundaries for ``stitched_running``'s
+    deterministic-assignment mode: one ``approxQuantile`` pass on the
+    driver (relative error 1%). Boundary skew only unbalances
+    partitions — the stitch's offsets make the RESULT independent of
+    where the cuts fall — so the cheap sketch is always safe."""
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    return sorted(set(df.approxQuantile(col, probs, 0.01)))

@@ -536,3 +536,34 @@ def test_reservoir_sample_is_take_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan, "global sort crept in"
+
+
+def test_stitched_running_explicit_boundaries_matches_naive(spark):
+    """The deterministic-boundary mode (no persist, no sampled range
+    exchange) == the naive global window, for running sums and rank —
+    including deliberately BAD boundaries, which may only unbalance
+    partitions, never change the result."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import (
+        range_boundaries,
+        stitched_running,
+    )
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 11).alias("v")
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select(
+        "o_orderkey",
+        F.sum("v").over(w).cast("bigint").alias("rv"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+    )
+    good = range_boundaries(df, "o_orderkey", 8)
+    bad = [2, 3, 5]  # pathological: nearly everything lands in one bucket
+    for bounds in (good, bad):
+        got = stitched_running(
+            df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn", boundaries=bounds
+        ).select("o_orderkey", "rv", "rn")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
