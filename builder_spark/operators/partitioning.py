@@ -119,10 +119,14 @@ def stitched_running(
     - ``boundaries=[...]`` (e.g. from :func:`range_boundaries`): the
       partition id becomes a DETERMINISTIC expression (count of
       boundaries ≤ the first order column), so both subplans compute
-      identical assignments with NO persist — the scale-preferred path
-      when materializing the input is too heavy. Requires the first
-      order column to be a plain ascending column name; boundary
-      quality only affects balance, never correctness.
+      identical assignments with NO persist — the escape hatch when
+      materializing the input is too heavy. Requires the first order
+      column to be a plain ascending column name; boundary quality
+      only affects balance, never correctness. Measured at sf0.1
+      local[32]: persist ≈0.9–1.1 s vs boundaries ≈1.9–2.9 s (the
+      extra approxQuantile ACTION dominates at small scale) — default
+      stays persist; switch only when the ranged frame itself is the
+      memory/disk problem.
 
     With ``partition_cols``, the running sums and rank restart per
     group — the stitched form of ``PARTITION BY g ORDER BY ...`` where
