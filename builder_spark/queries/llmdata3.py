@@ -330,3 +330,128 @@ def q_sample_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_gap"),
     )
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle="""
+        WITH grp AS (
+            SELECT md5(text) AS f, count(*) AS sz FROM documents GROUP BY md5(text)
+        )
+        SELECT sz AS cluster_size,
+               count(*) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM grp GROUP BY sz
+    """,
+    category="llm-dedup",
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-content
+    clusters exist at each multiplicity — the observability readout
+    that tells a dedup pipeline whether duplication is a few huge
+    clusters (one viral page) or a long tail (boilerplate). Two
+    combinable aggregates over 16-byte fingerprints; text never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    grp = d.groupBy(F.md5("text").alias("f")).agg(F.count(F.lit(1)).alias("sz"))
+    return grp.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "q_lang_mix_entropy",
+    oracle="""
+        WITH cnt AS (
+            SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+        ),
+        tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY source)
+        SELECT cnt.source,
+               CAST(any_value(tot.t) AS BIGINT) AS n_docs,
+               count(*) AS n_langs,
+               round(-sum((cnt.c / CAST(tot.t AS DOUBLE))
+                          * ln(cnt.c / CAST(tot.t AS DOUBLE))), 4) AS lang_entropy
+        FROM cnt JOIN tot ON tot.source = cnt.source
+        GROUP BY cnt.source
+    """,
+    category="llm-text",
+)
+def q_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source: 0 for monolingual sources,
+    ln(k) for a uniform k-language mix — the curation signal for
+    routing sources to language-specific pipelines. Probabilities
+    divide exact integers; the entropy sum runs over ≤|langs| terms
+    per source and rounds once. Aggregate sizes: sources×langs."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("t").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        e AS (
+            SELECT a.p_brand AS u, b.p_brand AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING count(*) >= 20
+        )
+        SELECT count(*) AS n_triangles,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+        FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+          ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    category="analytics",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the brand co-purchase graph — the graph-
+    density primitive behind community detection and link spam
+    screens. Edges are oriented u<v so each triangle is counted ONCE
+    (the standard node-iterator dedup); the two joins are equi-joins
+    on vertex keys — at real graph scale the same plan shuffles by
+    vertex, with high-degree vertices handled by degree-ordering
+    (orient edges low-degree → high-degree) instead of a hub
+    blowup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lp = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("v"))
+    e = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 20)
+        .select("u", "v")
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )

@@ -96,7 +96,6 @@ def q_global_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = o.select(F.expr(_O_CENTS).alias("cents"), "o_orderkey")
     ranked = stitched_running(sel, ["cents", "o_orderkey"], rank_name="rn")
     n_total = sel.agg(F.count(F.lit(1)).alias("n"))
-    lo = (F.col("n") + 1) - (F.col("n") + 1) % 2  # 2*((n+1) div 2)
     return (
         ranked.crossJoin(F.broadcast(n_total))
         .filter(
@@ -196,5 +195,59 @@ def q_cume_dist_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.col("rn") / F.col("_n").cast("double"), 4).alias("cdist"),
             ntile_from_rank(100, "rn", "_n").alias("centile"),
+        )
+    )
+
+
+@register(
+    "q_group_decile_bands",
+    oracle=f"""
+        WITH c AS (
+            SELECT l_returnflag, {_LI_CENTS} AS cents, l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_returnflag, cents,
+                   ntile(10) OVER (PARTITION BY l_returnflag
+                       ORDER BY cents, l_orderkey, l_linenumber) AS decile
+            FROM c
+        )
+        SELECT l_returnflag, decile, count(*) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM r GROUP BY l_returnflag, decile
+    """,
+    category="order-stats",
+)
+def q_group_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP decile bands over the fact table where the group key
+    has only 3 values — the case where a plain PARTITION BY window
+    serializes a third of 100 TB per reducer. Uses the GROUPED stitch
+    (ranges over (flag, price…), per-(partition, flag) offsets) for a
+    distributed per-group rank, plus a broadcast per-group count for
+    the closed-form ntile. The per-segment price-band report, at fact
+    grain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sel = l.select(
+        "l_returnflag",
+        F.expr(_LI_CENTS).alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = stitched_running(
+        sel,
+        ["cents", "l_orderkey", "l_linenumber"],
+        rank_name="rn",
+        partition_cols=["l_returnflag"],
+    )
+    counts = sel.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(counts), "l_returnflag")
+        .withColumn("decile", ntile_from_rank(10, "rn", "_n"))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
         )
     )
