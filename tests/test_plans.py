@@ -567,3 +567,21 @@ def test_stitched_running_explicit_boundaries_matches_naive(spark):
         ).select("o_orderkey", "rv", "rn")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("name", ["q_market_basket", "q_triangle_count"])
+def test_pair_graph_joins_are_equi_joins(spark, name):
+    """Pair/triangle generation must be keyed equi-joins (per-order or
+    per-vertex). The ONE allowed nested-loop join is the deliberate
+    crossJoin against a broadcast 1-row totals aggregate; any more
+    means a pair join lost its key and went all-pairs."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # formatted mode lists each node once in the tree and once in details
+    nl_nodes = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nl_nodes <= 1, f"{name}: {nl_nodes} nested-loop joins (all-pairs blowup?)"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+        f"{name}: keyed joins missing"
+    )

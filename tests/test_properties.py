@@ -197,3 +197,31 @@ def test_prefix_filter_candidates_are_output_bound(spark):
         f"candidate set no longer output-bound: {n_cand} candidates "
         f"for {n_true} true pairs"
     )
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    k=st.sampled_from([2, 3, 4, 7, 10, 32, 100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_from_rank_closed_form_is_sql_standard(n, k):
+    """Pure-math check (no Spark): the closed form used by
+    ntile_from_rank partitions ranks 1..n into k SQL-standard tiles —
+    first n%k tiles hold n//k+1 rows, sizes never differ by more than
+    one, tiles are contiguous and nondecreasing."""
+    q, r = divmod(n, k)
+
+    def tile(rn: int) -> int:
+        if rn <= r * (q + 1):
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - r * (q + 1) - 1) // q + 1
+
+    tiles = [tile(rn) for rn in range(1, n + 1)]
+    assert tiles == sorted(tiles)
+    from collections import Counter
+
+    sizes = Counter(tiles)
+    assert set(sizes) == set(range(1, min(k, n) + 1))
+    expect_big, expect_small = q + 1, q
+    for t, sz in sizes.items():
+        assert sz == (expect_big if t <= r else expect_small) or (q == 0 and sz == 1)
