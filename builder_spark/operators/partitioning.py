@@ -93,6 +93,8 @@ def stitched_running(
     num_partitions: int = 32,
     partition_cols: list[str] | None = None,
     boundaries: list | None = None,
+    running_min: dict[str, str | Column] | None = None,
+    running_min_excl: dict[str, str | Column] | None = None,
 ) -> DataFrame:
     """Global running sums / row rank over a TOTAL order, without a
     single-partition window — the scale pattern for every empty
@@ -137,12 +139,16 @@ def stitched_running(
     runs within each group over the partition order.
 
     Returns ``df`` plus one ``bigint`` column per ``running`` entry
-    (global inclusive running sum in total order) and, if
-    ``rank_name``, the global 1-based row number.
+    (global inclusive running sum in total order), one column per
+    ``running_min`` entry (global inclusive running MIN — stitched as
+    least(local min, min of earlier partitions' minima); type
+    preserved), and, if ``rank_name``, the global 1-based row number.
     """
     from pyspark.sql import Window
 
     running = running or {}
+    running_min = running_min or {}
+    running_min_excl = running_min_excl or {}
     pc = list(partition_cols or [])
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
     if boundaries is not None:
@@ -170,6 +176,16 @@ def stitched_running(
     local = ranged
     for out, src in running.items():
         local = local.withColumn(f"_loc_{out}", F.sum(src).over(local_w))
+    for out, src in running_min.items():
+        local = local.withColumn(f"_locm_{out}", F.min(src).over(local_w))
+    if running_min_excl:
+        local_w_excl = (
+            Window.partitionBy("_pid", *pc)
+            .orderBy(*order_exprs)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        for out, src in running_min_excl.items():
+            local = local.withColumn(f"_locm_{out}", F.min(src).over(local_w_excl))
     if rank_name:
         local = local.withColumn("_loc_rn", F.count(F.lit(1)).over(local_w))
 
@@ -178,12 +194,25 @@ def stitched_running(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    off_w_excl = (
+        Window.partitionBy(*pc)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     aggs = [F.sum(src).alias(f"_t_{out}") for out, src in running.items()]
+    aggs += [
+        F.min(src).alias(f"_tm_{out}")
+        for out, src in {**running_min, **running_min_excl}.items()
+    ]
     aggs.append(F.count(F.lit(1)).alias("_t_n"))
     offsets = ranged.groupBy("_pid", *pc).agg(*aggs)
     sel = [F.col(c) for c in ["_pid", *pc]]
     for out in running:
         sel.append((F.sum(f"_t_{out}").over(off_w) - F.col(f"_t_{out}")).alias(f"_off_{out}"))
+    for out in {**running_min, **running_min_excl}:
+        # min over EARLIER partitions only (exclusive frame; NULL for the
+        # first partition — least() skips it)
+        sel.append(F.min(f"_tm_{out}").over(off_w_excl).alias(f"_offm_{out}"))
     sel.append((F.sum("_t_n").over(off_w) - F.col("_t_n")).alias("_off_n"))
     offsets = offsets.select(*sel)
 
@@ -192,12 +221,24 @@ def stitched_running(
         joined = joined.withColumn(
             out, (F.col(f"_loc_{out}") + F.col(f"_off_{out}")).cast("bigint")
         )
+    for out in {**running_min, **running_min_excl}:
+        # least() skips NULLs, so the result is NULL only when BOTH the
+        # local (exclusive) min and the earlier-partition min are absent
+        # — i.e. the global first row of an exclusive frame, as intended
+        joined = joined.withColumn(
+            out, F.least(F.col(f"_locm_{out}"), F.col(f"_offm_{out}"))
+        )
     if rank_name:
         joined = joined.withColumn(
             rank_name, (F.col("_loc_rn") + F.col("_off_n")).cast("bigint")
         )
     drop = ["_pid", "_off_n"]
     drop += [c for out in running for c in (f"_loc_{out}", f"_off_{out}")]
+    drop += [
+        c
+        for out in {**running_min, **running_min_excl}
+        for c in (f"_locm_{out}", f"_offm_{out}")
+    ]
     if rank_name:
         drop.append("_loc_rn")
     return joined.drop(*drop)

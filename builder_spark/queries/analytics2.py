@@ -467,19 +467,19 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sweep, not the naive O(n²) self-join the oracle states:
     aggregate per price group (min size), running-min over strictly
     cheaper groups, then keep rows at their group's min size that beat
-    every cheaper group — an O(n log n) plan whose only heavy op is
-    one sort over |distinct prices|. A row above its own group's min
-    size is dominated at equal price; a group whose min doesn't
-    undercut all cheaper groups is dominated outright. Price
-    comparisons are raw doubles on both engines (same values, same
-    comparisons — no arithmetic)."""
+    every cheaper group. A row above its own group's min size is
+    dominated at equal price; a group whose min doesn't undercut all
+    cheaper groups is dominated outright. The exclusive running min is
+    STITCHED (``running_min_excl``: local exclusive min per range
+    partition, least'd with earlier partitions' minima) — |distinct
+    prices| is unbounded at 100 TB, so no single-partition sweep.
+    Price comparisons are raw doubles on both engines (same values,
+    same comparisons — no arithmetic)."""
     p = load_table(spark, sf_dir, "part")
     grp_min = p.groupBy("p_retailprice").agg(F.min("p_size").alias("_gmin"))
-    w_prev = (
-        Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    prev_min = stitched_running(
+        grp_min, ["p_retailprice"], running_min_excl={"_pmin": "_gmin"}
     )
-    prev_min = grp_min.withColumn("_pmin", F.min("_gmin").over(w_prev))
     return (
         p.join(prev_min, "p_retailprice")
         .filter(

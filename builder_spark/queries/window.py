@@ -206,17 +206,33 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpartitioned window — single-partition sort. Fine for a 1500-row
-    dim; on a fact table you'd bucket by a partition key first (this is
-    inherently a global order statistic)."""
+    """Global order-statistic trio (ntile / percent_rank / cume_dist)
+    over the customer dim — computed via the STITCHED rank rather than
+    a single-partition sort, because |customers| is billions at 100 TB.
+    The ordering is unique (acctbal, custkey), so rank == row_number,
+    percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and ntile is the
+    closed-form tile arithmetic — all exactly the builtins' values
+    (the oracle still states the plain window)."""
+    from builder_spark.operators.partitioning import ntile_from_rank, stitched_running
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    ranked = stitched_running(
+        c.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        rank_name="rn",
+    )
+    n_total = c.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            ntile_from_rank(4, "rn", "_n").alias("quartile"),
+            F.round((F.col("rn") - 1) / (F.col("_n") - 1).cast("double"), 4).alias(
+                "pct_rank"
+            ),
+            F.round(F.col("rn") / F.col("_n").cast("double"), 4).alias("cdist"),
+        )
     )
 
 

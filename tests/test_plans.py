@@ -209,7 +209,7 @@ def test_per_row_ops_are_shuffle_free(spark, name):
         ("q_token_entropy", 2),
         ("q_dedup_keep_best", 1),  # one shuffle on the 16-byte fingerprint
         ("q_ohlc_hourly", 1),      # hour shuffle shared by windows + agg
-        ("q_skyline", 2),          # price-group agg + running-min window
+        ("q_skyline", 5),          # stitched excl running-min: range + offsets
     ],
 )
 def test_added_query_shuffle_budget(spark, name, max_exchanges):
@@ -425,6 +425,9 @@ def test_stitched_running_matches_naive_window(spark):
         "q_gini_concentration",
         "q_abc_classification",
         "q_rank_correlation",
+        "q_skyline",
+        "q_window_ntile",
+        "q_group_decile_bands",
     ],
 )
 def test_customer_grain_windows_are_range_partitioned(spark, name):
@@ -585,3 +588,30 @@ def test_pair_graph_joins_are_equi_joins(spark, name):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
         f"{name}: keyed joins missing"
     )
+
+
+def test_stitched_running_min_matches_naive(spark):
+    """Inclusive and exclusive stitched running mins == the naive
+    global windows."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", (F.col("p_partkey") * 37 % 101).alias("v")
+    )
+    got = stitched_running(
+        df,
+        ["p_partkey"],
+        running_min={"m_incl": "v"},
+        running_min_excl={"m_excl": "v"},
+    ).select("p_partkey", "m_incl", "m_excl")
+    w_i = Window.orderBy("p_partkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_e = Window.orderBy("p_partkey").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "p_partkey",
+        F.min("v").over(w_i).alias("m_incl"),
+        F.min("v").over(w_e).alias("m_excl"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
