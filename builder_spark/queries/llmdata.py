@@ -572,20 +572,21 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic streaming-concat packing rule. Integer token counts
     make the cumsum exact, so bin edges are identical across engines
     with no rounding discipline needed. Scale: the global-order cumsum
-    is the serial bottleneck — at 100 TB, pack WITHIN partitions
-    (shard = partition id, bin local to shard), which this rule
-    supports unchanged; the graded twin keeps the single order for
-    oracle parity."""
+    is the serial ORDER, not a serial stage — the running token sum
+    over doc order is STITCHED (range partitions + broadcast prefix
+    offsets), so the same exact bin assignment computes fully
+    distributed at 100 TB."""
+    from builder_spark.operators.partitioning import stitched_running
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = toks.withColumn(
+    packed = stitched_running(
+        toks, ["doc_id"], running={"_cum": "n_tok"}
+    ).withColumn(
         "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 1024.0).cast("bigint"),
+        F.floor((F.col("_cum") - F.col("n_tok")) / 1024.0).cast("bigint"),
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

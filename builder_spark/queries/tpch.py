@@ -588,8 +588,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    # scalar max via broadcast 1-row aggregate — not an empty-frame
+    # window, which would single-partition the supplier aggregate
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     return (

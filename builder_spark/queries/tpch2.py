@@ -193,9 +193,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
-    w = Window.partitionBy()
+    # scalar threshold via broadcast 1-row aggregate — not an
+    # empty-frame window over the |parts| aggregate
+    tot = val.agg(F.round(0.001 * F.sum("value"), 4).alias("thresh"))
     return (
-        val.withColumn("thresh", F.round(0.001 * F.sum("value").over(w), 4))
+        val.crossJoin(F.broadcast(tot))
         .filter(F.round(F.col("value"), 4) > F.col("thresh"))
         .select("l_partkey", F.round("value", 4).alias("part_value"))
     )

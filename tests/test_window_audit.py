@@ -1,0 +1,74 @@
+"""Repo-wide single-partition-window invariant.
+
+Every ordered window with an empty PARTITION BY is a scale hazard
+unless its frame is bounded (a digit/cell/day/vocab aggregate) or it
+is the stitched pattern's own offsets frame (ordered by `_pid`,
+partition-count-sized). This test walks every registered query's
+optimized plan and asserts the set of offenders equals the declared
+whitelist — so a new query with an accidental global sort fails CI,
+and a whitelist entry documents WHY its frame is bounded.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from window_audit import unpartitioned_windows  # noqa: E402
+
+from builder_spark.registry import load_all  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+#: queries whose empty-partition frames run over BOUNDED aggregates —
+#: each entry names the frame's grain (why it can't explode at 100 TB)
+BOUNDED_FRAME_WHITELIST = {
+    "q_benford": "9 first-digit rows",
+    "q_chisq_independence": "5x2 contingency cells",
+    "q_vocab_coverage": "vocabulary aggregate (fixture vocab; zipf-capped)",
+    "q_psi_drift": "10 PSI buckets",
+    "q_new_vs_returning": "day table",
+    "q_dim_variance": "64 embedding dims",
+    "q_exp_smoothing": "day table",
+    "q_running_active_users": "day table",
+    "q_rrf_fusion": "two top-k candidate lists",
+    "q_degree_distribution": "distinct degree values",
+    "q_heavy_hitters_cms": "vocabulary counts (CMS-capped)",
+    "q_stratified_sample": "strata table",
+}
+
+
+def test_no_unlisted_single_partition_windows(spark):
+    reg = load_all()
+    offenders: dict[str, list[str]] = {}
+    for name, q in reg.items():
+        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
+            # streaming plans don't build batch-style here; sourcesink
+            # queries execute writes eagerly (audited separately —
+            # q_zorder_layout is stitched, the rest are windowless)
+            continue
+        df = q.fn(spark, SF_DIR)
+        cols = unpartitioned_windows(df)
+        if cols:
+            offenders[name] = cols
+    unexpected = set(offenders) - set(BOUNDED_FRAME_WHITELIST)
+    missing = set(BOUNDED_FRAME_WHITELIST) - set(offenders)
+    assert not unexpected, (
+        f"non-whitelisted single-partition windows: "
+        f"{ {n: offenders[n] for n in unexpected} } — stitch them "
+        "(stitched_running) or document the bounded frame in the whitelist"
+    )
+    assert not missing, (
+        f"whitelist entries no longer flagged (stale): {sorted(missing)}"
+    )
+
+
+@pytest.mark.parametrize("name", ["q_seq_packing", "q_tpch_q15", "q_tpch_q11"])
+def test_former_offenders_stay_clean(spark, name):
+    """The three queries de-windowed in round 4 must not regress."""
+    reg = load_all()
+    assert unpartitioned_windows(reg[name].fn(spark, SF_DIR)) == []

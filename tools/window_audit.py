@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Repo-wide unpartitioned-window audit.
+
+Walks every registered query's OPTIMIZED logical plan and extracts
+window specs with an EMPTY partition clause (the single-partition
+scale hazard). Textual signature: in
+``windowspecdefinition(p1, ..., o1 ASC NULLS FIRST, ..., frame)``
+partition columns come first WITHOUT sort direction markers — so a
+first argument carrying ASC/DESC means the partition spec is empty.
+
+Classification:
+- ordered by ``_pid`` → a stitched-offsets frame (bounded by the
+  partition COUNT, by construction) — fine;
+- anything else is reported with its first order column, to be held
+  against the bounded-frame whitelist in tests/test_window_audit.py.
+
+Usage: python tools/window_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _spec_args(plan: str) -> list[str]:
+    """Balanced-paren extraction of every windowspecdefinition(...)
+    argument string (specs nest parens two deep: specifiedwindowframe
+    contains unboundedpreceding$() etc., so a regex won't do)."""
+    marker = "windowspecdefinition("
+    out = []
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            return out
+        j = i + len(marker)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(marker) : j - 1])
+        i = j
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """First order column of every empty-partition ORDERED window spec
+    in the optimized plan (stitched `_pid` offsets frames excluded).
+    Unordered empty-partition specs (plain OVER ()) are global
+    aggregates over already-reduced frames — reported separately as
+    '<unordered>'."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out = []
+    for args in _spec_args(plan):
+        first = args.split(",", 1)[0].strip()
+        # partition columns print bare; order columns carry a direction
+        if " ASC" in first or " DESC" in first:
+            col = first.split(" ")[0].split("#")[0]
+            if col != "_pid":
+                out.append(col)
+        elif first.startswith("specifiedwindowframe"):
+            out.append("<unordered>")
+    return out
+
+
+def main() -> None:
+    from builder_spark.registry import load_all
+    from builder_spark.session import get_spark
+
+    spark = get_spark("window-audit")
+    reg = load_all()
+    names = sys.argv[1:] or [
+        n for n, q in reg.items() if not n.startswith("q_stream_")
+    ]
+    flagged: dict[str, list[str]] = {}
+    for name in names:
+        try:
+            df = reg[name].fn(spark, "/root/testdata/sf0.001")
+        except Exception as exc:  # noqa: BLE001 - audit tool, report and move on
+            print(f"ERR  {name}: {exc}")
+            continue
+        cols = unpartitioned_windows(df)
+        if cols:
+            flagged[name] = cols
+            print(f"FLAG {name}: {cols}")
+    print(f"\n{len(flagged)} queries with non-stitched unpartitioned windows")
+
+
+if __name__ == "__main__":
+    main()
