@@ -317,3 +317,163 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_dur_s") > 0)
     )
+
+
+@register(
+    "q_session_attribution",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, value,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_touch
+            FROM events
+        )
+        SELECT last_touch,
+               count(*) AS n_purchases,
+               round(sum(value), 4) AS attributed_revenue
+        FROM seq
+        WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        GROUP BY last_touch
+    """,
+    category="analytics",
+)
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent PRECEDING non-purchase event type — the marketing
+    attribution primitive. One user-grain window with an exclusive
+    1-PRECEDING frame (a purchase never attributes to itself, and
+    back-to-back purchases attribute to the same earlier touch);
+    user grain partitions freely at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        seq.filter((F.col("event_type") == "purchase") & F.col("last_touch").isNotNull())
+        .groupBy("last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
+    "q_percentile_by_week",
+    oracle="""
+        SELECT date_trunc('week', o_orderdate) AS week,
+               count(*) AS n,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders
+        GROUP BY 1
+        HAVING count(*) >= 20
+    """,
+    category="analytics",
+)
+def q_percentile_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 of order value — the time-series distribution
+    profile behind latency/price SLO dashboards. Exact percentile
+    aggregates per week group (weeks × values fit an aggregate
+    buffer; for fact-grain groups switch to the stitched rank
+    selection). Both engines share the linear-interpolation
+    definition; identical inputs, one round."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+
+
+@register(
+    "q_winsorized_mean",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                   quantile_cont(o_totalprice, 0.99) AS hi
+            FROM orders
+        )
+        SELECT count(*) AS n,
+               round(avg(o_totalprice), 4) AS raw_mean,
+               round(avg(least(greatest(o_totalprice, b.lo), b.hi)), 4)
+                   AS winsorized_mean,
+               CAST(sum(CASE WHEN o_totalprice < b.lo OR o_totalprice > b.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM orders, b
+    """,
+    category="analytics",
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip at p1/p99 before averaging) — the robust
+    central-tendency metric that survives fat-tailed metrics where a
+    plain mean follows the outliers. Two passes: exact percentile
+    bounds (1-row broadcast), then a clipped aggregate riding the
+    scan. Both engines share quantile interpolation and least/greatest
+    semantics on identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out_of = (F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))
+    return o.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+        F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
+    )
+
+
+@register(
+    "q_weekday_seasonality",
+    oracle="""
+        WITH t AS (SELECT round(avg(o_totalprice), 4) AS overall FROM orders)
+        SELECT CAST(date_part('dow', o_orderdate) AS INT) AS dow,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(avg(o_totalprice) / t.overall, 4) AS seasonality_index
+        FROM orders, t
+        GROUP BY 1, t.overall
+    """,
+    category="analytics",
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index (per-weekday mean over overall
+    mean) — the calendar-pattern readout behind staffing and anomaly
+    baselines. DOW normalized to DuckDB's 0=Sunday convention
+    (Spark's dayofweek is 1=Sunday → minus 1); index divides two
+    rounded averages of identical doubles. 7-row output, one scan +
+    broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    overall = o.agg(F.round(F.avg("o_totalprice"), 4).alias("overall"))
+    return (
+        o.crossJoin(F.broadcast(overall))
+        .groupBy(
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"), "overall"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.avg("o_totalprice") / F.first("overall"), 4).alias(
+                "seasonality_index"
+            ),
+        )
+        .drop("overall")
+    )

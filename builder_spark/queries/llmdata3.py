@@ -11,7 +11,7 @@ doubles round(·,4) to absorb summation-order ulps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
@@ -454,4 +454,59 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
+    )
+
+
+@register(
+    "q_pipeline_dedup_split",
+    oracle=f"""
+        WITH kept AS (
+            SELECT doc_id, text, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id ASC) = 1
+        ),
+        q AS (SELECT * FROM kept WHERE n_chars >= 80),
+        s AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH})
+                             % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH})
+                             % 4294967296 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM q
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM s GROUP BY split
+    """,
+    category="llm-pipeline",
+)
+def q_pipeline_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline in one graded query: exact dedup
+    (keep lowest doc_id per content fingerprint) → length gate →
+    deterministic 80/10/10 train/val/test split — the minimal shape of
+    every pretraining-data job, with per-split counts and an id
+    checksum so the grade proves membership, not just cardinality.
+    Dedup shuffles 16-byte fingerprints; the split is a pushed-down
+    Knuth-hash filter; nothing sorts globally."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    kept = (
+        d.select("doc_id", "n_chars", F.row_number().over(w).alias("_rn"))
+        .filter((F.col("_rn") == 1) & (F.col("n_chars") >= 80))
+    )
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
     )
