@@ -615,3 +615,37 @@ def test_stitched_running_min_matches_naive(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stitched_grouped_with_boundaries_matches_naive(spark):
+    """Deterministic boundaries compose with partition_cols: the pid
+    expression is monotone in the order column regardless of group, so
+    per-group contiguity holds and the grouped stitch stays exact."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", (F.col("o_orderkey") % 13).alias("v")
+    )
+    got = stitched_running(
+        df,
+        ["o_orderkey"],
+        running={"rv": "v"},
+        rank_name="rn",
+        partition_cols=["o_orderstatus"],
+        boundaries=[500, 2000, 4000],
+    ).select("o_orderkey", "o_orderstatus", "rv", "rn")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.sum("v").over(w).cast("bigint").alias("rv"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
