@@ -189,7 +189,7 @@ def test_per_row_ops_are_shuffle_free(spark, name):
     [
         ("q_tpch_q2", 2),   # bridge agg + per-part window min
         ("q_tpch_q9", 1),   # single agg pass, all dims broadcast
-        ("q_tpch_q11", 2),  # per-part agg + empty-frame window total
+        ("q_tpch_q11", 3),  # per-part agg ×2 (AQE reuses) + 1-row threshold broadcast
         ("q_tpch_q16", 3),  # distinct bridge + anti-join + countDistinct
         ("q_tpch_q20", 3),  # (part,supp) agg + window share + distinct
         ("q_tpch_q22", 2),  # scalar-avg broadcast + anti-join + agg
