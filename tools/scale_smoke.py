@@ -41,6 +41,7 @@ HEAVY = [
     "q_tfidf_top_terms",
     "q_tpch_q21",
     "q_decile_stats",  # stitched fact-grain global rank at 10x
+    "q_group_decile_bands",  # grouped stitch (3-value PARTITION BY) at 10x
 ]
 
 #: per-table key columns to offset so replicas don't collide
