@@ -9,6 +9,15 @@ Scale posture: the same plans run unchanged against a real stream
 (Kafka source / parquet sink with exactly-once via checkpointing);
 state size is bounded by the watermark — an unbounded-state streaming
 agg is a bug, not a feature.
+
+API note: custom stateful processing is exposed via
+``applyInPandasWithState`` (q_stream_stateful). Spark 4's successor
+API ``transformWithStateInPandas`` (StatefulProcessor + value/map/
+list state + timers) is NOT used here because its driver worker
+imports ``google.protobuf``, which this container lacks — verified
+2026-08-14: the pre-init worker crashes with ImportError before the
+first batch. When protobuf is available, q_stream_stateful's
+processor ports directly (getValueState + handleInputRows).
 """
 
 from __future__ import annotations

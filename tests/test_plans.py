@@ -649,3 +649,21 @@ def test_stitched_grouped_with_boundaries_matches_naive(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_compaction_layout_invariant_holds(spark):
+    """q_compaction's graded row carries only the INVARIANT boolean;
+    assert the underlying file counts here so a silently broken
+    rewrite (e.g. compaction producing more files) can't hide behind
+    a TRUE literal."""
+    import glob
+    import os
+    import tempfile
+
+    row = REGISTRY["q_compaction"].fn(spark, SF_DIR).collect()[0]
+    assert row["layout_compacted"] is True
+    frag = os.path.join(tempfile.gettempdir(), "builder_spark_compact_frag")
+    tight = os.path.join(tempfile.gettempdir(), "builder_spark_compact_tight")
+    nb = len(glob.glob(os.path.join(frag, "*.parquet")))
+    na = len(glob.glob(os.path.join(tight, "*.parquet")))
+    assert 1 <= na <= 4 < nb
