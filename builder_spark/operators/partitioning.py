@@ -95,6 +95,7 @@ def stitched_running(
     boundaries: list | None = None,
     running_min: dict[str, str | Column] | None = None,
     running_min_excl: dict[str, str | Column] | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Global running sums / row rank over a TOTAL order, without a
     single-partition window — the scale pattern for every empty
@@ -143,6 +144,13 @@ def stitched_running(
     ``running_min`` entry (global inclusive running MIN — stitched as
     least(local min, min of earlier partitions' minima); type
     preserved), and, if ``rank_name``, the global 1-based row number.
+
+    ``with_totals=True`` additionally returns the GLOBAL (per-group)
+    totals — ``{out}_total`` for each running sum and
+    ``{rank_name}_total`` (the row count) — computed from the offsets
+    table the stitch already aggregates, so queries that need
+    cum/total or rank/count ratios avoid a second full pass over the
+    input.
     """
     from pyspark.sql import Window
 
@@ -214,6 +222,18 @@ def stitched_running(
         # first partition — least() skips it)
         sel.append(F.min(f"_tm_{out}").over(off_w_excl).alias(f"_offm_{out}"))
     sel.append((F.sum("_t_n").over(off_w) - F.col("_t_n")).alias("_off_n"))
+    if with_totals:
+        full_w = Window.partitionBy(*pc).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        for out in running:
+            sel.append(
+                F.sum(f"_t_{out}").over(full_w).cast("bigint").alias(f"{out}_total")
+            )
+        if rank_name:
+            sel.append(
+                F.sum("_t_n").over(full_w).cast("bigint").alias(f"{rank_name}_total")
+            )
     offsets = offsets.select(*sel)
 
     joined = local.join(F.broadcast(offsets), ["_pid", *pc])

@@ -279,12 +279,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
         running={"cw": "l_quantity"},
         partition_cols=["l_returnflag"],
-    )
-    totals = l.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").cast("bigint").alias("tw")
+        with_totals=True,
     )
     return (
-        run.join(F.broadcast(totals), "l_returnflag")
+        run.withColumnRenamed("cw_total", "tw")
         .filter(2 * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
@@ -375,13 +373,17 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.expr("cast(round(sum(o_totalprice) * 100) as bigint) div 100").alias("rev_dollars")
     )
-    totals = per_cust.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("rev_dollars").alias("s0")
-    )
-    ranked = (
-        stitched_running(per_cust, ["rev_dollars", "o_custkey"], rank_name="i")
-        .crossJoin(F.broadcast(totals))
-        .select(F.col("rev_dollars").alias("x"), "i", "n", "s0")
+    ranked = stitched_running(
+        per_cust,
+        ["rev_dollars", "o_custkey"],
+        running={"_cs": "rev_dollars"},
+        rank_name="i",
+        with_totals=True,
+    ).select(
+        F.col("rev_dollars").alias("x"),
+        "i",
+        F.col("i_total").alias("n"),
+        F.col("_cs_total").alias("s0"),
     )
     return ranked.agg(
         F.any_value("n").cast("int").alias("n_customers"),
@@ -975,15 +977,21 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"), F.lit(0).alias("is_a"), F.lit(1).alias("is_b")
     )
     u = a.unionByName(b)
-    run = stitched_running(u, ["v"], running={"ca": "is_a", "cb": "is_b"})
+    run = stitched_running(
+        u, ["v"], running={"ca": "is_a", "cb": "is_b"}, with_totals=True
+    )
     # at tied values keep the LAST row per v (both counts fully
     # advanced) — that is the ECDF evaluated AT v on both sides
-    per_v = run.groupBy("v").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
-    totals = u.agg(F.sum("is_a").alias("na"), F.sum("is_b").alias("nb"))
+    per_v = run.groupBy("v").agg(
+        F.max("ca").alias("ca"),
+        F.max("cb").alias("cb"),
+        F.any_value("ca_total").alias("na"),
+        F.any_value("cb_total").alias("nb"),
+    )
     gap = F.abs(
         F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double")
     )
-    return per_v.crossJoin(F.broadcast(totals)).agg(
+    return per_v.agg(
         F.round(F.max(gap), 4).alias("ks_d"),
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),
@@ -1632,12 +1640,12 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = l.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("cents")
     )
-    total = per_part.agg(F.sum("cents").alias("total_cents"))
     ranked = stitched_running(
         per_part,
         [F.col("cents").desc(), F.col("l_partkey").asc()],
         running={"cum_cents": "cents"},
-    ).crossJoin(F.broadcast(total))
+        with_totals=True,
+    ).withColumnRenamed("cum_cents_total", "total_cents")
     before = (F.col("cum_cents") - F.col("cents")) * 100
     classed = ranked.withColumn(
         "abc",

@@ -54,12 +54,10 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
     )
     ranked = stitched_running(
-        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn"
+        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn", with_totals=True
     )
-    n_total = sel.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .withColumn("decile", ntile_from_rank(10, "rn", "_n"))
+        ranked.withColumn("decile", ntile_from_rank(10, "rn", "rn_total"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -94,18 +92,15 @@ def q_global_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic crosses partitions, never a global sort."""
     o = load_table(spark, sf_dir, "orders")
     sel = o.select(F.expr(_O_CENTS).alias("cents"), "o_orderkey")
-    ranked = stitched_running(sel, ["cents", "o_orderkey"], rank_name="rn")
-    n_total = sel.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .filter(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("n div 2 + 1"))
-        )
-        .agg(
-            F.round(F.avg("cents") / 100.0, 4).alias("median_price"),
-            F.any_value("n").alias("n_orders"),
-        )
+    ranked = stitched_running(
+        sel, ["cents", "o_orderkey"], rank_name="rn", with_totals=True
+    )
+    return ranked.filter(
+        (F.col("rn") == F.expr("(rn_total + 1) div 2"))
+        | (F.col("rn") == F.expr("rn_total div 2 + 1"))
+    ).agg(
+        F.round(F.avg("cents") / 100.0, 4).alias("median_price"),
+        F.any_value("rn_total").alias("n_orders"),
     )
 
 
@@ -140,19 +135,14 @@ def q_percentile_grid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
     )
     ranked = stitched_running(
-        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn"
+        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn", with_totals=True
     )
-    n_total = sel.agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        n_total.select(
-            F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct"),
-            "n",
-        )
-        .withColumn("k", F.expr("(pct * n + 99) div 100"))
-        .select("pct", "k")
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct")
     )
     return (
-        ranked.join(F.broadcast(grid), ranked.rn == grid.k)
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(F.col("rn") == F.expr("(pct * rn_total + 99) div 100"))
         .select("pct", F.round(F.col("cents") / 100.0, 4).alias("value"))
     )
 
@@ -182,20 +172,17 @@ def q_cume_dist_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed."""
     o = load_table(spark, sf_dir, "orders")
     sel = o.select("o_orderkey", F.expr(_O_CENTS).alias("cents"))
-    ranked = stitched_running(sel, ["cents", "o_orderkey"], rank_name="rn")
-    n_total = sel.agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .filter(F.col("o_orderkey") % 100 == 0)
-        .select(
-            "o_orderkey",
-            "cents",
-            F.round((F.col("rn") - 1) / (F.col("_n") - 1).cast("double"), 4).alias(
-                "pct_rank"
-            ),
-            F.round(F.col("rn") / F.col("_n").cast("double"), 4).alias("cdist"),
-            ntile_from_rank(100, "rn", "_n").alias("centile"),
-        )
+    ranked = stitched_running(
+        sel, ["cents", "o_orderkey"], rank_name="rn", with_totals=True
+    )
+    return ranked.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "cents",
+        F.round((F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"), 4).alias(
+            "pct_rank"
+        ),
+        F.round(F.col("rn") / F.col("rn_total").cast("double"), 4).alias("cdist"),
+        ntile_from_rank(100, "rn", "rn_total").alias("centile"),
     )
 
 
@@ -239,11 +226,10 @@ def q_group_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["cents", "l_orderkey", "l_linenumber"],
         rank_name="rn",
         partition_cols=["l_returnflag"],
+        with_totals=True,
     )
-    counts = sel.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.join(F.broadcast(counts), "l_returnflag")
-        .withColumn("decile", ntile_from_rank(10, "rn", "_n"))
+        ranked.withColumn("decile", ntile_from_rank(10, "rn", "rn_total"))
         .groupBy("l_returnflag", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -344,8 +344,9 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 65536).alias("a"),
         (F.floor(F.col("o_totalprice")).cast("bigint") % 65536).alias("b"),
     ).withColumn("zval", F.expr(_Z_INTERLEAVE))
-    ranked = stitched_running(z, ["zval", "o_orderkey"], rank_name="rn")
-    n_total = z.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = stitched_running(
+        z, ["zval", "o_orderkey"], rank_name="rn", with_totals=True
+    ).withColumnRenamed("rn_total", "_n")
     # ntile(k): first r = N % k buckets hold q+1 rows (q = N div k)
     bucket = F.expr(
         "CASE WHEN rn <= (_n % 32) * (_n div 32 + 1)"
@@ -353,8 +354,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     ELSE (_n % 32) + (rn - (_n % 32) * (_n div 32 + 1) - 1) div (_n div 32) + 1 END"
     ).cast("int")
     return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .withColumn("bucket", bucket)
+        ranked.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

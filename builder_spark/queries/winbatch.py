@@ -387,13 +387,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust, [F.col("recency_days").asc(), ck], rank_name="_r_rn"
     )
     scored = stitched_running(scored, [F.col("frequency").desc(), ck], rank_name="_f_rn")
-    scored = stitched_running(scored, [F.col("monetary").desc(), ck], rank_name="_m_rn")
-    n_cust = per_cust.agg(F.count(F.lit(1)).alias("_n"))
+    scored = stitched_running(
+        scored, [F.col("monetary").desc(), ck], rank_name="_m_rn", with_totals=True
+    )
     scored = (
-        scored.crossJoin(F.broadcast(n_cust))
-        .withColumn("r_quartile", ntile_from_rank(4, "_r_rn", "_n"))
-        .withColumn("f_quartile", ntile_from_rank(4, "_f_rn", "_n"))
-        .withColumn("m_quartile", ntile_from_rank(4, "_m_rn", "_n"))
+        scored.withColumn("r_quartile", ntile_from_rank(4, "_r_rn", "_m_rn_total"))
+        .withColumn("f_quartile", ntile_from_rank(4, "_f_rn", "_m_rn_total"))
+        .withColumn("m_quartile", ntile_from_rank(4, "_m_rn", "_m_rn_total"))
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -490,9 +490,9 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
         running={"cum_cents": "rev_cents"},
         rank_name="rnk",
+        with_totals=True,
     )
-    total = per_cust.agg(F.sum("rev_cents").alias("total_cents"))
-    top = ranked.crossJoin(F.broadcast(total)).filter(
+    top = ranked.withColumnRenamed("cum_cents_total", "total_cents").filter(
         2 * F.col("cum_cents") <= F.col("total_cents")
     )
     return top.agg(

@@ -220,19 +220,16 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_acctbal"),
         [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
         rank_name="rn",
+        with_totals=True,
     )
-    n_total = c.agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .select(
-            "c_custkey",
-            "c_acctbal",
-            ntile_from_rank(4, "rn", "_n").alias("quartile"),
-            F.round((F.col("rn") - 1) / (F.col("_n") - 1).cast("double"), 4).alias(
-                "pct_rank"
-            ),
-            F.round(F.col("rn") / F.col("_n").cast("double"), 4).alias("cdist"),
-        )
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_from_rank(4, "rn", "rn_total").alias("quartile"),
+        F.round((F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"), 4).alias(
+            "pct_rank"
+        ),
+        F.round(F.col("rn") / F.col("rn_total").cast("double"), 4).alias("cdist"),
     )
 
 

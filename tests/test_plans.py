@@ -667,3 +667,30 @@ def test_compaction_layout_invariant_holds(spark):
     nb = len(glob.glob(os.path.join(frag, "*.parquet")))
     na = len(glob.glob(os.path.join(tight, "*.parquet")))
     assert 1 <= na <= 4 < nb
+
+
+def test_stitched_totals_match_direct_aggregate(spark):
+    """with_totals exposes the global totals from the offsets table —
+    equal to a direct aggregate, grouped and ungrouped."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", (F.col("o_orderkey") % 9).alias("v")
+    )
+    got = stitched_running(
+        df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn", with_totals=True
+    )
+    row = got.select("rv_total", "rn_total").distinct().collect()
+    assert len(row) == 1
+    want = df.agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    assert (row[0]["rv_total"], row[0]["rn_total"]) == (want[0], want[1])
+
+    grouped = stitched_running(
+        df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn",
+        partition_cols=["o_orderstatus"], with_totals=True,
+    )
+    g = {r["o_orderstatus"]: (r["rv_total"], r["rn_total"])
+         for r in grouped.select("o_orderstatus", "rv_total", "rn_total").distinct().collect()}
+    w = {r["o_orderstatus"]: (r["s"], r["c"])
+         for r in df.groupBy("o_orderstatus").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()}
+    assert g == w

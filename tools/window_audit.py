@@ -56,15 +56,20 @@ def unpartitioned_windows(df) -> list[str]:
     '<unordered>'."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     out = []
-    for args in _spec_args(plan):
-        first = args.split(",", 1)[0].strip()
-        # partition columns print bare; order columns carry a direction
-        if " ASC" in first or " DESC" in first:
-            col = first.split(" ")[0].split("#")[0]
-            if col != "_pid":
-                out.append(col)
-        elif first.startswith("specifiedwindowframe"):
-            out.append("<unordered>")
+    for line in plan.splitlines():
+        for args in _spec_args(line):
+            first = args.split(",", 1)[0].strip()
+            # partition columns print bare; order columns carry a direction
+            if " ASC" in first or " DESC" in first:
+                col = first.split(" ")[0].split("#")[0]
+                if col != "_pid":
+                    out.append(col)
+            elif first.startswith("specifiedwindowframe"):
+                # stitched frames operate on the offsets aggregate: the
+                # enclosing Window node sums _t_* columns (partition-
+                # count-sized by construction) — bounded, not a hazard
+                if "_t_" not in line:
+                    out.append("<unordered>")
     return out
 
 
