@@ -477,3 +477,93 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("overall")
     )
+
+
+@register(
+    "q_percentile_rank_of_value",
+    oracle="""
+        WITH g AS (SELECT unnest([10000, 50000, 100000, 200000, 400000]) AS probe_cents),
+        n AS (SELECT count(*) AS n FROM orders)
+        SELECT g.probe_cents,
+               CAST(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                                  <= g.probe_cents THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below,
+               round(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                                   <= g.probe_cents THEN 1 ELSE 0 END)
+                     / CAST(any_value(n.n) AS DOUBLE), 4) AS pct_below
+        FROM g, n, orders o
+        GROUP BY g.probe_cents
+    """,
+    category="order-stats",
+)
+def q_percentile_rank_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse quantile probe — 'what fraction of orders are at or
+    below $X' for a fixed value grid: the ECDF evaluated at chosen
+    points (price-ladder and SLO-threshold reporting). Computed as
+    conditional sums in ONE scan (no sort, no rank): each probe is a
+    pushed-down comparison, so this is the cheap dual of the
+    rank-selection quantile queries."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    n_total = o.agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10000, 50000, 100000, 200000, 400000)])).alias(
+            "probe_cents"
+        )
+    )
+    return (
+        o.select(cents.alias("c"))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("probe_cents")
+        .agg(F.sum(F.when(F.col("c") <= F.col("probe_cents"), 1).otherwise(0)).alias("n_below"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "probe_cents",
+            F.col("n_below").cast("bigint").alias("n_below"),
+            F.round(F.col("n_below") / F.col("n").cast("double"), 4).alias("pct_below"),
+        )
+    )
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        per_user AS (
+            SELECT user_id,
+                   count(*) AS n_days,
+                   round(avg(c), 4) AS mean_daily,
+                   round(var_samp(c), 4) AS var_daily,
+                   round(var_samp(c) / avg(c), 4) AS fano
+            FROM daily GROUP BY user_id
+            HAVING count(*) >= 5
+        )
+        SELECT user_id, n_days, mean_daily, var_daily, fano
+        FROM per_user
+    """,
+    category="analytics",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness (Fano factor: variance/mean of daily event
+    counts) — Poisson-like users sit near 1, bots and batch scripts
+    blow past it; the standard traffic-shape screen. Two combinable
+    aggregates (user×day, then user); variance over exact integer
+    counts rounds once. User grain partitions freely."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("c"), 4).alias("mean_daily"),
+            F.round(F.var_samp("c"), 4).alias("var_daily"),
+            F.round(F.var_samp("c") / F.avg("c"), 4).alias("fano"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )

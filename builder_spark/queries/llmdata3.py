@@ -510,3 +510,66 @@ def q_pipeline_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "q_split_leakage_check",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, md5(text) AS f,
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH})
+                             % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH})
+                             % 4294967296 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        train_f AS (SELECT DISTINCT f FROM s WHERE split = 'train'),
+        holdout AS (SELECT * FROM s WHERE split <> 'train')
+        SELECT holdout.split,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN f IN (SELECT f FROM train_f)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+               round(sum(CASE WHEN f IN (SELECT f FROM train_f)
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+                   AS leak_rate
+        FROM holdout GROUP BY holdout.split
+    """,
+    category="llm-pipeline",
+)
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→holdout contamination audit: how many val/test documents
+    share an exact content fingerprint with ANY train document — the
+    leakage number that invalidates an eval if nonzero (the split was
+    taken BEFORE dedup here, which is exactly the mistake this query
+    exists to catch). Only 16-byte fingerprints join; the train
+    fingerprint set is a semi-join side, broadcastable or
+    shuffle-by-fingerprint at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    s = d.select(
+        "doc_id",
+        F.md5("text").alias("f"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    train_f = s.filter(F.col("split") == "train").select("f").distinct()
+    holdout = s.filter(F.col("split") != "train")
+    leaked = holdout.join(train_f, "f", "left_semi").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_leaked")
+    )
+    return (
+        holdout.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.round(
+                F.coalesce(F.col("n_leaked"), F.lit(0)) / F.col("n_docs").cast("double"),
+                4,
+            ).alias("leak_rate"),
+        )
+    )

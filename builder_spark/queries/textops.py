@@ -1566,3 +1566,71 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("hit") == 0) & (F.col("is_m") == 1), 1).otherwise(0)
         ).alias("n_false_neg"),
     )
+
+
+@register(
+    "q_near_dup_precision_recall",
+    oracle=None,  # assembled below: composes q_minhash_banded + q_jaccard_pairs
+    category="llm-dedup",
+)
+def q_near_dup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the MinHash candidate generator against
+    EXACT ground truth: candidates = banded pairs (est J ≥ 0.375),
+    truth = exact shingle-Jaccard pairs at τ = 0.6; report hit count,
+    precision (hits/candidates) and recall (hits/true). This is the
+    go/no-go number before trusting banding at corpus scale — the
+    calibration query grades estimate ERROR, this grades RETRIEVAL.
+    Truth verification runs only on bounded pair sets (prefix-filtered
+    exact pairs + banded candidates), never all-pairs. Oracle composes
+    the two registered oracles, so the metric can never disagree with
+    the graded components."""
+    cand = q_minhash_banded(spark, sf_dir).select("id_a", "id_b")
+    truth = QUERIES["q_jaccard_pairs"].fn(spark, sf_dir).select("id_a", "id_b")
+    hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_c.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_candidates").cast("double"), 4).alias(
+                "precision"
+            ),
+            F.round(F.col("n_hits") / F.col("n_true").cast("double"), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _near_dup_pr_oracle() -> str:
+    mh = QUERIES["q_minhash_banded"].oracle
+    jac = QUERIES["q_jaccard_pairs"].oracle
+    return f"""
+        WITH cand AS (SELECT id_a, id_b FROM ({mh})),
+        truth AS (SELECT id_a, id_b FROM ({jac})),
+        hits AS (
+            SELECT c.id_a, c.id_b FROM cand c
+            WHERE EXISTS (SELECT 1 FROM truth t
+                          WHERE t.id_a = c.id_a AND t.id_b = c.id_b)
+        ),
+        nc AS (SELECT count(*) AS n_candidates FROM cand),
+        nt AS (SELECT count(*) AS n_true FROM truth),
+        nh AS (SELECT count(*) AS n_hits FROM hits)
+        SELECT nc.n_candidates, nt.n_true, nh.n_hits,
+               round(nh.n_hits / CAST(nc.n_candidates AS DOUBLE), 4) AS precision,
+               round(nh.n_hits / CAST(nt.n_true AS DOUBLE), 4) AS recall
+        FROM nc, nt, nh
+    """
+
+
+QUERIES["q_near_dup_precision_recall"] = QUERIES["q_near_dup_precision_recall"].__class__(
+    name="q_near_dup_precision_recall",
+    fn=QUERIES["q_near_dup_precision_recall"].fn,
+    oracle=_near_dup_pr_oracle(),
+    category="llm-dedup",
+)
