@@ -694,3 +694,14 @@ def test_stitched_totals_match_direct_aggregate(spark):
     w = {r["o_orderstatus"]: (r["s"], r["c"])
          for r in df.groupBy("o_orderstatus").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()}
     assert g == w
+
+
+def test_inverse_quantile_probe_has_no_sort(spark):
+    """q_percentile_rank_of_value is the cheap ECDF dual: one scan of
+    conditional sums — no window, no range partitioning, no sort."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_percentile_rank_of_value"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
