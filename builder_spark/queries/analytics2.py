@@ -1027,25 +1027,31 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k most frequent terms cover (k = 10/20/50/100) — the
     tokenizer/vocab-size design curve. Cumulative counts run over the
     unique (count DESC, word ASC) order so both engines accumulate
-    identical exact integers; one token-stream shuffle, then windows
-    over vocabulary-sized data crossed with 4 k-values."""
+    identical exact integers. Scale: only k ≤ 100 is ever consumed, so
+    the rank/cumsum never touches the full vocabulary — the top-100
+    terms come via ``orderBy().limit(100)`` (TakeOrderedAndProject:
+    per-partition heaps, no global sort; web-scale corpora have 10⁸+
+    distinct tokens and Zipf caps the MASS, not the cardinality) and
+    the denominator is a 1-row total broadcast. The remaining window
+    runs over exactly 100 survivor rows."""
     d = load_table(spark, sf_dir, "documents")
     cnt = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    total = cnt.agg(F.sum("c").cast("bigint").alias("total"))
+    top = cnt.orderBy(F.col("c").desc(), F.col("w").asc()).limit(100)
     w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
-    w_all = Window.partitionBy()
-    rk = cnt.select(
+    rk = top.select(
         "c",
         F.row_number().over(w_rank).alias("rnk"),
-        F.sum("c").over(w_all).alias("total"),
         F.sum("c").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
     )
     ks = spark.createDataFrame([(10,), (20,), (50,), (100,)], "k int")
     return (
-        rk.crossJoin(F.broadcast(ks))
+        rk.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ks))
         .groupBy("k")
         .agg(
             F.round(

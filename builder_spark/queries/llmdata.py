@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from builder_spark.catalog import load_table
 from builder_spark.functions.text import fingerprint_md5, token_stats, tokens
 from builder_spark.operators.dedup import jaccard_pairs, minhash_near_dupes
+from builder_spark.operators.topk import grouped_topk
 from builder_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dupes_lsh,
@@ -463,7 +464,9 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched once. Ties rank alphabetically after the count. Scale:
     the bigram construction rides the scan (no shuffle); the count
     agg shuffles distinct (lang, bigram) pairs post map-side combine;
-    top-k is a bounded window over per-lang counts."""
+    the per-lang top-5 goes through ``grouped_topk``'s two-phase
+    prune — a plain PARTITION BY lang window would serialize a whole
+    language's bigram vocabulary per reducer."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     docs = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
@@ -479,8 +482,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     )
     cnt = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return cnt.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return grouped_topk(cnt, ["lang"], [F.col("n").desc(), F.col("bigram").asc()], 5)
 
 
 @register(

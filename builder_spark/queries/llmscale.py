@@ -22,6 +22,7 @@ from builder_spark.operators.dedup import (
 )
 from builder_spark.operators.multimodal import attach_binary, extract_payload_features
 from builder_spark.operators.similarity import hyperplanes, lsh_bucketed_topk
+from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
 
 _SIMHASH_MAX_HAMMING = 3
@@ -250,8 +251,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf")
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    # two-phase per-lang top-5: a handful of language values over a
+    # vocabulary-grain scored table would serialize a whole language's
+    # vocabulary per reducer with a plain PARTITION BY lang window
+    return grouped_topk(
+        scored, ["lang"], [F.col("tfidf").desc(), F.col("term").asc()], 5
+    )
 
 
 _KNUTH = 2654435761  # 2^32 / φ — multiplicative hash constant

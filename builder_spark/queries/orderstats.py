@@ -178,9 +178,14 @@ def q_cume_dist_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("o_orderkey") % 100 == 0).select(
         "o_orderkey",
         "cents",
-        F.round((F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"), 4).alias(
-            "pct_rank"
-        ),
+        # n=1 guard: percent_rank() is 0 on a single-row frame, not 0/0
+        F.round(
+            F.when(
+                F.col("rn_total") > 1,
+                (F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("pct_rank"),
         F.round(F.col("rn") / F.col("rn_total").cast("double"), 4).alias("cdist"),
         ntile_from_rank(100, "rn", "rn_total").alias("centile"),
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
 from builder_spark.operators.dedup import CHARFOLD_MOD, charfold_hash
+from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
 
 
@@ -281,18 +282,19 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic text). Rank ties break alphabetically so both engines
     rank identically; ln() inputs are exact integers so the regression
     sums differ only in order → round(·,4). One token-stream shuffle
-    (the tf aggregate); the window and regression run over ≤|lang|×
-    |vocab| aggregated rows."""
+    (the tf aggregate); the per-lang top-100 then goes through
+    ``grouped_topk``'s two-phase prune — a handful of language values
+    over a web-scale vocabulary (10⁸+ distinct tokens) would otherwise
+    serialize a whole language's vocabulary per reducer; after the
+    local prune the final per-lang rank sees ≤ 100·P survivor rows."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("w").asc())
     return (
-        tf.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 100)
+        grouped_topk(tf, ["lang"], [F.col("freq").desc(), F.col("w").asc()], 100)
         .groupBy("lang")
         .agg(
             F.round(F.regr_slope(F.log(F.col("freq")), F.log(F.col("rnk"))), 4).alias("zipf_slope"),
@@ -1416,10 +1418,13 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.min("c").alias("c"), F.min("total").alias("est"))
     )
-    w_top = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    # top-10 via orderBy().limit() — TakeOrderedAndProject merges
+    # per-partition heaps, so the vocab-sized estimate table is never
+    # serialized through one reducer (same rows as the oracle's
+    # QUALIFY: (c DESC, w ASC) is a total order)
     return (
-        est.withColumn("_rn", F.row_number().over(w_top))
-        .filter(F.col("_rn") <= 10)
+        est.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(10)
         .select(
             F.col("w").alias("word"),
             F.col("c").cast("bigint").alias("n_exact"),

@@ -180,16 +180,26 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: all rows whose p_size is within [size-2, size] —
-    peers included regardless of row position. Integer sum for parity."""
+    peers included regardless of row position. Integer sum for parity.
+
+    Scale shape: the frame sum depends only on (brand, size), so it is
+    computed on the (brand × size) AGGREGATE — a combinable groupBy
+    rides the scan, the RANGE window runs over ≤ |brands|·|sizes| rows
+    (both enum-like domains), and the per-part result comes back via a
+    broadcast join. A plain PARTITION BY p_brand window over the part
+    table itself would serialize 1/|brands| of the table per reducer."""
     p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_brand", "p_size").agg(
+        F.sum(F.floor(F.col("p_retailprice")).cast("bigint")).alias("_sz_sum")
+    )
     w = Window.partitionBy("p_brand").orderBy(F.col("p_size")).rangeBetween(-2, 0)
-    return p.select(
+    banded = per_size.select(
         "p_brand",
-        "p_partkey",
         "p_size",
-        F.sum(F.floor(F.col("p_retailprice")).cast("bigint")).over(w).alias(
-            "near_size_spend"
-        ),
+        F.sum("_sz_sum").over(w).cast("bigint").alias("near_size_spend"),
+    )
+    return p.select("p_brand", "p_partkey", "p_size").join(
+        F.broadcast(banded), ["p_brand", "p_size"]
     )
 
 
@@ -226,9 +236,15 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_acctbal",
         ntile_from_rank(4, "rn", "rn_total").alias("quartile"),
-        F.round((F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"), 4).alias(
-            "pct_rank"
-        ),
+        # guard the n=1 frame: percent_rank() is defined as 0 there,
+        # while (rn-1)/(n-1) would be 0/0 = NaN
+        F.round(
+            F.when(
+                F.col("rn_total") > 1,
+                (F.col("rn") - 1) / (F.col("rn_total") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("pct_rank"),
         F.round(F.col("rn") / F.col("rn_total").cast("double"), 4).alias("cdist"),
     )
 

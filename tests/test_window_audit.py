@@ -18,7 +18,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from window_audit import unpartitioned_windows  # noqa: E402
+from window_audit import low_card_partition_windows, unpartitioned_windows  # noqa: E402
 
 from builder_spark.registry import load_all  # noqa: E402
 
@@ -29,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 BOUNDED_FRAME_WHITELIST = {
     "q_benford": "9 first-digit rows",
     "q_chisq_independence": "5x2 contingency cells",
-    "q_vocab_coverage": "vocabulary aggregate (fixture vocab; zipf-capped)",
+    "q_vocab_coverage": "top-100 TakeOrdered survivors (constant-bounded)",
     "q_psi_drift": "10 PSI buckets",
     "q_new_vs_returning": "day table",
     "q_dim_variance": "64 embedding dims",
@@ -37,9 +37,51 @@ BOUNDED_FRAME_WHITELIST = {
     "q_running_active_users": "day table",
     "q_rrf_fusion": "two top-k candidate lists",
     "q_degree_distribution": "distinct degree values",
-    "q_heavy_hitters_cms": "vocabulary counts (CMS-capped)",
     "q_stratified_sample": "strata table",
 }
+
+
+#: queries with an ordered window PARTITIONed only by enum-like
+#: low-cardinality columns — allowed ONLY because the window's input
+#: is itself a bounded aggregate (the entry documents the grain); an
+#: ordered low-card window over fact/vocab grain must be rewritten
+#: (grouped_topk or stitched_running with partition_cols)
+LOW_CARD_WINDOW_WHITELIST = {
+    "q_yoy_growth": "yearly aggregate (priorities x years)",
+    "q_day_over_day_movers": "daily rollup (types x days)",
+    "q_top_bigrams": "grouped_topk survivors (<= 5*P per lang)",
+    "q_tfidf_top_terms": "grouped_topk survivors (<= 5*P per lang)",
+    "q_zipf_slope": "grouped_topk survivors (<= 100*P per lang)",
+    "q_window_range": "brand x size aggregate (both enum domains)",
+}
+
+
+def test_no_unlisted_low_cardinality_windows(spark):
+    """An ordered window partitioned ONLY by enum-like columns over
+    unbounded-grain input serializes an unbounded slice per reducer —
+    the fig-leaf variant of the empty-PARTITION-BY hazard. Every
+    occurrence must justify its bounded input grain here."""
+    from window_audit import low_card_partition_windows
+
+    reg = load_all()
+    offenders: dict[str, list[str]] = {}
+    for name, q in reg.items():
+        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
+            continue
+        cols = low_card_partition_windows(q.fn(spark, SF_DIR))
+        if cols:
+            offenders[name] = cols
+    unexpected = set(offenders) - set(LOW_CARD_WINDOW_WHITELIST)
+    missing = set(LOW_CARD_WINDOW_WHITELIST) - set(offenders)
+    assert not unexpected, (
+        f"non-whitelisted low-cardinality-partition windows: "
+        f"{ {n: offenders[n] for n in unexpected} } — prune the input "
+        "(grouped_topk), stitch it (stitched_running partition_cols), "
+        "or document the bounded aggregate grain in the whitelist"
+    )
+    assert not missing, (
+        f"low-card whitelist entries no longer flagged (stale): {sorted(missing)}"
+    )
 
 
 def test_no_unlisted_single_partition_windows(spark):

@@ -66,10 +66,61 @@ def unpartitioned_windows(df) -> list[str]:
                     out.append(col)
             elif first.startswith("specifiedwindowframe"):
                 # stitched frames operate on the offsets aggregate: the
-                # enclosing Window node sums _t_* columns (partition-
-                # count-sized by construction) — bounded, not a hazard
-                if "_t_" not in line:
+                # enclosing Window node aggregates columns literally
+                # named _t_* (partition-count-sized by construction) —
+                # bounded, not a hazard. Match a COLUMN REFERENCE
+                # `(_t_x#id` / `, _t_x#id`, not a bare substring, so a
+                # user alias merely containing '_t_' is still flagged.
+                if not re.search(r"[(, ]_t_\w*#\d", line):
                     out.append("<unordered>")
+    return out
+
+
+#: columns whose domain is structurally tiny (enum-like) in the data
+#: model — a window PARTITIONed only by these over unbounded-grain
+#: input serializes an unbounded slice per reducer, the same hazard as
+#: an empty PARTITION BY with a fig leaf
+LOW_CARDINALITY_COLS = {
+    "lang",
+    "source",
+    "event_type",
+    "split",
+    "label",
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "o_orderpriority",
+    "c_mktsegment",
+    "r_name",
+    "n_name",
+    "p_brand",
+    "p_container",
+}
+
+
+def low_card_partition_windows(df) -> list[str]:
+    """Ordered window specs whose partition key set is entirely
+    low-cardinality enum-like columns — flagged because the per-reducer
+    slice then grows with the DATA, not the key space. Queries where
+    the window input is itself a bounded aggregate justify themselves
+    in the test-side whitelist."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out = []
+    for args in _spec_args(plan):
+        parts: list[str] = []
+        ordered = False
+        for arg in args.split(","):
+            arg = arg.strip()
+            if arg.startswith("specifiedwindowframe"):
+                break
+            if " ASC" in arg or " DESC" in arg:
+                # a stitched offsets frame (ordered by _pid) is bounded
+                # by the partition count per group — not a hazard
+                ordered = not arg.startswith("_pid#")
+                break
+            parts.append(arg.split("#")[0])
+        if ordered and parts and all(p in LOW_CARDINALITY_COLS for p in parts):
+            out.append("+".join(parts))
     return out
 
 
