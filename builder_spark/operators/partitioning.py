@@ -116,9 +116,12 @@ def stitched_running(
     (offsets absorb any split). Two boundary strategies:
 
     - default (``boundaries=None``): ``repartitionByRange`` SAMPLES
-      boundaries, so the ranged frame is persisted — it feeds both the
-      local window and the offsets aggregate, and both sides MUST see
-      the same sampled assignment (exchange reuse is not guaranteed).
+      boundaries; the ranged frame is persisted only for the duration
+      of ONE eager action that collects the tiny offsets table to the
+      driver (both sides must see the same sampled assignment), then
+      unpersisted — the final plan recomputes the range exchange once
+      and joins the literal offsets, leaving no storage pinned after
+      the query completes.
     - ``boundaries=[...]`` (e.g. from :func:`range_boundaries`): the
       partition id becomes a DETERMINISTIC expression (count of
       boundaries ≤ the first order column), so both subplans compute
@@ -157,6 +160,13 @@ def stitched_running(
     running = running or {}
     running_min = running_min or {}
     running_min_excl = running_min_excl or {}
+    overlap = (set(running) & set(running_min) | set(running) & set(running_min_excl)
+               | set(running_min) & set(running_min_excl))
+    if overlap:
+        # both min flavors write the same _locm_{out} local column, so a
+        # shared output name would silently return wrong values
+        raise ValueError(f"output names must be unique across running/"
+                         f"running_min/running_min_excl: {sorted(overlap)}")
     pc = list(partition_cols or [])
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
     if boundaries is not None:
@@ -169,6 +179,7 @@ def stitched_running(
         # deterministic assignment: no physical range exchange needed —
         # the local window's own (_pid, groups) exchange distributes rows
         ranged = df.withColumn("_pid", pid)
+        persisted = None
     else:
         range_exprs = [F.col(c).asc() for c in pc] + order_exprs
         ranged = (
@@ -176,6 +187,7 @@ def stitched_running(
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
+        persisted = ranged
     local_w = (
         Window.partitionBy("_pid", *pc)
         .orderBy(*order_exprs)
@@ -235,6 +247,21 @@ def stitched_running(
                 F.sum("_t_n").over(full_w).cast("bigint").alias(f"{rank_name}_total")
             )
     offsets = offsets.select(*sel)
+    if persisted is not None:
+        # Cache lifecycle: materialize the tiny offsets table (≤
+        # num_partitions × |groups| rows) on the driver WHILE the
+        # sampled range assignment is cached — both subplans therefore
+        # agree on _pid — then release the cache and substitute the
+        # collected rows as a literal frame. The final plan recomputes
+        # the range exchange exactly once (RangePartitioner's reservoir
+        # sampling is seeded per partition index, so a re-execution
+        # over the same deterministic input reproduces the boundaries)
+        # and no fact-table copy stays pinned after the query
+        # completes — a long-lived session running dozens of stitched
+        # queries previously accumulated one MEMORY_AND_DISK copy each.
+        spark = df.sparkSession
+        offsets = spark.createDataFrame(offsets.collect(), schema=offsets.schema)
+        persisted.unpersist()
 
     joined = local.join(F.broadcast(offsets), ["_pid", *pc])
     for out in running:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
+from builder_spark.functions.hashing import knuth_bucket
 from builder_spark.registry import register
 
 
@@ -307,7 +308,7 @@ def q_sample_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide exact integers and round once."""
     ev = load_table(spark, sf_dir, "events")
     in_sample = (
-        F.pmod(F.pmod(F.col("event_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100)) < 10
+        knuth_bucket("event_id", 100) < 10
     )
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nf"),
@@ -497,7 +498,7 @@ def q_pipeline_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", F.row_number().over(w).alias("_rn"))
         .filter((F.col("_rn") == 1) & (F.col("n_chars") >= 80))
     )
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    bucket = knuth_bucket("doc_id", 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -546,7 +547,7 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint set is a semi-join side, broadcastable or
     shuffle-by-fingerprint at scale."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    bucket = knuth_bucket("doc_id", 100)
     s = d.select(
         "doc_id",
         F.md5("text").alias("f"),

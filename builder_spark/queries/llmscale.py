@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
+from builder_spark.functions.hashing import knuth_bucket
 from builder_spark.functions.text import STOPWORDS, lang_scores, predict_lang
 from builder_spark.operators.dedup import (
     CHARFOLD_MOD,
@@ -283,7 +284,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply for xxhash64 to avoid bigint overflow — here the fixture
     keys keep the product exact."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.pmod(F.pmod(F.col("o_orderkey") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    bucket = knuth_bucket("o_orderkey", 100)
     return (
         o.filter(bucket < 10)
         .groupBy("o_orderstatus")
@@ -317,7 +318,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute membership from the key alone. Per-split×lang counts
     verify stratification."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+    bucket = knuth_bucket("doc_id", 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
+from builder_spark.functions.hashing import knuth_bucket
 from builder_spark.operators.dedup import CHARFOLD_MOD, charfold_hash
 from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
@@ -510,7 +511,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.withColumn("min_cnt", F.min("cnt").over(w_all)).selectExpr(
         "lang", "cnt", "min_cnt * 10000 div cnt AS thresh"
     )
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(10000))
+    bucket = knuth_bucket("doc_id", 10000)
     return (
         d.join(F.broadcast(t), "lang")
         .groupBy("lang")
@@ -924,7 +925,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter rides the scan."""
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("n_chars").alias("mx"))
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(10000))
+    bucket = knuth_bucket("doc_id", 10000)
     kept = F.when(bucket < F.expr("n_chars * 10000 div mx"), 1).otherwise(0)
     return (
         d.crossJoin(F.broadcast(mx))

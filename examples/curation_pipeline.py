@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from builder_spark.catalog import load_table  # noqa: E402
+from builder_spark.catalog import load_table
+from builder_spark.functions.hashing import knuth_bucket  # noqa: E402
 from builder_spark.operators.partitioning import stitched_running  # noqa: E402
 from builder_spark.pipeline import (  # noqa: E402
     BuildManager,
@@ -72,7 +73,7 @@ def main() -> None:
     @bm.job(targets=split_pat, depends=[dedup_pat], file_step="1 day")
     def splits(ctx):
         d = ctx.spark.read.parquet(*ctx.dep_paths[dedup_pat])
-        bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(2**32)), F.lit(100))
+        bucket = knuth_bucket("doc_id", 100)
         return d.withColumn(
             "split",
             F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
