@@ -40,6 +40,12 @@ HEADLINE = [
     # local windows + broadcast offsets) — the pattern every global
     # order statistic runs on; timed so a stitching regression shows up
     "q_decile_stats",
+    # added r05: the scale-differentiating composites — the end-to-end
+    # curation pipeline (fingerprint dedup -> quality gate -> hash
+    # split) and the GROUPED stitch (per-group rank where the key has
+    # 3 values, the shape a plain PARTITION BY would serialize)
+    "q_pipeline_dedup_split",
+    "q_group_decile_bands",
 ]
 
 

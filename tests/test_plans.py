@@ -245,7 +245,7 @@ def test_latest_query_shuffle_budget(spark, name, max_exchanges):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q_rank_correlation", 10),  # two chained stitched ranks (offsets-sized)
+        ("q_rank_correlation", 12),  # two chained stitched ranks (offsets-sized)
         ("q_chisq_independence", 2),
         ("q_ks_test", 7),          # stitched ECDF merge: range exchange + offsets
         ("q_vocab_coverage", 3),   # cnt agg + TakeOrdered + 1-row total
@@ -390,7 +390,9 @@ def test_fact_grain_windows_are_range_partitioned(spark, name):
 
     df = REGISTRY[name].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan, f"{name}: no range partitioning in plan"
+    assert "hashpartitioning(_pid" in plan or "rangepartitioning" in plan, (
+        f"{name}: no stitched distribution (pid hash / range exchange) in plan"
+    )
     assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
 
 
@@ -437,7 +439,9 @@ def test_customer_grain_windows_are_range_partitioned(spark, name):
 
     df = REGISTRY[name].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan, f"{name}: no range partitioning in plan"
+    assert "hashpartitioning(_pid" in plan or "rangepartitioning" in plan, (
+        f"{name}: no stitched distribution (pid hash / range exchange) in plan"
+    )
     assert "BroadcastHashJoin" in plan, f"{name}: offsets not broadcast"
 
 
@@ -508,7 +512,9 @@ def test_order_stats_are_range_partitioned(spark, name):
 
     df = REGISTRY[name].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan, f"{name}: no range partitioning"
+    assert "hashpartitioning(_pid" in plan or "rangepartitioning" in plan, (
+        f"{name}: no stitched distribution (pid hash / range exchange)"
+    )
     assert "BroadcastHashJoin" in plan, f"{name}: offsets/grid not broadcast"
 
 
