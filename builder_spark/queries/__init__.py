@@ -39,3 +39,8 @@ from builder_spark.queries import (  # noqa: F401
 )
 
 import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register here)
+
+# round-5 additions import LAST: registration order drives the driver's
+# grading rotation (never-graded queries first), and the r1-r4 backlog
+# must reach a CORRECTNESS window before brand-new queries do
+from builder_spark.queries import round5  # noqa: E402,F401

@@ -1,0 +1,1084 @@
+"""Round-5 surface growth: curation quality gates, corpus diagnostics,
+retrieval/sketch audits, and the Spark-4 SQL surface (recursive CTE,
+VARIANT).
+
+Design rules (same as the rest of the graded surface):
+- every float aggregate is round(·, 4) on BOTH sides; integer sums are
+  CAST AS BIGINT in the oracle (DuckDB HUGEINT → pandas float trap);
+- deterministic total orders everywhere a rank or limit appears;
+- plans are scale-shaped: token streams aggregate once, top-k goes
+  through TakeOrdered or grouped_topk, per-group quantiles run on
+  value-grain aggregates, fingerprints move as 16-byte keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.operators.topk import grouped_topk
+from builder_spark.registry import QUERIES, register
+
+# ---------------------------------------------------------------------------
+# joins / top-k
+
+
+@register(
+    "q_grouped_topk_parts",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand, l.l_partkey,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p_brand, l_partkey, rev_cents,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY rev_cents DESC, l_partkey ASC) AS rnk
+        FROM rev
+        QUALIFY rnk <= 3
+    """,
+    category="join",
+)
+def q_grouped_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand — the generic distributed grouped
+    top-k, graded standalone. p_brand has ~25 values over a part-grain
+    aggregate (billions of parts at 100 TB), so the ranking goes
+    through ``grouped_topk``'s two-phase prune instead of a plain
+    PARTITION BY p_brand window. Revenue in exact integer cents so the
+    rank order cannot differ by a float ulp between engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        l.join(p.select("p_partkey", "p_brand"), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    return grouped_topk(
+        rev, ["p_brand"], [F.col("rev_cents").desc(), F.col("l_partkey").asc()], 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-text / tokenizer diagnostics
+
+
+@register(
+    "q_bpe_pair_stats",
+    oracle="""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        p AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                                         i -> substr(w, CAST(i AS INT), 2))) AS pair
+            FROM w WHERE length(w) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 20
+    """,
+    category="llm-text",
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs inside words — the statistic the
+    first BPE merge step consumes (and a cheap tokenizer-fit signal per
+    corpus). Pair construction rides the scan (array math per token),
+    the count aggregate map-side combines, and the final top-20 is
+    orderBy().limit() — TakeOrderedAndProject, never a pair-vocabulary
+    sort through one reducer. substr is 1-based in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("w")).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_doc_novelty_rate",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, doc_id % 8 AS batch, md5(text) AS fp FROM documents
+        ),
+        fb AS (SELECT fp, min(batch) AS first_batch FROM f GROUP BY fp)
+        SELECT f.batch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN f.batch = fb.first_batch THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.batch = fb.first_batch THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+        FROM f JOIN fb ON fb.fp = f.fp
+        GROUP BY f.batch
+    """,
+    category="llm-dedup",
+)
+def q_doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth quality readout: per ingest batch (doc_id % 8
+    stands in for arrival order), what share of documents carry a
+    content fingerprint never seen in an EARLIER batch. A crawler
+    re-fetching the same pages shows novelty collapsing toward 0.
+    Scale: md5 fingerprints aggregate once (16-byte keys) and join
+    back by fingerprint — no history rescan, no pairwise compare."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        (F.col("doc_id") % 8).alias("batch"), F.md5("text").alias("fp")
+    )
+    fb = f.groupBy("fp").agg(F.min("batch").alias("first_batch"))
+    novel = F.when(F.col("batch") == F.col("first_batch"), 1).otherwise(0)
+    return (
+        f.join(fb, "fp")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "q_gopher_gates",
+    oracle="""
+        WITH m AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_tok,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+            FROM documents
+        ),
+        g AS (
+            SELECT lang,
+                   CASE WHEN n_tok BETWEEN 5 AND 500 THEN 1 ELSE 0 END AS g_len,
+                   CASE WHEN (n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE)
+                             BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS g_wl,
+                   CASE WHEN n_digits * 10 <= n_chars THEN 1 ELSE 0 END AS g_digit
+            FROM m
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g_len) AS BIGINT) AS n_pass_len,
+               CAST(sum(g_wl) AS BIGINT) AS n_pass_wordlen,
+               CAST(sum(g_digit) AS BIGINT) AS n_pass_digit,
+               CAST(sum(g_len * g_wl * g_digit) AS BIGINT) AS n_pass_all
+        FROM g GROUP BY lang
+    """,
+    category="llm-pipeline",
+)
+def q_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates: token-count band, mean word
+    length band, digit-ratio cap — and their conjunction — per
+    language. Everything is per-row arithmetic riding the scan plus
+    one combinable aggregate; the digit-ratio compare is exact integer
+    (n_digits·10 ≤ n_chars), and mean word length uses the
+    single-spaced identity chars_no_space = n_chars − (n_tok − 1) so
+    no second tokenization pass is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+    )
+    mean_wl = (F.col("n_chars") - (F.col("n_tok") - 1)) / F.col("n_tok").cast("double")
+    g = m.select(
+        "lang",
+        F.when(F.col("n_tok").between(5, 500), 1).otherwise(0).alias("g_len"),
+        F.when(mean_wl.between(3, 10), 1).otherwise(0).alias("g_wl"),
+        F.when(F.col("n_digits") * 10 <= F.col("n_chars"), 1).otherwise(0).alias(
+            "g_digit"
+        ),
+    )
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("g_len").cast("bigint").alias("n_pass_len"),
+        F.sum("g_wl").cast("bigint").alias("n_pass_wordlen"),
+        F.sum("g_digit").cast("bigint").alias("n_pass_digit"),
+        F.sum(F.col("g_len") * F.col("g_wl") * F.col("g_digit"))
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )
+
+
+@register(
+    "q_doc_entropy_gate",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, lang, w, count(*) AS c FROM tok GROUP BY 1, 2, 3
+        ),
+        h AS (
+            SELECT doc_id, lang,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(c * ln(CAST(c AS DOUBLE)))
+                           / CAST(sum(c) AS DOUBLE), 4) AS entropy
+            FROM tf GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(entropy), 4) AS avg_entropy,
+               CAST(sum(CASE WHEN entropy < 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_entropy
+        FROM h GROUP BY lang
+    """,
+    category="llm-pipeline",
+)
+def q_doc_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-entropy quality gate (templated/spam text has
+    low entropy), rolled up per language: count of documents whose
+    Shannon entropy H = ln n − Σc·ln c / n falls below 1.5 nats. The
+    gate compares the ROUNDED entropy so sub-ulp summation-order
+    differences between engines cannot flip a count. One token-stream
+    shuffle into (doc, term) counts; everything after is doc-grain."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = tf.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            4,
+        ).alias("entropy")
+    )
+    return h.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        F.sum(F.when(F.col("entropy") < 1.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+    )
+
+
+@register(
+    "q_length_percentile_gate",
+    oracle="""
+        WITH lg AS (
+            SELECT lang, n_chars, count(*) AS cnt
+            FROM documents GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT lang, n_chars, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM lg
+        ),
+        thr AS (
+            SELECT lang, min(n_chars) AS p99_len
+            FROM cum WHERE cum >= (99 * total + 99) // 100
+            GROUP BY lang
+        )
+        SELECT c.lang,
+               CAST(any_value(c.total) AS BIGINT) AS n_docs,
+               any_value(t.p99_len) AS p99_len,
+               CAST(sum(CASE WHEN c.n_chars > t.p99_len THEN c.cnt ELSE 0 END)
+                    AS BIGINT) AS n_trimmed
+        FROM cum c JOIN thr t ON t.lang = c.lang
+        GROUP BY c.lang
+    """,
+    category="llm-pipeline",
+)
+def q_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p99 length cap (the trim-the-tail curation gate),
+    computed the scalable way: EXACT type-1 p99 from a cumulative sum
+    over the (lang × distinct length) AGGREGATE — input to the ordered
+    window is bounded by the length domain, never document grain — and
+    the trimmed-document count reuses the same aggregate. Spark's
+    exact ``percentile`` aggregate would buffer every value per group;
+    this shape moves only (lang, length, count) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    lg = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = lg.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    thr = (
+        cum.filter(F.col("cum") >= F.expr("(99 * total + 99) div 100"))
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("p99_len"))
+    )
+    return (
+        cum.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("total").cast("bigint").alias("n_docs"),
+            F.any_value("p99_len").alias("p99_len"),
+            F.sum(F.when(F.col("n_chars") > F.col("p99_len"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_trimmed"),
+        )
+    )
+
+
+@register(
+    "q_dedup_survival_by_source",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, source, md5(text) AS fp FROM documents
+        ),
+        k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        SELECT f.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors,
+               round(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS survival_rate
+        FROM f JOIN k ON k.fp = f.fp
+        GROUP BY f.source
+    """,
+    category="llm-dedup",
+)
+def q_dedup_survival_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-bias audit: exact-dedup (keep lowest doc_id per content
+    fingerprint) survival rate per source — a source whose documents
+    mostly lose the dedup race is mirroring content the corpus already
+    has. One fingerprint aggregate + one fingerprint join; only
+    16-byte keys and (source, counts) move."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select("doc_id", "source", F.md5("text").alias("fp"))
+    k = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    surv = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        f.join(k, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(surv).cast("bigint").alias("n_survivors"),
+            F.round(F.sum(surv) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "survival_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / sketch audits
+
+
+def _neardup_sweep_oracle() -> str:
+    from builder_spark.queries.textops import _grams_sql
+
+    mh = QUERIES["q_minhash_banded"].oracle
+    return f"""
+        WITH pairs AS (
+            SELECT id_a, id_b, est_jaccard FROM ({mh})
+        ),
+        sh AS (SELECT doc_id, {_grams_sql(3)} AS g FROM documents),
+        scored AS (
+            SELECT p.est_jaccard,
+                   len(list_intersect(a.g, b.g))
+                   / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+                          AS DOUBLE) AS exact_j
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b
+        )
+        SELECT tau_pct,
+               CAST(sum(CASE WHEN est_jaccard >= tau_pct / 100.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+               CAST(sum(CASE WHEN exact_j >= tau_pct / 100.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        FROM scored
+        CROSS JOIN (SELECT unnest([50, 60, 70, 80, 90]) AS tau_pct)
+        GROUP BY tau_pct
+    """
+
+
+@register(
+    "q_neardup_threshold_sweep",
+    oracle=None,  # set after definition: composes q_minhash_banded's oracle
+    category="llm-dedup",
+)
+def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep of the near-dup candidate generator: at each
+    Jaccard cutoff tau (0.5 … 0.9), how many MinHash candidate pairs
+    the ESTIMATE keeps vs how many the EXACT shingle Jaccard keeps —
+    the curve that picks the production dedup threshold. Exact Jaccard
+    is computed ONLY on the bounded candidate set (array_intersect per
+    pair), and thresholds are integer percents so the group key is
+    never a float. Composes the registered q_minhash_banded oracle."""
+    from builder_spark.queries.textops import _word_grams, q_minhash_banded
+
+    pairs = q_minhash_banded(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _word_grams(F.col("text"), 3).alias("g"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    scored = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb")), "id_b")
+        .select("est_jaccard", (inter / union.cast("double")).alias("exact_j"))
+    )
+    taus = spark.createDataFrame([(t,) for t in (50, 60, 70, 80, 90)], "tau_pct int")
+    thr = F.col("tau_pct") / F.lit(100.0)
+    return (
+        scored.crossJoin(F.broadcast(taus))
+        .groupBy("tau_pct")
+        .agg(
+            F.sum(F.when(F.col("est_jaccard") >= thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_est"),
+            F.sum(F.when(F.col("exact_j") >= thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+    )
+
+
+import dataclasses as _dc  # noqa: E402
+
+QUERIES["q_neardup_threshold_sweep"] = _dc.replace(
+    QUERIES["q_neardup_threshold_sweep"], oracle=_neardup_sweep_oracle()
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# growth / activity analytics
+
+
+@register(
+    "q_dau_wau_mau",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du),
+        dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        wau AS (
+            SELECT days.d, count(DISTINCT du.user_id) AS wau
+            FROM days JOIN du ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+            GROUP BY days.d
+        ),
+        mau AS (
+            SELECT days.d, count(DISTINCT du.user_id) AS mau
+            FROM days JOIN du ON du.d > days.d - INTERVAL 28 DAY AND du.d <= days.d
+            GROUP BY days.d
+        )
+        SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+               round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+        FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    """,
+    category="analytics",
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / trailing-28-day MAU and the DAU/WAU
+    stickiness ratio per day — the growth-accounting headline. Scalable
+    shape (q_rolling_distinct's pattern): events collapse ONCE to the
+    (day, user) grain, each active day then fans out to the windows it
+    belongs to via an exploded offset spine, and the distinct count per
+    (window-day) is a plain combinable aggregate — never a
+    distinct-over-RANGE-frame window (unbounded per-row state). The
+    oracle states the naive interval joins over the same grain."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n_days: int, out: str) -> DataFrame:
+        return (
+            du.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n_days - 1))).alias("off"),
+                "d",
+                "user_id",
+            )
+            .select(F.date_add(F.col("d"), F.col("off")).alias("d"), "user_id")
+            .join(days, "d", "left_semi")
+            .distinct()
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(28, "mau"), "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 4).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+        WITH dc AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        med AS (
+            SELECT event_type, median(n) AS med FROM dc GROUP BY event_type
+        ),
+        dev AS (
+            SELECT dc.event_type, dc.n, med.med, abs(dc.n - med.med) AS adev
+            FROM dc JOIN med ON med.event_type = dc.event_type
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(any_value(dev.med), 4) AS med_daily,
+               round(any_value(mad.mad), 4) AS mad_daily,
+               CAST(sum(CASE WHEN abs(dev.n - dev.med) > 3 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM dev JOIN mad ON mad.event_type = dev.event_type
+        GROUP BY dev.event_type
+    """,
+    category="analytics",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen per event type: median +
+    median-absolute-deviation fences (|n − med| > 3·MAD) instead of the
+    stddev z-score a single spike corrupts. Both medians run over the
+    (type × day) AGGREGATE — bounded by the calendar, so the exact
+    median's per-group buffering is safe at any corpus size. Integer
+    daily counts make every deviation exact (medians are .0 or .5,
+    both exactly representable)."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = dc.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = dc.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.any_value("med"), 4).alias("med_daily"),
+            F.round(F.any_value("mad"), 4).alias("mad_daily"),
+            F.sum(
+                F.when(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+@register(
+    "q_conversion_curve",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+            GROUP BY e.user_id
+        ),
+        g AS (
+            SELECT date_diff('day', CAST(date_trunc('day', v.v_ts) AS DATE),
+                             CAST(date_trunc('day', p.p_ts) AS DATE)) AS gap_days
+            FROM v JOIN p ON p.user_id = v.user_id
+        ),
+        c AS (SELECT gap_days, count(*) AS n_users FROM g GROUP BY gap_days),
+        t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM c)
+        SELECT c.gap_days, CAST(c.n_users AS BIGINT) AS n_users,
+               CAST(sum(c.n_users) OVER (ORDER BY c.gap_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users,
+               round(sum(c.n_users) OVER (ORDER BY c.gap_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t.total AS DOUBLE), 4) AS cum_share
+        FROM c CROSS JOIN t
+    """,
+    category="analytics",
+)
+def q_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-to-convert CDF: for every user whose first purchase comes
+    at-or-after their first view, the day gap between the two — counts
+    per gap plus the cumulative conversion share. The curve product
+    teams read "X% of converters convert within N days" from. User
+    aggregates are combinable; the cumulative window runs over the
+    day-gap DOMAIN (≤ calendar span), not users; the denominator is a
+    1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    g = v.join(p, "user_id").select(
+        F.datediff(
+            F.date_trunc("day", F.col("p_ts")).cast("date"),
+            F.date_trunc("day", F.col("v_ts")).cast("date"),
+        ).alias("gap_days")
+    )
+    c = g.groupBy("gap_days").agg(F.count(F.lit(1)).alias("n_users"))
+    t = c.agg(F.sum("n_users").cast("bigint").alias("total"))
+    w = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "gap_days",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.sum("n_users").over(w).cast("bigint").alias("cum_users"),
+            F.round(
+                F.sum("n_users").over(w) / F.col("total").cast("double"), 4
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "q_recency_weighted_score",
+    oracle="""
+        WITH ref AS (
+            SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS ref_day FROM events
+        ),
+        s AS (
+            SELECT e.user_id,
+                   round(sum(e.value * power(0.9,
+                       date_diff('day', CAST(date_trunc('day', e.ts) AS DATE),
+                                 ref.ref_day))), 4) AS score
+            FROM events e CROSS JOIN ref
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        )
+        SELECT user_id, score FROM s
+        ORDER BY score DESC, user_id ASC
+        LIMIT 10
+    """,
+    category="analytics",
+)
+def q_recency_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency-weighted purchase score per user (decay 0.9
+    per day against the latest day in the data) — the engagement /
+    churn-risk primitive. The reference day is a 1-row broadcast, the
+    weighted sum is one combinable aggregate riding the scan, and the
+    top-10 is TakeOrdered with ranking on the ROUNDED score (user_id
+    tie-break) so power() ulps can't flip the cut."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("ref_day")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.pow(
+                        F.lit(0.9),
+                        F.datediff(
+                            F.col("ref_day"),
+                            F.date_trunc("day", F.col("ts")).cast("date"),
+                        ),
+                    )
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    return s.orderBy(F.col("score").desc(), F.col("user_id").asc()).limit(10)
+
+
+@register(
+    "q_event_regex_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                       AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN regexp_matches(seq, 's.*v.*p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup_view_purchase,
+               CAST(sum(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view_purchase,
+               CAST(sum(CASE WHEN regexp_matches(seq, 'c.*p') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click_purchase
+        FROM s
+    """,
+    category="analytics",
+)
+def q_event_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern funnel (the MATCH_RECOGNIZE-lite): each user's
+    event history becomes an initials string in (ts, event_id) order
+    and ordered-subsequence funnels are regex matches over it —
+    signup→…→view→…→purchase etc. Per-user state is one
+    session-bounded string (array_sort over the user's own events, not
+    a shuffle-wide sort); everything else is a single combinable
+    aggregate. The deterministic total order (ts, event_id) makes both
+    engines build identical strings."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ini")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("e")), lambda x: x["ini"])
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("seq").rlike("s.*v.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signup_view_purchase"),
+        F.sum(F.when(F.col("seq").rlike("v.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view_purchase"),
+        F.sum(F.when(F.col("seq").rlike("c.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface battery: error-safe arithmetic, information theory,
+# formatting round-trips, recursive CTEs, VARIANT
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               round(sum(o_totalprice / nullif(o_orderkey % 3, 0)), 4) AS sum_div,
+               CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INT) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+               CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
+                    AS BIGINT) AS sum_priority_digit
+        FROM orders
+    """,
+    category="scalar",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic battery (the ANSI-mode survival kit):
+    try_divide returns NULL on /0 instead of raising, try_cast returns
+    NULL on a failed parse — counted and aggregated so the semantics
+    are pinned against the oracle's nullif/TRY_CAST equivalents.
+    '1-URGENT' fails a full int parse in both engines while its first
+    character parses — both directions are graded. Single scan, one
+    combinable aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.round(F.sum(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)), 4).alias(
+            "sum_div"
+        ),
+        F.sum(F.when(F.col("o_orderpriority").try_cast("int").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cast_null"),
+        F.sum(F.substring("o_orderpriority", 1, 1).try_cast("int"))
+        .cast("bigint")
+        .alias("sum_priority_digit"),
+    )
+
+
+@register(
+    "q_mutual_info",
+    oracle="""
+        WITH joint AS (
+            SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+        ),
+        ml AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM joint GROUP BY lang),
+        ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM joint GROUP BY source),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint)
+        SELECT CAST(any_value(t.n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum((joint.c / CAST(t.n AS DOUBLE))
+                         * ln(joint.c * CAST(t.n AS DOUBLE)
+                              / (ml.cl * CAST(ms.cs AS DOUBLE)))), 4) AS mi_nats
+        FROM joint
+        JOIN ml ON ml.lang = joint.lang
+        JOIN ms ON ms.source = joint.source
+        CROSS JOIN t
+    """,
+    category="analytics",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source (does routing by
+    source leak language, i.e. can one stratify the other?) — exact
+    integer contingency counts, one combinable aggregate over the
+    lang × source cells (tiny), marginals joined back as broadcasts,
+    per-cell doubles summed then rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = joint.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
+    ms = joint.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    t = joint.agg(F.sum("c").cast("bigint").alias("n"))
+    term = (F.col("c") / F.col("n").cast("double")) * F.log(
+        F.col("c") * F.col("n").cast("double") / (F.col("cl") * F.col("cs").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term), 4).alias("mi_nats"),
+        )
+    )
+
+
+@register(
+    "q_date_format_parse",
+    oracle="""
+        WITH f AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                   strptime(strftime(o_orderdate, '%Y-%m') || '-15',
+                            '%Y-%m-%d') AS mid_month,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(any_value(mid_month) AS DATE) AS mid_month,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM f GROUP BY ym
+    """,
+    category="scalar/date",
+)
+def q_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format→parse round-trip: order dates rendered as 'yyyy-MM'
+    strings (the partitioning-key formatting every lake layout uses),
+    grouped, and parsed BACK to a mid-month date — pinning
+    date_format/to_date against strftime/strptime across engines.
+    Formatting rides the scan; the aggregate is month-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.to_date(
+            F.concat(F.date_format("o_orderdate", "yyyy-MM"), F.lit("-15")),
+            "yyyy-MM-dd",
+        ).alias("mid_month"),
+        "o_totalprice",
+    )
+    return f.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.any_value("mid_month").alias("mid_month"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+        WITH RECURSIVE chain(c_custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT c_custkey, node // 10, depth + 1 FROM chain WHERE node > 0
+        )
+        SELECT depth AS n_digits, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT c_custkey, max(depth) AS depth FROM chain GROUP BY c_custkey
+        )
+        GROUP BY depth
+    """,
+    category="subquery",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): walk each
+    customer key up a synthetic parent chain (integer-divide by 10
+    until 0 — a stand-in for org-hierarchy traversal) and histogram
+    the chain depth. Recursion depth is bounded by the key's digit
+    count (≤ 19 for int64), so the iterative union converges in a
+    fixed number of steps at any table size; each step is one
+    shuffle-free projection + filter."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("r5_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(c_custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM r5_customer
+            UNION ALL
+            SELECT c_custkey, node div 10, depth + 1 FROM chain WHERE node > 0
+        )
+        SELECT depth AS n_digits, count(*) AS n_customers
+        FROM (
+            SELECT c_custkey, max(depth) AS depth FROM chain GROUP BY c_custkey
+        )
+        GROUP BY depth
+        """
+    )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props::JSON, '$.k') AS INT)) AS BIGINT)
+                   AS k_sum,
+               round(avg(CAST(json_extract(props::JSON, '$.k') AS INT)), 4)
+                   AS k_avg
+        FROM events
+        GROUP BY event_type
+    """,
+    category="scalar/json",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT surface (Spark 4): parse_json into the open-schema
+    VARIANT type and extract a typed field with variant_get — the
+    shredded semi-structured path engines now prefer over repeated
+    string parsing. Aggregated per event type; the oracle reads the
+    same field through DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity: product quantization
+
+
+@register(
+    "q_ann_pq",
+    oracle="""
+        WITH mil AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS m
+            FROM embeddings
+        ),
+        subs AS (SELECT unnest([0, 1]) AS sub),
+        cent AS (
+            SELECT subs.sub, mil.vec_id AS cid,
+                   CASE subs.sub WHEN 0 THEN mil.m[1:32] ELSE mil.m[33:64] END AS cm
+            FROM mil CROSS JOIN subs WHERE mil.vec_id < 16
+        ),
+        vecsub AS (
+            SELECT mil.vec_id, subs.sub,
+                   CASE subs.sub WHEN 0 THEN mil.m[1:32] ELSE mil.m[33:64] END AS vm
+            FROM mil CROSS JOIN subs
+        ),
+        d AS (
+            SELECT vs.vec_id, vs.sub, c.cid,
+                   list_sum(list_transform(range(1, 33),
+                       i -> (vs.vm[i] - c.cm[i]) * (vs.vm[i] - c.cm[i]))) AS dist
+            FROM vecsub vs JOIN cent c ON c.sub = vs.sub
+        ),
+        a AS (
+            SELECT vec_id, sub, cid, dist FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist ASC, cid ASC) = 1
+        )
+        SELECT sub, cid,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(dist), 4) AS avg_sq_err
+        FROM a GROUP BY sub, cid
+    """,
+    category="llm-similarity",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ memory side): the 64-dim space
+    splits into 2 subspaces of 32 dims, each with 16 deterministic
+    codebook entries (the first 16 vectors' halves), and every vector
+    is assigned its nearest codebook entry per subspace — codebook
+    cell sizes + average squared reconstruction error are the graded
+    artifact. All distances are EXACT int64 on milli-quantized
+    components (the q_kmeans_embed discipline), so assignments cannot
+    diverge by a float ulp. Scale: the 32-row codebook broadcasts;
+    each vector computes 32 distances map-side; one combinable
+    aggregate — no pairwise joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mil = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+        ).alias("m"),
+    )
+    subs = spark.createDataFrame([(0,), (1,)], "sub int")
+    half = F.when(F.col("sub") == 0, F.slice("m", 1, 32)).otherwise(F.slice("m", 33, 32))
+    cent = (
+        mil.filter(F.col("vec_id") < 16)
+        .crossJoin(F.broadcast(subs))
+        .select("sub", F.col("vec_id").alias("cid"), half.alias("cm"))
+    )
+    vecsub = mil.crossJoin(F.broadcast(subs)).select("vec_id", "sub", half.alias("vm"))
+    dist = F.aggregate(
+        F.zip_with("vm", "cm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = vecsub.join(F.broadcast(cent), "sub").withColumn("dist", dist)
+    best = d.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dist"), F.col("cid"))).alias("b")
+    )
+    return (
+        best.select("sub", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+        .groupBy("sub", "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 4).alias("avg_sq_err"),
+        )
+    )

@@ -38,6 +38,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_rrf_fusion": "two top-k candidate lists",
     "q_degree_distribution": "distinct degree values",
     "q_stratified_sample": "strata table",
+    "q_conversion_curve": "day-gap domain (calendar-bounded)",
 }
 
 
@@ -53,6 +54,8 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_tfidf_top_terms": "grouped_topk survivors (<= 5*P per lang)",
     "q_zipf_slope": "grouped_topk survivors (<= 100*P per lang)",
     "q_window_range": "brand x size aggregate (both enum domains)",
+    "q_grouped_topk_parts": "grouped_topk survivors (<= 3*P per brand)",
+    "q_length_percentile_gate": "length-grain aggregate (bounded by distinct lengths)",
 }
 
 
