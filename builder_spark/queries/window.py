@@ -320,52 +320,34 @@ def q_global_cumsum_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is independent of where the range boundaries fall
     (offsets absorb any split), values are exact integers, and no
     stage ever holds more than one range partition — the same plan
-    ranks 100 TB. The oracle states the naive global window, which IS
-    single-partition; equivalence proves the stitching is invisible."""
+    ranks 100 TB. Built on :func:`stitched_running` (the shared
+    implementation of exactly this recipe); the order key leads with
+    the timestamp cast to epoch seconds so the deterministic
+    auto-boundary mode applies — nothing is persisted, nothing is
+    resampled (same total order: the cast is monotone and ties still
+    break on o_orderkey). The oracle states the naive global window,
+    which IS single-partition; equivalence proves the stitching is
+    invisible."""
+    from builder_spark.operators.partitioning import stitched_running
+
     o = load_table(spark, sf_dir, "orders")
     spend = F.floor(F.col("o_totalprice")).cast("bigint")
-    ranged = (
-        o.select("o_orderkey", "o_orderdate", spend.alias("_v"))
-        .repartitionByRange(32, F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # repartitionByRange SAMPLES to pick boundaries; this frame feeds two
-    # subplans (local window + offsets aggregate). persist() pins one
-    # materialization so both sides see identical _pid assignment even if
-    # Spark declines to reuse the exchange — otherwise an independent
-    # resample could split rows differently and corrupt the stitch.
-    ranged = ranged.persist()
-    local_w = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.select(
-        "o_orderkey",
-        "o_orderdate",
-        "_pid",
-        F.sum("_v").over(local_w).alias("_local_sum"),
-        F.count(F.lit(1)).over(local_w).alias("_local_rank"),
-    )
-    # 32-row prefix table: offset = totals of all EARLIER partitions
-    off_w = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n"))
-        .select(
-            "_pid",
-            (F.sum("_t").over(off_w) - F.col("_t")).alias("_off_sum"),
-            (F.sum("_n").over(off_w) - F.col("_n")).alias("_off_n"),
-        )
-    )
-    return local.join(F.broadcast(offsets), "_pid").select(
-        "o_orderkey",
-        "o_orderdate",
-        (F.col("_local_sum") + F.col("_off_sum")).cast("bigint").alias(
-            "running_revenue"
+    run = stitched_running(
+        o.select(
+            "o_orderkey",
+            "o_orderdate",
+            # epoch micros: monotone in the timestamp (session tz is UTC),
+            # numeric so the deterministic auto-boundary mode applies
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_ts"),
+            spend.alias("_v"),
         ),
-        (F.col("_local_rank") + F.col("_off_n")).cast("int").alias("global_rank"),
+        ["_ts", "o_orderkey"],
+        running={"running_revenue": "_v"},
+        rank_name="global_rank",
+    )
+    return run.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("running_revenue").cast("bigint").alias("running_revenue"),
+        F.col("global_rank").cast("int").alias("global_rank"),
     )
