@@ -1082,3 +1082,365 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist"), 4).alias("avg_sq_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: forward as-of, audience overlap, embedding drift, lang-ID
+# confidence, tail index, shipping SLA
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+        WITH v AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        cand AS (
+            SELECT v.event_id, v.user_id, v.ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   row_number() OVER (
+                       PARTITION BY v.event_id
+                       ORDER BY p.ts ASC, p.event_id ASC
+                   ) AS rn
+            FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
+        )
+        SELECT event_id, user_id, ts, purchase_id, purchase_ts
+        FROM cand WHERE rn = 1
+    """,
+    category="join",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: per view event, the EARLIEST purchase
+    STRICTLY AFTER it for the same user (the "what happened next"
+    direction every attribution model needs). Same union +
+    single-timeline algorithm as q_join_asof, mirrored: one shuffle on
+    the key, a per-user window with a FOLLOWING frame, and
+    first(ignorenulls) — never the quadratic candidate fan-out the
+    oracle states. Purchases sort before views at equal timestamps, so
+    an equal-timestamp purchase is NOT in the forward frame (strict >);
+    equal-timestamp purchases resolve by event_id ascending."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("purchase_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    timeline = v.unionByName(p)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_kind").asc(), F.col("purchase_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        timeline.withColumn("_next_id", F.first("purchase_id", ignorenulls=True).over(w))
+        .withColumn("_next_ts", F.first("purchase_ts", ignorenulls=True).over(w))
+        .filter((F.col("_kind") == 1) & F.col("_next_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("_next_id").alias("purchase_id"),
+            F.col("_next_ts").alias("purchase_ts"),
+        )
+    )
+
+
+@register(
+    "q_user_overlap_jaccard",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        tot AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_both
+            FROM tu a JOIN tu b
+              ON b.user_id = a.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b,
+               CAST(ta.n AS BIGINT) AS n_a,
+               CAST(tb.n AS BIGINT) AS n_b,
+               CAST(i.n_both AS BIGINT) AS n_both,
+               round(i.n_both / CAST(ta.n + tb.n - i.n_both AS DOUBLE), 4)
+                   AS jaccard
+        FROM inter i
+        JOIN tot ta ON ta.event_type = i.type_a
+        JOIN tot tb ON tb.event_type = i.type_b
+    """,
+    category="analytics",
+)
+def q_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard similarity of the USER SETS behind
+    each event-type pair (does the purchase audience overlap the click
+    audience?). Scale shape: events dedup ONCE to (type, user) — the
+    self-join on user then fans out at most C(|types|, 2) = 10 rows
+    per user, never events × events — and the per-type totals are a
+    5-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    tot = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_centroid_drift",
+    oracle="""
+        WITH mil AS (
+            SELECT vec_id, label, vec_id % 2 AS half,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS m
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT label, half, i.i AS dim, mil.m[i.i] AS v
+            FROM mil CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        ),
+        per_dim AS (
+            SELECT label, dim,
+                   sum(CASE WHEN half = 0 THEN v ELSE 0 END) AS se,
+                   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ne,
+                   sum(CASE WHEN half = 1 THEN v ELSE 0 END) AS so,
+                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS no
+            FROM ex GROUP BY label, dim
+        )
+        SELECT label,
+               CAST(any_value(ne) AS BIGINT) AS n_even,
+               CAST(any_value(no) AS BIGINT) AS n_odd,
+               round(sum(power(se / CAST(ne AS DOUBLE)
+                               - so / CAST(no AS DOUBLE), 2)), 4) AS sq_drift
+        FROM per_dim GROUP BY label
+    """,
+    category="llm-similarity",
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift screen: per label, the squared L2 distance
+    between the centroid of even-id vectors and odd-id vectors (an
+    encoder change or data shift shows as drift; a healthy random
+    split shows ≈0). Components are milli-quantized so the per-dim
+    sums are EXACT integers; only the final centroid division and the
+    64-term square-sum are doubles (identical per-dim values in both
+    engines; round(·,4) after the sum). One posexplode + one
+    combinable (label × 64)-cell aggregate — no pairwise math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mil = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+            )
+        ).alias("dim", "v"),
+    )
+    per_dim = mil.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v")).otherwise(0)).alias("se"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("half") == 1, F.col("v")).otherwise(0)).alias("so"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("no"),
+    )
+    diff = F.col("se") / F.col("ne").cast("double") - F.col("so") / F.col("no").cast(
+        "double"
+    )
+    return per_dim.groupBy("label").agg(
+        F.any_value("ne").cast("bigint").alias("n_even"),
+        F.any_value("no").cast("bigint").alias("n_odd"),
+        F.round(F.sum(F.pow(diff, 2)), 4).alias("sq_drift"),
+    )
+
+
+def _lang_margin_oracle() -> str:
+    from builder_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+            " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        )
+
+    arr = "list_sort([" + ", ".join(score(lg) for lg in langs) + "])"
+    return f"""
+        WITH m AS (
+            SELECT lang,
+                   round({arr}[-1] - {arr}[-2], 4) AS margin
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(margin), 4) AS avg_margin,
+               CAST(sum(CASE WHEN margin >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_confident
+        FROM m GROUP BY lang
+    """
+
+
+@register("q_lang_margin", oracle=None, category="llm-text")
+def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence margin: best minus second-best stopword
+    score per document (the reject-option signal — route low-margin
+    docs to a heavier classifier), rolled up per true language. Margin
+    is ROUNDED before the 0.05 confidence compare so sub-ulp
+    differences can't flip counts; scores are ratios of exact integers
+    (identical doubles in both engines). Pure array expressions riding
+    the scan + one combinable aggregate."""
+    from builder_spark.functions.text import lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    arr = F.array_sort(F.array(*[scores[lg] for lg in sorted(scores)]))
+    margin = F.round(F.element_at(arr, -1) - F.element_at(arr, -2), 4)
+    m = d.select("lang", margin.alias("margin"))
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("margin"), 4).alias("avg_margin"),
+        F.sum(F.when(F.col("margin") >= 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_confident"),
+    )
+
+
+QUERIES["q_lang_margin"] = _dc.replace(
+    QUERIES["q_lang_margin"], oracle=_lang_margin_oracle()
+)
+
+
+@register(
+    "q_tail_index",
+    oracle="""
+        WITH top AS (
+            SELECT n_chars, doc_id FROM documents
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 101
+        ),
+        rk AS (
+            SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM top
+        ),
+        xk AS (SELECT n_chars AS x_tail FROM rk WHERE rn = 101)
+        SELECT CAST(100 AS INT) AS k,
+               CAST(any_value(xk.x_tail) AS BIGINT) AS x_tail,
+               round(1.0 / avg(ln(rk.n_chars / CAST(xk.x_tail AS DOUBLE))), 4)
+                   AS hill_alpha
+        FROM rk CROSS JOIN xk
+        WHERE rk.rn <= 100
+    """,
+    category="analytics",
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over the document-length distribution
+    (heavy-tail exponent α — how pathological the longest documents
+    are, which drives truncation policy). Uses the top-101 order
+    statistics only: TakeOrderedAndProject pulls 101 rows (per-
+    partition heaps, deterministic doc_id tie-break), the 101st value
+    anchors the estimator, and everything after is arithmetic on ≤ 100
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    top = d.select("n_chars", "doc_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    ).limit(101)
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    rk = top.select("n_chars", F.row_number().over(w).alias("rn"))
+    xk = rk.filter(F.col("rn") == 101).select(F.col("n_chars").alias("x_tail"))
+    return (
+        rk.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.lit(100).cast("int").alias("k"),
+            F.any_value("x_tail").cast("bigint").alias("x_tail"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("n_chars") / F.col("x_tail").cast("double"))), 4
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+@register(
+    "q_ship_latency_sla",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))), 4) AS avg_days,
+               CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                            CAST(l.l_shipdate AS DATE)) <= 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30,
+               round(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                             CAST(l.l_shipdate AS DATE)) <= 30
+                              THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+                   AS pct_within_30
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    category="analytics",
+)
+def q_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA report: order→ship latency per priority — average
+    days and the share shipped within 30 days. Integer day diffs (no
+    float time math), one fact⨝fact shuffle join on the order key,
+    one combinable rollup to 5 rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(days), 4).alias("avg_days"),
+            F.sum(F.when(days <= 30, 1).otherwise(0)).cast("bigint").alias("n_within_30"),
+            F.round(
+                F.sum(F.when(days <= 30, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("pct_within_30"),
+        )
+    )

@@ -39,6 +39,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_degree_distribution": "distinct degree values",
     "q_stratified_sample": "strata table",
     "q_conversion_curve": "day-gap domain (calendar-bounded)",
+    "q_tail_index": "top-101 TakeOrdered survivors (constant-bounded)",
 }
 
 
