@@ -225,3 +225,72 @@ def test_ntile_from_rank_closed_form_is_sql_standard(n, k):
     expect_big, expect_small = q + 1, q
     for t, sz in sizes.items():
         assert sz == (expect_big if t <= r else expect_small) or (q == 0 and sz == 1)
+
+
+@_settings
+@given(data=rows)
+def test_grouped_topk_equals_plain_window_topk(spark, data):
+    """grouped_topk == the naive PARTITION BY window top-k on ANY data
+    (ties broken by the unique id so the order is total)."""
+    from builder_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], ["id", "k", "v"]
+    ).repartition(4)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = sorted(
+        (r.k, r.id, r.rnk) for r in grouped_topk(df, ["k"], order, 3).collect()
+    )
+    w = Window.partitionBy("k").orderBy(*order)
+    want = sorted(
+        (r.k, r.id, r.rnk)
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    assert got == want
+
+
+@_settings
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=20
+    ),
+    m=st.sampled_from([7, 100, 10000]),
+)
+def test_knuth_bucket_matches_python_reference(spark, keys, m):
+    """Decimal-widened Knuth hash == the Python big-int reference on
+    ANY int64 key — including the overflow range the old BIGINT
+    multiply raised on."""
+    from builder_spark.functions.hashing import KNUTH, knuth_bucket
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    got = {r.k: r.b for r in df.select("k", knuth_bucket("k", m).alias("b")).collect()}
+    assert got == {k: (k * KNUTH) % 2**32 % m for k in set(keys)}
+
+
+@_settings
+@given(data=rows)
+def test_stitched_running_modes_agree(spark, data):
+    """The deterministic auto-boundary mode, an explicit-boundaries
+    call, and the naive single-partition window must all produce the
+    same running sums and ranks on ANY data."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], ["id", "k", "v"]
+    ).repartition(4)
+    base = df.withColumn("vi", F.col("k").cast("bigint"))
+    auto = stitched_running(base, ["id"], running={"rs": "vi"}, rank_name="rn")
+    expl = stitched_running(
+        base, ["id"], running={"rs": "vi"}, rank_name="rn", boundaries=[len(data) // 2]
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = base.select(
+        "id",
+        F.sum("vi").over(w).cast("bigint").alias("rs"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+    )
+    want = sorted((r.id, r.rs, r.rn) for r in naive.collect())
+    assert sorted((r.id, r.rs, r.rn) for r in auto.select("id", "rs", "rn").collect()) == want
+    assert sorted((r.id, r.rs, r.rn) for r in expl.select("id", "rs", "rn").collect()) == want
