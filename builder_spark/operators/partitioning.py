@@ -212,10 +212,12 @@ def stitched_running(
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
     first_asc: tuple[str, bool] | None = None
     if boundaries is not None:
-        first = order_cols[0]
-        if not isinstance(first, str):
-            raise ValueError("explicit boundaries need a plain ascending first order column")
-        first_asc = (first, True)
+        first_asc = _simple_order(order_cols[0])
+        if first_asc is None:
+            raise ValueError(
+                "explicit boundaries need a bare first order column "
+                "(ASC or DESC, default null ordering)"
+            )
     else:
         simple = _simple_order(order_cols[0])
         if simple is not None and _is_numeric(df, simple[0]):

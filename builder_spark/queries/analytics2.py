@@ -862,11 +862,22 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rev_a") > 0) & (F.col("rev_b") > 0))
     )
+    # one multi-column quantile pass supplies both stitches' boundaries
+    # (chained auto-boundary stitches would re-execute the first stitch
+    # inside the second's quantile action)
+    probs = [i / 32 for i in range(1, 32)]
+    b_a, b_b = rev.approxQuantile(["rev_a", "rev_b"], probs, 0.01)
     rk = stitched_running(
-        rev, [F.col("rev_a").desc(), F.col("l_partkey").asc()], rank_name="ra"
+        rev,
+        [F.col("rev_a").desc(), F.col("l_partkey").asc()],
+        rank_name="ra",
+        boundaries=b_a,
     )
     rk = stitched_running(
-        rk, [F.col("rev_b").desc(), F.col("l_partkey").asc()], rank_name="rb"
+        rk,
+        [F.col("rev_b").desc(), F.col("l_partkey").asc()],
+        rank_name="rb",
+        boundaries=b_b,
     ).select("ra", "rb")
     n = F.count(F.lit(1))
     d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))

@@ -383,12 +383,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recency_days", F.datediff(F.col("_mx"), F.col("_cust_mx")))
     )
     ck = F.col("o_custkey").asc()
-    scored = stitched_running(
-        per_cust, [F.col("recency_days").asc(), ck], rank_name="_r_rn"
+    # One multi-column approxQuantile pass supplies the partition
+    # boundaries for ALL THREE stitched ranks: chained stitches with
+    # auto-derived boundaries would each re-execute the upstream
+    # stitches inside their own quantile action (compounding — measured
+    # 16.6 s construction at sf0.1 vs ~1 s for this single pass).
+    probs = [i / 32 for i in range(1, 32)]
+    b_r, b_f, b_m = per_cust.approxQuantile(
+        ["recency_days", "frequency", "monetary"], probs, 0.01
     )
-    scored = stitched_running(scored, [F.col("frequency").desc(), ck], rank_name="_f_rn")
     scored = stitched_running(
-        scored, [F.col("monetary").desc(), ck], rank_name="_m_rn", with_totals=True
+        per_cust, [F.col("recency_days").asc(), ck], rank_name="_r_rn", boundaries=b_r
+    )
+    scored = stitched_running(
+        scored, [F.col("frequency").desc(), ck], rank_name="_f_rn", boundaries=b_f
+    )
+    scored = stitched_running(
+        scored,
+        [F.col("monetary").desc(), ck],
+        rank_name="_m_rn",
+        with_totals=True,
+        boundaries=b_m,
     )
     scored = (
         scored.withColumn("r_quartile", ntile_from_rank(4, "_r_rn", "_m_rn_total"))

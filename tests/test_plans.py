@@ -367,14 +367,15 @@ def test_salted_join_is_sort_merge_on_salted_key(spark):
 
 
 def test_global_cumsum_is_range_partitioned(spark):
-    """The distributed global cumsum must range-partition the fact and
-    broadcast the 32-row offset table — never a single-partition window
+    """The distributed global cumsum must carry the stitched
+    distribution (deterministic pid hash or range exchange) and
+    broadcast the offsets table — never a single-partition window
     over the data."""
     from builder_spark.plans.inspect import formatted_plan
 
     df = REGISTRY["q_global_cumsum_distributed"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_pid" in plan or "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
 
 
