@@ -117,6 +117,32 @@ def _is_numeric(df: DataFrame, col: str) -> bool:
     )
 
 
+#: (plan semantic hash, column, cut count) → boundaries. SAFE to cache
+#: indefinitely: boundaries only place the partition cuts — the stitch's
+#: offsets make the RESULT independent of where they fall, so a stale
+#: entry (same plan, changed underlying files) can only unbalance
+#: partitions, never corrupt values. Bounded; repeated constructions of
+#: the same query (warm benches, interactive sessions) skip the
+#: approxQuantile action entirely.
+_BOUNDARY_MEMO: dict[tuple[int, str, int], list] = {}
+
+
+def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
+    try:
+        key = (df.semanticHash(), col, n_cuts)
+    except Exception:  # noqa: BLE001 - hashing is an optimization only
+        key = None
+    if key is not None and key in _BOUNDARY_MEMO:
+        return _BOUNDARY_MEMO[key]
+    probs = [i / n_cuts for i in range(1, n_cuts)]
+    b = df.approxQuantile(col, probs, 0.01)
+    if key is not None:
+        if len(_BOUNDARY_MEMO) >= 256:
+            _BOUNDARY_MEMO.clear()
+        _BOUNDARY_MEMO[key] = b
+    return b
+
+
 def stitched_running(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -222,11 +248,11 @@ def stitched_running(
         simple = _simple_order(order_cols[0])
         if simple is not None and _is_numeric(df, simple[0]):
             # auto-derive deterministic cuts: one approxQuantile pass on
-            # the (column-pruned) first order column; 4× cuts so hashing
-            # the pid keys into shuffle partitions stays balanced
-            n_cuts = 4 * num_partitions
-            probs = [i / n_cuts for i in range(1, n_cuts)]
-            boundaries = df.approxQuantile(simple[0], probs, 0.01)
+            # the (column-pruned) first order column (memoized by plan
+            # semantic hash — boundaries only affect balance); 4× cuts
+            # so hashing the pid keys into shuffle partitions stays
+            # balanced
+            boundaries = _memo_boundaries(df, simple[0], 4 * num_partitions)
             first_asc = simple
     if first_asc is not None:
         first, asc = first_asc
