@@ -159,12 +159,14 @@ def stitched_running(
     single-partition window — the scale pattern for every empty
     PARTITION-BY frame over fact-grain data.
 
-    1. ``repartitionByRange`` on the order columns: rows land in
-       sorted, non-overlapping ranges (equal keys never split across
-       partitions — RangePartitioner boundaries are key values).
-    2. A LOCAL window per range partition (keyed on
-       ``spark_partition_id()``) computes within-partition running
-       sums and row counts: all partitions work independently.
+    1. Rows get a partition id that is monotone in the total order —
+       a deterministic count-of-boundaries-passed expression (equal
+       keys never split across ids; see the boundary strategies
+       below), falling back to ``repartitionByRange`` +
+       ``spark_partition_id()`` when no bare numeric first order
+       column exists.
+    2. A LOCAL window per partition id computes within-partition
+       running sums and row counts: all partitions work independently.
     3. Per-partition totals (``num_partitions`` rows) cumsum into
        prefix OFFSETS — the only single-partition window, over data
        whose size equals the partition COUNT — broadcast back.
@@ -257,17 +259,26 @@ def stitched_running(
     if first_asc is not None:
         first, asc = first_asc
         cuts = sorted(set(boundaries))
-        pid = F.lit(0)
+        # pid = count of boundaries passed. Built as ONE parsed SQL
+        # expression: k py4j when/add calls cost ~0.6 s of construction
+        # at k=127, and an array-filter lambda costs ~5× per ROW (no
+        # straight-line codegen) — the parsed CASE chain is cheap on
+        # both axes. Monotonicity survives the double-typed literals:
+        # int→double is order-preserving (ties allowed), so equal keys
+        # share a pid and pid is non-decreasing in the sort order —
+        # all the stitch requires.
+        op = ">=" if asc else "<="
+        terms = " + ".join(
+            f"(CASE WHEN `{first}` {op} {float(b)!r} THEN 1 ELSE 0 END)" for b in cuts
+        ) or "0"
         if asc:
-            for b in cuts:
-                pid = pid + F.when(F.col(first) >= F.lit(b), 1).otherwise(0)
-            # NULLs sort FIRST under ASC: the null-safe otherwise(0)
-            # already lands them in pid 0
+            # NULLs sort FIRST under ASC: null compares land in ELSE 0
+            pid = F.expr(terms)
         else:
-            for b in cuts:
-                pid = pid + F.when(F.col(first) <= F.lit(b), 1).otherwise(0)
             # NULLs sort LAST under DESC: pin them to the final pid
-            pid = F.when(F.col(first).isNull(), F.lit(len(cuts))).otherwise(pid)
+            pid = F.expr(
+                f"CASE WHEN `{first}` IS NULL THEN {len(cuts)} ELSE {terms} END"
+            )
         # deterministic assignment: no physical range exchange needed —
         # the local window's own (_pid, groups) exchange distributes rows
         ranged = df.withColumn("_pid", pid)
