@@ -1444,3 +1444,279 @@ def q_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_within_30"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 3: data-quality constraints, time-series backtests, curation mix
+
+
+@register(
+    "q_constraint_audit",
+    oracle="""
+        WITH pk AS (
+            SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dups FROM orders
+        ),
+        fk AS (
+            SELECT count(*) AS fk_orphans
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL
+        ),
+        nn AS (
+            SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_custkeys
+            FROM orders
+        ),
+        rng AS (
+            SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nonpositive_prices
+            FROM orders
+        ),
+        dom AS (
+            SELECT CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+            FROM orders
+        )
+        SELECT CAST(pk.pk_dups AS BIGINT) AS pk_dups,
+               CAST(fk.fk_orphans AS BIGINT) AS fk_orphans,
+               nn.null_custkeys, rng.nonpositive_prices, dom.bad_status
+        FROM pk, fk, nn, rng, dom
+    """,
+    category="analytics",
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-test battery in one pass: primary-key uniqueness on
+    orders, foreign-key orphans lineitem→orders, not-null and
+    value-range and domain-membership violations — the contract checks
+    every ingestion pipeline runs before publishing a table. PK check
+    is count minus countDistinct (one shuffle of the key set); the FK
+    check is a broadcast-or-shuffle anti-join counting only; everything
+    else rides the scan as conditional sums."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkeys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_prices"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    fk = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    return pk.crossJoin(F.broadcast(fk)).select(
+        F.col("pk_dups").cast("bigint").alias("pk_dups"),
+        F.col("fk_orphans").cast("bigint").alias("fk_orphans"),
+        "null_custkeys",
+        "nonpositive_prices",
+        "bad_status",
+    )
+
+
+@register(
+    "q_seasonal_naive_error",
+    oracle="""
+        WITH dc AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT a.event_type, a.d, a.n, b.n AS forecast
+            FROM dc a JOIN dc b
+              ON b.event_type = a.event_type AND b.d = a.d - INTERVAL 7 DAY
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(abs(n - forecast)), 4) AS mae,
+               round(avg(abs(n - forecast) / CAST(n AS DOUBLE)), 4) AS mape
+        FROM f GROUP BY event_type
+    """,
+    category="analytics",
+)
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast each day's event volume with
+    the value 7 days earlier and report MAE / MAPE per type — the
+    baseline every real forecasting model must beat, and the cheapest
+    drift alarm. Daily rollup is combinable; the self-join runs on the
+    bounded (type × day) aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = dc.select(
+        "event_type", F.date_add(F.col("d"), 7).alias("d"), F.col("n").alias("forecast")
+    )
+    f = dc.join(b, ["event_type", "d"])
+    err = F.abs(F.col("n") - F.col("forecast"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.col("n").cast("double")), 4).alias("mape"),
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+        WITH dc AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM dc GROUP BY event_type
+        ),
+        c AS (
+            SELECT dc.event_type, dc.d,
+                   sum(dc.n * m.nd - m.tot) OVER (
+                       PARTITION BY dc.event_type ORDER BY dc.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cusum_scaled
+            FROM dc JOIN m ON m.event_type = dc.event_type
+        )
+        SELECT event_type,
+               max_by(d, abs(cusum_scaled) * 100000
+                         - date_diff('day', DATE '1970-01-01', d))
+                   AS changepoint_day,
+               CAST(max(abs(cusum_scaled)) AS BIGINT) AS max_cusum_scaled
+        FROM c
+        GROUP BY event_type
+    """,
+    category="analytics",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event type: the day where the
+    cumulative deviation from the period mean peaks — the standard
+    level-shift detector for volume monitoring. All EXACT integers:
+    deviations are scaled by the day count (n·N − total instead of
+    n − mean) so no float accumulates; the window runs over the
+    bounded (type × day) aggregate. The argmax key is
+    |cusum|·100000 − epoch_day, so equal peaks resolve to the EARLIEST
+    day deterministically in both engines (the day offset is strictly
+    dominated by one cusum unit)."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = dc.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tot"), F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        dc.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.sum(F.col("n") * F.col("nd") - F.col("tot")).over(w).alias("cusum_scaled"),
+        )
+    )
+    argmax_key = F.abs("cusum_scaled") * 100000 - F.datediff(
+        F.col("d"), F.lit("1970-01-01").cast("date")
+    )
+    return c.groupBy("event_type").agg(
+        F.max_by("d", argmax_key).alias("changepoint_day"),
+        F.max(F.abs("cusum_scaled")).cast("bigint").alias("max_cusum_scaled"),
+    )
+
+
+@register(
+    "q_context_overflow",
+    oracle="""
+        WITH t AS (
+            SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS over_64,
+               CAST(sum(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS over_128,
+               CAST(sum(CASE WHEN n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS over_256,
+               round(sum(CASE WHEN n_tok > 128 THEN n_tok - 128 ELSE 0 END)
+                     / CAST(sum(n_tok) AS DOUBLE), 4) AS truncated_share_128
+        FROM t GROUP BY lang
+    """,
+    category="llm-pipeline",
+)
+def q_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window overflow report: per language, how many documents
+    exceed 64/128/256-token windows and what share of the TOKEN VOLUME
+    a 128-token truncation would discard — the number that decides
+    between truncating, chunking, or dropping. Pure conditional sums
+    riding the scan (fixture-scaled window sizes; production uses
+    2k/8k/128k with identical shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(F.split("text", " ")).alias("n_tok"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0)).cast("bigint").alias("over_64"),
+        F.sum(F.when(F.col("n_tok") > 128, 1).otherwise(0)).cast("bigint").alias("over_128"),
+        F.sum(F.when(F.col("n_tok") > 256, 1).otherwise(0)).cast("bigint").alias("over_256"),
+        F.round(
+            F.sum(F.when(F.col("n_tok") > 128, F.col("n_tok") - 128).otherwise(0))
+            / F.sum("n_tok").cast("double"),
+            4,
+        ).alias("truncated_share_128"),
+    )
+
+
+@register(
+    "q_train_mix_weights",
+    oracle="""
+        WITH cur AS (
+            SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tok
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT CAST(sum(tok) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_langs FROM cur)
+        SELECT cur.lang,
+               cur.tok AS n_tokens,
+               round(cur.tok / CAST(t.total AS DOUBLE), 4) AS current_share,
+               round(1.0 / t.n_langs, 4) AS target_share,
+               round((CAST(t.total AS DOUBLE) / t.n_langs) / cur.tok, 4)
+                   AS sample_weight
+        FROM cur CROSS JOIN t
+    """,
+    category="llm-pipeline",
+)
+def q_train_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-language token volume, its
+    share of the corpus, the uniform target share, and the sampling
+    weight (target/current) that a weighted sampler applies to hit the
+    target mix — the knob every multilingual pretraining recipe tunes.
+    One token-count aggregate + a 1-row total broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tok")
+    )
+    t = cur.agg(
+        F.sum("tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return cur.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("tok").alias("n_tokens"),
+        F.round(F.col("tok") / F.col("total").cast("double"), 4).alias("current_share"),
+        F.round(F.lit(1.0) / F.col("n_langs"), 4).alias("target_share"),
+        F.round(
+            (F.col("total").cast("double") / F.col("n_langs")) / F.col("tok"), 4
+        ).alias("sample_weight"),
+    )
