@@ -9,13 +9,25 @@ from builder_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_near_dupes,
 )
+from builder_spark.operators.partitioning import (
+    ntile_from_rank,
+    salted_sum_count,
+    spread,
+    stitched_running,
+)
 from builder_spark.operators.similarity import brute_force_topk, knn_majority_label
+from builder_spark.operators.topk import grouped_topk
 
 __all__ = [
     "brute_force_topk",
     "exact_dedup",
+    "grouped_topk",
     "jaccard_pairs",
     "knn_majority_label",
     "minhash_lsh_candidates",
     "minhash_near_dupes",
+    "ntile_from_rank",
+    "salted_sum_count",
+    "spread",
+    "stitched_running",
 ]
