@@ -761,3 +761,35 @@ def test_stitched_running_rejects_overlapping_outputs(spark):
             df, ["o_orderkey"],
             running_min={"x": "v"}, running_min_excl={"x": "v"},
         )
+
+
+def test_stitched_running_empty_input(spark):
+    """Zero-row input: the auto-boundary quantile returns no cuts, the
+    pid expression degenerates to 0, and the stitch returns an empty
+    frame with the right columns instead of raising."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = spark.createDataFrame([], "k bigint, v bigint")
+    out = stitched_running(df, ["k"], running={"rv": "v"}, rank_name="rn")
+    assert out.count() == 0
+    assert {"k", "v", "rv", "rn"} <= set(out.columns)
+
+
+def test_stitched_running_desc_with_nulls(spark):
+    """DESC first order column with NULLs: nulls sort LAST (default
+    Spark DESC ordering) and must land in the final pid — ranks match
+    the naive window exactly."""
+    from pyspark.sql import Window
+
+    from builder_spark.operators.partitioning import stitched_running
+
+    rows = [(i, None if i % 5 == 0 else (i * 13) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(4)
+    got = stitched_running(
+        df, [F.col("v").desc(), F.col("id").asc()], rank_name="rn", num_partitions=4
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert sorted((r.id, r.rn) for r in got.select("id", "rn").collect()) == sorted(
+        (r.id, r.rn) for r in want.select("id", "rn").collect()
+    )
