@@ -1720,3 +1720,303 @@ def q_train_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total").cast("double") / F.col("n_langs")) / F.col("tok"), 4
         ).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 4: cohort value, basket distribution, Lorenz points, embedding clip
+
+
+@register(
+    "q_cohort_ltv_curve",
+    oracle="""
+        WITH fw AS (
+            SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS n_users FROM fw GROUP BY cohort_week
+        ),
+        rev AS (
+            SELECT fw.cohort_week,
+                   date_diff('day', fw.cohort_week,
+                             CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                       AS week_offset,
+                   CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM events e JOIN fw ON fw.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort_week, r.week_offset,
+               CAST(s.n_users AS BIGINT) AS n_users,
+               CAST(sum(r.rev_cents) OVER (
+                   PARTITION BY r.cohort_week ORDER BY r.week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_rev_cents,
+               round(sum(r.rev_cents) OVER (
+                   PARTITION BY r.cohort_week ORDER BY r.week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(s.n_users AS DOUBLE), 4) AS ltv_cents_per_user
+        FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+    category="analytics",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per user, by
+    signup-week cohort and weeks-since-signup — the value companion of
+    q_retention_cohort (counts). Revenue accumulates as exact integer
+    cents; the week offset is an integer day-diff floor-div (not the
+    boundary-counting 'week' datediff, which differs across engines).
+    Per-user firsts and the (cohort × offset) rollup are combinable;
+    the cumulative window runs over the bounded offset domain per
+    cohort; cohort sizes broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    fw = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    sizes = fw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+            F.round(
+                F.sum("rev_cents").over(w) / F.col("n_users").cast("double"), 4
+            ).alias("ltv_cents_per_user"),
+        )
+    )
+
+
+@register(
+    "q_order_linecount_dist",
+    oracle="""
+        WITH lc AS (
+            SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+        ),
+        h AS (SELECT n_lines, count(*) AS n_orders FROM lc GROUP BY n_lines),
+        t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+        SELECT h.n_lines, CAST(h.n_orders AS BIGINT) AS n_orders,
+               round(h.n_orders / CAST(t.total AS DOUBLE), 4) AS share,
+               round(sum(h.n_orders) OVER (ORDER BY h.n_lines
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t.total AS DOUBLE), 4) AS cum_share
+        FROM h CROSS JOIN t
+    """,
+    category="analytics",
+)
+def q_order_linecount_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many line items per order, with
+    share and cumulative share — the order-shape profile capacity
+    planning and fraud screens both read. Two combinable aggregates
+    (order grain, then the tiny line-count domain); the cumulative
+    window runs over ≤ max-basket-size rows; total is a 1-row
+    broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    lc = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    h = lc.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = h.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    w = Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "n_lines",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.col("n_orders") / F.col("total").cast("double"), 4).alias("share"),
+            F.round(
+                F.sum("n_orders").over(w) / F.col("total").cast("double"), 4
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "q_lorenz_curve_points",
+    oracle="""
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        rk AS (
+            SELECT cents, ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC)
+                       AS decile
+            FROM pc
+        ),
+        d AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(cents) AS BIGINT) AS rev
+            FROM rk GROUP BY decile
+        ),
+        t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS tc,
+                     CAST(sum(rev) AS BIGINT) AS tr FROM d)
+        SELECT d.decile,
+               round(sum(d.n_cust) OVER (ORDER BY d.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t.tc AS DOUBLE), 4) AS cum_cust_share,
+               round(sum(d.rev) OVER (ORDER BY d.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t.tr AS DOUBLE), 4) AS cum_rev_share
+        FROM d CROSS JOIN t
+    """,
+    category="analytics",
+)
+def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve coordinates (the dashboard artifact behind the
+    Gini number): cumulative customer share vs cumulative revenue
+    share at each revenue decile, ascending. The decile assignment is
+    the STITCHED global rank + closed-form ntile — never a
+    single-partition sort of the customer aggregate — and the curve
+    itself is windows over exactly 10 rows. Exact integer cents
+    everywhere until the two final share divisions."""
+    from builder_spark.operators.partitioning import ntile_from_rank, stitched_running
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = stitched_running(
+        pc, ["cents", "o_custkey"], rank_name="rn", with_totals=True
+    )
+    d = (
+        ranked.withColumn("decile", ntile_from_rank(10, "rn", "rn_total"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("cents").cast("bigint").alias("rev"),
+        )
+    )
+    t = d.agg(
+        F.sum("n_cust").cast("bigint").alias("tc"), F.sum("rev").cast("bigint").alias("tr")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            F.round(F.sum("n_cust").over(w) / F.col("tc").cast("double"), 4).alias(
+                "cum_cust_share"
+            ),
+            F.round(F.sum("rev").over(w) / F.col("tr").cast("double"), 4).alias(
+                "cum_rev_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q_emb_dim_clip",
+    oracle="""
+        WITH mil AS (
+            SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS m
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT i.i AS dim, mil.m[i.i] AS v
+            FROM mil CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        ),
+        vc AS (SELECT dim, v, count(*) AS c FROM ex GROUP BY dim, v),
+        cum AS (
+            SELECT dim, v, c,
+                   sum(c) OVER (PARTITION BY dim ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY dim) AS n
+            FROM vc
+        ),
+        p1 AS (
+            SELECT dim, min(v) AS p1 FROM cum
+            WHERE cum >= (1 * n + 99) // 100 GROUP BY dim
+        ),
+        p99 AS (
+            SELECT dim, min(v) AS p99 FROM cum
+            WHERE cum >= (99 * n + 99) // 100 GROUP BY dim
+        )
+        SELECT c.dim, any_value(p1.p1) AS p1_milli, any_value(p99.p99) AS p99_milli,
+               CAST(sum(CASE WHEN c.v < p1.p1 OR c.v > p99.p99
+                             THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM cum c
+        JOIN p1 ON p1.dim = c.dim
+        JOIN p99 ON p99.dim = c.dim
+        GROUP BY c.dim
+    """,
+    category="llm-similarity",
+)
+def q_emb_dim_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension p1/p99 clipping thresholds for embedding
+    normalization (outlier components wreck quantizers and cosine
+    alike) — EXACT type-1 percentiles from cumulative sums over the
+    (dim × distinct milli-value) AGGREGATE, the same scalable
+    quantile shape as q_length_percentile_gate: the ordered window
+    input is bounded by the value domain (≤ 2001 milli values per
+    dim), never vector grain, and the clipped-count reuses the same
+    aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+            )
+        ).alias("dim0", "v")
+    ).select((F.col("dim0") + 1).alias("dim"), "v")
+    vc = ex.groupBy("dim", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("dim")
+    cum = vc.select(
+        "dim",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def thr(p: int, out: str) -> DataFrame:
+        return (
+            cum.filter(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"))
+            .groupBy("dim")
+            .agg(F.min("v").alias(out))
+        )
+
+    return (
+        cum.join(F.broadcast(thr(1, "p1_milli")), "dim")
+        .join(F.broadcast(thr(99, "p99_milli")), "dim")
+        .groupBy("dim")
+        .agg(
+            F.any_value("p1_milli").alias("p1_milli"),
+            F.any_value("p99_milli").alias("p99_milli"),
+            F.sum(
+                F.when(
+                    (F.col("v") < F.col("p1_milli")) | (F.col("v") > F.col("p99_milli")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )

@@ -40,6 +40,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_stratified_sample": "strata table",
     "q_conversion_curve": "day-gap domain (calendar-bounded)",
     "q_tail_index": "top-101 TakeOrdered survivors (constant-bounded)",
+    "q_order_linecount_dist": "line-count domain (max basket size)",
+    "q_lorenz_curve_points": "10 decile rows",
 }
 
 
