@@ -630,13 +630,16 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated quartiles (bit-identical interpolation, probed in
     q_percentiles) computed once per group and broadcast back onto
     the fact scan; the fence comparisons are raw doubles derived from
-    identical quartile values, so counts can't flip. Two passes over
-    lineitem (quantiles need a sort), both group-partitioned."""
+    identical quartile values, so counts can't flip. Quartiles come
+    from the stitched rank selection (operators/quantiles.py) — never
+    the buffering percentile aggregate over fact-grain groups — then
+    one fence-counting pass."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     l = load_table(spark, sf_dir, "lineitem")
-    q = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("q1"),
-        F.percentile("l_extendedprice", 0.75).alias("q3"),
-    )
+    q = quantile_cont_stitched(
+        l, "l_extendedprice", {"q1": 0.25, "q3": 0.75}, ["l_returnflag"]
+    ).drop("n")
     high = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
     low = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     return (
@@ -746,8 +749,9 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds (timestamp subtraction — no float until the
     percentile interpolation, whose inputs are identical ints on both
     engines); the result floors to whole seconds, far from any
-    interpolation ulp. One user_id shuffle; the percentile runs over
-    |converted users| rows."""
+    interpolation ulp. One user_id shuffle; the percentiles are a
+    stitched rank selection over |converted users| rows (no buffering
+    aggregate — converted users are unbounded at scale)."""
     e = load_table(spark, sf_dir, "events")
     stage = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
@@ -758,11 +762,18 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.unix_micros(F.col("t_buy")) - F.unix_micros(F.col("t_view"))).alias("us")
     )
-    return conv.agg(
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    q = quantile_cont_stitched(conv, "us", {"_p50": 0.5, "_p90": 0.9})
+    extra = conv.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.floor(F.percentile("us", 0.5) / 1000000).cast("bigint").alias("p50_sec"),
-        F.floor(F.percentile("us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
         F.expr("cast(min(us) div 1000000 as bigint)").alias("min_sec"),
+    )
+    return extra.crossJoin(F.broadcast(q)).select(
+        "n_converted",
+        F.floor(F.col("_p50") / 1000000).cast("bigint").alias("p50_sec"),
+        F.floor(F.col("_p90") / 1000000).cast("bigint").alias("p90_sec"),
+        "min_sec",
     )
 
 
@@ -1101,17 +1112,26 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) order), with p50/p90/max floored to whole seconds.
     The spacing profile drives session-gap threshold choices (the
     30-minute q_win_session cutoff) and bot detection. One user_id
-    shuffle; percentiles over |events| exact ints."""
+    shuffle; the GLOBAL percentiles over |events| exact ints are a
+    stitched rank selection (operators/quantiles.py), never a
+    buffering aggregate."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    return seq.agg(
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    q = quantile_cont_stitched(seq, "gap_us", {"_p50": 0.5, "_p90": 0.9})
+    extra = seq.agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.floor(F.percentile("gap_us", 0.5) / 1000000).cast("bigint").alias("p50_sec"),
-        F.floor(F.percentile("gap_us", 0.9) / 1000000).cast("bigint").alias("p90_sec"),
         F.expr("cast(max(gap_us) div 1000000 as bigint)").alias("max_sec"),
+    )
+    return extra.crossJoin(F.broadcast(q)).select(
+        "n_gaps",
+        F.floor(F.col("_p50") / 1000000).cast("bigint").alias("p50_sec"),
+        F.floor(F.col("_p90") / 1000000).cast("bigint").alias("p90_sec"),
+        "max_sec",
     )
 
 

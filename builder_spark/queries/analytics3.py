@@ -208,18 +208,25 @@ def q_ffill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group median and p90 (linearly interpolated, the
     quantile_cont / percentile definition both engines share) — the
-    per-segment price profile. Spark's ``percentile`` is the exact
-    JVM-side aggregate (not percentile_approx): sorts each group's
-    values inside the aggregate buffer, fine while groups fit memory;
-    for fact-grain groups switch to the stitched rank selection of
-    q_percentile_grid_exact. Inputs are identical doubles, the
-    interpolation formula is shared, and round(·,4) absorbs final-ulp
-    noise."""
+    per-segment price profile, computed as the stitched RANK SELECTION
+    (operators/quantiles.py): 6 groups over fact-grain lineitem would
+    otherwise pass through Spark's buffering ``percentile`` aggregate,
+    whose value map grows with the distinct-price count. Inputs are
+    identical doubles, the interpolation formula is shared, and
+    round(·,4) absorbs final-ulp noise."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    q = quantile_cont_stitched(
+        l, "l_extendedprice", {"median_price": 0.5, "p90_price": 0.9},
+        ["l_returnflag", "l_linestatus"],
+    )
+    return q.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("median_price", 4).alias("median_price"),
+        F.round("p90_price", 4).alias("p90_price"),
     )
 
 
@@ -384,21 +391,25 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentile_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly p50/p90 of order value — the time-series distribution
-    profile behind latency/price SLO dashboards. Exact percentile
-    aggregates per week group (weeks × values fit an aggregate
-    buffer; for fact-grain groups switch to the stitched rank
-    selection). Both engines share the linear-interpolation
-    definition; identical inputs, one round."""
+    profile behind latency/price SLO dashboards. Weeks are
+    calendar-bounded but a week of data is NOT — so the quantiles are
+    grouped stitched rank selections (operators/quantiles.py; the
+    offsets table is weeks × partitions rows, still a broadcast).
+    Both engines share the linear-interpolation definition; identical
+    inputs, one round."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        )
-        .filter(F.col("n") >= 20)
+    wk = o.select(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week"), "o_totalprice"
     )
+    q = quantile_cont_stitched(wk, "o_totalprice", {"p50": 0.5, "p90": 0.9}, ["week"])
+    return q.select(
+        "week",
+        "n",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    ).filter(F.col("n") >= 20)
 
 
 @register(
@@ -423,14 +434,18 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean (clip at p1/p99 before averaging) — the robust
     central-tendency metric that survives fat-tailed metrics where a
     plain mean follows the outliers. Two passes: exact percentile
-    bounds (1-row broadcast), then a clipped aggregate riding the
-    scan. Both engines share quantile interpolation and least/greatest
-    semantics on identical doubles."""
+    bounds via the stitched rank selection (a GLOBAL buffering
+    percentile over the fact table is the worst case of the
+    distinct-value-map hazard), broadcast as one row, then a clipped
+    aggregate riding the scan. Both engines share quantile
+    interpolation and least/greatest semantics on identical
+    doubles."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     o = load_table(spark, sf_dir, "orders")
-    bounds = o.agg(
-        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
-    )
+    bounds = quantile_cont_stitched(
+        o, "o_totalprice", {"lo": 0.01, "hi": 0.99}
+    ).drop("n")
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     out_of = (F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))
     return o.crossJoin(F.broadcast(bounds)).agg(

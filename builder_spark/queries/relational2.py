@@ -94,14 +94,26 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) —
     the graded twin of approx_percentile, which is sketch-based and
-    engine-specific. Exact percentiles need a per-group sort; at scale
-    prefer approx_percentile for dashboards, exact for contracts."""
+    engine-specific. Computed as a stitched RANK SELECTION
+    (operators/quantiles.py) rather than Spark's buffering
+    ``percentile`` aggregate, whose per-group value map grows with the
+    distinct-value count — unbounded for continuous doubles at fact
+    grain."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-        F.round(F.median("o_totalprice"), 4).alias("med"),
+    q = quantile_cont_stitched(
+        o,
+        "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9, "med": 0.5},
+        ["o_orderstatus"],
+    )
+    return q.select(
+        "o_orderstatus",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("med", 4).alias("med"),
     )
 
 
@@ -278,20 +290,32 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust location/spread per group: median and MAD (median
     absolute deviation) — outlier-proof twins of avg/stddev. MAD is
     inherently two-pass (deviations need the median first): a
-    per-group median agg broadcast-joined back, then a second median
-    over deviations. Both engines interpolate medians identically
-    (probed in row 87). Scale: two combinable aggs + a 5-row broadcast
-    — events never shuffles twice."""
+    per-group median broadcast-joined back, then a second median over
+    deviations. Both engines interpolate medians identically (probed
+    in row 87). Scale: both medians are stitched rank selections
+    (operators/quantiles.py) — 5 fact-grain groups never pass through
+    a buffering percentile aggregate — with 5-row broadcasts between
+    the passes."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    med = quantile_cont_stitched(
+        ev, "value", {"med_value": 0.5}, ["event_type"]
+    ).drop("n")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("_adev"),
+    )
+    mad = quantile_cont_stitched(dev, "_adev", {"mad_value": 0.5}, ["event_type"]).drop(
+        "n"
+    )
     return (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.any_value("med_value"), 4).alias("med_value"),
-            F.round(F.median(F.abs(F.col("value") - F.col("med_value"))), 4).alias(
-                "mad_value"
-            ),
+        med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.round("med_value", 4).alias("med_value"),
+            F.round("mad_value", 4).alias("mad_value"),
         )
     )
 

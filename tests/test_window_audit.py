@@ -121,3 +121,36 @@ def test_former_offenders_stay_clean(spark, name):
     """The three queries de-windowed in round 4 must not regress."""
     reg = load_all()
     assert unpartitioned_windows(reg[name].fn(spark, SF_DIR)) == []
+
+
+#: queries allowed to use the exact buffering percentile/median
+#: AGGREGATE — only when its input is itself a bounded aggregate (the
+#: buffer is a value->count map that otherwise grows with the
+#: distinct-value count, i.e. the row count for continuous doubles)
+BUFFERING_PERCENTILE_WHITELIST = {
+    "q_anomaly_mad": "input is the (type x day) daily rollup (calendar-bounded)",
+}
+
+
+def test_no_unlisted_buffering_percentiles(spark):
+    """Fact-grain exact quantiles must go through the stitched rank
+    selection (operators/quantiles.py), not Spark's buffering
+    percentile aggregate."""
+    from window_audit import buffering_percentiles
+
+    reg = load_all()
+    offenders: dict[str, list[str]] = {}
+    for name, q in reg.items():
+        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
+            continue
+        hits = buffering_percentiles(q.fn(spark, SF_DIR))
+        if hits:
+            offenders[name] = hits
+    unexpected = set(offenders) - set(BUFFERING_PERCENTILE_WHITELIST)
+    missing = set(BUFFERING_PERCENTILE_WHITELIST) - set(offenders)
+    assert not unexpected, (
+        f"non-whitelisted buffering percentile aggregates: "
+        f"{ {n: offenders[n] for n in unexpected} } — use "
+        "quantile_cont_stitched or document the bounded input grain"
+    )
+    assert not missing, f"stale percentile whitelist entries: {sorted(missing)}"

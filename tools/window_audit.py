@@ -149,3 +149,18 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def buffering_percentiles(df) -> list[str]:
+    """Exact ``percentile``/``median`` AGGREGATE calls in the optimized
+    plan — the buffering quantile: its per-group value→count map grows
+    with the distinct-value count (the row count, for continuous
+    doubles). Fact-grain uses must go through the stitched rank
+    selection (operators/quantiles.py); queries whose aggregate input
+    is itself bounded justify themselves in the test-side whitelist.
+    ``percentile_approx`` (constant-size sketch) is not flagged."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out = []
+    for m in re.finditer(r"\b(percentile|median)\((?!_approx)", plan):
+        out.append(m.group(1))
+    return out
