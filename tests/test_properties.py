@@ -294,3 +294,29 @@ def test_stitched_running_modes_agree(spark, data):
     want = sorted((r.id, r.rs, r.rn) for r in naive.collect())
     assert sorted((r.id, r.rs, r.rn) for r in auto.select("id", "rs", "rn").collect()) == want
     assert sorted((r.id, r.rs, r.rn) for r in expl.select("id", "rs", "rn").collect()) == want
+
+
+@_settings
+@given(data=rows, p=st.sampled_from([0.1, 0.25, 0.5, 0.9]))
+def test_stitched_quantile_matches_builtin_percentile(spark, data, p):
+    """quantile_cont_stitched == Spark's exact percentile aggregate on
+    ANY data (grouped and global), to float tolerance."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], ["k", "v"]
+    ).repartition(4)
+    got = {
+        r.k: r.q
+        for r in quantile_cont_stitched(df, "v", {"q": p}, ["k"]).collect()
+    }
+    want = {
+        r.k: r.q
+        for r in df.groupBy("k").agg(F.percentile("v", p).alias("q")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    g = quantile_cont_stitched(df, "v", {"q": p}).collect()[0].q
+    w = df.agg(F.percentile("v", p).alias("q")).collect()[0].q
+    assert abs(g - w) < 1e-9
