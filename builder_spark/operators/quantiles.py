@@ -14,10 +14,11 @@ the stitched rank (`stitched_running`):
 2. keep only the rows at ranks floor(pos)+1 / ceil(pos)+1 for each
    requested p, where pos = (n−1)·p — at most 2·|ps| rows per group
    survive the filter;
-3. interpolate v_lo + frac·(v_hi − v_lo) exactly like the engines do
-   (both Spark and DuckDB linearly interpolate at pos; the final
-   round(·, 4) every caller applies absorbs the last-ulp freedom in
-   how the convex combination is associated).
+3. interpolate with the EXACT convex-combination association both
+   engines use — ``lo·(1−frac) + hi·frac`` (probed: DuckDB's
+   quantile_cont and Spark's Percentile agree on this form;
+   ``lo + frac·(hi−lo)`` differs in the last ulp, which a
+   round(·, 4) can land on).
 
 The stitch never sorts a group on one reducer and pins no storage, so
 the same plan answers "exact p99 per flag over 100 TB of lineitem".
@@ -78,9 +79,9 @@ def quantile_cont_stitched(
     for out, p in ps.items():
         posn = (n2 - 1).cast("double") * F.lit(p)
         frac = posn - F.floor(posn)
-        lo, hi = F.col(f"_lo_{out}"), F.col(f"_hi_{out}")
+        lo, hi = F.col(f"_lo_{out}"), F.coalesce(F.col(f"_hi_{out}"), F.col(f"_lo_{out}"))
         out_df = out_df.withColumn(
-            out, lo + frac * (F.coalesce(hi, lo) - lo)
+            out, lo * (F.lit(1.0) - frac) + hi * frac
         )
     return out_df.drop(
         *[c for out in ps for c in (f"_lo_{out}", f"_hi_{out}")]

@@ -226,9 +226,9 @@ def test_added_query_shuffle_budget(spark, name, max_exchanges):
         ("q_array_setops", 0),      # pure per-row array math
         ("q_interval_arith", 0),    # pure per-row date math
         ("q_mm_framesample", 0),    # mapInPandas rides the scan
-        ("q_iqr_outliers", 2),      # quartile agg + fact re-agg (quartiles broadcast)
+        ("q_iqr_outliers", 5),   # stitched quartiles + fence-count pass
         ("q_abtest_proportions", 3),
-        ("q_funnel_latency", 2),
+        ("q_funnel_latency", 8), # stitched global percentiles + count/min branch
         ("q_knn_accuracy", 2),
         ("q_lm_perplexity", 5),     # ONE token-stream agg; rest vocab/doc-sized
         ("q_ann_recall", 5),
@@ -249,7 +249,7 @@ def test_latest_query_shuffle_budget(spark, name, max_exchanges):
         ("q_chisq_independence", 2),
         ("q_ks_test", 7),          # stitched ECDF merge: range exchange + offsets
         ("q_vocab_coverage", 3),   # cnt agg + TakeOrdered + 1-row total
-        ("q_interevent_gaps", 2),
+        ("q_interevent_gaps", 8),  # stitched global percentiles: pid agg + offsets + broadcast nodes
         ("q_psi_drift", 2),
         ("q_cdc_upsert", 2),       # union + one key window, one agg
         ("q_snapshot_diff", 3),
