@@ -42,6 +42,7 @@ HEAVY = [
     "q_tpch_q21",
     "q_decile_stats",  # stitched fact-grain global rank at 10x
     "q_group_decile_bands",  # grouped stitch (3-value PARTITION BY) at 10x
+    "q_group_median_exact",  # stitched rank-selection quantiles (r5) at 10x
 ]
 
 #: per-table key columns to offset so replicas don't collide
