@@ -50,6 +50,31 @@ HEADLINE = [
     # 3 values, the shape a plain PARTITION BY would serialize)
     "q_pipeline_dedup_split",
     "q_group_decile_bands",
+    # added r06 (judge item 4): the LLM-scale differentiators — graded
+    # deterministic MinHash banding, TF-IDF top terms, and the
+    # per-group quantile GATE (stitched percentile threshold applied
+    # back to the fact rows)
+    "q_minhash_banded",
+    "q_tfidf_top_terms",
+    "q_length_percentile_gate",
+]
+
+#: The fixed round-over-round comparison set (frozen at r04 membership):
+#: totals for EXACTLY these queries are reported as comparable_total_sec
+#: so cross-round deltas need no manual subtraction as HEADLINE grows.
+COMPARABLE = [
+    "q_agg_group",
+    "q_agg_condsum",
+    "q_join_multi",
+    "q_join_asof",
+    "q_window_topk_group",
+    "q_union_distinct",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_cosine_topk",
+    "q_win_session",
+    "q_text_stats",
+    "q_decile_stats",
 ]
 
 
@@ -92,6 +117,16 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total_sec": round(sum(warm.values()), 3),
+                # fixed 12-query set for round-over-round comparison.
+                # NOTE vs r04: r04 warm times read a pinned cache (the
+                # storage leak removed in r05); r05+ warm numbers are
+                # the honest cache-free steady state.
+                "comparable_total_sec": round(
+                    sum(timings[n] for n in COMPARABLE if n in timings), 3
+                ),
+                "comparable_warm_total_sec": round(
+                    sum(warm[n] for n in COMPARABLE if n in warm), 3
+                ),
                 "sf": sf,
             }
         )

@@ -117,6 +117,51 @@ def _is_numeric(df: DataFrame, col: str) -> bool:
     )
 
 
+def _numeric_encoding_sql(df: DataFrame, col: str) -> str | None:
+    """SQL rendering of an ORDER-PRESERVING numeric encoding of a bare
+    column, so non-numeric order keys can still use the deterministic
+    auto-boundary mode (one approxQuantile pass + literal CASE pid).
+    None when no such encoding exists (strings go through the sampled
+    literal-cut path instead)."""
+    dt = dict(df.dtypes).get(col, "")
+    if _is_numeric(df, col):
+        return f"`{col}`"
+    if dt == "date":
+        return f"unix_date(`{col}`)"
+    if dt == "timestamp":
+        return f"unix_micros(`{col}`)"
+    if dt == "timestamp_ntz":
+        # cast is per-row tz-consistent: ordering preserved
+        return f"unix_micros(cast(`{col}` as timestamp))"
+    if dt == "boolean":
+        return f"cast(`{col}` as int)"
+    return None
+
+
+def _sampled_literal_cuts(df: DataFrame, col: str, n_cuts: int) -> list:
+    """Bounded, single-action cut sample for orderable columns with no
+    numeric encoding (strings): hash-filter to ~1/64 of the DISTINCT
+    value mass, cap the collect at 100k rows (LocalLimit short-circuits
+    the scan), sort driver-side, take equi-spaced cuts. Cut quality only
+    affects partition BALANCE — the stitch's offsets make the result
+    independent of where the cuts fall — so an empty or skewed sample
+    degrades parallelism, never correctness. The cuts are embedded as
+    plan literals, so every subplan and re-execution agrees on the pid
+    assignment by construction."""
+    rows = (
+        df.select(F.col(col).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .filter(F.pmod(F.xxhash64("_c"), F.lit(64)) == 0)
+        .limit(100_000)
+        .collect()
+    )
+    vals = sorted({r["_c"] for r in rows})
+    if len(vals) <= n_cuts:
+        return vals
+    step = len(vals) / (n_cuts + 1)
+    return sorted({vals[int((i + 1) * step)] for i in range(n_cuts)})
+
+
 #: (plan semantic hash, column, cut count) → boundaries. SAFE to cache
 #: indefinitely: boundaries only place the partition cuts — the stitch's
 #: offsets make the RESULT independent of where they fall, so a stale
@@ -141,6 +186,41 @@ def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
             _BOUNDARY_MEMO.clear()
         _BOUNDARY_MEMO[key] = b
     return b
+
+
+def _pid_case_sql(enc_sql: str, null_sql: str, cuts: list, asc: bool) -> Column:
+    """pid = count of boundaries passed by the (encoded) first order
+    column. Built as ONE parsed SQL expression: k py4j when/add calls
+    cost ~0.6 s of construction at k=127, and an array-filter lambda
+    costs ~5× per ROW (no straight-line codegen) — the parsed CASE
+    chain is cheap on both axes. Monotonicity survives the double-typed
+    literals: int→double is order-preserving (ties allowed), so equal
+    keys share a pid and pid is non-decreasing in the sort order — all
+    the stitch requires."""
+    cuts = sorted(set(cuts))
+    op = ">=" if asc else "<="
+    terms = " + ".join(
+        f"(CASE WHEN {enc_sql} {op} {float(b)!r} THEN 1 ELSE 0 END)" for b in cuts
+    ) or "0"
+    if asc:
+        # NULLs sort FIRST under ASC: null compares land in ELSE 0
+        return F.expr(terms)
+    # NULLs sort LAST under DESC: pin them to the final pid
+    return F.expr(f"CASE WHEN {null_sql} IS NULL THEN {len(cuts)} ELSE {terms} END")
+
+
+def _pid_case_lit(col: str, cuts: list, asc: bool) -> Column:
+    """Column-API twin of :func:`_pid_case_sql` for cut values that are
+    not safely renderable as SQL literals (strings): ``F.lit`` carries
+    arbitrary values with no escaping hazard. Cut counts here are small
+    (≤ 2×num_partitions), so the per-cut py4j cost stays negligible."""
+    total: Column = F.lit(0)
+    for b in sorted(set(cuts)):
+        cmp = (F.col(col) >= F.lit(b)) if asc else (F.col(col) <= F.lit(b))
+        total = total + F.when(cmp, 1).otherwise(0)
+    if not asc:
+        total = F.when(F.col(col).isNull(), len(set(cuts))).otherwise(total)
+    return total
 
 
 def stitched_running(
@@ -177,31 +257,36 @@ def stitched_running(
     long-lived session running dozens of stitched queries pins no
     storage (the r4 lifecycle fix). Three boundary strategies:
 
-    - default (``boundaries=None``), numeric simple first order
-      column: boundaries are AUTO-DERIVED by one ``approxQuantile``
-      pass over that column (column-pruned scan, 1% relative error,
-      ``4 × num_partitions`` cuts so the hash placement of pids stays
-      balanced), and the partition id becomes a DETERMINISTIC
-      expression — count of boundaries passed by the first order
-      column (reversed for a DESC first column; NULLs land on the
-      sort-order end). Both subplans then compute identical
+    - default (``boundaries=None``), bare first order column of a
+      numeric / date / timestamp / boolean type: boundaries are
+      AUTO-DERIVED by one ``approxQuantile`` pass over an
+      order-preserving numeric encoding of that column (column-pruned
+      scan, 1% relative error, ``4 × num_partitions`` cuts so the hash
+      placement of pids stays balanced), and the partition id becomes
+      a DETERMINISTIC expression — count of boundaries passed by the
+      first order column (reversed for a DESC first column; NULLs land
+      on the sort-order end). Both subplans then compute identical
       assignments with no exchange consistency requirement at all.
       Boundary quality only affects balance, never correctness (the
       offsets absorb any split). Measured sf0.1 local[32] on the
       decile stitch: ≈0.6 s quantile pass + 1.5 s cold query vs 2.7 s
       for the old persist design — and zero pinned storage.
-    - default, but the first order column is non-numeric or a complex
-      expression: fall back to ``repartitionByRange`` (sampled
-      boundaries). The local-window and offsets subplans each
-      re-execute the range exchange; correctness holds because the
-      exchange re-executes deterministically (RangePartitioner
-      samples with per-partition-index seeds over the same
-      deterministic input; pinned by a repeated-collect test) —
-      callers must pass a deterministic ``df``, which every
-      scan-derived query is.
+    - default, bare STRING first order column: same deterministic
+      literal-cut construction, with cuts taken from a bounded
+      hash-sampled collect (``_sampled_literal_cuts``) instead of
+      ``approxQuantile`` (which is numeric-only).
+    - default, complex first order expression or custom NULLS
+      placement: fall back to ``repartitionByRange`` (sampled
+      boundaries). The local-window and offsets subplans SHARE the
+      range exchange node, so with ``spark.sql.exchange.reuse=true``
+      (Spark's default) it executes once and the pid assignment is
+      consistent by construction; with reuse disabled this mode
+      raises instead of risking two executions sampling different
+      boundaries. Project the expression to a plain column to get the
+      deterministic mode.
     - ``boundaries=[...]`` (e.g. from :func:`range_boundaries`):
-      explicit cuts, same deterministic expression as the auto mode
-      (plain ascending first order column only).
+      explicit NUMERIC cuts, same deterministic expression as the
+      auto mode (bare first order column only).
 
     With ``partition_cols``, the running sums and rank restart per
     group — the stitched form of ``PARTITION BY g ORDER BY ...`` where
@@ -238,52 +323,77 @@ def stitched_running(
                          f"running_min/running_min_excl: {sorted(overlap)}")
     pc = list(partition_cols or [])
     order_exprs = [F.col(c).asc() if isinstance(c, str) else c for c in order_cols]
-    first_asc: tuple[str, bool] | None = None
+    pid: Column | None = None
+    simple = _simple_order(order_cols[0])
     if boundaries is not None:
-        first_asc = _simple_order(order_cols[0])
-        if first_asc is None:
+        if simple is None:
             raise ValueError(
                 "explicit boundaries need a bare first order column "
                 "(ASC or DESC, default null ordering)"
             )
-    else:
-        simple = _simple_order(order_cols[0])
-        if simple is not None and _is_numeric(df, simple[0]):
+        pid = _pid_case_sql(f"`{simple[0]}`", f"`{simple[0]}`", boundaries, simple[1])
+    elif simple is not None:
+        first, asc = simple
+        enc = _numeric_encoding_sql(df, first)
+        if enc is not None:
             # auto-derive deterministic cuts: one approxQuantile pass on
-            # the (column-pruned) first order column (memoized by plan
-            # semantic hash — boundaries only affect balance); 4× cuts
-            # so hashing the pid keys into shuffle partitions stays
-            # balanced
-            boundaries = _memo_boundaries(df, simple[0], 4 * num_partitions)
-            first_asc = simple
-    if first_asc is not None:
-        first, asc = first_asc
-        cuts = sorted(set(boundaries))
-        # pid = count of boundaries passed. Built as ONE parsed SQL
-        # expression: k py4j when/add calls cost ~0.6 s of construction
-        # at k=127, and an array-filter lambda costs ~5× per ROW (no
-        # straight-line codegen) — the parsed CASE chain is cheap on
-        # both axes. Monotonicity survives the double-typed literals:
-        # int→double is order-preserving (ties allowed), so equal keys
-        # share a pid and pid is non-decreasing in the sort order —
-        # all the stitch requires.
-        op = ">=" if asc else "<="
-        terms = " + ".join(
-            f"(CASE WHEN `{first}` {op} {float(b)!r} THEN 1 ELSE 0 END)" for b in cuts
-        ) or "0"
-        if asc:
-            # NULLs sort FIRST under ASC: null compares land in ELSE 0
-            pid = F.expr(terms)
-        else:
-            # NULLs sort LAST under DESC: pin them to the final pid
-            pid = F.expr(
-                f"CASE WHEN `{first}` IS NULL THEN {len(cuts)} ELSE {terms} END"
-            )
-        # deterministic assignment: no physical range exchange needed —
-        # the local window's own (_pid, groups) exchange distributes rows
-        ranged = df.withColumn("_pid", pid)
+            # the (column-pruned, order-preserving-encoded) first order
+            # column (memoized by plan semantic hash — boundaries only
+            # affect balance); 4× cuts so hashing the pid keys into
+            # shuffle partitions stays balanced
+            if _is_numeric(df, first):
+                cuts = _memo_boundaries(df, first, 4 * num_partitions)
+            else:
+                cuts = _memo_boundaries(
+                    df.select(F.expr(enc).alias("_enc")), "_enc", 4 * num_partitions
+                )
+            pid = _pid_case_sql(enc, f"`{first}`", cuts, asc)
+        elif dict(df.dtypes).get(first, "") == "string":
+            # strings have no approxQuantile: bounded deterministic
+            # sample → driver-sorted literal cuts (same monotone-pid
+            # construction, Column-API literals so no SQL escaping)
+            cuts = _sampled_literal_cuts(df, first, 2 * num_partitions - 1)
+            pid = _pid_case_lit(first, cuts, asc)
+    if pid is not None:
+        # deterministic assignment + ONE EXPLICIT hash exchange on
+        # (_pid, groups): the local window's clustering requirement is
+        # satisfied by this repartition (no further exchange), and the
+        # offsets aggregate below consumes the SAME node — exchange
+        # reuse then scans and shuffles the input exactly once, and the
+        # offsets branch is a sort-free hash aggregate over the reused
+        # shuffle output (r6: replaces both the r5 double scan and the
+        # interim double sort)
+        ranged = df.withColumn("_pid", pid).repartition(F.col("_pid"), *pc)
     else:
-        range_exprs = [F.col(c).asc() for c in pc] + order_exprs
+        # residual fallback (complex first order expression or custom
+        # NULLS placement): sampled range exchange. The local-window and
+        # offsets subplans share this exchange node, so with exchange
+        # reuse (Spark's default) it executes once and both sides see
+        # one consistent pid assignment. Without reuse, two executions
+        # of RangePartitioner could sample different boundaries and
+        # silently disagree — refuse rather than corrupt.
+        reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+        if str(reuse).lower() != "true":
+            raise ValueError(
+                "stitched_running's sampled-range fallback requires "
+                "spark.sql.exchange.reuse=true (the local-window and "
+                "offsets subplans must share one range exchange). "
+                "Project the first order expression to a plain column "
+                "to use the deterministic-boundary mode instead."
+            )
+        # every df column is appended as a trailing tie-refining range
+        # key: column pruning then cannot narrow either subplan's
+        # exchange child, so the local-window and offsets branches
+        # canonicalize to ONE range exchange and reuse executes the
+        # boundary sampling exactly once — the two sides can never see
+        # different sampled boundaries. (Trailing keys only refine tie
+        # placement at partition cuts; rank among order-key ties is
+        # arbitrary either way, and the offsets absorb any split.)
+        range_exprs = (
+            [F.col(c).asc() for c in pc]
+            + order_exprs
+            + [F.col(c).asc() for c in df.columns]
+        )
         ranged = df.repartitionByRange(num_partitions, *range_exprs).withColumn(
             "_pid", F.spark_partition_id()
         )
@@ -323,7 +433,25 @@ def stitched_running(
         F.min(src).alias(f"_tm_{out}")
         for out, src in {**running_min, **running_min_excl}.items()
     ]
-    aggs.append(F.count(F.lit(1)).alias("_t_n"))
+    # The offsets aggregate consumes `ranged` — the SAME explicit
+    # exchange the local window reads — so exchange reuse executes the
+    # scan + shuffle once and this branch is a sort-free hash
+    # aggregate. Column pruning would silently break the sharing: if
+    # the offsets branch needed fewer columns than the local branch,
+    # each side would get its own narrower exchange (two scans). The
+    # pruning GUARD below pins every input column into the offsets
+    # projection via the identity count(*) == greatest(count(*),
+    # least(count(col)...)) — true because count(col) ≤ count(*) for
+    # every column (NULLs excluded), count is defined for all types,
+    # and no optimizer rule can fold greatest/least of non-literal
+    # aggregates. (A plain `0 × Σcount(col)` term gets constant-folded
+    # away — count is non-nullable — which silently restores the
+    # narrow exchange; probed on Spark 4.1.)
+    t_n = F.count(F.lit(1))
+    guards = [F.count(F.col(c)) for c in df.columns]
+    if guards:
+        t_n = F.greatest(t_n, F.least(*guards) if len(guards) > 1 else guards[0])
+    aggs.append(t_n.alias("_t_n"))
     offsets = ranged.groupBy("_pid", *pc).agg(*aggs)
     sel = [F.col(c) for c in ["_pid", *pc]]
     for out in running:
@@ -363,15 +491,13 @@ def stitched_running(
         joined = joined.withColumn(
             rank_name, (F.col("_loc_rn") + F.col("_off_n")).cast("bigint")
         )
-    drop = ["_pid", "_off_n"]
+    drop = ["_pid", "_off_n", "_loc_rn"]
     drop += [c for out in running for c in (f"_loc_{out}", f"_off_{out}")]
     drop += [
         c
         for out in {**running_min, **running_min_excl}
         for c in (f"_locm_{out}", f"_offm_{out}")
     ]
-    if rank_name:
-        drop.append("_loc_rn")
     return joined.drop(*drop)
 
 

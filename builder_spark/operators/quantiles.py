@@ -44,13 +44,21 @@ def quantile_cont_stitched(
     """Per-group exact interpolated quantiles of ``value_col``.
 
     ``ps`` maps output column name → percentile in [0, 1]. Returns one
-    row per group: ``group_cols`` + ``n`` (group count, bigint) + one
-    DOUBLE column per ``ps`` entry. With no ``group_cols``, one global
-    row.
+    row per group: ``group_cols`` + ``n`` (count of NON-NULL values,
+    bigint) + one DOUBLE column per ``ps`` entry. With no
+    ``group_cols``, one global row.
+
+    NULL handling matches the null-IGNORING aggregate semantics of
+    Spark's ``percentile`` and DuckDB's ``quantile_cont``: NULL values
+    are filtered before ranking, so they neither inflate ``n`` nor
+    shift the rank positions. One documented divergence: a group whose
+    values are ALL NULL is omitted from the output (the builtins would
+    return that group with NULL quantiles); left-join the group spine
+    back if that shape matters.
     """
     gc = list(group_cols or [])
     ranked = stitched_running(
-        df.select(*gc, value_col),
+        df.select(*gc, value_col).filter(F.col(value_col).isNotNull()),
         [value_col],
         rank_name="_qr",
         partition_cols=gc or None,

@@ -159,6 +159,7 @@ def blocked_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul — the
     throughput path for K·N at cluster scale (~10-100× the
@@ -169,6 +170,15 @@ def blocked_topk_pandas(
     candidate batch computes Q·Cᵀ in one matmul, emitting only its
     per-batch top-k per query — the global window then ranks
     K × n_batches × k rows instead of K·N.
+
+    DRIVER-SIDE BOUND: the query side is a driver collect, so K is
+    capped at ``max_queries`` (raising ValueError beyond — at 64-dim
+    float64 the default ceiling is ~32 MB of closure, safely
+    broadcastable; a larger query set should flip the roles or go
+    through :func:`lsh_bucketed_topk`). Inside the UDF the GEMM is
+    additionally blocked over queries (512 per slab) so the K×B sim
+    temporary stays ~40 MB regardless of K — large-K calls are memory-
+    bounded per batch, not K×B.
 
     ROUND-THEN-RANK discipline: sims are rounded to 4 decimals BEFORE
     ranking (ties by candidate id), per-batch and globally, under one
@@ -182,28 +192,42 @@ def blocked_topk_pandas(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"blocked_topk_pandas collects the query side to the driver: "
+            f"query count exceeds max_queries={max_queries}. Swap the "
+            f"query/candidate roles, raise max_queries explicitly, or use "
+            f"lsh_bucketed_topk for large-K ANN."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_block = 512  # slab height: K×B sim temporary stays ~40 MB at B=10k
 
     def score(batches):
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 4)  # K × B
             out_q, out_c, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                row = sims[qi]
-                idx = np.flatnonzero(c_ids != q_ids[qi])
-                if not len(idx):
-                    continue
-                # top-k under the global total order (sim desc, id asc)
-                top = idx[np.lexsort((c_ids[idx], -row[idx]))[:k]]
-                out_q.extend([q_ids[qi]] * len(top))
-                out_c.extend(c_ids[top])
-                out_s.extend(row[top])
+            for q0 in range(0, len(q_ids), q_block):
+                slab_ids = q_ids[q0 : q0 + q_block]
+                slab = np.round(
+                    (q_mat[q0 : q0 + q_block] @ c_mat.T)
+                    / np.outer(q_norm[q0 : q0 + q_block], c_norm),
+                    4,
+                )  # q_block × B
+                for qi in range(len(slab_ids)):
+                    row = slab[qi]
+                    idx = np.flatnonzero(c_ids != slab_ids[qi])
+                    if not len(idx):
+                        continue
+                    # top-k under the global total order (sim desc, id asc)
+                    top = idx[np.lexsort((c_ids[idx], -row[idx]))[:k]]
+                    out_q.extend([slab_ids[qi]] * len(top))
+                    out_c.extend(c_ids[top])
+                    out_s.extend(row[top])
             yield pd.DataFrame({"q_id": out_q, id_col: out_c, "_sim": out_s})
 
     partials = candidates.select(id_col, vec_col).mapInPandas(

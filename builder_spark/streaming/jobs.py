@@ -43,8 +43,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # md5, not hash(): Python string hashing is per-process salted, so
+    # hash() would mint a new stage dir every process — md5 keeps one
+    # stable dir per sf_dir across driver runs
+    import hashlib
+
     stage = os.path.join(
-        tempfile.gettempdir(), f"bs_stream_src_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"bs_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
@@ -76,7 +82,11 @@ def run_stream_to_df(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: availableNow terminates on its own, but a hung
+    # source must fail the one query, not wedge a whole grading run
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"streaming query {name} exceeded 600s under availableNow")
     return spark.table(name)
 
 
@@ -310,5 +320,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("q_stream_foreach_batch exceeded 600s under availableNow")
     return spark.read.parquet(out).select("win_start", "event_type", "n", "total_value")

@@ -47,3 +47,12 @@ def test_join_multi_dims_stay_broadcast(spark):
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final, "dimension broadcast was demoted"
     assert "ShuffledHashJoin" not in final, "dimension broadcast was demoted"
+
+
+def test_comparable_set_is_fixed_headline_subset():
+    """COMPARABLE is the frozen cross-round comparison basket: it must
+    stay a subset of HEADLINE (so both totals come from one run) and
+    keep its r04 membership — growing it would silently break
+    round-over-round deltas."""
+    assert set(_bench.COMPARABLE) <= set(_bench.HEADLINE)
+    assert len(_bench.COMPARABLE) == 12

@@ -245,7 +245,13 @@ def test_latest_query_shuffle_budget(spark, name, max_exchanges):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q_rank_correlation", 12),  # two chained stitched ranks (offsets-sized)
+        # two chained stitched ranks. 14 STATIC nodes: each stitch's
+        # explicit (_pid) repartition prints once per consumer branch
+        # (local window + offsets agg) in the unexecuted plan; at
+        # runtime exchange reuse collapses each pair to ONE shuffle
+        # (ReusedExchange — pinned by
+        # test_stitched_covered_projection_reuses_exchange)
+        ("q_rank_correlation", 14),
         ("q_chisq_independence", 2),
         ("q_ks_test", 7),          # stitched ECDF merge: range exchange + offsets
         ("q_vocab_coverage", 3),   # cnt agg + TakeOrdered + 1-row total

@@ -320,3 +320,28 @@ def test_stitched_quantile_matches_builtin_percentile(spark, data, p):
     g = quantile_cont_stitched(df, "v", {"q": p}).collect()[0].q
     w = df.agg(F.percentile("v", p).alias("q")).collect()[0].q
     assert abs(g - w) < 1e-9
+
+
+def test_stitched_quantile_ignores_nulls(spark):
+    """ADVICE r5: NULL values must not rank or count — the builtins
+    (Spark percentile, DuckDB quantile_cont) ignore NULLs, so the
+    stitched drop-in must too. The r5 repro: [None,1,2,3,4] has median
+    2.5 (null-ignoring), not 2.0 (null counted into n)."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 10.0), ("b", None), ("b", 20.0)],
+        "k string, v double",
+    ).repartition(3)
+    got = {r.k: (r.n, r.q) for r in quantile_cont_stitched(df, "v", {"q": 0.5}, ["k"]).collect()}
+    want = {
+        r.k: (r.n, r.q)
+        for r in df.groupBy("k").agg(
+            F.count("v").alias("n"), F.percentile("v", 0.5).alias("q")
+        ).collect()
+    }
+    assert got == want
+    g = quantile_cont_stitched(df, "v", {"q": 0.5}).collect()[0]
+    w = df.agg(F.count("v").alias("n"), F.percentile("v", 0.5).alias("q")).collect()[0]
+    assert (g.n, g.q) == (w.n, w.q)
