@@ -23,20 +23,24 @@ from builder_spark.pipeline.core import (
     BuildManager,
     ExecutionManager,
     Job,
+    ObjectStoreTarget,
     PrintExecutor,
     SparkExecutor,
     Target,
     TimestampExpander,
     convert_to_timedelta,
+    make_target,
 )
 
 __all__ = [
     "BuildManager",
     "ExecutionManager",
     "Job",
+    "ObjectStoreTarget",
     "PrintExecutor",
     "SparkExecutor",
     "Target",
     "TimestampExpander",
     "convert_to_timedelta",
+    "make_target",
 ]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import fnmatch
 import glob as globlib
 import os
+import re
 import time
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
@@ -110,6 +111,92 @@ class Target:
         return best
 
 
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+@dataclass(frozen=True)
+class ObjectStoreTarget(Target):
+    """Path-scheme-aware Target: any Hadoop-supported filesystem URI
+    (``s3a://``, ``gs://``, ``abfs://``, ``hdfs://``, ``file://``).
+    Spark-first equivalent of the reference's S3-backed target flavor
+    (pub:builder/targets.py::S3BackedLocalFileSystemTarget): existence
+    and freshness come from the OBJECT STORE's listing via the active
+    SparkSession's Hadoop configuration (credentials, endpoints), not
+    the local disk — so the scheduler and a 1000-executor cluster
+    agree on artifact state, with no staging copies.
+
+    Freshness = newest object modification time (recursive listing).
+    Listing is a driver-side metadata call: one `globStatus`/
+    `listFiles` round-trip per check, no data reads — at 100 TB the
+    scheduler still does O(files) metadata work, never O(bytes).
+    Globs go through ``FileSystem.globStatus`` (same metacharacters as
+    the local path flavor).
+    """
+
+    def _hadoop(self):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "ObjectStoreTarget needs an active SparkSession (its Hadoop "
+                "configuration supplies filesystem credentials/endpoints)"
+            )
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        uri = jvm.java.net.URI.create(self.unique_id)
+        return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+    def _statuses(self):
+        fs, jvm = self._hadoop()
+        path = jvm.org.apache.hadoop.fs.Path(self.unique_id)
+        if any(ch in self.unique_id for ch in "*?["):
+            sts = fs.globStatus(path)
+            return (list(sts) if sts is not None else []), fs
+        return ([fs.getFileStatus(path)] if fs.exists(path) else []), fs
+
+    @property
+    def exists(self) -> bool:
+        sts, fs = self._statuses()
+        for st in sts:
+            if st.isDirectory():
+                entries = [f.getPath().getName() for f in fs.listStatus(st.getPath())]
+                if "_SUCCESS" in entries or any(
+                    e.endswith(".parquet") or e.endswith(".csv") or e.endswith(".json")
+                    for e in entries
+                ):
+                    return True
+            else:
+                return True
+        return False
+
+    def get_mtime(self) -> float | None:
+        best: float | None = None
+        sts, fs = self._statuses()
+        for st in sts:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    m = it.next().getModificationTime() / 1000.0
+                    best = m if best is None else max(best, m)
+            else:
+                m = st.getModificationTime() / 1000.0
+                best = m if best is None else max(best, m)
+        return best
+
+
+def make_target(
+    unique_id: str, unexpanded_id: str = "", start: datetime | None = None
+) -> Target:
+    """Scheme-dispatching Target factory: URIs with a filesystem scheme
+    get :class:`ObjectStoreTarget`, bare paths the local flavor — so a
+    job can point its targets/depends at ``s3a://bucket/...`` patterns
+    and the whole pipeline (staleness, buildability, cache_time) works
+    unchanged."""
+    cls = ObjectStoreTarget if _URI_SCHEME.match(unique_id) else Target
+    return cls(unique_id=unique_id, unexpanded_id=unexpanded_id, start=start)
+
+
 # ---------------------------------------------------------------------------
 # expanders (pub:builder/expanders.py::Expander, TimestampExpander)
 
@@ -137,7 +224,7 @@ class TimestampExpander:
         cls, pattern: str, start: datetime, end: datetime, step: str | timedelta
     ) -> list[Target]:
         return [
-            Target(unique_id=t.strftime(pattern), unexpanded_id=pattern, start=t)
+            make_target(unique_id=t.strftime(pattern), unexpanded_id=pattern, start=t)
             for t in cls.expand_range(start, end, step)
         ]
 
@@ -310,7 +397,7 @@ class BuildManager:
                     job=job,
                     start=t0,
                     end=t1,
-                    target=Target(
+                    target=make_target(
                         unique_id=t0.strftime(job.targets) if job.targets else f"/dev/null/{job.name}",
                         unexpanded_id=job.targets,
                         start=t0,

