@@ -40,7 +40,9 @@ from builder_spark.queries import (  # noqa: F401
 
 import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register here)
 
-# round-5 additions import LAST: registration order drives the driver's
-# grading rotation (never-graded queries first), and the r1-r4 backlog
-# must reach a CORRECTNESS window before brand-new queries do
+# round-5/6 additions import LAST: registration order drives the
+# driver's grading rotation (never-graded queries first), and the
+# earlier-round backlog must reach a CORRECTNESS window before
+# brand-new queries do (r6: 47 backlog + 3 new = exactly one window)
 from builder_spark.queries import round5  # noqa: E402,F401
+from builder_spark.queries import round6  # noqa: E402,F401
