@@ -256,3 +256,114 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("_last_vid")).alias("view_id"),
         F.when(in_tol, gap).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed analytics / sketches
+
+
+@register(
+    "q_rolling_regression",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, user_id, ts, event_id,
+                   CAST(round(value * 1000) AS BIGINT) AS ym,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS x
+            FROM events
+        ),
+        win AS (
+            SELECT event_type,
+                   count(*) OVER w AS n,
+                   CAST(sum(x) OVER w AS BIGINT) AS sx,
+                   CAST(sum(ym) OVER w AS BIGINT) AS sy,
+                   CAST(sum(x * ym) OVER w AS BIGINT) AS sxy,
+                   CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+            FROM base
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+            )
+        ),
+        full_w AS (
+            SELECT event_type, n * sxy - sx * sy AS num FROM win WHERE n = 10
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+               CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_falling
+        FROM full_w GROUP BY event_type ORDER BY event_type
+    """,
+    category="analytics",
+)
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling OLS trend over the last 10 events (value vs
+    event sequence position) — the sliding-regression primitive behind
+    drift/trend monitors. The OLS slope's SIGN equals the sign of
+    n·Σxy − Σx·Σy (the denominator n·Σxx − (Σx)² is positive for
+    distinct x), and with x = row position (small int) and y in exact
+    milli-units every windowed sum is an INTEGER — the sign, and so
+    the rising/falling counts, are exact on both engines with no float
+    accumulation anywhere.
+
+    Scale: one shuffle on user_id serves the row numbering and all
+    four sliding sums (one Window over one frame spec); output is
+    |event_type| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wp = Window.partitionBy("user_id").orderBy(*order)
+    w = wp.rowsBetween(-9, 0)
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("ym"),
+    ).withColumn("x", F.row_number().over(wp).cast("bigint"))
+    win = base.select(
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("ym").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("ym")).over(w).alias("sxy"),
+    ).filter(F.col("n") == 10)
+    num = F.lit(10) * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        win.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(num > 0, 1).otherwise(0)).cast("bigint").alias("n_rising"),
+            F.sum(F.when(num < 0, 1).otherwise(0)).cast("bigint").alias("n_falling"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("q_hll_sketch_union", oracle=None, category="aggregation")
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per (event_type, day) HLL
+    sketches of the user set, UNIONED up to one estimate per
+    event_type — the sketch-rollup pattern that makes distinct counts
+    reaggregatable at 100 TB (daily sketches persist as bytes; weekly/
+    monthly rollups union sketches instead of re-scanning raw events;
+    a second union across event types would give the global estimate
+    from the same 5 rows). Uses Spark's Apache DataSketches HLL
+    aggregates (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+
+    Rows-only by design: sketch estimates are engine-specific (DuckDB
+    has no DataSketches HLL); the accuracy contract (±5% of the exact
+    per-type distinct count at lgK=14) is pinned locally by
+    tests/test_sketch_properties.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

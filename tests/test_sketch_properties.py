@@ -87,3 +87,31 @@ def _cms_bucket(h: int, d: int) -> int:
 def test_cms_buckets_in_range_and_rows_differ(h):
     buckets = [_cms_bucket(h, d) for d in range(len(_CMS_PLANES))]
     assert all(0 <= b < 256 for b in buckets)
+
+
+def test_hll_union_estimate_within_tolerance(spark):
+    """q_hll_sketch_union is rows-only for the driver (DataSketches HLL
+    is Spark-specific); its accuracy contract lives here: the unioned
+    per-type estimate must sit within ±5% of the exact distinct user
+    count (lgK=14 gives ~0.8% standard error — 5% is >6 sigma)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from builder_spark.registry import load_all
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        r.event_type: r.approx_users
+        for r in load_all()["q_hll_sketch_union"].fn(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
