@@ -367,3 +367,161 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial / corpus-prep
+
+
+@register(
+    "q_grid_density_cluster",
+    oracle="""
+        WITH pts AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) * 20) AS BIGINT) AS cx,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) * 20) AS BIGINT) AS cy
+            FROM embeddings
+        ),
+        cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY cx, cy),
+        hood AS (
+            SELECT c.cx, c.cy, c.n,
+                   CAST(sum(nb.n) AS BIGINT) AS n_hood
+            FROM cells c
+            JOIN cells nb
+              ON nb.cx BETWEEN c.cx - 1 AND c.cx + 1
+             AND nb.cy BETWEEN c.cy - 1 AND c.cy + 1
+            GROUP BY c.cx, c.cy, c.n
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN n_hood >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dense_cells,
+               CAST(sum(CASE WHEN n_hood >= 50 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_core_points,
+               CAST(sum(CASE WHEN n_hood < 50 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_noise_points
+        FROM hood
+    """,
+    category="llm-similarity",
+)
+def q_grid_density_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering over the first two embedding
+    dimensions (the DBSCAN-family primitive, grid-approximated): bin
+    points into eps=0.05 cells, mark a cell DENSE when its 3×3
+    neighborhood holds ≥ minPts points, report core vs noise mass.
+    Cell ids come from floor(x·20) — one multiply, bit-identical
+    float32→double on both engines; every count is an exact integer.
+
+    Scale: points aggregate to CELLS first (map-side combinable — the
+    shuffle carries |cells|, not |points|), then a 9-way cell
+    neighbor join on small-int keys. No point-to-point distance join
+    anywhere: the classic way density clustering survives 100 TB of
+    vectors. (Full DBSCAN connectivity would add a connected-components
+    pass over dense cells — the same iterative hash-min used by
+    q_dedup_clusters.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.floor(F.col("embedding")[0].cast("double") * 20).alias("cx"),
+        F.floor(F.col("embedding")[1].cast("double") * 20).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    # 9-neighborhood sum via an offset-explode equi-join: each cell
+    # replicates to its 9 (dx, dy) shifted keys, then a plain hash join
+    # on (cx, cy) — no range predicates, no nested loop
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    nb = (
+        cells.select("cx", "cy", "n", offsets.alias("o"))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("tcx"),
+            (F.col("cy") + F.col("o.dy")).alias("tcy"),
+            "n",
+        )
+        .groupBy("tcx", "tcy")
+        .agg(F.sum("n").cast("bigint").alias("n_hood"))
+    )
+    hood = cells.join(
+        nb, (F.col("cx") == F.col("tcx")) & (F.col("cy") == F.col("tcy"))
+    ).select("cx", "cy", "n", "n_hood")
+    return hood.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("n_hood") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dense_cells"),
+        F.sum(F.when(F.col("n_hood") >= 50, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_core_points"),
+        F.sum(F.when(F.col("n_hood") < 50, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_noise_points"),
+    )
+
+
+@register(
+    "q_mlm_span_masking",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, t.term, t.pos
+            FROM documents,
+                 LATERAL (
+                     SELECT unnest(string_split(text, ' ')) AS term,
+                            generate_subscripts(string_split(text, ' '), 1) AS pos
+                 ) AS t
+        ),
+        marked AS (
+            SELECT lang, term,
+                   CASE WHEN (doc_id * 1000003 + pos * 7919) % 100 < 15
+                        THEN 1 ELSE 0 END AS masked
+            FROM tok
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(masked) AS BIGINT) AS n_masked,
+               round(sum(masked) * 1.0 / count(*), 4) AS mask_ratio,
+               CAST(sum(CASE WHEN masked = 1 THEN length(term) ELSE 0 END)
+                    AS BIGINT) AS masked_chars
+        FROM marked GROUP BY lang ORDER BY lang
+    """,
+    category="llm-pipeline",
+)
+def q_mlm_span_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM-style token masking audit — the corpus-prep
+    step before masked-language-model training: select ~15% of token
+    positions by a seedless arithmetic hash of (doc_id, position)
+    (reproducible across engines AND across re-runs — a masking rerun
+    must not re-roll the corpus), report per-language token counts,
+    masked counts, the realized mask ratio, and masked character mass.
+
+    Scale: position explode → one map-side-combinable groupBy(lang);
+    the mask decision is a per-row integer expression riding the
+    explode (no shuffle of its own, no RNG state). The selection logic
+    is the graded part; emitting the masked strings themselves is the
+    same expression under F.transform with [MASK] substitution."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select("doc_id", "lang", "term", (F.col("pos0") + 1).alias("pos"))
+    masked = F.when(
+        (F.col("doc_id") * 1000003 + F.col("pos") * 7919) % 100 < 15, 1
+    ).otherwise(0)
+    return (
+        tok.select("lang", "term", masked.alias("masked"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("masked").cast("bigint").alias("n_masked"),
+            F.round(F.sum("masked") * 1.0 / F.count(F.lit(1)), 4).alias("mask_ratio"),
+            F.sum(F.when(F.col("masked") == 1, F.length("term")).otherwise(0))
+            .cast("bigint")
+            .alias("masked_chars"),
+        )
+        .orderBy("lang")
+    )
