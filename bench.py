@@ -85,8 +85,19 @@ def main() -> None:
     registry = load_all()
     names = [n for n in HEADLINE if n in registry]
 
-    # warmup: JVM, codegen, parquet footer cache
+    # warmup: JVM, codegen, parquet footer cache — plus the window/
+    # sort/broadcast-join machinery via a SYNTHETIC stitch over a range
+    # (different plan and boundary-memo key than any measured query, so
+    # this warms shared JIT paths only, never a query's own state)
     registry["q_agg_group"].fn(spark, sf_dir).count()
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from builder_spark.operators.partitioning import stitched_running  # noqa: E402
+
+    _warm = spark.range(100_000).select(
+        (F.col("id") % 9973).alias("wv"), F.col("id").alias("wk")
+    )
+    stitched_running(_warm, ["wv", "wk"], running={"wr": "wv"}, rank_name="wrn").count()
 
     timings: dict[str, float] = {}
     for name in names:
