@@ -525,3 +525,73 @@ def q_mlm_span_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_token_balanced_shards",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tok,
+                   CAST(sum(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS ct,
+                   CAST(sum(n_tok) OVER () AS BIGINT) AS total
+            FROM toks
+        ),
+        sharded AS (
+            SELECT doc_id, n_tok,
+                   least(((ct - n_tok) * 8) // total, 7) AS shard
+            FROM cum
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM sharded GROUP BY shard ORDER BY shard
+    """,
+    category="llm-pipeline",
+)
+def q_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced contiguous sharding — the training-data layout
+    step that splits a corpus into N shards of ~equal TOKEN mass (not
+    doc count; doc-count shards skew badly under heavy-tailed doc
+    lengths). Shard id = which N-tile of the global running token sum
+    a document STARTS in (start-based so every doc lands in exactly
+    one shard; the `least` caps the final boundary), keeping shards
+    contiguous in doc order — streaming-friendly for sequence packing.
+
+    Scale: the global running sum is the STITCHED distributed cumsum
+    (with_totals supplies the denominator from the same offsets pass)
+    — no single-reducer ORDER BY over the corpus; the shard report is
+    one 8-key combinable groupBy."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    run = stitched_running(
+        d, ["doc_id"], running={"ct": "n_tok"}, with_totals=True
+    )
+    # integer division on BOTH engines (DuckDB //, Spark div): a double
+    # divide + cast would truncate in Spark but round in DuckDB
+    shard = F.least(
+        F.expr("((ct - n_tok) * 8) div ct_total"), F.lit(7).cast("bigint")
+    )
+    return (
+        run.select("doc_id", "n_tok", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
