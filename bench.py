@@ -79,6 +79,17 @@ COMPARABLE = [
 
 
 def main() -> None:
+    # drop the cross-process stitched-boundary cache: cold numbers must
+    # reflect code, not leftover /tmp state from a previous run — a
+    # cached boundary pass would make 'cold' non-reproducible between
+    # machines (production sessions still benefit from the cache;
+    # benches measure the true first-run cost)
+    import contextlib
+    import tempfile
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(tempfile.gettempdir(), "builder_spark_boundaries.json"))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("builder-spark-bench")

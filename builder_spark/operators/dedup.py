@@ -303,13 +303,24 @@ def charfold_token_hp(tokens_col) -> "F.Column":
             F.sequence(F.lit(1), F.length(t)),
             lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
         )
-        return F.aggregate(
+        folded = F.aggregate(
             cps,
             F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
             lambda acc, x: F.struct(
                 F.pmod(acc.getField("h") * 31 + x, m).alias("h"),
                 F.pmod(acc.getField("p") * 31, m).alias("p"),
             ),
+        )
+        # EMPTY-token guard: sequence(1, 0) yields the DESCENDING [1, 0]
+        # (not an empty array), which would fold two phantom characters
+        # into p (h survives because 0·31+0 = 0, p becomes 31² instead
+        # of 31⁰) and break the composition identity for texts with
+        # consecutive/leading/trailing spaces — the oracle hashes the
+        # concatenated string and would diverge.
+        return F.when(
+            F.length(t) > 0, folded
+        ).otherwise(
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p"))
         )
 
     return F.transform(tokens_col, tok_hp)
@@ -341,9 +352,13 @@ def kgram_hashes_from_hp(hp_col, k: int = 3) -> "F.Column":
             h = F.pmod((h * 31 + 32) * nxt.getField("p") + nxt.getField("h"), m)
         return h
 
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))), shingle
+    # fewer than k tokens → NO shingles. Guarded with when, not
+    # greatest: sequence(1, 0) is the DESCENDING [1, 0] (not empty),
+    # which would emit phantom shingles with out-of-bounds indices.
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, shingle)
 
 
 def simhash_signatures(

@@ -180,23 +180,24 @@ def _boundary_cache_path() -> str:
     return os.path.join(tempfile.gettempdir(), "builder_spark_boundaries.json")
 
 
-def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
-    """Equi-depth cuts for the deterministic pid expression, memoized
-    in-process AND in a tmp-file cache keyed by the plan's semantic
-    hash — a fresh process (cold bench, new driver run) then skips the
-    approxQuantile job for plans it has seen before. A stale entry is
-    SAFE by design: boundaries only place the partition cuts, and the
-    stitch's offsets make the RESULT independent of where they fall —
-    the worst a stale file can do is unbalance partitions."""
+def _memo_cuts(df: DataFrame, col: str, n_cuts: int, compute, kind: str = "num") -> list:
+    """Cut memoization shared by the numeric (approxQuantile) and
+    string (sampled-literal) boundary modes: in-process dict AND a
+    tmp-file cache keyed by the plan's semantic hash — a fresh process
+    (cold bench, new driver run) then skips the boundary job for plans
+    it has seen before. A stale entry is SAFE by design: cuts only
+    place the partition boundaries, and the stitch's offsets make the
+    RESULT independent of where they fall — the worst a stale file can
+    do is unbalance partitions."""
     import json
 
     try:
-        key = (df.semanticHash(), col, n_cuts)
+        key = (kind, df.semanticHash(), col, n_cuts)
     except Exception:  # noqa: BLE001 - hashing is an optimization only
         key = None
     if key is not None and key in _BOUNDARY_MEMO:
         return _BOUNDARY_MEMO[key]
-    fkey = f"{key[0]}:{key[1]}:{key[2]}" if key is not None else None
+    fkey = ":".join(map(str, key)) if key is not None else None
     disk: dict = {}
     if fkey is not None:
         try:
@@ -208,8 +209,7 @@ def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
             b = disk[fkey]
             _BOUNDARY_MEMO[key] = b
             return b
-    probs = [i / n_cuts for i in range(1, n_cuts)]
-    b = df.approxQuantile(col, probs, 0.01)
+    b = compute()
     if key is not None:
         if len(_BOUNDARY_MEMO) >= 256:
             _BOUNDARY_MEMO.clear()
@@ -225,6 +225,11 @@ def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
         except OSError:
             pass
     return b
+
+
+def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
+    probs = [i / n_cuts for i in range(1, n_cuts)]
+    return _memo_cuts(df, col, n_cuts, lambda: df.approxQuantile(col, probs, 0.01))
 
 
 def _pid_case_sql(enc_sql: str, null_sql: str, cuts: list, asc: bool) -> Column:
@@ -390,8 +395,14 @@ def stitched_running(
         elif dict(df.dtypes).get(first, "") == "string":
             # strings have no approxQuantile: bounded deterministic
             # sample → driver-sorted literal cuts (same monotone-pid
-            # construction, Column-API literals so no SQL escaping)
-            cuts = _sampled_literal_cuts(df, first, 2 * num_partitions - 1)
+            # construction, Column-API literals so no SQL escaping);
+            # memoized like the numeric boundaries so repeated
+            # constructions skip the sampling action
+            cuts = _memo_cuts(
+                df, first, 2 * num_partitions - 1,
+                lambda: _sampled_literal_cuts(df, first, 2 * num_partitions - 1),
+                kind="str",
+            )
             pid = _pid_case_lit(first, cuts, asc)
     if pid is not None:
         # deterministic assignment + ONE EXPLICIT hash exchange on
@@ -428,6 +439,18 @@ def stitched_running(
         # different sampled boundaries. (Trailing keys only refine tie
         # placement at partition cuts; rank among order-key ties is
         # arbitrary either way, and the offsets absorb any split.)
+        # UNORDERABLE payload columns (maps) can't be range keys, and
+        # leaving them out would reopen the pruning-divergence hazard —
+        # refuse with guidance instead of corrupting silently.
+        unorderable = [c for c, t in df.dtypes if "map<" in t]
+        if unorderable:
+            raise ValueError(
+                "stitched_running's sampled-range fallback cannot carry "
+                f"unorderable (map-typed) payload columns {unorderable}: "
+                "they can't join the shared range-exchange keys. Project "
+                "the first order expression to a plain column to use the "
+                "deterministic-boundary mode instead."
+            )
         range_exprs = (
             [F.col(c).asc() for c in pc]
             + order_exprs

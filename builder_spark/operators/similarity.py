@@ -160,6 +160,7 @@ def blocked_topk_pandas(
     vec_col: str = "embedding",
     k: int = 5,
     max_queries: int = 65_536,
+    q_block: int = 512,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul — the
     throughput path for K·N at cluster scale (~10-100× the
@@ -203,7 +204,9 @@ def blocked_topk_pandas(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    q_block = 512  # slab height: K×B sim temporary stays ~40 MB at B=10k
+    # q_block: slab height — K×B sim temporary stays ~40 MB at the
+    # default 512 with B=10k Arrow batches; parameterized so tests can
+    # force multi-slab execution on small fixtures
 
     def score(batches):
         for pdf in batches:

@@ -46,9 +46,8 @@ from builder_spark.registry import register
                CAST(n AS BIGINT) AS n,
                round(sum_mc / 996.0 / n, 4) AS conf_avg,
                round(sum_label * 1.0 / n, 4) AS acc_avg,
-               round((SELECT sum(abs(p.sum_label * 1.0 / p.n
-                                     - p.sum_mc / 996.0 / p.n) * p.n)
-                             / sum(p.n)
+               round((SELECT CAST(sum(abs(996 * p.sum_label - p.sum_mc)) AS BIGINT)
+                             * 1.0 / (996 * sum(p.n))
                       FROM per_bin p), 4) AS ece
         FROM per_bin ORDER BY bin
     """,
@@ -81,19 +80,18 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("bigint").alias("sum_label"),
         )
     )
-    # ece = Σ|acc−conf|·n ÷ Σn — both sums in ONE aggregate over the
-    # 10-row per_bin frame, no unpartitioned window, no N broadcast;
-    # exchange reuse dedups the shared per_bin subtree at runtime
+    # ece = Σ|acc−conf|·n ÷ Σn, via the exact-integer identity
+    # |sl/n − sm/(996·n)|·n = |996·sl − sm| / 996: the summed terms are
+    # INTEGERS (no cross-engine accumulation-order hazard on a float
+    # sum), and the only float op is one final division. One aggregate
+    # over the 10-row per_bin frame; exchange reuse dedups the shared
+    # per_bin subtree at runtime.
     ece = per_bin.agg(
         F.round(
-            F.sum(
-                F.abs(
-                    F.col("sum_label") * 1.0 / F.col("n")
-                    - F.col("sum_mc") / 996.0 / F.col("n")
-                )
-                * F.col("n")
-            )
-            / F.sum("n"),
+            F.sum(F.abs(996 * F.col("sum_label") - F.col("sum_mc")))
+            .cast("bigint")
+            * 1.0
+            / (996 * F.sum("n")),
             4,
         ).alias("ece")
     )
@@ -114,13 +112,13 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_auc_roc",
     oracle="""
         WITH scored AS (
-            SELECT n_chars * 10007 + doc_id AS score,
+            SELECT n_chars, doc_id,
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
             FROM documents
         ),
         ranked AS (
             SELECT label,
-                   row_number() OVER (ORDER BY score) AS rn
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn
             FROM scored
         ),
         agg AS (
@@ -140,9 +138,12 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC via the rank-sum (Mann-Whitney U) identity:
     AUC = (Σ ranks of positives − P(P+1)/2) / (P·N) — the ranking twin
     of q_ece_calibration's calibration check for curation classifiers.
-    The score is tie-free by construction (n_chars·10007 + doc_id is
-    injective), so no average-rank tie handling is needed and the
-    result is an exact rational rounded once.
+    The score is the LEXICOGRAPHIC pair (n_chars, doc_id): injective at
+    ANY corpus size (doc_id is unique), so no average-rank tie handling
+    is needed and the result is an exact rational rounded once. (A
+    packed single-column score like n_chars·C + doc_id is only
+    injective while doc_id < C — a silent tie-nondeterminism trap once
+    the corpus outgrows the constant.)
 
     Scale: the global rank is a STITCHED distributed rank
     (operators/partitioning.py::stitched_running) — no single-reducer
@@ -152,10 +153,11 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from builder_spark.operators.partitioning import stitched_running
 
     d = load_table(spark, sf_dir, "documents").select(
-        (F.col("n_chars") * 10007 + F.col("doc_id")).alias("score"),
+        "n_chars",
+        "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
     )
-    ranked = stitched_running(d, ["score"], rank_name="rn")
+    ranked = stitched_running(d, ["n_chars", "doc_id"], rank_name="rn")
     return ranked.agg(
         F.sum("label").cast("bigint").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),

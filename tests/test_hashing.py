@@ -49,12 +49,26 @@ def test_charfold_kgram_composition_is_bit_identical(spark):
     )
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    df = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    fixture = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # adversarial rows: consecutive/leading/trailing spaces make EMPTY
+    # tokens from split(' ') — the r6 review found sequence(1, 0)'s
+    # descending [1, 0] folded phantom chars into the p accumulator
+    adversarial = spark.createDataFrame(
+        [(100001, "a  b c"), (100002, " leading"), (100003, "trailing "),
+         (100004, "a b  c  d"), (100005, ""), (100006, "x"),
+         (100007, "   "), (100008, "nor mal text")],
+        "doc_id bigint, text string",
+    )
+    df = fixture.unionByName(adversarial)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     for k in (2, 3):
+        # same empty-guard the library uses: sequence(1, 0) is [1, 0]
+        idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
         joined = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            idx,
             lambda i: charfold_hash(
                 F.concat_ws(
                     " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]

@@ -198,3 +198,15 @@ def test_stitched_covered_projection_reuses_exchange(spark):
     # pre-reuse "Initial Plan" section below it legitimately shows two)
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("FileScan") == 1
+
+
+def test_stitched_fallback_rejects_map_payload(spark):
+    """Map-typed payload columns can't be range keys, and silently
+    dropping them from the shared-exchange keys would reopen the
+    pruning-divergence hazard — the fallback must refuse with
+    guidance (r6 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 2, {"a": 1})], "id int, v int, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="map-typed"):
+        stitched_running(df, [(F.col("v") * 2).asc(), F.col("id").asc()], rank_name="rn")

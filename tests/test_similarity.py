@@ -80,11 +80,20 @@ def test_blocked_topk_large_k_is_bounded_and_exact(spark):
     rows = e.select("vec_id", "embedding").collect()
     expected = _numpy_reference(rows, k=3, n_queries=500)
     q = e.filter(F.col("vec_id") < 500)
+    # q_block=64 forces 8 slabs at K=500 — the multi-slab loop (slab_ids
+    # alignment, final partial slab) is actually exercised, which the
+    # default 512 never would be on this fixture
     fast = {
+        (r.q_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in blocked_topk_pandas(q, e, k=3, q_block=64).collect()
+    }
+    assert fast == expected
+    # and the single-slab default agrees
+    fast_default = {
         (r.q_id, r.rank): (r.vec_id, r.cos_sim)
         for r in blocked_topk_pandas(q, e, k=3).collect()
     }
-    assert fast == expected
+    assert fast_default == expected
 
     with pytest.raises(ValueError, match="max_queries"):
         blocked_topk_pandas(q, e, k=3, max_queries=100)
