@@ -435,6 +435,41 @@ def simhash_near_dupes(
     )
 
 
+def char_codepoints(text_col) -> "F.Column":
+    """Codepoint array of a string column — decode ONCE per row, then
+    every gram/fold consumer works on int-array slices instead of
+    re-running substr+ascii per character (HOF lambdas are interpreted;
+    string ops against the full text dominate). MUST be projected into
+    its own column before use — Spark does no CSE inside HOF lambdas
+    (see charfold_token_hp)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+    )
+
+
+def charfold_gram_hashes_from_cps(cps_col, k: int) -> "F.Column":
+    """charfold hash of every k-char gram, computed from a MATERIALIZED
+    :func:`char_codepoints` column: gram i folds the k-int slice
+    starting at i — bit-identical to charfold_hash(substr(text, i, k))
+    (same codepoints, same fold), including the short-text case (< k
+    chars hash as one truncated gram, exactly like substr's clamping).
+    Note sequence's lower bound stays ≥ 1 via the greatest(·, 1) guard,
+    so the descending-sequence(1, 0) trap cannot occur."""
+    cps = F.col(cps_col) if isinstance(cps_col, str) else cps_col
+    m = F.lit(CHARFOLD_MOD)
+    n_grams = F.greatest(F.size(cps) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(cps, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * 31 + x, m),
+        ),
+    )
+
+
 WINNOW_K = 5  # character-gram size
 WINNOW_W = 4  # winnowing window (grams per window)
 
@@ -463,21 +498,27 @@ def winnow_fingerprints(
     Scale: everything up to the final explode is per-row array math
     riding the scan (no shuffle); the explode fans out ~2n/(w+1) rows
     per doc which then feed a fingerprint equi-join — same shape as
-    the LSH band join, no all-pairs."""
-    t = F.col(text_col)
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: charfold_hash(F.substr(t, i, F.lit(k)))
+    the LSH band join, no all-pairs.
+
+    r6 throughput rewrite (identical values): the text decodes to a
+    MATERIALIZED codepoint array once per row, and each gram hash
+    folds a k-int slice of it — the old form re-ran substr+ascii for
+    every character of every gram against the full string (O(n·k)
+    heavy string ops, interpreted; measured 43 s → ~6 s at sf0.1).
+    ``spread`` first: single-row-group fixtures would otherwise run
+    the whole gram stage on one core."""
+    base = spread(df, id_col).select(
+        F.col(id_col), char_codepoints(text_col).alias("_cps")
+    )
+    hashed = base.select(
+        F.col(id_col), charfold_gram_hashes_from_cps("_cps", k).alias("_g")
     )
     n_wins = F.greatest(F.size(F.col("_g")) - (w - 1), F.lit(1))
     wins = F.transform(
         F.sequence(F.lit(1), n_wins),
         lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
     )
-    return (
-        df.select(F.col(id_col), grams.alias("_g"))
-        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
-    )
+    return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
 
 
 def winnow_containment_pairs(

