@@ -249,8 +249,19 @@ def jaccard_from_sets(
     a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
     b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
     pairs = candidates.join(a, "id_a").join(b, "id_b")
+    # SSJoin SIZE FILTER (exactness-preserving): J(A,B) ≥ τ forces
+    # |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), hence
+    # min ≥ τ·max — a candidate whose sizes are more than 1/τ apart
+    # cannot qualify and skips the O(set size) intersection entirely.
+    # τ is slacked by the round-4 granularity: the FINAL filter accepts
+    # round(J, 4) ≥ τ, i.e. true J down to τ − 0.00005 — the size bound
+    # must not drop those boundary pairs.
+    sa, sb = F.size("_ta"), F.size("_tb")
+    pairs = pairs.filter(
+        F.least(sa, sb).cast("double") >= F.lit(threshold - 5e-5) * F.greatest(sa, sb)
+    )
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size("_ta") + F.size("_tb") - inter
+    union = sa + sb - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 4))
         .filter(F.col("jaccard") >= threshold)
