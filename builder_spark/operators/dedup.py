@@ -177,8 +177,14 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    items = df.select(
-        F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_arr")
+    # spread: tokenization must not serialize on a single-row-group
+    # scan; trailing repartition = materialization boundary so the
+    # prefix/df/verification consumers share ONE tokenization via
+    # exchange reuse (see minhash_signatures)
+    items = (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_arr"))
+        .repartition(F.col("_id"))
     )
     cands = prefix_filter_candidates(items, threshold)
     return jaccard_from_sets(items, cands, threshold)
