@@ -234,37 +234,57 @@ def _memo_boundaries(df: DataFrame, col: str, n_cuts: int) -> list:
 
 def _pid_case_sql(enc_sql: str, null_sql: str, cuts: list, asc: bool) -> Column:
     """pid = count of boundaries passed by the (encoded) first order
-    column. Built as ONE parsed SQL expression: k py4j when/add calls
-    cost ~0.6 s of construction at k=127, and an array-filter lambda
-    costs ~5× per ROW (no straight-line codegen) — the parsed CASE
-    chain is cheap on both axes. Monotonicity survives the double-typed
-    literals: int→double is order-preserving (ties allowed), so equal
-    keys share a pid and pid is non-decreasing in the sort order — all
-    the stitch requires."""
+    column, evaluated as a BINARY-SEARCH nested CASE: each row pays
+    ``ceil(log2(k))`` comparisons instead of the k of a linear
+    count-the-cuts chain — at cluster scale k is 4× the partition
+    count (thousands), so the linear form would burn thousands of
+    branch evaluations per row on the scan. Built as ONE parsed SQL
+    expression (k py4j calls cost ~0.6 s of construction at k=127; an
+    array-filter lambda costs ~5× per ROW with no straight-line
+    codegen). Monotonicity survives the double-typed literals:
+    int→double is order-preserving (ties allowed), so equal keys share
+    a pid and pid is non-decreasing in the sort order — all the stitch
+    requires.
+
+    ASC: pid = bisect_right(cuts, v); a NULL comparison is false in
+    CASE WHEN, so NULLs take every ELSE branch and land on pid 0 —
+    exactly where ASC NULLS FIRST sorts them. DESC: pid =
+    len(cuts) - bisect_left(cuts, v); NULLs again fall through every
+    ELSE to pid len(cuts), the final partition, matching DESC NULLS
+    LAST. ``null_sql`` is retained for signature stability (the
+    fall-through handles NULL placement in both directions)."""
     cuts = sorted(set(cuts))
-    op = ">=" if asc else "<="
-    terms = " + ".join(
-        f"(CASE WHEN {enc_sql} {op} {float(b)!r} THEN 1 ELSE 0 END)" for b in cuts
-    ) or "0"
-    if asc:
-        # NULLs sort FIRST under ASC: null compares land in ELSE 0
-        return F.expr(terms)
-    # NULLs sort LAST under DESC: pin them to the final pid
-    return F.expr(f"CASE WHEN {null_sql} IS NULL THEN {len(cuts)} ELSE {terms} END")
+
+    def go(lo: int, hi: int) -> str:
+        # ASC leaf: bisect_right index; DESC leaf: len - bisect_left
+        if lo == hi:
+            return str(lo if asc else len(cuts) - lo)
+        mid = (lo + hi) // 2
+        op = ">=" if asc else ">"
+        return (
+            f"(CASE WHEN {enc_sql} {op} {float(cuts[mid])!r} "
+            f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END)"
+        )
+
+    return F.expr(go(0, len(cuts)))
 
 
 def _pid_case_lit(col: str, cuts: list, asc: bool) -> Column:
     """Column-API twin of :func:`_pid_case_sql` for cut values that are
     not safely renderable as SQL literals (strings): ``F.lit`` carries
-    arbitrary values with no escaping hazard. Cut counts here are small
-    (≤ 2×num_partitions), so the per-cut py4j cost stays negligible."""
-    total: Column = F.lit(0)
-    for b in sorted(set(cuts)):
-        cmp = (F.col(col) >= F.lit(b)) if asc else (F.col(col) <= F.lit(b))
-        total = total + F.when(cmp, 1).otherwise(0)
-    if not asc:
-        total = F.when(F.col(col).isNull(), len(set(cuts))).otherwise(total)
-    return total
+    arbitrary values with no escaping hazard. Same binary-search CASE
+    shape (log2(k) comparisons per row); NULL fall-through places
+    NULLs on pid 0 (ASC) / pid len(cuts) (DESC) like the SQL twin."""
+    cuts = sorted(set(cuts))
+
+    def go(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo if asc else len(cuts) - lo)
+        mid = (lo + hi) // 2
+        cmp = (F.col(col) >= F.lit(cuts[mid])) if asc else (F.col(col) > F.lit(cuts[mid]))
+        return F.when(cmp, go(mid + 1, hi)).otherwise(go(lo, mid))
+
+    return go(0, len(cuts))
 
 
 def stitched_running(

@@ -48,14 +48,16 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature-binning / monotone-calibration primitive. ntile(10) is
     reproduced exactly from a stitched global rank plus closed-form
     tile arithmetic (first N%10 deciles get one extra row); no stage
-    ever sorts more than one range partition."""
+    ever sorts more than one range partition.
+
+    TIE-INSENSITIVE: rows with equal cents are interchangeable for
+    per-decile count/min/max/sum of cents (whichever tied row straddles
+    a decile boundary, both deciles see the same value), so the oracle's
+    (l_orderkey, l_linenumber) tie-break need not ride the shuffle —
+    ranking on cents alone halves the shuffle width and sorts one key."""
     l = load_table(spark, sf_dir, "lineitem")
-    sel = l.select(
-        F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
-    )
-    ranked = stitched_running(
-        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn", with_totals=True
-    )
+    sel = l.select(F.expr(_LI_CENTS).alias("cents"))
+    ranked = stitched_running(sel, ["cents"], rank_name="rn", with_totals=True)
     return (
         ranked.withColumn("decile", ntile_from_rank(10, "rn", "rn_total"))
         .groupBy("decile")
@@ -129,14 +131,12 @@ def q_percentile_grid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile: the value at rank ceil(p·n)) — the quality-report grid a
     data pipeline publishes per snapshot. One stitched rank over the
     fact, then 5 broadcast rank probes; ceil is the integer form
-    (p·n + 99) div 100 on both engines."""
+    (p·n + 99) div 100 on both engines. TIE-INSENSITIVE: the value at
+    a given rank is identical under any permutation of equal-cents
+    rows, so the tie-break columns stay out of the shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
-    sel = l.select(
-        F.expr(_LI_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
-    )
-    ranked = stitched_running(
-        sel, ["cents", "l_orderkey", "l_linenumber"], rank_name="rn", with_totals=True
-    )
+    sel = l.select(F.expr(_LI_CENTS).alias("cents"))
+    ranked = stitched_running(sel, ["cents"], rank_name="rn", with_totals=True)
     grid = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)])).alias("pct")
     )
@@ -218,17 +218,14 @@ def q_group_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ranges over (flag, price…), per-(partition, flag) offsets) for a
     distributed per-group rank, plus a broadcast per-group count for
     the closed-form ntile. The per-segment price-band report, at fact
-    grain."""
+    grain. TIE-INSENSITIVE like q_decile_stats: per-(group, decile)
+    count/min/max of cents don't depend on which equal-cents row takes
+    which rank, so the tie-break columns stay out of the shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
-    sel = l.select(
-        "l_returnflag",
-        F.expr(_LI_CENTS).alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
-    )
+    sel = l.select("l_returnflag", F.expr(_LI_CENTS).alias("cents"))
     ranked = stitched_running(
         sel,
-        ["cents", "l_orderkey", "l_linenumber"],
+        ["cents"],
         rank_name="rn",
         partition_cols=["l_returnflag"],
         with_totals=True,
