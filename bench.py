@@ -85,10 +85,11 @@ def main() -> None:
     # machines (production sessions still benefit from the cache;
     # benches measure the true first-run cost)
     import contextlib
-    import tempfile
+
+    from builder_spark.operators.partitioning import _boundary_cache_path
 
     with contextlib.suppress(OSError):
-        os.remove(os.path.join(tempfile.gettempdir(), "builder_spark_boundaries.json"))
+        os.remove(_boundary_cache_path())
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -208,7 +208,15 @@ def prefix_filter_candidates(items: DataFrame, tau: float) -> DataFrame:
     hot tokens. Join fan-out collapses from Σ df² over ALL tokens to
     Σ df_prefix² over rare ones. The ε in the ceil guards against
     double rounding of τ·|d| shrinking the prefix below completeness.
+
+    τ is SLACKED by the round-4 acceptance granularity before any
+    pruning: the verifier accepts round(J, 4) ≥ τ, i.e. true J down
+    to τ − 0.00005, so every filter here prunes against that relaxed
+    τ — for large sets (≥20k distinct elements) an unslacked prefix
+    length could drop a boundary pair the verifier (and the exact
+    all-pairs oracle) keeps. Slack only WIDENS the candidate set.
     """
+    tau = tau - 5e-5
     tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
     gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
     w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
@@ -261,10 +269,13 @@ def jaccard_from_sets(
     # cannot qualify and skips the O(set size) intersection entirely.
     # τ is slacked by the round-4 granularity: the FINAL filter accepts
     # round(J, 4) ≥ τ, i.e. true J down to τ − 0.00005 — the size bound
-    # must not drop those boundary pairs.
+    # must not drop those boundary pairs. Doubled slack (1e-4, vs the
+    # 5e-5 the acceptance needs) because this is a PRUNING-only filter:
+    # it removes the 1-ulp FP edge when min equals (τ−5e-5)·max exactly,
+    # at the cost of a few extra candidates reaching the exact check.
     sa, sb = F.size("_ta"), F.size("_tb")
     pairs = pairs.filter(
-        F.least(sa, sb).cast("double") >= F.lit(threshold - 5e-5) * F.greatest(sa, sb)
+        F.least(sa, sb).cast("double") >= F.lit(threshold - 1e-4) * F.greatest(sa, sb)
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = sa + sb - inter

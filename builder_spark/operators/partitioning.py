@@ -149,9 +149,18 @@ def _sampled_literal_cuts(df: DataFrame, col: str, n_cuts: int) -> list:
     independent of where the cuts fall — so an empty or skewed sample
     degrades parallelism, never correctness. The cuts are embedded as
     plan literals, so every subplan and re-execution agrees on the pid
-    assignment by construction."""
+    assignment by construction.
+
+    The sample collects a 64-char PREFIX, not the full value: pid
+    (count of cuts ≤ v) is monotone in v for ANY fixed literal cut
+    set, so a truncated cut is exactly as correct as a full one — it
+    only merges values sharing a 64-char prefix into one partition —
+    and it bounds both driver memory and the literal size embedded in
+    the plan when the order key is a long text column. The hash
+    filter keys on the PREFIX too, so the 1/64 thinning is of the
+    prefix mass the cuts are drawn from."""
     rows = (
-        df.select(F.col(col).alias("_c"))
+        df.select(F.substring(F.col(col), 1, 64).alias("_c"))
         .filter(F.col("_c").isNotNull())
         .filter(F.pmod(F.xxhash64("_c"), F.lit(64)) == 0)
         .limit(100_000)
@@ -175,9 +184,15 @@ _BOUNDARY_MEMO: dict[tuple[int, str, int], list] = {}
 
 
 def _boundary_cache_path() -> str:
+    """Per-user cache path: a fixed shared-tempdir filename would let
+    another local user pre-plant a symlink (open(tmp,'w') clobbers the
+    target), poison the JSON, or own the file so this user's writes
+    fail silently forever — suffix the uid so each user gets their own
+    file (correctness is cut-independent either way; this is hygiene)."""
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "builder_spark_boundaries.json")
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(tempfile.gettempdir(), f"builder_spark_boundaries_{uid}.json")
 
 
 def _memo_cuts(df: DataFrame, col: str, n_cuts: int, compute, kind: str = "num") -> list:
@@ -218,10 +233,23 @@ def _memo_cuts(df: DataFrame, col: str, n_cuts: int, compute, kind: str = "num")
             if len(disk) >= 256:
                 disk = {}
             disk[fkey] = b
-            tmp = _boundary_cache_path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(disk, f)
-            os.replace(tmp, _boundary_cache_path())
+            # mkstemp (0600, O_EXCL) + os.replace: never follows a
+            # pre-planted symlink at a predictable .tmp name, and the
+            # rename keeps readers atomic
+            import tempfile as _tf
+
+            target = _boundary_cache_path()
+            fd, tmp = _tf.mkstemp(
+                dir=os.path.dirname(target), prefix=os.path.basename(target) + "."
+            )
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(disk, f)
+                os.replace(tmp, target)
+            except BaseException:
+                with __import__("contextlib").suppress(OSError):
+                    os.remove(tmp)
+                raise
         except OSError:
             pass
     return b
