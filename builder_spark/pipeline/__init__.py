@@ -24,6 +24,7 @@ from builder_spark.pipeline.core import (
     ExecutionManager,
     Job,
     ObjectStoreTarget,
+    VersionedTableTarget,
     PrintExecutor,
     SparkExecutor,
     Target,
@@ -37,6 +38,7 @@ __all__ = [
     "ExecutionManager",
     "Job",
     "ObjectStoreTarget",
+    "VersionedTableTarget",
     "PrintExecutor",
     "SparkExecutor",
     "Target",

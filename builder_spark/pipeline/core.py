@@ -185,15 +185,134 @@ class ObjectStoreTarget(Target):
         return best
 
 
+@dataclass(frozen=True)
+class VersionedTableTarget(Target):
+    """Snapshot-manifest target: freshness by COMMITTED VERSION, not
+    file mtimes (the r6 design note, now implemented — the Delta/
+    Iceberg-shaped staleness contract without their jars, which this
+    sandbox cannot install).
+
+    Layout: ``<table>/_versions/v%08d.json`` manifests; the highest
+    version is the current snapshot. Each manifest records::
+
+        {"version": n, "committed_at": unix_sec,
+         "data_path": "<table>/data-v%08d",
+         "inputs": {"<dep unique_id>": dep_version_at_build_time}}
+
+    - ``exists`` → ≥1 committed manifest (a crashed writer leaves data
+      files but NO manifest, so half-written output is invisible — the
+      ``_SUCCESS`` hazard disappears).
+    - ``get_mtime()`` → latest manifest's commit timestamp. Immune to
+      compaction/rewrites (rewritten data files don't look fresh) and
+      to eventually-consistent object-store listings (one manifest
+      read, not an O(files) recursive walk).
+    - ``get_stale`` (see :meth:`ConcreteJob.get_stale`) compares the
+      recorded input VERSIONS against each versioned dep's current
+      version — a dep data rewrite at the same version never triggers
+      a rebuild; a version bump always does.
+
+    Addressed as ``vt:///abs/path`` via :func:`make_target`. Manifests
+    here use local-filesystem ops (the sandbox has no object store);
+    on a real lake the same one-manifest-per-commit protocol runs over
+    any Hadoop FS exactly as ObjectStoreTarget does for listings, or
+    maps directly onto Delta/Iceberg snapshot metadata.
+    """
+
+    @property
+    def table_path(self) -> str:
+        p = self.unique_id
+        return p[len("vt://"):] if p.startswith("vt://") else p
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.table_path, "_versions")
+
+    def _manifests(self) -> list[str]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f for f in os.listdir(d) if re.fullmatch(r"v\d{8}\.json", f)
+        )
+
+    def _latest(self) -> dict | None:
+        import json
+
+        ms = self._manifests()
+        if not ms:
+            return None
+        with open(os.path.join(self._log_dir(), ms[-1])) as f:
+            return json.load(f)
+
+    @property
+    def exists(self) -> bool:
+        return bool(self._manifests())
+
+    def get_version(self) -> int | None:
+        m = self._latest()
+        return None if m is None else int(m["version"])
+
+    def get_mtime(self) -> float | None:
+        m = self._latest()
+        return None if m is None else float(m["committed_at"])
+
+    def recorded_inputs(self) -> dict[str, int] | None:
+        """Input versions the current snapshot was built from (None for
+        pre-versioned or externally-committed snapshots)."""
+        m = self._latest()
+        return None if m is None else m.get("inputs")
+
+    def read_path(self) -> str | None:
+        """Data path of the current snapshot (what a consumer reads)."""
+        m = self._latest()
+        return None if m is None else m.get("data_path")
+
+    def next_data_path(self) -> str:
+        return os.path.join(
+            self.table_path, f"data-v{(self.get_version() or 0) + 1:08d}"
+        )
+
+    def commit(
+        self,
+        data_path: str | None = None,
+        inputs: dict[str, int] | None = None,
+        committed_at: float | None = None,
+    ) -> int:
+        """Atomically publish the next snapshot (mkstemp + rename into
+        ``_versions/``). Returns the committed version number."""
+        import json
+        import tempfile
+
+        version = (self.get_version() or 0) + 1
+        d = self._log_dir()
+        os.makedirs(d, exist_ok=True)
+        manifest = {
+            "version": version,
+            "committed_at": time.time() if committed_at is None else committed_at,
+            "data_path": data_path,
+            "inputs": inputs or {},
+        }
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, f"v{version:08d}.json"))
+        return version
+
+
 def make_target(
     unique_id: str, unexpanded_id: str = "", start: datetime | None = None
 ) -> Target:
-    """Scheme-dispatching Target factory: URIs with a filesystem scheme
-    get :class:`ObjectStoreTarget`, bare paths the local flavor — so a
-    job can point its targets/depends at ``s3a://bucket/...`` patterns
-    and the whole pipeline (staleness, buildability, cache_time) works
-    unchanged."""
-    cls = ObjectStoreTarget if _URI_SCHEME.match(unique_id) else Target
+    """Scheme-dispatching Target factory: ``vt://`` paths get the
+    snapshot-versioned :class:`VersionedTableTarget`, other URIs with
+    a filesystem scheme :class:`ObjectStoreTarget`, bare paths the
+    local flavor — so a job can point its targets/depends at
+    ``s3a://bucket/...`` or ``vt:///lake/...`` patterns and the whole
+    pipeline (staleness, buildability, cache_time) works unchanged."""
+    if unique_id.startswith("vt://"):
+        cls: type[Target] = VersionedTableTarget
+    elif _URI_SCHEME.match(unique_id):
+        cls = ObjectStoreTarget
+    else:
+        cls = Target
     return cls(unique_id=unique_id, unexpanded_id=unexpanded_id, start=start)
 
 
@@ -313,10 +432,29 @@ class ConcreteJob:
     def get_stale(self) -> bool:
         if not self.target.exists:
             return True
+        # Version-based staleness (VersionedTableTarget pairs): when
+        # the target snapshot RECORDS the dep version it was built
+        # from, compare versions — a dep rewritten at the same version
+        # (compaction, object-store mtime churn) is NOT fresh data,
+        # and a version bump always is, regardless of clock skew.
+        # Deps without versions fall back to the mtime comparison.
+        recorded = (
+            self.target.recorded_inputs()
+            if isinstance(self.target, VersionedTableTarget)
+            else None
+        )
         t_mtime = self.target.get_mtime() or 0.0
         for tgts in self.dep_targets.values():
             for d in tgts:
-                if d.exists and (d.get_mtime() or 0.0) > t_mtime:
+                if not d.exists:
+                    continue
+                if recorded is not None and isinstance(d, VersionedTableTarget):
+                    dv = d.get_version() or 0
+                    rv = recorded.get(d.unique_id)
+                    if rv is None or int(rv) < dv:
+                        return True
+                    continue
+                if (d.get_mtime() or 0.0) > t_mtime:
                     return True
         return False
 
@@ -440,19 +578,42 @@ class SparkExecutor:
         self.spark = spark
 
     def execute(self, cj: ConcreteJob) -> None:
+        versioned = isinstance(cj.target, VersionedTableTarget)
         ctx = BuildContext(
             spark=self.spark,
             start=cj.start,
             end=cj.end,
             dep_paths={
-                pat: [t.unique_id for t in tgts if t.exists]
+                # consumers of a versioned dep read its CURRENT
+                # snapshot's data path, not the table root
+                pat: [
+                    (t.read_path() or t.table_path)
+                    if isinstance(t, VersionedTableTarget)
+                    else t.unique_id
+                    for t in tgts
+                    if t.exists
+                ]
                 for pat, tgts in cj.dep_targets.items()
             },
-            target_path=cj.target.unique_id,
+            target_path=(
+                cj.target.next_data_path() if versioned else cj.target.unique_id
+            ),
         )
         df = cj.job.run(ctx)
         if df is not None:
             df.write.mode("overwrite").parquet(ctx.target_path)
+        if versioned:
+            # data is on disk but INVISIBLE until this manifest lands —
+            # a crash before commit leaves no snapshot (no _SUCCESS
+            # half-written-directory hazard). The manifest records each
+            # versioned dep's version for version-based staleness.
+            inputs = {
+                d.unique_id: d.get_version() or 0
+                for tgts in cj.dep_targets.values()
+                for d in tgts
+                if isinstance(d, VersionedTableTarget) and d.exists
+            }
+            cj.target.commit(data_path=ctx.target_path, inputs=inputs)
 
 
 class PrintExecutor:

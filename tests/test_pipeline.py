@@ -503,3 +503,128 @@ def test_object_store_pipeline_end_to_end(spark, tmp_path):
     r2 = ExecutionManager(bm, UriFileExecutor()).start_execution(D0, end)
     assert ran == ["up", "down"]
     assert set(r2.values()) == {"skipped"}
+
+
+# --- versioned-table targets (snapshot-manifest staleness) ------------------
+
+
+def test_versioned_target_basics(tmp_path):
+    from builder_spark.pipeline import VersionedTableTarget, make_target
+
+    t = make_target(f"vt://{tmp_path}/tbl")
+    assert isinstance(t, VersionedTableTarget)
+    assert not t.exists and t.get_version() is None and t.get_mtime() is None
+
+    v1 = t.commit(data_path=f"{tmp_path}/tbl/data-v00000001", committed_at=100.0)
+    assert v1 == 1
+    assert t.exists and t.get_version() == 1 and t.get_mtime() == 100.0
+    assert t.read_path() == f"{tmp_path}/tbl/data-v00000001"
+
+    v2 = t.commit(data_path=f"{tmp_path}/tbl/data-v00000002", committed_at=200.0)
+    assert (v2, t.get_version(), t.get_mtime()) == (2, 2, 200.0)
+
+
+def test_versioned_freshness_ignores_file_rewrites(tmp_path):
+    """Compaction immunity: rewriting data files (newer mtimes) does
+    not move the snapshot timestamp — only a commit does."""
+    from builder_spark.pipeline import make_target
+
+    t = make_target(f"vt://{tmp_path}/tbl")
+    t.commit(data_path=f"{tmp_path}/tbl/data-v00000001", committed_at=100.0)
+    touch(f"{tmp_path}/tbl/data-v00000001/part-0.parquet", mtime=time.time() + 3600)
+    assert t.get_mtime() == 100.0
+
+
+def _versioned_pair(tmp_path):
+    """dep (versioned, v1) → target (versioned, built FROM dep@v1)."""
+    from builder_spark.pipeline import Job, make_target
+    from builder_spark.pipeline.core import ConcreteJob
+
+    dep = make_target(f"vt://{tmp_path}/dep")
+    dep.commit(data_path=f"{tmp_path}/dep/data-v00000001", committed_at=100.0)
+    tgt = make_target(f"vt://{tmp_path}/out")
+    tgt.commit(
+        data_path=f"{tmp_path}/out/data-v00000001",
+        inputs={dep.unique_id: 1},
+        committed_at=50.0,  # EARLIER than the dep commit: mtime logic would call this stale
+    )
+    cj = ConcreteJob(
+        job=Job(name="j", run=lambda ctx: None),
+        start=D0,
+        end=D0 + timedelta(days=1),
+        target=tgt,
+        dep_targets={"dep": [dep]},
+        dep_mode={"dep": "all"},
+    )
+    return dep, tgt, cj
+
+
+def test_versioned_equal_version_skips(tmp_path):
+    """Same dep version ⇒ fresh, even though (a) the target's commit
+    timestamp predates the dep's and (b) the dep's files get rewritten
+    with newer mtimes — the two false-stale traps of mtime freshness."""
+    dep, tgt, cj = _versioned_pair(tmp_path)
+    assert not cj.get_stale()
+    touch(f"{tmp_path}/dep/data-v00000001/part-0.parquet", mtime=time.time() + 3600)
+    assert not cj.get_stale()
+
+
+def test_versioned_stale_by_version_rebuilds(tmp_path):
+    """A dep version bump makes the consumer stale — regardless of
+    timestamps (the new dep commit is timestamped BEFORE the target's
+    to prove clocks don't matter)."""
+    dep, tgt, cj = _versioned_pair(tmp_path)
+    dep.commit(data_path=f"{tmp_path}/dep/data-v00000002", committed_at=10.0)
+    assert cj.get_stale()
+
+
+def test_versioned_spark_pipeline_end_to_end(spark, tmp_path):
+    """SparkExecutor + vt:// targets: build → skip (equal versions) →
+    dep version bump → rebuild reading the NEW snapshot; every commit
+    records its input versions and data lands under data-v%08d."""
+    from pyspark.sql import functions as F
+
+    from builder_spark.pipeline import make_target
+
+    src = make_target(f"vt://{tmp_path}/src")
+
+    def write_src(version_val: int):
+        path = src.next_data_path()
+        spark.range(5).select(
+            F.col("id"), F.lit(version_val).alias("v")
+        ).write.mode("overwrite").parquet(path)
+        src.commit(data_path=path)
+
+    write_src(1)
+
+    def summarize(ctx):
+        [dep_path] = ctx.dep_paths[f"vt://{tmp_path}/src"]
+        return ctx.spark.read.parquet(dep_path).agg(F.sum("v").alias("s"))
+
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="sum",
+            run=summarize,
+            targets=f"vt://{tmp_path}/out",
+            depends=[f"vt://{tmp_path}/src"],
+        )
+    )
+    end = D0 + timedelta(days=1)
+
+    r1 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(D0, end)
+    assert r1[f"sum@{D0.isoformat()}"] == "ran"
+    out = make_target(f"vt://{tmp_path}/out")
+    assert out.get_version() == 1
+    assert out.recorded_inputs() == {f"vt://{tmp_path}/src": 1}
+    assert spark.read.parquet(out.read_path()).collect()[0]["s"] == 5
+
+    r2 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(D0, end)
+    assert r2[f"sum@{D0.isoformat()}"] == "skipped"
+
+    write_src(2)  # version bump → downstream stale
+    r3 = ExecutionManager(bm, SparkExecutor(spark)).start_execution(D0, end)
+    assert r3[f"sum@{D0.isoformat()}"] == "ran"
+    assert out.get_version() == 2
+    assert out.recorded_inputs() == {f"vt://{tmp_path}/src": 2}
+    assert spark.read.parquet(out.read_path()).collect()[0]["s"] == 10
