@@ -43,6 +43,13 @@ HEAVY = [
     "q_decile_stats",  # stitched fact-grain global rank at 10x
     "q_group_decile_bands",  # grouped stitch (3-value PARTITION BY) at 10x
     "q_group_median_exact",  # stitched rank-selection quantiles (r5) at 10x
+    # round-6 additions (r7 judge item 5): cell-aggregated density
+    # clustering, span masking over token streams, stitched
+    # token-balanced sharding, and rolling OLS windows
+    "q_grid_density_cluster",
+    "q_mlm_span_masking",
+    "q_token_balanced_shards",
+    "q_rolling_regression",
 ]
 
 #: per-table key columns to offset so replicas don't collide
