@@ -684,3 +684,62 @@ def minhash_near_dupes(
     sigs = minhash_signatures(df, id_col, text_col, k=k)
     cands = minhash_lsh_candidates(sigs, id_col, k=k, bands=bands)
     return jaccard_pairs(df, id_col, text_col, threshold, candidates=cands)
+
+
+def containment_pairs(items: DataFrame, tau: float) -> DataFrame:
+    """Complete candidate+verify pipeline for asymmetric token-set
+    CONTAINMENT: pairs (id_a < id_b) with |A∩B| / min(|A|,|B|) ≥ τ —
+    the subset-duplicate relation Jaccard misses (a doc quoted whole
+    inside a larger one has tiny Jaccard, full containment).
+
+    Candidates via the ASYMMETRIC prefix filter: C ≥ τ forces
+    |A∩B| ≥ τ·|A| for the smaller set A, so if none of A's
+    ``|A| − ⌈τ·|A|⌉ + 1`` globally-rarest tokens appear in B's FULL
+    token set, overlap ≤ ⌈τ|A|⌉ − 1 < τ·|A| — impossible. Only the
+    smaller side's prefix enters the join (against the full token
+    stream); prefix tokens are globally rare by construction, so the
+    fan-out is Σ df(rare) — no hot-token blowup, no all-pairs. τ is
+    slacked by the round-4 acceptance granularity (τ − 5e-5), same
+    discipline as :func:`prefix_filter_candidates`. Verification is
+    exact ``array_intersect`` on candidates only.
+
+    ``items`` = (_id, _arr) with DISTINCT elements (same contract as
+    :func:`prefix_filter_candidates`).
+    """
+    tau_eff = tau - 5e-5
+    tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
+    gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
+    w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
+    prefix_len = F.col("_sz") - F.ceil(F.lit(tau_eff) * F.col("_sz") - F.lit(1e-9)) + 1
+    prefix = (
+        tok.join(gdf, "_w")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_sz", "_w")
+    )
+    full = tok.select(F.col("_id").alias("_idf"), F.col("_sz").alias("_szf"), "_w")
+    cand = (
+        prefix.join(full, "_w")
+        .filter(F.col("_id") != F.col("_idf"))
+        # prefix side must be the smaller (or equal-size id-smaller)
+        # set: exactly one direction generates each candidate pair
+        .filter(
+            (F.col("_sz") < F.col("_szf"))
+            | ((F.col("_sz") == F.col("_szf")) & (F.col("_id") < F.col("_idf")))
+        )
+        .select(
+            F.least("_id", "_idf").alias("id_a"),
+            F.greatest("_id", "_idf").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
+    b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    mn = F.least(F.size("_ta"), F.size("_tb"))
+    return (
+        pairs.withColumn("containment", F.round(inter / mn.cast("double"), 4))
+        .filter(F.col("containment") >= tau)
+        .select("id_a", "id_b", "containment")
+    )

@@ -46,3 +46,4 @@ import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register her
 # brand-new queries do (r6: 47 backlog + 3 new = exactly one window)
 from builder_spark.queries import round5  # noqa: E402,F401
 from builder_spark.queries import round6  # noqa: E402,F401
+from builder_spark.queries import round7  # noqa: E402,F401

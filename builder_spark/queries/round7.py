@@ -1,0 +1,656 @@
+"""Round-7 surface growth: semantic dedup (SemDeDup-style cell-pruned
+embedding dedup), asymmetric containment dedup, token-span duplication
+rate, readability and character-class corpus profiles, Kaplan-Meier
+survival, session path mining, and algebraic partial-aggregate merge.
+
+Design rules (same as the rest of the graded surface):
+- numerators/denominators are EXACT integers; every float is one
+  identical division/ln/exp expression tree on both engines, then
+  round(·, 4) — cumulative float folds only over identically-ordered
+  sequences (same additions in the same order are bit-identical);
+- deterministic total orders behind every limit/top-k;
+- plans are scale-shaped: dedup candidates come from cell/prefix
+  buckets (never all-pairs), span hashes aggregate map-side, the KM
+  curve windows run over a calendar-bounded day table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cell-bucketed embedding prune
+
+#: 1-based embedding dims whose SIGN forms the 64-cell bucket id —
+#: shared with the oracle so both engines agree on cells exactly.
+_SD_DIMS = [1, 5, 9, 13, 17, 21]
+_SD_TAU = 0.3
+
+_SD_CELL_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d}] >= 0 THEN {1 << (len(_SD_DIMS) - 1 - i)} ELSE 0 END)"
+    for i, d in enumerate(_SD_DIMS)
+)
+_DD_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_DD_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, label, embedding,
+                   {_SD_CELL_SQL} AS cell,
+                   {_DD_NORM.format(v="embedding")} AS nrm
+            FROM embeddings
+        ),
+        pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({_DD_DOT.format(a="a.embedding", b="b.embedding")}
+                        / (a.nrm * b.nrm), 4) >= {_SD_TAU}
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pruned,
+               CAST(sum(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS prune_rate
+        FROM c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+        GROUP BY label
+    """,
+    category="llm-similarity",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup report: embeddings bucket into 64
+    sign-cells (6 fixed dims), cosine-compare ONLY within a cell, and
+    a vector is PRUNED when any lower-id cell-mate matches at cosine
+    ≥ 0.3 (keep-lowest-id survivor rule). Per label: totals, pruned,
+    kept, prune rate.
+
+    Scale: the pairwise compare is confined to cells — the shuffle
+    carries (cell, vector) once and each reducer compares one cell's
+    slab; production SemDeDup uses k-means cells with a size cap, and
+    this cell id is exactly such an assignment (deterministic, no
+    trained centroids). Norms are projected ONCE before the self-join
+    (no CSE inside the join condition otherwise). No all-pairs join
+    exists in the plan at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (len(_SD_DIMS) - 1 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_SD_DIMS)
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    c = e.select(
+        "vec_id", "label", "embedding", cell.alias("cell"), nrm.alias("nrm")
+    )
+    a = c.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("cell"),
+        F.col("nrm").alias("na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("cell"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cos") >= F.lit(_SD_TAU))
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return (
+        c.join(pruned, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("_pruned").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("_pruned").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("prune_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (quote/subset inclusion detection)
+
+_CT_TAU = 0.9
+
+
+@register(
+    "q_containment_dedup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id AS _id, unnest(list_distinct(string_split(text, ' '))) AS _w
+            FROM documents
+        ),
+        sizes AS (SELECT _id, count(*) AS _sz FROM tok GROUP BY _id),
+        inter AS (
+            SELECT a._id AS id_a, b._id AS id_b, count(*) AS _inter
+            FROM tok a JOIN tok b ON a._w = b._w AND a._id < b._id
+            GROUP BY a._id, b._id
+        )
+        SELECT id_a, id_b,
+               round(_inter / CAST(least(sa._sz, sb._sz) AS DOUBLE), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa._id = id_a
+        JOIN sizes sb ON sb._id = id_b
+        WHERE round(_inter / CAST(least(sa._sz, sb._sz) AS DOUBLE), 4) >= {_CT_TAU}
+    """,
+    category="llm-dedup",
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT pairs: |A∩B| / min(|A|,|B|)
+    ≥ 0.9 — the quote-inclusion / subset-duplicate detector Jaccard
+    misses (a tweet quoted inside an article has tiny Jaccard but
+    full containment). Candidates come from an asymmetric PREFIX
+    filter: C ≥ τ forces |A∩B| ≥ τ·|A| for the SMALLER set A, so if
+    none of A's (|A| − ⌈τ·|A|⌉ + 1) globally-rarest tokens hit B's
+    full token set, the pair is impossible — only smaller-side prefix
+    tokens enter the join (rare by construction: bounded fan-out),
+    never a common-token all-pairs join. Exact verification by
+    array_intersect on candidates only."""
+    from builder_spark.functions.text import tokens
+    from builder_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(tokens("text")).alias("_arr"),
+    )
+    return containment_pairs(items, _CT_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Token-span duplication rate (cross-doc 16-gram dup mass)
+
+_SPAN_W = 16
+_SPAN_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length({s}) + 1),"
+    " j -> CAST(ascii(substr({s}, CAST(j AS INT), 1)) AS BIGINT))),"
+    " (a, b) -> (a*31 + b) % 33554432)"
+)
+
+
+@register(
+    "q_span_dup_rate",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id, source,
+                   {_SPAN_CHARFOLD.format(
+                       s=f"array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {_SPAN_W - 1}], ' ')"
+                   )} AS h
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_W - 2})) AS i)
+            WHERE len(toks) >= {_SPAN_W}
+        ),
+        hdocs AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                   AS dup_rate
+        FROM spans JOIN hdocs USING (h)
+        GROUP BY source
+    """,
+    category="llm-dedup",
+)
+def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document token-SPAN duplication rate (the RefinedWeb /
+    'Deduplicating Training Data' metric): every 16-token rolling span
+    is hashed; a span instance is duplicated when its hash occurs in
+    ≥ 2 distinct docs; per source report span count, duplicated-span
+    count, and the duplicated fraction — the sub-document dup mass
+    whole-doc dedup cannot see.
+
+    Scale: spans travel as charfold HASHES assembled in O(1) per span
+    from a per-token (h, p) fold (token text is folded ONCE per doc —
+    see kgram_hashes_from_hp); the doc-frequency side is one map-side
+    combinable aggregate on the hash. Nothing pairwise anywhere."""
+    from builder_spark.operators.dedup import charfold_token_hp, kgram_hashes_from_hp
+    from builder_spark.operators.partitioning import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    hp = (
+        spread(d, "doc_id")
+        .select("doc_id", "source", F.split("text", " ").alias("_toks"))
+        .select("doc_id", "source", charfold_token_hp(F.col("_toks")).alias("_hp"))
+    )
+    spans = hp.select(
+        "doc_id",
+        "source",
+        F.explode(kgram_hashes_from_hp("_hp", k=_SPAN_W)).alias("h"),
+    )
+    hdocs = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        spans.join(hdocs, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease from exact integer masses)
+
+
+@register(
+    "q_readability",
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS words,
+                   greatest(
+                       length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                       - length(regexp_replace(text, '[.!?]+', '', 'g')), 1)
+                       AS sentences,
+                   length(regexp_replace(text, '[aeiouAEIOU]+', '#', 'g'))
+                   - length(regexp_replace(text, '[aeiouAEIOU]+', '', 'g'))
+                       AS syllables
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(words) AS BIGINT) AS words,
+               CAST(sum(sentences) AS BIGINT) AS sentences,
+               CAST(sum(syllables) AS BIGINT) AS syllables,
+               round(206.835 - 1.015 * (sum(words) * 1.0 / sum(sentences))
+                     - 84.6 * (sum(syllables) * 1.0 / sum(words)), 4) AS flesch
+        FROM per_doc GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch reading-ease from corpus-level integer
+    masses (words, sentence-terminator groups, vowel-group syllable
+    proxy) — the classic readability gate in corpus quality reports.
+    Counts are per-row integer expressions (regexp length deltas: a
+    vowel GROUP collapses to one '#', so marker-len − stripped-len =
+    group count); the only float is the final Flesch formula over
+    per-lang sums, identical on both engines then rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    sentences = F.greatest(
+        F.length(F.regexp_replace("text", "[.!?]+", "#"))
+        - F.length(F.regexp_replace("text", "[.!?]+", "")),
+        F.lit(1),
+    )
+    syllables = F.length(F.regexp_replace("text", "[aeiouAEIOU]+", "#")) - F.length(
+        F.regexp_replace("text", "[aeiouAEIOU]+", "")
+    )
+    per_doc = d.select(
+        "lang",
+        words.alias("w"),
+        sentences.alias("s"),
+        syllables.alias("y"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("s").cast("bigint").alias("sentences"),
+        F.sum("y").cast("bigint").alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.sum("w") * 1.0 / F.sum("s"))
+            - F.lit(84.6) * (F.sum("y") * 1.0 / F.sum("w")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class corpus profile
+
+
+def _cc_count_sql(pattern: str) -> str:
+    return (
+        f"length(text) - length(regexp_replace(text, '{pattern}', '', 'g'))"
+    )
+
+
+@register(
+    "q_charclass_profile",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source,
+                   length(text) AS chars,
+                   {_cc_count_sql("[A-Za-z]")} AS letters,
+                   {_cc_count_sql("[0-9]")} AS digits,
+                   {_cc_count_sql("[ ]")} AS spaces,
+                   {_cc_count_sql("[A-Z]")} AS uppers
+            FROM documents
+        )
+        SELECT source,
+               CAST(sum(chars) AS BIGINT) AS chars,
+               CAST(sum(letters) AS BIGINT) AS letters,
+               CAST(sum(digits) AS BIGINT) AS digits,
+               CAST(sum(spaces) AS BIGINT) AS spaces,
+               CAST(sum(chars - letters - digits - spaces) AS BIGINT) AS other,
+               round(sum(letters) * 1.0 / sum(chars), 4) AS letter_ratio,
+               round(sum(uppers) * 1.0 / greatest(sum(letters), 1), 4) AS upper_ratio,
+               round(sum(chars - letters - digits - spaces) * 1.0 / sum(chars), 4)
+                   AS other_ratio
+        FROM per_doc GROUP BY source
+    """,
+    category="llm-text",
+)
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (letter/digit/space/other
+    masses and ratios, uppercase share) — the cheap first-pass corpus
+    fingerprint that catches mojibake, code-vs-prose mixes, and
+    shouting sources before any tokenizer runs. Pure per-row integer
+    regexp length deltas folded by one combinable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def cnt(pat: str) -> F.Column:
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    per_doc = d.select(
+        "source",
+        F.length("text").alias("chars"),
+        cnt("[A-Za-z]").alias("letters"),
+        cnt("[0-9]").alias("digits"),
+        cnt("[ ]").alias("spaces"),
+        cnt("[A-Z]").alias("uppers"),
+    )
+    other = F.sum(
+        F.col("chars") - F.col("letters") - F.col("digits") - F.col("spaces")
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("chars").cast("bigint").alias("chars"),
+        F.sum("letters").cast("bigint").alias("letters"),
+        F.sum("digits").cast("bigint").alias("digits"),
+        F.sum("spaces").cast("bigint").alias("spaces"),
+        other.cast("bigint").alias("other"),
+        F.round(F.sum("letters") * 1.0 / F.sum("chars"), 4).alias("letter_ratio"),
+        F.round(
+            F.sum("uppers") * 1.0 / F.greatest(F.sum("letters"), F.lit(1)), 4
+        ).alias("upper_ratio"),
+        F.round(other * 1.0 / F.sum("chars"), 4).alias("other_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over return gaps (time-to-next-event)
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+        ),
+        durs AS (
+            SELECT CASE WHEN nxt IS NULL
+                        THEN ((SELECT max(epoch_us(ts)) FROM events) - us)
+                        ELSE (nxt - us) END // 3600000000 AS t,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+            FROM g
+        ),
+        hour AS (
+            SELECT t, CAST(sum(observed) AS BIGINT) AS d, count(*) AS c
+            FROM durs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST((SELECT count(*) FROM durs)
+                        - coalesce(sum(c) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM hour
+        )
+        SELECT t, n_risk, d,
+               round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_risk, 1e-12)))
+                         OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                     4) AS s_t
+        FROM risk WHERE d > 0
+    """,
+    category="analytics",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of RETURN GAPS — for every event,
+    the hours until the same user's next event; each user's final gap
+    (last event → dataset end) is right-censored. S(t) = P(return gap
+    > t hours), the product-limit estimator behind time-to-return /
+    churn-risk duration analyses (plain gap averages are biased by
+    exactly those censored tails). S multiplies (1 − d/n) at death
+    times only; the product is exp(Σ ln(·)) so both engines fold the
+    SAME doubles in the SAME t-order (bit-identical), then round —
+    with a greatest(·, 1e-12) floor because Spark's log(0) is NULL
+    while DuckDB's errors (the d = n_risk final step rounds to 0.0
+    either way).
+
+    Scale: one shuffle on user_id serves the lead() gap window; the
+    curve itself lives on an HOUR table bounded by the calendar span,
+    so the two unpartitioned cumulative windows are constant-sized
+    (whitelisted bounded frames)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select("user_id", us.alias("us"), F.lead(us).over(w).alias("nxt"))
+    gmax = ev.agg(F.max(us).alias("gmax"))
+    durs = g.crossJoin(F.broadcast(gmax)).select(
+        F.floor(
+            F.coalesce(F.col("nxt"), F.col("gmax")) - F.col("us"),
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
+    ).select(
+        (F.col("gap_us") / F.lit(3_600_000_000)).cast("bigint").alias("t"),
+        "observed",
+    )
+    hour = durs.groupBy("t").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    risk = hour.select(
+        "t",
+        "d",
+        (
+            F.sum("c").over(total) - F.coalesce(F.sum("c").over(w_excl), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    return risk.select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0) - F.col("d") * 1.0 / F.col("n_risk"),
+                            F.lit(1e-12),
+                        )
+                    )
+                ).over(w_incl)
+            ),
+            4,
+        ).alias("s_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type 3-step paths)
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM gaps
+        ),
+        ranked AS (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM sess
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+    category="analytics",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening event-type paths (first ≤3 events of
+    each 30-min-gap session, joined with '>') — the sequence-mining
+    view of product flows. One shuffle on user_id serves the gap lag,
+    the session cumsum, and the per-session rank; paths aggregate
+    map-side and the top-10 is a TakeOrdered (total order: count desc,
+    path asc), never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("sid", F.sum(new_session).over(cum))
+    wr = Window.partitionBy("user_id", "sid").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = sess.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Algebraic partial-aggregate merge (incremental view maintenance)
+
+_MERGE_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q_agg_merge_incremental",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM orders GROUP BY 1
+    """,
+    category="aggregation",
+)
+def q_agg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance primitive: the monthly revenue
+    rollup is computed as BASE partial aggregates (orders before
+    1997-01-01) merged with DELTA partials (on/after) — count/sum
+    merge by sum, max by max — and must equal the full recompute the
+    oracle runs. This is the algebra every incremental pipeline rebuild
+    rests on (only the delta partition is scanned on update; the base
+    partials are reused bytes). Both phases are map-side combinable;
+    the merge re-aggregates two already-tiny partial tables."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate"),
+    )
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("cents").alias("m"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("bigint").alias("revenue_cents"),
+            F.max("m").cast("bigint").alias("max_cents"),
+        )
+    )

@@ -42,6 +42,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_tail_index": "top-101 TakeOrdered survivors (constant-bounded)",
     "q_order_linecount_dist": "line-count domain (max basket size)",
     "q_lorenz_curve_points": "10 decile rows",
+    "q_survival_km": "gap-hour table (calendar-bounded)",
 }
 
 
