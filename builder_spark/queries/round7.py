@@ -183,7 +183,13 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full token set, the pair is impossible — only smaller-side prefix
     tokens enter the join (rare by construction: bounded fan-out),
     never a common-token all-pairs join. Exact verification by
-    array_intersect on candidates only."""
+    array_intersect on candidates only.
+
+    Fixture note: the synthetic documents are heavily templated, so
+    the TRUE ≥0.9-containment relation is dense (67k pairs at sf0.01,
+    ~7M at sf0.1) — wall-clock on these fixtures tracks the answer's
+    size, not the filter's selectivity; on a real corpus the relation
+    is sparse and the prefix filter's pruning dominates."""
     from builder_spark.functions.text import tokens
     from builder_spark.operators.dedup import containment_pairs
 

@@ -804,3 +804,58 @@ def test_stitched_running_desc_with_nulls(spark):
     assert sorted((r.id, r.rn) for r in got.select("id", "rn").collect()) == sorted(
         (r.id, r.rn) for r in want.select("id", "rn").collect()
     )
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_semdedup_prune", 3),      # cell projection + self-join sides
+        ("q_containment_dedup", 3),   # token stream agg + prefix rank + verify joins
+        ("q_span_dup_rate", 4),       # span stream + hash-df agg + rejoin
+        ("q_readability", 1),         # one combinable groupBy(lang)
+        ("q_charclass_profile", 1),   # one combinable groupBy(source)
+        ("q_survival_km", 4),         # user_id lead window + hour agg + curve windows
+        ("q_session_paths", 2),       # user_id window chain + path count
+        ("q_agg_merge_incremental", 2),  # base/delta partials + merge
+    ],
+)
+def test_round7_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_semdedup_joins_on_cell_not_all_pairs(spark):
+    """q_semdedup_prune's pairwise compare must be an equi-join on the
+    cell id (shuffled or broadcast HASH join) — an all-pairs
+    BroadcastNestedLoopJoin over the embedding table is the O(n²)
+    scale-killer SemDeDup's cells exist to avoid."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_semdedup_prune"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
+
+
+def test_containment_candidates_are_equi_joins(spark):
+    """q_containment_dedup generates candidates by equi-joining the
+    smaller side's prefix tokens against the full token stream — no
+    nested-loop anywhere (the asymmetric prefix filter's completeness
+    proof lives in operators/dedup.py::containment_pairs)."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_containment_dedup"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
+
+
+def test_survival_km_scalar_broadcast_only(spark):
+    """q_survival_km's only nested-loop join is the 1-row dataset-max
+    scalar broadcast (a cross join with a single aggregate row); the
+    gap window and hour rollup must be hash-partitioned."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_survival_km"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # one scalar cross join is expected; a second nested loop is not
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # node + details section

@@ -50,6 +50,15 @@ HEAVY = [
     "q_mlm_span_masking",
     "q_token_balanced_shards",
     "q_rolling_regression",
+    # round-7 additions: cell-bucketed semantic dedup, span-hash dup
+    # mass, KM gap survival. q_containment_dedup is deliberately NOT
+    # here: the fixture's templated text makes the TRUE >=0.9
+    # containment relation dense (7M pairs at sf0.1), so its
+    # wall-clock tracks OUTPUT size — a 10x ratio would measure answer
+    # growth, not plan shape.
+    "q_semdedup_prune",
+    "q_span_dup_rate",
+    "q_survival_km",
 ]
 
 #: per-table key columns to offset so replicas don't collide
