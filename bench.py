@@ -57,6 +57,11 @@ HEADLINE = [
     "q_minhash_banded",
     "q_tfidf_top_terms",
     "q_length_percentile_gate",
+    # added r07: the new dedup-family differentiators — cell-bucketed
+    # semantic dedup over embeddings and the cross-doc token-span
+    # duplication mass (sub-document dedup measurement)
+    "q_semdedup_prune",
+    "q_span_dup_rate",
 ]
 
 #: The fixed round-over-round comparison set (frozen at r04 membership):

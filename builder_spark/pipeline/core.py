@@ -261,10 +261,22 @@ class VersionedTableTarget(Target):
         m = self._latest()
         return None if m is None else m.get("inputs")
 
-    def read_path(self) -> str | None:
-        """Data path of the current snapshot (what a consumer reads)."""
-        m = self._latest()
-        return None if m is None else m.get("data_path")
+    def read_path(self, version: int | None = None) -> str | None:
+        """Data path of the current snapshot (what a consumer reads),
+        or of an explicit ``version`` — TIME TRAVEL: any committed
+        snapshot stays readable by number until its manifest is
+        removed, exactly the Delta/Iceberg `VERSION AS OF` contract."""
+        import json
+
+        if version is None:
+            m = self._latest()
+            return None if m is None else m.get("data_path")
+        path = os.path.join(self._log_dir(), f"v{version:08d}.json")
+        try:
+            with open(path) as f:
+                return json.load(f).get("data_path")
+        except OSError:
+            return None
 
     def next_data_path(self) -> str:
         return os.path.join(

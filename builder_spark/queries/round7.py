@@ -660,3 +660,715 @@ def q_agg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m").cast("bigint").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product search (unnormalized retrieval)
+
+
+@register(
+    "q_mips_maxdot",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.q_id, e.vec_id,
+                   round({_DD_DOT.format(a="q.q_emb", b="e.embedding")}, 4) AS dot
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, dot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, vec_id ASC) AS rnk
+        FROM pairs
+        QUALIFY rnk <= 5
+    """,
+    category="llm-similarity",
+)
+def q_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-5 for the first 20 query vectors —
+    the unnormalized retrieval objective (recommendation scoring,
+    un-normalized embedding stores) where cosine's norm division is
+    wrong. Queries broadcast; the dot product rides the candidate
+    scan; per-query top-5 via grouped_topk (partition-local prune,
+    then rank over ≤ 5·P survivors — never a K·N global window).
+    Round-then-rank keeps rank parity with the oracle."""
+    from builder_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(dot, 4).alias("dot"))
+    )
+    return grouped_topk(
+        pairs, ["q_id"], [F.col("dot").desc(), F.col("vec_id").asc()], k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (metadata predicate + exact retrieval)
+
+
+@register(
+    "q_filtered_ann",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, label, embedding AS q_emb,
+                          {_DD_NORM.format(v="embedding")} AS q_nrm
+                   FROM embeddings WHERE vec_id < 10),
+        pairs AS (
+            SELECT q.q_id, e.vec_id,
+                   round({_DD_DOT.format(a="q.q_emb", b="e.embedding")}
+                         / (q.q_nrm * {_DD_NORM.format(v="e.embedding")}), 4)
+                       AS cos_sim
+            FROM q JOIN embeddings e ON e.label = q.label
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM pairs
+        QUALIFY rnk <= 3
+    """,
+    category="llm-similarity",
+)
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-3 cosine neighbors restricted to
+    candidates sharing the query's label — the metadata-predicate
+    retrieval every vector store ships (filter + search in one pass,
+    not post-filtering a larger top-k, which under-fills). The label
+    equi-join IS the filter: candidates shuffle/broadcast only within
+    the label partition, and per-query top-3 is a grouped_topk prune.
+    Query norms are projected once before the join."""
+    from builder_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        "label",
+        F.col("embedding").alias("q_emb"),
+        nrm.alias("q_nrm"),
+    )
+    cand = e.select("vec_id", "label", "embedding", nrm.alias("c_nrm"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.join(F.broadcast(q), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(dot / (F.col("q_nrm") * F.col("c_nrm")), 4).alias("cos_sim"),
+        )
+    )
+    return grouped_topk(
+        pairs, ["q_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (sweep line over session intervals)
+
+
+@register(
+    "q_concurrency_sweep",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+                   ts, event_id
+            FROM gaps
+        ),
+        ivals AS (
+            SELECT user_id, sid, min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+            FROM sess GROUP BY user_id, sid
+        ),
+        pts AS (
+            SELECT s_us AS t_us, 1 AS delta, user_id, sid FROM ivals
+            UNION ALL
+            SELECT e_us + 1, -1, user_id, sid FROM ivals
+        ),
+        sweep AS (
+            SELECT t_us,
+                   sum(delta) OVER (ORDER BY t_us ASC, delta DESC,
+                                    user_id ASC, sid ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+            FROM pts
+        )
+        SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+               CAST(max(conc) AS BIGINT) AS peak_concurrency
+        FROM sweep GROUP BY 1
+    """,
+    category="analytics",
+)
+def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic SWEEP LINE:
+    sessions (30-min gap) become +1/−1 boundary points, a GLOBAL
+    running sum over time order is the live-concurrency curve, and the
+    per-day max is the capacity-planning number. The global cumsum is
+    a stitched rank (range-partitioned local windows + broadcast
+    offsets) — fact-grain points, no single-reducer ORDER BY; ties
+    order (t, delta DESC, user, sid) so a session ending exactly when
+    another starts counts as overlapping on both engines."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivals = (
+        ev.withColumn("sid", F.sum(new_session).over(cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min(us).alias("s_us"), F.max(us).alias("e_us"))
+    )
+    pts = ivals.select(
+        F.col("s_us").alias("t_us"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionByName(
+        ivals.select(
+            (F.col("e_us") + 1).alias("t_us"), F.lit(-1).alias("delta"), "user_id", "sid"
+        )
+    )
+    swept = stitched_running(
+        pts,
+        [
+            F.col("t_us").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("sid").asc(),
+        ],
+        running={"conc": "delta"},
+    )
+    return (
+        swept.select(
+            F.date_format(F.timestamp_micros(F.col("t_us")), "yyyy-MM-dd").alias("day"),
+            "conc",
+        )
+        .groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table time travel (Layer A target powering a Layer B read)
+
+
+@register(
+    "q_versioned_time_travel",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y') AS year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    category="source-sink",
+)
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL through the VersionedTableTarget manifest
+    log: commit v1 = pre-1998 orders, v2 = the full table, then read
+    VERSION 1 and aggregate — `SELECT ... VERSION AS OF 1` semantics
+    (reproducible reads for pipeline reruns, audits, rollbacks)
+    without Delta/Iceberg jars. The v2 commit proves the v1 read is
+    genuinely snapshot-isolated, not latest-wins; the oracle recomputes
+    v1's content predicate against the raw table."""
+    import os
+    import shutil
+    import tempfile
+
+    from builder_spark.pipeline import make_target
+
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), "builder_spark_time_travel")
+    shutil.rmtree(root, ignore_errors=True)
+    t = make_target(f"vt://{root}/orders")
+    v1_path = t.next_data_path()
+    o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(v1_path)
+    t.commit(data_path=v1_path)
+    v2_path = t.next_data_path()
+    o.write.mode("overwrite").parquet(v2_path)
+    t.commit(data_path=v2_path)
+    back = spark.read.parquet(t.read_path(version=1))
+    return back.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("year")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapse (feature engineering: min-support binning)
+
+_RARE_MIN_SUPPORT = 15
+
+
+@register(
+    "q_rare_category_collapse",
+    oracle=f"""
+        WITH cat AS (
+            SELECT p_brand || '/' || p_type AS category,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+            FROM part
+        ),
+        counts AS (SELECT category, count(*) AS n FROM cat GROUP BY category)
+        SELECT CASE WHEN c.n >= {_RARE_MIN_SUPPORT} THEN cat.category
+                    ELSE 'OTHER' END AS category,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cat.cents) AS BIGINT) AS sum_cents,
+               round(avg(cat.cents / 100.0), 4) AS avg_price
+        FROM cat JOIN counts c USING (category)
+        GROUP BY 1
+    """,
+    category="analytics",
+)
+def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-support categorical binning: (brand, type) combos with
+    fewer than 15 parts collapse into 'OTHER' — the cardinality-control
+    step before one-hot/target encoding (rare levels overfit and blow
+    up feature width). Two combinable aggregates and one broadcast
+    count join; avg is computed from exact integer cents on both
+    engines then rounded."""
+    p = load_table(spark, sf_dir, "part")
+    cat = p.select(
+        F.concat_ws("/", "p_brand", "p_type").alias("category"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    counts = cat.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cat.join(F.broadcast(counts), "category")
+        .select(
+            F.when(F.col("n") >= _RARE_MIN_SUPPORT, F.col("category"))
+            .otherwise(F.lit("OTHER"))
+            .alias("category"),
+            "cents",
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.round(F.avg(F.col("cents") / 100.0), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (leakage-safe category -> numeric feature)
+
+_TE_ALPHA = 10
+
+
+@register(
+    "q_target_encoding",
+    oracle=f"""
+        WITH t AS (
+            SELECT o_orderpriority AS category,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (SELECT CAST(sum(cents) AS BIGINT) AS gs, count(*) AS gn FROM t)
+        SELECT category,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               round((sum(cents) + {_TE_ALPHA} * (g.gs * 1.0 / g.gn))
+                     / (count(*) + {_TE_ALPHA}) / 100.0, 4) AS encoded
+        FROM t, g
+        GROUP BY category, g.gs, g.gn
+    """,
+    category="analytics",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed TARGET ENCODING of order priority against
+    order value: enc(c) = (Σ target + α·global_mean) / (n + α) — the
+    standard high-cardinality categorical feature (smoothing shrinks
+    rare levels toward the prior instead of memorizing them).
+    Numerators are exact integer cents; the global mean is a 1-row
+    broadcast; one identical float expression both sides, then round."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = t.agg(
+        F.sum("cents").cast("bigint").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    return (
+        t.crossJoin(F.broadcast(g))
+        .groupBy("category", "gs", "gn")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "category",
+            "n",
+            "sum_cents",
+            F.round(
+                (F.col("sum_cents") + F.lit(_TE_ALPHA) * (F.col("gs") * 1.0 / F.col("gn")))
+                / (F.col("n") + F.lit(_TE_ALPHA))
+                / 100.0,
+                4,
+            ).alias("encoded"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law curve from first-occurrence ranks)
+
+
+@register(
+    "q_vocab_growth",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents
+        ),
+        firsts AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+        newv AS (SELECT first_doc AS doc_id, count(*) AS new_terms
+                 FROM firsts GROUP BY first_doc),
+        toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                 FROM documents),
+        curve AS (
+            SELECT t.doc_id,
+                   sum(t.n_tok) OVER (ORDER BY t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens,
+                   sum(coalesce(n.new_terms, 0)) OVER (ORDER BY t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_vocab,
+                   row_number() OVER (ORDER BY t.doc_id) AS rn,
+                   count(*) OVER () AS n_docs
+            FROM toks t LEFT JOIN newv n USING (doc_id)
+        )
+        SELECT CAST((rn * 10) // n_docs AS INT) AS decile,
+               CAST(max(cum_tokens) AS BIGINT) AS cum_tokens,
+               CAST(max(cum_vocab) AS BIGINT) AS cum_vocab
+        FROM curve WHERE (rn * 10) % n_docs = 0
+        GROUP BY 1
+    """,
+    category="llm-text",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocab
+    vs cumulative token mass over the corpus in doc_id order, sampled
+    at corpus deciles — the saturation diagnostic for 'is more data
+    still adding new language?'. Distinct-term mass converts to a
+    per-doc NEW-TERMS count via first-occurrence (min doc_id per term,
+    one combinable aggregate), so the curve is two running sums over
+    doc grain — both computed by ONE stitched pass (range-partitioned
+    local windows + broadcast offsets), never a single-reducer ORDER
+    BY. Decile sampling keeps the output 10 rows at any corpus size."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    newv = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    base = toks.join(newv, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    curve = stitched_running(
+        base,
+        ["doc_id"],
+        running={"cum_tokens": "n_tok", "cum_vocab": "new_terms"},
+        rank_name="rn",
+        with_totals=True,
+    )
+    return (
+        curve.filter((F.col("rn") * 10) % F.col("rn_total") == 0)
+        .select(
+            ((F.col("rn") * 10) / F.col("rn_total")).cast("int").alias("decile"),
+            "cum_tokens",
+            "cum_vocab",
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.max("cum_vocab").cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (either direction, prior wins ties)
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH prior AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ),
+        nxt AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN p.o_orderkey IS NOT NULL AND (n.o_orderkey IS NULL
+                         OR epoch_us(e.ts) - epoch_us(p.o_orderdate)
+                            <= epoch_us(n.o_orderdate) - epoch_us(e.ts))
+                    THEN p.o_orderkey ELSE n.o_orderkey END AS o_orderkey,
+               CASE WHEN p.o_orderkey IS NOT NULL AND (n.o_orderkey IS NULL
+                         OR epoch_us(e.ts) - epoch_us(p.o_orderdate)
+                            <= epoch_us(n.o_orderdate) - epoch_us(e.ts))
+                    THEN 'prior' ELSE 'next' END AS direction
+        FROM events e
+        LEFT JOIN prior p ON p.event_id = e.event_id AND p.rn = 1
+        LEFT JOIN nxt n ON n.event_id = e.event_id AND n.rn = 1
+        WHERE p.o_orderkey IS NOT NULL OR n.o_orderkey IS NOT NULL
+    """,
+    category="join",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: per event, the user's closest order in
+    EITHER direction (latest at-or-before vs earliest strictly-after),
+    prior winning distance ties — the sensor-alignment flavor of as-of
+    (match each reading to the nearest calibration, whichever side).
+    One union timeline + ONE shuffle serves BOTH directions: a
+    running-last frame carries the latest prior order forward and a
+    first-following frame carries the next order backward over the
+    same sort — still linear, no candidate fan-out, exactly like
+    q_join_asof but with a second window over the same exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    timeline = ev.unionByName(o)
+    # orders sort BEFORE events at equal _t (kind 0 < 1): an equal-ts
+    # order lands in the PRIOR frame (<= semantics) and never the next
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("_t").asc(), F.col("_kind").asc(), F.col("o_orderkey").asc()
+    )
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # backward keeps the LAST (max orderkey at the tie date); forward
+    # the FIRST (min orderkey at the earliest later date) — matching
+    # the oracle's DESC/ASC rn=1 choices
+    out = (
+        timeline.withColumn("_pk", F.last("o_orderkey", ignorenulls=True).over(w_back))
+        .withColumn("_pd", F.last("o_orderdate", ignorenulls=True).over(w_back))
+        .withColumn("_nk", F.first("o_orderkey", ignorenulls=True).over(w_fwd))
+        .withColumn("_nd", F.first("o_orderdate", ignorenulls=True).over(w_fwd))
+        .filter(F.col("_kind") == 1)
+        .filter(F.col("_pk").isNotNull() | F.col("_nk").isNotNull())
+    )
+    # _pd/_nd carry the orders-side timestamp_ntz; unix_micros needs
+    # TIMESTAMP — the cast is per-row tz-consistent (UTC session)
+    prior_wins = F.col("_pk").isNotNull() & (
+        F.col("_nk").isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.col("_pd").cast("timestamp"))
+            <= F.unix_micros(F.col("_nd").cast("timestamp")) - F.unix_micros("ts")
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(prior_wins, F.col("_pk")).otherwise(F.col("_nk")).alias("o_orderkey"),
+        F.when(prior_wins, F.lit("prior")).otherwise(F.lit("next")).alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest neighbors (bitext/dedup matching primitive)
+
+
+@register(
+    "q_mutual_best_match",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, embedding,
+                   {_SD_CELL_SQL} AS cell,
+                   {_DD_NORM.format(v="embedding")} AS nrm
+            FROM embeddings
+        ),
+        directed AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round({_DD_DOT.format(a="a.embedding", b="b.embedding")}
+                         / (a.nrm * b.nrm), 4) AS cos,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({_DD_DOT.format(a="a.embedding", b="b.embedding")}
+                                      / (a.nrm * b.nrm), 4) DESC,
+                                b.vec_id ASC) AS rn
+            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        best AS (SELECT ia, ib, cos FROM directed WHERE rn = 1)
+        SELECT x.ia AS id_a, x.ib AS id_b, x.cos
+        FROM best x JOIN best y ON x.ia = y.ib AND x.ib = y.ia
+        WHERE x.ia < x.ib
+    """,
+    category="llm-similarity",
+)
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest neighbors within candidate cells: pairs where
+    each vector is the other's top-1 cosine match — the
+    high-precision matching rule behind bitext mining and
+    duplicate-pair confirmation (one-directional nearest is noisy;
+    mutuality filters hubs). Candidates are confined to the same
+    64-sign-cell buckets as q_semdedup_prune (no all-pairs); per-side
+    top-1 is a grouped_topk prune; mutuality is a self-join of two
+    1-row-per-vector tables. Round-then-rank keeps top-1 parity."""
+    from builder_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (len(_SD_DIMS) - 1 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_SD_DIMS)
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    c = e.select("vec_id", "embedding", cell.alias("cell"), nrm.alias("nrm"))
+    a = c.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        "cell",
+        F.col("nrm").alias("na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        "cell",
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    directed = (
+        a.join(b, "cell")
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos"))
+    )
+    best = grouped_topk(
+        directed, ["ia"], [F.col("cos").desc(), F.col("ib").asc()], k=1
+    ).select("ia", "ib", "cos")
+    other = best.select(F.col("ia").alias("ib"), F.col("ib").alias("ia"))
+    return (
+        best.join(other, ["ia", "ib"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (one-row corpus summary)
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
+               (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM tok) AS vocab_size,
+               (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+               (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+               (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                FROM documents) AS n_exact_dups,
+               round((SELECT count(*) - count(DISTINCT md5(text)) FROM documents)
+                     * 1.0 / (SELECT count(*) FROM documents), 4) AS dup_rate,
+               round((SELECT count(*) FROM tok) * 1.0
+                     / (SELECT count(*) FROM documents), 4) AS avg_doc_tokens
+    """,
+    category="llm-pipeline",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD: docs, token mass, vocabulary size,
+    language/source counts, exact-duplicate count and rate (16-byte
+    md5 fingerprints, never text), and mean doc length — the summary
+    block every corpus release publishes. Two combinable aggregates
+    (doc grain + token stream) cross-joined; every count is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok_agg = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("w").cast("bigint").alias("vocab_size"),
+    )
+    doc_agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+    )
+    return doc_agg.crossJoin(F.broadcast(tok_agg)).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "n_langs",
+        "n_sources",
+        "n_exact_dups",
+        F.round(F.col("n_exact_dups") * 1.0 / F.col("n_docs"), 4).alias("dup_rate"),
+        F.round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 4).alias("avg_doc_tokens"),
+    )

@@ -859,3 +859,57 @@ def test_survival_km_scalar_broadcast_only(spark):
     plan = formatted_plan(df)
     # one scalar cross join is expected; a second nested loop is not
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # node + details section
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_mips_maxdot", 2),          # grouped_topk prune + final rank
+        ("q_filtered_ann", 2),         # label join + grouped_topk
+        ("q_concurrency_sweep", 8),    # session windows + stitched sweep (pid
+                                       # repartition prints per consumer branch;
+                                       # runtime reuse collapses it)
+        ("q_versioned_time_travel", 1),
+        ("q_rare_category_collapse", 2),
+        ("q_target_encoding", 2),
+        ("q_vocab_growth", 8),         # first-occurrence agg + stitched double cumsum
+    ],
+)
+def test_round7b_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_filtered_ann_is_label_equi_join(spark):
+    """q_filtered_ann's metadata filter must BE the join (hash join on
+    label), not a post-filtered cross join."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_filtered_ann"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "metadata filter fell off the join"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # ONE shuffle serves both as-of directions — the headline claim
+        ("q_join_asof_nearest", 1),
+        ("q_mutual_best_match", 6),   # cell self-join sides + two topk prunes + mutual join
+        ("q_dataset_card", 4),        # doc agg + token agg (+ distinct expands)
+    ],
+)
+def test_round7c_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_mutual_best_match_no_all_pairs(spark):
+    """Directed candidate pairs must come from the cell equi-join."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_mutual_best_match"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
