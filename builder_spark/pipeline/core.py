@@ -677,23 +677,114 @@ class ExecutionManager:
     mutated on the coordinating thread.
     """
 
-    def __init__(self, manager: BuildManager, executor) -> None:
+    def __init__(
+        self,
+        manager: BuildManager,
+        executor,
+        state_path: str | None = None,
+        failure_backoff: str | timedelta | None = None,
+    ) -> None:
+        """``state_path``: optional JSONL run journal — every job
+        outcome (unique_id, status, ts, duration) appends one line, so
+        job state PERSISTS ACROSS RUNS (scheduler restarts, cron
+        re-invocations). ``failure_backoff``: with a journal, a job
+        whose most recent journal outcome is a FAILURE within this
+        window is skipped as 'backoff' — a crashing job stops burning
+        its retry budget every scheduler tick and resumes automatically
+        once the window passes (or immediately under ``force=True``).
+        A later success clears the backoff naturally (most-recent
+        outcome wins)."""
         self.manager = manager
         self.executor = executor
         self.results: dict[str, str] = {}
+        self.state_path = state_path
+        self.failure_backoff = (
+            convert_to_timedelta(failure_backoff) if failure_backoff else None
+        )
 
-    def _run_one(self, cj: ConcreteJob, now: float | None, force: bool) -> str:
+    # --- cross-run job-state journal ---
+
+    def history(self) -> list[dict]:
+        """All journal entries (oldest first); [] without a journal."""
+        import json
+
+        if not self.state_path:
+            return []
+        out: list[dict] = []
+        try:
+            with open(self.state_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        try:
+                            out.append(json.loads(line))
+                        except ValueError:
+                            continue  # torn tail line from a crash
+        except OSError:
+            return []
+        return out
+
+    def _last_outcomes(self) -> dict[str, dict]:
+        last: dict[str, dict] = {}
+        for entry in self.history():
+            last[entry.get("unique_id", "")] = entry
+        return last
+
+    def _journal(self, unique_id: str, status: str, now: float, duration: float) -> None:
+        import json
+
+        if not self.state_path:
+            return
+        try:
+            with open(self.state_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "unique_id": unique_id,
+                            "status": status,
+                            "ts": now,
+                            "duration_s": round(duration, 3),
+                        }
+                    )
+                    + "\n"
+                )
+        except OSError:
+            pass  # journaling must never fail the build
+
+    def _in_backoff(self, cj: ConcreteJob, now: float, last: dict[str, dict]) -> bool:
+        if self.failure_backoff is None:
+            return False
+        entry = last.get(cj.unique_id)
+        return (
+            entry is not None
+            and entry.get("status") == "failed"
+            and now - float(entry.get("ts", 0.0)) < self.failure_backoff.total_seconds()
+        )
+
+    def _run_one(
+        self,
+        cj: ConcreteJob,
+        now: float | None,
+        force: bool,
+        last: dict[str, dict] | None = None,
+    ) -> str:
         """Evaluate + execute one job with retries. Never raises."""
+        t_now = time.time() if now is None else now
+        if not force and self._in_backoff(cj, t_now, last or {}):
+            return "backoff"
         if not cj.get_should_run(now=now, force=force):
             return "skipped"
+        t0 = time.time()
         attempts = 0
         while True:
             try:
                 self.executor.execute(cj)
+                self._journal(cj.unique_id, "ran", t_now, time.time() - t0)
                 return "ran"
             except Exception:
                 attempts += 1
                 if attempts > cj.job.retries:
+                    self._journal(cj.unique_id, "failed", t_now, time.time() - t0)
                     return "failed"
 
     def start_execution(
@@ -704,11 +795,14 @@ class ExecutionManager:
         now: float | None = None,
         max_workers: int = 1,
     ) -> dict[str, str]:
-        """Build [start, end). Returns unique_id → 'ran'|'skipped'|'failed'."""
+        """Build [start, end). Returns unique_id →
+        'ran'|'skipped'|'failed'|'backoff' ('backoff' only with a
+        journal + failure_backoff configured)."""
         bg = self.manager.expand(start, end)
+        last = self._last_outcomes() if self.failure_backoff is not None else {}
         if max_workers <= 1:
             for cj in bg.topological():
-                self.results[cj.unique_id] = self._run_one(cj, now, force)
+                self.results[cj.unique_id] = self._run_one(cj, now, force, last)
             return self.results
 
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
@@ -719,7 +813,7 @@ class ExecutionManager:
             futures: dict = {}
 
             def submit(n: str) -> None:
-                futures[pool.submit(self._run_one, bg.jobs[n], now, force)] = n
+                futures[pool.submit(self._run_one, bg.jobs[n], now, force, last)] = n
 
             for n, d in indeg.items():
                 if d == 0:

@@ -628,3 +628,113 @@ def test_versioned_spark_pipeline_end_to_end(spark, tmp_path):
     assert out.get_version() == 2
     assert out.recorded_inputs() == {f"vt://{tmp_path}/src": 2}
     assert spark.read.parquet(out.read_path()).collect()[0]["s"] == 10
+
+
+# --- cross-run job-state journal + failure backoff --------------------------
+
+
+def _failing_manager(tmp_path, attempts):
+    def boom(ctx):
+        attempts["n"] += 1
+        raise RuntimeError("boom")
+
+    bm = BuildManager()
+    bm.add(Job(name="crash", run=boom, targets=f"{tmp_path}/crash/d=%Y-%m-%d"))
+    return bm
+
+
+def test_journal_records_outcomes_across_runs(tmp_path):
+    """Each run APPENDS outcomes to the state journal: job state
+    survives scheduler restarts (a fresh ExecutionManager sees the
+    previous run's history)."""
+    ran = []
+    bm = BuildManager()
+    bm.add(Job(name="a", run=lambda ctx: ran.append("a"), targets=f"{tmp_path}/a/d=%Y-%m-%d"))
+    state = f"{tmp_path}/state.jsonl"
+    end = D0 + timedelta(days=1)
+
+    em1 = ExecutionManager(bm, FileExecutor(), state_path=state)
+    em1.start_execution(D0, end)
+    em2 = ExecutionManager(bm, FileExecutor(), state_path=state)
+    em2.start_execution(D0, end)  # fresh manager: still skips (target exists)
+    hist = em2.history()
+    assert [h["status"] for h in hist] == ["ran"]  # skip is not journaled
+    assert hist[0]["unique_id"] == f"a@{D0.isoformat()}"
+
+
+def test_failure_backoff_suppresses_retry_within_window(tmp_path):
+    """A job whose last journaled outcome is a recent failure is
+    skipped as 'backoff' by the NEXT run (fresh manager, same journal)
+    — it stops burning retries every scheduler tick; after the window
+    passes it runs again; force overrides."""
+    attempts = {"n": 0}
+    state = f"{tmp_path}/state.jsonl"
+    end = D0 + timedelta(days=1)
+    t0 = 1_700_000_000.0
+
+    bm = _failing_manager(tmp_path, attempts)
+    r1 = ExecutionManager(
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+    ).start_execution(D0, end, now=t0)
+    assert r1[f"crash@{D0.isoformat()}"] == "failed"
+    assert attempts["n"] == 1
+
+    # within the window: backoff, no execution attempt
+    r2 = ExecutionManager(
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+    ).start_execution(D0, end, now=t0 + 600)
+    assert r2[f"crash@{D0.isoformat()}"] == "backoff"
+    assert attempts["n"] == 1
+
+    # force bypasses backoff
+    r3 = ExecutionManager(
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+    ).start_execution(D0, end, now=t0 + 700, force=True)
+    assert r3[f"crash@{D0.isoformat()}"] == "failed"
+    assert attempts["n"] == 2
+
+    # past the window (forced run journaled a new failure at t0+700,
+    # so the window runs to t0+4300): runs (and fails) again
+    r4 = ExecutionManager(
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+    ).start_execution(D0, end, now=t0 + 5000)
+    assert r4[f"crash@{D0.isoformat()}"] == "failed"
+    assert attempts["n"] == 3
+
+
+def test_backoff_cleared_by_success(tmp_path):
+    """Most-recent outcome wins: after a success lands in the journal,
+    the job is no longer in backoff (normal staleness rules apply)."""
+    state = f"{tmp_path}/state.jsonl"
+    end = D0 + timedelta(days=1)
+    t0 = 1_700_000_000.0
+    flaky = {"fail": True, "n": 0}
+
+    def run(ctx):
+        flaky["n"] += 1
+        if flaky["fail"]:
+            raise RuntimeError("boom")
+
+    bm = BuildManager()
+    bm.add(Job(name="f", run=run, targets=f"{tmp_path}/f/d=%Y-%m-%d"))
+
+    em = lambda: ExecutionManager(  # noqa: E731
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+    )
+    assert em().start_execution(D0, end, now=t0)[f"f@{D0.isoformat()}"] == "failed"
+    flaky["fail"] = False
+    # past window -> runs, succeeds, journals 'ran'
+    assert em().start_execution(D0, end, now=t0 + 4000)[f"f@{D0.isoformat()}"] == "ran"
+    # immediately after: not 'backoff' — target is fresh, so 'skipped'
+    assert (
+        em().start_execution(D0, end, now=t0 + 4100)[f"f@{D0.isoformat()}"] == "skipped"
+    )
+
+
+class FileExecutor2:
+    """Like FileExecutor but lets the job fn raise (no target touch on
+    failure)."""
+
+    def execute(self, cj):
+        cj.job.run(None)
+        touch(os.path.join(cj.target.unique_id, "_SUCCESS"))
