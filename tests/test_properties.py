@@ -345,3 +345,80 @@ def test_stitched_quantile_ignores_nulls(spark):
     g = quantile_cont_stitched(df, "v", {"q": 0.5}).collect()[0]
     w = df.agg(F.count("v").alias("n"), F.percentile("v", 0.5).alias("q")).collect()[0]
     assert (g.n, g.q) == (w.n, w.q)
+
+
+@_settings
+@given(
+    cuts=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=0, max_size=40
+    ),
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+        min_size=1,
+        max_size=30,
+    ),
+    asc=st.booleans(),
+)
+def test_binary_search_pid_matches_linear_count(spark, cuts, vals, asc):
+    """The r7 binary-search nested-CASE pid must equal the linear
+    count-of-boundaries-passed definition on any value/cut set, both
+    directions, including NULLs (ASC → pid 0, DESC → pid len(cuts))
+    and duplicate cuts (deduped)."""
+    from builder_spark.operators.partitioning import _pid_case_lit, _pid_case_sql
+
+    cset = sorted(set(cuts))
+
+    def expected(v):
+        if v is None:
+            return 0 if asc else len(cset)
+        if asc:
+            return sum(1 for b in cset if v >= b)
+        return sum(1 for b in cset if v <= b)
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v int")
+    out = df.select(
+        "i",
+        _pid_case_sql("`v`", "`v`", list(cuts), asc).alias("p_sql"),
+        _pid_case_lit("v", list(cuts), asc).alias("p_lit"),
+    ).collect()
+    for r in out:
+        want = expected(vals[r["i"]])
+        assert r["p_sql"] == want, (vals[r["i"]], cset, asc, r["p_sql"], want)
+        assert r["p_lit"] == want, (vals[r["i"]], cset, asc, r["p_lit"], want)
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    tau=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_containment_pairs_complete_vs_brute_force(spark, docs, tau):
+    """containment_pairs (asymmetric prefix filter + verify) must
+    return EXACTLY the brute-force |A∩B|/min(|A|,|B|) ≥ τ pairs on any
+    token multiset — the completeness proof, checked empirically."""
+    from builder_spark.operators.dedup import containment_pairs
+
+    items = spark.createDataFrame(
+        [(i, doc) for i, doc in enumerate(docs)], "_id long, text string"
+    ).select("_id", F.array_distinct(F.split("text", " ")).alias("_arr"))
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(items, tau).collect()
+    }
+    sets = {i: set(doc.split(" ")) for i, doc in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                c = round(
+                    len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b])), 4
+                )
+                if c >= tau:
+                    want.add((a, b, c))
+    assert got == want
