@@ -1372,3 +1372,238 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_exact_dups") * 1.0 / F.col("n_docs"), 4).alias("dup_rate"),
         F.round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 4).alias("avg_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data)
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, label, embedding,
+                   {_SD_CELL_SQL} AS cell,
+                   {_DD_NORM.format(v="embedding")} AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM c WHERE vec_id < 10),
+        directed AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label AS cand_label,
+                   q.label AS q_label,
+                   round({_DD_DOT.format(a="q.embedding", b="c.embedding")}
+                         / (q.nrm * c.nrm), 4) AS cos
+            FROM q JOIN c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, cos,
+                   CASE WHEN cand_label = q_label THEN 'positive'
+                        ELSE 'hard_negative' END AS role,
+                   row_number() OVER (
+                       PARTITION BY q_id, (cand_label = q_label)
+                       ORDER BY cos DESC, cand_id ASC) AS rn
+            FROM directed
+        )
+        SELECT q_id, cand_id, role, cos FROM ranked WHERE rn <= 3
+    """,
+    category="llm-similarity",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: per query
+    vector, the top-3 most-similar SAME-label candidates (positives)
+    and the top-3 most-similar DIFFERENT-label candidates (hard
+    negatives — near misses that teach the margin; random negatives
+    are too easy to matter). Candidates confined to the query's
+    sign-cell (no all-pairs); one directed pair stream serves both
+    roles via a grouped top-k per (query, role). Round-then-rank."""
+    from builder_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (len(_SD_DIMS) - 1 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_SD_DIMS)
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    c = e.select("vec_id", "label", "embedding", cell.alias("cell"), nrm.alias("nrm"))
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    directed = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("q_label"), F.lit("positive"))
+            .otherwise(F.lit("hard_negative"))
+            .alias("role"),
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 4).alias("cos"),
+        )
+    )
+    return grouped_topk(
+        directed, ["q_id", "role"], [F.col("cos").desc(), F.col("cand_id").asc()], k=3
+    ).select("q_id", "cand_id", "role", "cos")
+
+
+# ---------------------------------------------------------------------------
+# Multi-aggregate pivot
+
+
+@register(
+    "q_pivot_multi_agg",
+    oracle="""
+        SELECT year(o_orderdate) AS o_year,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F_total,
+               CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O_total,
+               CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P_total
+        FROM orders
+        GROUP BY year(o_orderdate)
+    """,
+    category="grouping",
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + revenue per
+    status-year): Spark names the columns <value>_<agg alias>, so both
+    aggregates are aliased to match the oracle's CASE columns exactly.
+    Pivot values stay DECLARED — one combinable aggregate, no
+    discovery scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility diagnostics
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS ws_toks,
+                   len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                                   x -> length(x) > 0)) AS re_toks,
+                   length(text) AS chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+               CAST(sum(re_toks) AS BIGINT) AS re_tokens,
+               round(sum(re_toks) * 1.0 / sum(ws_toks), 4) AS fertility,
+               round(sum(chars) * 1.0 / sum(ws_toks), 4) AS chars_per_token
+        FROM per_doc GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: sub-token pieces produced per
+    whitespace word by a BPE-ish alnum pre-tokenizer, plus chars per
+    word — the cost model for context-window budgeting (fertility ≫ 1
+    on a language means budget blowup for the same text mass).
+    Per-row integer counts, one combinable groupBy(lang); empty regex
+    splits are filtered identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    re_toks = F.size(
+        F.filter(F.split("text", "[^a-z0-9]+"), lambda x: F.length(x) > 0)
+    )
+    per_doc = d.select(
+        "lang",
+        ws.alias("ws_toks"),
+        re_toks.alias("re_toks"),
+        F.length("text").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("ws_toks").cast("bigint").alias("ws_tokens"),
+        F.sum("re_toks").cast("bigint").alias("re_tokens"),
+        F.round(F.sum("re_toks") * 1.0 / F.sum("ws_toks"), 4).alias("fertility"),
+        F.round(F.sum("chars") * 1.0 / F.sum("ws_toks"), 4).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source quota cap (corpus balancing)
+
+_QUOTA_PER_SOURCE = 50
+
+
+@register(
+    "q_source_quota_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rn <= {_QUOTA_PER_SOURCE} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn <= {_QUOTA_PER_SOURCE} THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY source
+    """,
+    category="llm-pipeline",
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUOTA sampling: keep at most 50 docs per source,
+    selected by deterministic hash order (md5 of the doc id — an
+    unbiased, reproducible draw, unlike head-N which inherits file
+    order) — the corpus-balancing step that stops one crawl from
+    drowning the mixture. The rank is a grouped_topk prune per source
+    (partition-local top-50, then rank over ≤ 50·P survivors), and the
+    report is one combinable aggregate."""
+    from builder_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    kept = grouped_topk(
+        d,
+        ["source"],
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        k=_QUOTA_PER_SOURCE,
+    ).select("source", "doc_id", F.lit(1).alias("_kept"))
+    return (
+        d.join(kept.select("doc_id", "_kept"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_kept").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_kept").isNotNull(), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )

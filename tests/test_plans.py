@@ -913,3 +913,18 @@ def test_mutual_best_match_no_all_pairs(spark):
     df = REGISTRY["q_mutual_best_match"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_hard_negatives", 2),      # grouped_topk prune per (query, role)
+        ("q_pivot_multi_agg", 2),
+        ("q_tokenizer_fertility", 1),
+        ("q_source_quota_cap", 3),    # topk prune + kept-flag rejoin
+    ],
+)
+def test_round7d_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

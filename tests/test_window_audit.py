@@ -61,6 +61,7 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_grouped_topk_parts": "grouped_topk survivors (<= 3*P per brand)",
     "q_length_percentile_gate": "length-grain aggregate (bounded by distinct lengths)",
     "q_cusum_changepoint": "daily rollup (types x days)",
+    "q_source_quota_cap": "grouped_topk survivors (<= 50*P per source)",
 }
 
 

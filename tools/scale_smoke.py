@@ -59,6 +59,12 @@ HEAVY = [
     "q_semdedup_prune",
     "q_span_dup_rate",
     "q_survival_km",
+    # round-7 batch 2/3: stitched sweep line, stitched double cumsum,
+    # broadcast MIPS retrieval, one-shuffle bidirectional as-of
+    "q_concurrency_sweep",
+    "q_vocab_growth",
+    "q_mips_maxdot",
+    "q_join_asof_nearest",
 ]
 
 #: per-table key columns to offset so replicas don't collide
