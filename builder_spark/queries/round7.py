@@ -1607,3 +1607,136 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Alpha-smoothed multilingual resampling rates
+
+
+@register(
+    "q_lang_resample_alpha",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       sum(pow(n * 1.0 / (SELECT sum(n) FROM counts), 0.3)) AS z
+                FROM counts)
+        SELECT lang,
+               CAST(n AS BIGINT) AS n_docs,
+               round(n * 1.0 / total, 4) AS p,
+               round(pow(n * 1.0 / total, 0.3) / z, 4) AS q_alpha,
+               round((pow(n * 1.0 / total, 0.3) / z) / (n * 1.0 / total), 4)
+                   AS upsample_factor
+        FROM counts, tot
+    """,
+    category="llm-pipeline",
+)
+def q_lang_resample_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed MULTILINGUAL resampling (the XLM-R/mBERT recipe,
+    α = 0.3): target language share q_l ∝ p_l^α flattens the
+    distribution so low-resource languages aren't drowned; the
+    upsample factor q/p is the per-language duplication rate the
+    sampler applies. One combinable groupBy(lang) plus a 1-row
+    broadcast normalizer; the p^α/Σ expressions are identical trees on
+    both engines, rounded.
+
+    The normalizer z sums ONE double per LANGUAGE (enum cardinality) —
+    engines agree because DuckDB's scalar subquery and Spark's 1-row
+    crossJoin both reduce the same ≤dozens of values; this is the
+    bounded-cardinality float-sum exception, not fact-grain float
+    accumulation."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    z = (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(F.sum(F.pow(F.col("n") * 1.0 / F.col("total"), F.lit(0.3))).alias("z"))
+    )
+    norm = totals.crossJoin(z)
+    p = F.col("n") * 1.0 / F.col("total")
+    q = F.pow(p, F.lit(0.3)) / F.col("z")
+    return counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(p, 4).alias("p"),
+        F.round(q, 4).alias("q_alpha"),
+        F.round(q / p, 4).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite HITS (integer-exact, 2 unnormalized iterations)
+
+
+@register(
+    "q_hits_bipartite",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        ),
+        a1 AS (SELECT t, count(*) AS s FROM e GROUP BY t),
+        h1 AS (SELECT u, CAST(sum(a1.s) AS BIGINT) AS s
+               FROM e JOIN a1 USING (t) GROUP BY u),
+        a2 AS (SELECT t, CAST(sum(h1.s) AS BIGINT) AS s
+               FROM e JOIN h1 USING (u) GROUP BY t),
+        hubs AS (
+            SELECT 'hub' AS kind, CAST(u AS VARCHAR) AS entity, s,
+                   row_number() OVER (ORDER BY s DESC, u ASC) AS rn
+            FROM h1
+        ),
+        auths AS (
+            SELECT 'authority' AS kind, t AS entity, s,
+                   row_number() OVER (ORDER BY s DESC, t ASC) AS rn
+            FROM a2
+        )
+        SELECT kind, entity, s AS score FROM hubs WHERE rn <= 10
+        UNION ALL
+        SELECT kind, entity, s AS score FROM auths WHERE rn <= 10
+    """,
+    category="analytics",
+)
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the user↔event-type bipartite
+    graph, two UNNORMALIZED iterations: a1 = in-degree, h1 = Σ a1 over
+    a user's types, a2 = Σ h1 over a type's users — every score an
+    exact integer (normalizing each round would make the result a
+    float accumulation whose summation order differs across engines;
+    unnormalized HITS has the same ranking). Top-10 each side.
+
+    Scale: edges are the DISTINCT (user, type) pairs (one combinable
+    dedup), each iteration is one broadcast-or-shuffle equi-join + one
+    combinable integer aggregate — the standard bulk-synchronous graph
+    step. Top-10s are TakeOrdered prunes, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type").distinct()
+    a1 = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    h1 = (
+        e.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    a2 = (
+        e.join(h1, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    hubs = (
+        h1.orderBy(F.col("s").desc(), F.col("user_id").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("user_id").cast("string").alias("entity"),
+            F.col("s").alias("score"),
+        )
+    )
+    auths = (
+        a2.select(
+            F.lit("authority").alias("kind"),
+            F.col("event_type").alias("entity"),
+            F.col("s").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("entity").asc())
+        .limit(10)
+    )
+    return hubs.unionByName(auths)

@@ -928,3 +928,20 @@ def test_round7d_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # static plans repeat the shared `counts`/`edges` subtree once
+        # per consumer; at runtime AQE stage reuse collapses identical
+        # subtrees to one execution (verified pattern — see the
+        # stitched-exchange reuse tests)
+        ("q_lang_resample_alpha", 7),
+        ("q_hits_bipartite", 10),
+    ],
+)
+def test_round7e_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
