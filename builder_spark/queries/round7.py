@@ -960,9 +960,13 @@ def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-support categorical binning: (brand, type) combos with
     fewer than 15 parts collapse into 'OTHER' — the cardinality-control
     step before one-hot/target encoding (rare levels overfit and blow
-    up feature width). Two combinable aggregates and one broadcast
-    count join; avg is computed from exact integer cents on both
-    engines then rounded."""
+    up feature width). Min-support is an ABSOLUTE count by definition
+    (the statistical floor for estimating a level's effect), so the
+    kept/collapsed split shifts with data volume by design — at sf0.01
+    the fixture splits 54 kept + OTHER; a production user tunes the
+    floor to their estimator. Two combinable aggregates and one
+    broadcast count join; avg is computed from exact integer cents on
+    both engines then rounded."""
     p = load_table(spark, sf_dir, "part")
     cat = p.select(
         F.concat_ws("/", "p_brand", "p_type").alias("category"),
