@@ -237,16 +237,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
     dlen = tf.groupBy("doc_id").agg(F.sum("n").alias("n_tok"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # scalar: fixture-cheap; at scale pass via agg broadcast
+    # corpus size as a LAZY 1-row broadcast, not d.count(): the eager
+    # count was a separate Spark job on every query construction (one
+    # full extra scan per bench shot); as a crossJoin scalar it rides
+    # the same plan and AQE broadcasts one row (r7)
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     scored = (
         tf.join(dlen, "doc_id")
         .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("lang", "term")
         .agg(
             F.round(
                 F.sum(
                     (F.col("n") / F.col("n_tok").cast("double"))
-                    * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+                    * F.log(F.col("_n_docs") / F.col("df").cast("double"))
                 ),
                 4,
             ).alias("tfidf")

@@ -143,7 +143,7 @@ def test_tpch_composites_broadcast_dimensions(spark, name):
         # 7 exchange NODES but only ONE carries the raw token stream
         # (tok→tf); dlen/dft/join/rank all shuffle vocabulary-sized
         # aggregates of tf. Node count is the budget; bytes are the win.
-        ("q_tfidf_top_terms", 8),  # +1: grouped_topk local-prune exchange
+        ("q_tfidf_top_terms", 9),  # +1: grouped_topk local-prune exchange; +1 r7: the lazy 1-row corpus-count agg (replaces the eager d.count() job per construction)
     ],
 )
 def test_new_query_shuffle_budget(spark, name, max_exchanges):
