@@ -28,6 +28,7 @@ from builder_spark.registry import register
     category="grouping",
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-(status, priority) plus per-status and grand-total rows in ONE pass (Expand operator), NULL-marked subtotal levels."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     joined = n.join(r, n.n_regionkey == r.r_regionkey)

@@ -27,6 +27,7 @@ from builder_spark.registry import register
     category="join",
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with the small dimension broadcast (no fact shuffle)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
@@ -145,6 +146,7 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — rows with no match on the other side (the NOT EXISTS plan without a subquery)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -280,6 +282,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dimensions — the one legitimate cross join (both sides enum-sized)."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return n.crossJoin(r).select("n_name", "r_name")

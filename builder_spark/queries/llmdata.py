@@ -263,6 +263,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm-text",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length statistics (docs, chars, avg length) — one combinable groupBy(lang)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     return d.groupBy("lang").agg(

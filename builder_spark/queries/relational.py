@@ -63,6 +63,7 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="filter",
 )
 def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-pattern predicate pushed to the scan (PushedFilters carries the StringContains/StartsWith)."""
     p = load_table(spark, sf_dir, "part")
     return p.filter(F.col("p_type").like("%ECO%") | F.col("p_name").like("red %")).select(
         "p_partkey", "p_name", "p_type"
@@ -132,6 +133,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate (no GROUP BY): one combinable pass, 1-row output."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -191,6 +193,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY with a post-aggregation HAVING filter (filter on the aggregate, not the rows)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -270,6 +273,7 @@ def q_agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group descriptive statistics (min/max/avg/stddev) in one combinable pass; floats rounded to 4 per the parity conventions."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),

@@ -39,6 +39,7 @@ from builder_spark.registry import register
     category="scalar",
 )
 def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery (upper/lower/trim/substring/concat/lpad/replace/length) — per-row expressions riding the scan."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -86,6 +87,7 @@ def q_str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
 )
 def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + regexp_like predicates — same regex dialect subset on both engines (no lookaround)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -177,6 +179,7 @@ def q_unix_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery (abs/ceil/floor/sqrt/exp/ln/pow/mod) with identical expression trees on both engines, rounded."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

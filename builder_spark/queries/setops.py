@@ -95,6 +95,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics: union + one dedup hash aggregate."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     a = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
@@ -114,6 +115,7 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection) — one hash-aggregate semi-join shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
@@ -133,6 +135,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference with distinct semantics) — one hash-aggregate anti-join shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     a = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")

@@ -39,6 +39,7 @@ _CORR_SQL = """
 
 @register("q_subquery_in", oracle=_IN_SQL, category="subquery")
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (uncorrelated subquery) — planned as a left semi join, never a collected list literal."""
     register_views(spark, sf_dir)
     return spark.sql(_IN_SQL)
 

@@ -34,6 +34,7 @@ from builder_spark.registry import register
     category="window",
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over a per-group total order (tie-broken on the unique key)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
@@ -88,6 +89,7 @@ def q_window_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-customer order timeline — one shuffle on the key serves both offsets."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return ev.select(
@@ -152,6 +154,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded moving average (rowsBetween -2..0) per key — frame-local, no unbounded state."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
