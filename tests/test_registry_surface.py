@@ -77,3 +77,16 @@ def test_all_registered_queries_have_category_fn():
     for name, q in QUERIES.items():
         assert callable(q.fn), name
         assert q.name == name
+
+
+def test_query_index_doc_is_fresh():
+    """docs/QUERIES.md is generated from the registry; a query added
+    without regenerating (python tools/gen_query_index.py) leaves the
+    index stale — compare the name set."""
+    text = (ROOT / "docs" / "QUERIES.md").read_text()
+    doc_names = set(re.findall(r"^\| `(q_[a-z0-9_]+)` \|", text, re.M))
+    reg = set(load_all())
+    assert doc_names == reg, (
+        f"stale docs/QUERIES.md — regenerate with tools/gen_query_index.py; "
+        f"doc-only: {sorted(doc_names - reg)}; registry-only: {sorted(reg - doc_names)}"
+    )
