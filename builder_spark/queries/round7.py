@@ -1744,3 +1744,156 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return hubs.unionByName(auths)
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary truncation per language
+
+
+@register(
+    "q_vocab_nucleus",
+    oracle="""
+        WITH tf AS (
+            SELECT lang, t.term, count(*) AS n
+            FROM documents,
+                 LATERAL (SELECT unnest(string_split(text, ' ')) AS term) AS t
+            GROUP BY lang, t.term
+        ),
+        ranked AS (
+            SELECT lang, term, n,
+                   sum(n) OVER (PARTITION BY lang ORDER BY n DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(n) OVER (PARTITION BY lang) AS total,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, term ASC) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_terms
+            FROM tf
+        )
+        SELECT lang,
+               CAST(any_value(n_terms) AS BIGINT) AS n_terms,
+               CAST(count(*) AS BIGINT) AS n_nucleus,
+               round(count(*) * 1.0 / any_value(n_terms), 4) AS nucleus_frac,
+               round(max(cum) * 1.0 / any_value(total), 4) AS covered_mass
+        FROM ranked
+        WHERE cum - n < 0.8 * total
+        GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q_vocab_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUCLEUS (top-p) vocabulary per language: the smallest
+    frequency-ranked term prefix covering 80% of the token mass —
+    the vocabulary-truncation dial (tokenizer sizing, tail-pruning)
+    in corpus terms. A term is in the nucleus iff the mass BEFORE it
+    is < 0.8·total (exclusive-prefix rule: deterministic, includes
+    the crossing term). The per-lang rank + running mass is the
+    GROUPED STITCH (a 5-value PARTITION BY over vocab grain would
+    serialize a language's whole vocabulary on one reducer);
+    integer token counts, floats only in the final ratios."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # stitched order key must be a bare column: descending
+        # frequency == ascending negated frequency
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = stitched_running(
+        tf,
+        ["neg_n", "term"],
+        running={"cum": "n"},
+        rank_name="rn",
+        partition_cols=["lang"],
+        with_totals=True,
+    )
+    return (
+        ranked.filter(F.col("cum") - F.col("n") < 0.8 * F.col("cum_total"))
+        .groupBy("lang")
+        .agg(
+            F.any_value("rn_total").cast("bigint").alias("n_terms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nucleus"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.any_value("rn_total"), 4).alias(
+                "nucleus_frac"
+            ),
+            F.round(F.max("cum") * 1.0 / F.any_value("cum_total"), 4).alias(
+                "covered_mass"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+
+
+@register(
+    "q_join_key_skew",
+    oracle="""
+        WITH kc AS (
+            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+        ),
+        coc AS (SELECT n, count(*) AS keys FROM kc GROUP BY n),
+        tot AS (SELECT CAST(sum(keys) AS BIGINT) AS n_keys,
+                       CAST(sum(n * keys) AS BIGINT) AS n_rows FROM coc),
+        ranked AS (
+            SELECT n, keys,
+                   sum(keys) OVER (ORDER BY n ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM coc
+        )
+        SELECT tot.n_keys, tot.n_rows,
+               CAST((SELECT max(n) FROM coc) AS BIGINT) AS max_rows_per_key,
+               CAST((SELECT min(n) FROM ranked
+                     WHERE cum >= (99 * tot.n_keys + 99) // 100) AS BIGINT)
+                   AS p99_rows_per_key,
+               round(tot.n_rows * 1.0 / tot.n_keys, 4) AS avg_rows_per_key,
+               round((SELECT max(n) FROM coc) * tot.n_keys * 1.0 / tot.n_rows, 4)
+                   AS skew_factor
+        FROM tot
+    """,
+    category="analytics",
+)
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW report for the orders⨝lineitem key: keys, rows,
+    max and exact-p99 rows-per-key, mean, and the skew factor
+    (max/mean) — the diagnostic that decides between a plain shuffle
+    join, AQE skew splitting, and salting BEFORE the join runs. The
+    per-key counts aggregate to a COUNT-OF-COUNTS table (bounded by
+    the max group size, not key cardinality), so the exact p99 is a
+    cumsum over a tiny domain — never a percentile over billions of
+    keys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    kc = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    coc = kc.groupBy("n").agg(F.count(F.lit(1)).alias("keys"))
+    w_cum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = coc.select(
+        "n",
+        "keys",
+        F.sum("keys").over(w_cum).alias("cum"),
+        F.sum("keys").over(total).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("keys")).over(total).cast("bigint").alias("n_rows"),
+        F.max("n").over(total).cast("bigint").alias("max_rows_per_key"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum") >= F.expr("(99 * n_keys + 99) div 100")
+        )
+        .groupBy("n_keys", "n_rows", "max_rows_per_key")
+        .agg(F.min("n").cast("bigint").alias("p99_rows_per_key"))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            "p99_rows_per_key",
+            F.round(F.col("n_rows") * 1.0 / F.col("n_keys"), 4).alias(
+                "avg_rows_per_key"
+            ),
+            F.round(
+                F.col("max_rows_per_key") * F.col("n_keys") * 1.0 / F.col("n_rows"), 4
+            ).alias("skew_factor"),
+        )
+    )

@@ -945,3 +945,17 @@ def test_round7e_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_vocab_nucleus", 6),   # tf agg + grouped stitch (pid repartition
+                                  # prints per consumer branch; runtime-reused)
+        ("q_join_key_skew", 3),   # key counts + count-of-counts + tiny windows
+    ],
+)
+def test_round7f_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

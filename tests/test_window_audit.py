@@ -43,6 +43,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_order_linecount_dist": "line-count domain (max basket size)",
     "q_lorenz_curve_points": "10 decile rows",
     "q_survival_km": "gap-hour table (calendar-bounded)",
+    "q_join_key_skew": "count-of-counts table (bounded by max rows-per-key)",
 }
 
 
