@@ -1897,3 +1897,234 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (bounded-frame order statistic)
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, event_id, cents,
+                   list_sort(list(cents) OVER w) AS win,
+                   count(*) OVER w AS k
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, cents,
+               round(CASE WHEN k % 2 = 1 THEN win[CAST((k + 1) // 2 AS INT)] * 1.0
+                          ELSE (win[CAST(k // 2 AS INT)]
+                                + win[CAST(k // 2 + 1 AS INT)]) / 2.0 END
+                     / 100.0, 4) AS rolling_median
+        FROM r
+    """,
+    category="window",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING EXACT MEDIAN of purchase value per user over the last
+    10 purchases — the robust moving-location signal (a moving MEAN
+    chases one outlier; the median doesn't). The frame is BOUNDED
+    (10 rows), so collecting it into a sorted array is O(k log k)
+    per row at ANY scale — the legitimate use of a collect inside a
+    window (unbounded-frame collects are the anti-pattern the audit
+    bans). Median arithmetic runs on exact integer cents; both
+    engines sort the same 10 ints and average the same two middles."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cents").over(w))
+    k = F.size(win)
+    # element_at wants INT indices; `/` yields double — integer div
+    half = ((k + 1) / 2).cast("int")
+    lower = (k / 2).cast("int")
+    med = F.when(k % 2 == 1, F.element_at(win, half).cast("double")).otherwise(
+        (F.element_at(win, lower) + F.element_at(win, lower + 1)) / 2.0
+    )
+    return v.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.round(med / 100.0, 4).alias("rolling_median"),
+    ).drop("ts")
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap (corpus-mixture diagnostics)
+
+
+@register(
+    "q_source_vocab_overlap",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT source, t.term
+            FROM documents,
+                 LATERAL (SELECT unnest(string_split(text, ' ')) AS term) AS t
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM tok GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+            FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+               round(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard,
+               round(shared * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """,
+    category="llm-text",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap between sources (Jaccard +
+    containment of distinct-term sets) — the corpus-mixture
+    diagnostic: two crawls with near-identical vocabularies add
+    redundancy, not coverage. The term stream dedups to (source,
+    term) ONCE (combinable); the pair grain is source×source (enum-
+    bounded), so the common-term join fans out by vocabulary, never
+    by corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("source").alias("src_a"), "term")
+    b = tok.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared") * 1.0 / (F.col("sza") + F.col("szb") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared") * 1.0 / F.least(F.col("sza"), F.col("szb")), 4
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (quasi-experimental lift)
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS treated
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT c.treated,
+                   CASE WHEN e.ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                       AS post,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events e JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(CASE WHEN treated = 1 AND post = 1
+                              THEN cents * 1.0 / n END), 4)
+               - round(sum(CASE WHEN treated = 1 AND post = 0
+                                THEN cents * 1.0 / n END), 4)
+               - (round(sum(CASE WHEN treated = 0 AND post = 1
+                                 THEN cents * 1.0 / n END), 4)
+                  - round(sum(CASE WHEN treated = 0 AND post = 0
+                                   THEN cents * 1.0 / n END), 4))
+                   AS did_cents,
+               round(sum(CASE WHEN treated = 1 AND post = 1
+                              THEN cents * 1.0 / n END), 4) AS t_post,
+               round(sum(CASE WHEN treated = 1 AND post = 0
+                              THEN cents * 1.0 / n END), 4) AS t_pre,
+               round(sum(CASE WHEN treated = 0 AND post = 1
+                              THEN cents * 1.0 / n END), 4) AS c_post,
+               round(sum(CASE WHEN treated = 0 AND post = 0
+                              THEN cents * 1.0 / n END), 4) AS c_pre
+        FROM cells
+    """,
+    category="analytics",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES lift estimate: treated = users who
+    ever signed up, period split at mid-month; the effect is
+    (T_post − T_pre) − (C_post − C_pre) over mean event value — the
+    quasi-experimental estimator when randomized assignment isn't
+    available (control trend stands in for the counterfactual). Four
+    cell means from ONE combinable (treated, post) aggregate; each
+    mean is an exact-integer-cents / count division rounded to 4
+    before the subtraction, so both engines difference identical
+    4-decimal quantities."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("treated")
+    )
+    cells = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "treated",
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+            ).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+    def cell(tr: int, po: int):
+        return F.round(
+            F.sum(
+                F.when(
+                    (F.col("treated") == tr) & (F.col("post") == po),
+                    F.col("cents") * 1.0 / F.col("n"),
+                )
+            ),
+            4,
+        )
+
+    return cells.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        (cell(1, 1) - cell(1, 0) - (cell(0, 1) - cell(0, 0))).alias("did_cents"),
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+    )

@@ -959,3 +959,17 @@ def test_round7f_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_rolling_median", 1),        # one user_id shuffle, bounded frame
+        ("q_source_vocab_overlap", 7),  # distinct token stream per consumer (runtime-reused)
+        ("q_diff_in_diff", 3),          # cohort agg + cell agg + final
+    ],
+)
+def test_round7g_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
