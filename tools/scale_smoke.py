@@ -65,6 +65,8 @@ HEAVY = [
     "q_vocab_growth",
     "q_mips_maxdot",
     "q_join_asof_nearest",
+    "q_rolling_median",
+    "q_source_vocab_overlap",
 ]
 
 #: per-table key columns to offset so replicas don't collide
