@@ -185,3 +185,51 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type
+    """,
+    category="udf",
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4's Arrow-native batch map): the Python fn
+    receives raw pyarrow RecordBatches — no pandas conversion layer at
+    all, the cheapest Python hop Spark offers (columnar in, columnar
+    out; the pattern for calling pyarrow.compute / numpy kernels on
+    whole batches). Here each batch converts value dollars to exact
+    integer cents via pyarrow.compute with round_mode matched to both
+    engines' round-half-away-from-zero (pyarrow: half_towards_infinity), then a normal JVM-side
+    aggregate finishes — the Python stage does per-row arithmetic
+    only, all shuffling stays JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(tbl.column("value"), pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("event_type").combine_chunks(), cents.combine_chunks()],
+                names=["event_type", "cents"],
+            )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = ev.mapInArrow(to_cents, schema="event_type string, cents bigint")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
