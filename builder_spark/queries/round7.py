@@ -2128,3 +2128,128 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(0, 1).alias("c_post"),
         cell(0, 0).alias("c_pre"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim over sub-vectors)
+
+_LI_SLICES = 8  # 64-dim embedding → 8 slice-vectors of 8 dims
+
+_LI_SLICE_SQL = (
+    "list_transform(range(0, 8), i -> "
+    "embedding[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)])"
+)
+_LI_SNORM_SQL = (
+    "list_transform({s}, v -> "
+    "sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * x))))"
+)
+
+
+@register(
+    "q_late_interaction_maxsim",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id,
+                   {_SD_CELL_SQL} AS cell,
+                   {_LI_SLICE_SQL} AS sl,
+                   {_LI_SNORM_SQL.format(s=_LI_SLICE_SQL)} AS sn
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM c WHERE vec_id < 5),
+        pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                   round(list_sum(list_transform(range(1, 9), qi ->
+                       list_max(list_transform(range(1, 9), dj ->
+                           list_sum(list_transform(
+                               list_zip(q.sl[CAST(qi AS INT)], c.sl[CAST(dj AS INT)]),
+                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (q.sn[CAST(qi AS INT)] * c.sn[CAST(dj AS INT)])))
+                   )), 4) AS maxsim
+            FROM q JOIN c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        )
+        SELECT q_id, cand_id, maxsim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY maxsim DESC, cand_id ASC) AS rnk
+        FROM pairs
+        QUALIFY rnk <= 3
+    """,
+    category="llm-similarity",
+)
+def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT's MaxSim): each vector is
+    treated as 8 sub-vectors (8 dims each) and pair relevance is
+    Σ_i max_j cos(q_i, d_j) — the multi-vector scoring that beats
+    single-vector cosine on fine-grained matches, top-3 per query.
+    Candidates confined to the semdedup sign-cells (no all-pairs);
+    slice arrays AND their norms are materialized as projection
+    columns BEFORE the join (HOF lambdas get no CSE — inlining the
+    slice builder would re-slice per sub-pair); the 8×8 sub-cosines
+    are fixed-order folds, so both engines compute bit-identical
+    doubles, rounded before the grouped_topk rank."""
+    from builder_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (len(_SD_DIMS) - 1 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_SD_DIMS)
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(_LI_SLICES - 1)),
+        lambda i: F.slice("embedding", i * 8 + 1, 8),
+    )
+    c = e.select("vec_id", cell.alias("cell"), slices.alias("sl")).select(
+        "vec_id",
+        "cell",
+        "sl",
+        F.transform(
+            "sl",
+            lambda v: F.sqrt(
+                F.aggregate(
+                    F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        ).alias("sn"),
+    )
+    q = c.select(
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("sl").alias("qsl"),
+        F.col("sn").alias("qsn"),
+    ).filter(F.col("q_id") < 5)
+
+    def sub_cos(qi, dj):
+        dot = F.aggregate(
+            F.zip_with(
+                F.element_at("qsl", qi),
+                F.element_at("sl", dj),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (F.element_at("qsn", qi) * F.element_at("sn", dj))
+
+    maxsim = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_LI_SLICES)),
+            F.lit(0.0),
+            lambda acc, qi: acc
+            + F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_LI_SLICES)),
+                    lambda dj: sub_cos(qi, dj),
+                )
+            ),
+        ),
+        4,
+    )
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"), maxsim.alias("maxsim"))
+    )
+    return grouped_topk(
+        pairs, ["q_id"], [F.col("maxsim").desc(), F.col("cand_id").asc()], k=3
+    ).select("q_id", "cand_id", "maxsim", F.col("rnk"))

@@ -973,3 +973,14 @@ def test_round7g_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_late_interaction_maxsim_plan(spark):
+    """MaxSim pairs must come from the cell equi-join (no all-pairs),
+    within a 2-exchange budget (slice projection + topk prune)."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_late_interaction_maxsim"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
+    assert count_exchanges(df) <= 2
