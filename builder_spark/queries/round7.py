@@ -2253,3 +2253,135 @@ def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         pairs, ["q_id"], [F.col("maxsim").desc(), F.col("cand_id").asc()], k=3
     ).select("q_id", "cand_id", "maxsim", F.col("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Search snippet extraction (best query-term-density window)
+
+_SNIP_TERMS = ["spark", "join", "merge"]
+_SNIP_W = 10
+
+
+@register(
+    "q_snippet_extraction",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        h AS (
+            SELECT doc_id, toks,
+                   list_transform(toks, t -> CASE WHEN t IN
+                       ({", ".join(repr(t) for t in _SNIP_TERMS)})
+                       THEN 1 ELSE 0 END) AS hit
+            FROM d
+        ),
+        wins AS (
+            SELECT doc_id,
+                   CAST(s.s AS BIGINT) AS start,
+                   CAST(list_sum(hit[CAST(s.s AS INT):CAST(s.s AS INT) + {_SNIP_W - 1}])
+                        AS BIGINT) AS hits,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY list_sum(hit[CAST(s.s AS INT):CAST(s.s AS INT) + {_SNIP_W - 1}])
+                                DESC, s.s ASC) AS rn
+            FROM h,
+                 LATERAL (SELECT unnest(range(1, greatest(len(toks) - {_SNIP_W - 2}, 2)))
+                          AS s) AS s
+        )
+        SELECT doc_id, start, hits FROM wins WHERE rn = 1 AND hits >= 1
+    """,
+    category="llm-text",
+)
+def q_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH SNIPPET selection: per document, the 10-token window
+    with the highest query-term density (earliest start wins ties) —
+    the result-page excerpt primitive every retrieval stack needs.
+    Pure per-row array math: the hit mask is computed ONCE as its own
+    projection (no CSE inside HOF lambdas), window sums are bounded
+    O(T·10) folds, and the per-doc argmax is an array_max over
+    (count, −start) structs — no explode, no shuffle beyond the scan.
+    Docs shorter than the window score their whole token list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    hit = F.transform(
+        "toks",
+        lambda t: F.when(t.isin(_SNIP_TERMS), 1).otherwise(0),
+    )
+    h = toks.select("doc_id", F.size("toks").alias("n"), hit.alias("hit"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - (_SNIP_W - 1), F.lit(1))
+    )
+    best = F.array_max(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.slice("hit", s, _SNIP_W), F.lit(0), lambda acc, x: acc + x
+                ).alias("c"),
+                (-s).alias("negs"),
+            ),
+        )
+    )
+    return (
+        h.select("doc_id", best.alias("b"))
+        .select(
+            "doc_id",
+            (-F.col("b.negs")).cast("bigint").alias("start"),
+            F.col("b.c").cast("bigint").alias("hits"),
+        )
+        .filter(F.col("hits") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-cell purity (bucketing quality audit for the cell family)
+
+
+@register(
+    "q_cell_purity",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id, label, {_SD_CELL_SQL} AS cell FROM embeddings
+        ),
+        cl AS (
+            SELECT cell, label, count(*) AS n FROM c GROUP BY cell, label
+        ),
+        tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+                       CAST(max(n) AS BIGINT) AS n_major
+                FROM cl GROUP BY cell)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+               CAST(min(n_vecs) AS BIGINT) AS min_cell,
+               CAST(max(n_vecs) AS BIGINT) AS max_cell,
+               round(sum(n_major) * 1.0 / sum(n_vecs), 4) AS purity
+        FROM tot
+    """,
+    category="llm-similarity",
+)
+def q_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURITY audit of the 64-sign-cell bucketing the dedup/MNN/
+    MaxSim family relies on: overall majority-label mass within cells
+    (the cluster-purity metric), plus cell-size balance (min/max) —
+    the go/no-go check before trusting cell-confined candidate
+    generation. Two combinable aggregates over (cell, label) grain;
+    exact integers until the final ratio."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (len(_SD_DIMS) - 1 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_SD_DIMS)
+    )
+    cl = (
+        e.select(cell.alias("cell"), "label")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cl.groupBy("cell").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.max("n").cast("bigint").alias("n_major"),
+    )
+    return tot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+        F.min("n_vecs").cast("bigint").alias("min_cell"),
+        F.max("n_vecs").cast("bigint").alias("max_cell"),
+        F.round(F.sum("n_major") * 1.0 / F.sum("n_vecs"), 4).alias("purity"),
+    )

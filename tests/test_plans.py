@@ -984,3 +984,16 @@ def test_late_interaction_maxsim_plan(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join leaked in"
     assert count_exchanges(df) <= 2
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_snippet_extraction", 0),  # pure per-row array math on the scan
+        ("q_cell_purity", 3),         # (cell,label) agg + cell rollup + final 1-row agg
+    ],
+)
+def test_round7h_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
