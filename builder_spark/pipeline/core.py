@@ -289,25 +289,43 @@ class VersionedTableTarget(Target):
         inputs: dict[str, int] | None = None,
         committed_at: float | None = None,
     ) -> int:
-        """Atomically publish the next snapshot (mkstemp + rename into
-        ``_versions/``). Returns the committed version number."""
+        """Atomically publish the next snapshot. Returns the committed
+        version number.
+
+        Concurrency-safe by PUT-IF-ABSENT: the manifest lands via
+        ``os.link`` (fails with EEXIST if the version file already
+        exists) — two writers racing on the same next version can
+        never silently clobber each other (the os.replace a naive
+        implementation uses would lose one commit without a trace);
+        the loser observes the winner's manifest and retries on the
+        following version number, exactly the optimistic-concurrency
+        protocol of Delta's _delta_log."""
         import json
         import tempfile
 
-        version = (self.get_version() or 0) + 1
         d = self._log_dir()
         os.makedirs(d, exist_ok=True)
-        manifest = {
-            "version": version,
-            "committed_at": time.time() if committed_at is None else committed_at,
-            "data_path": data_path,
-            "inputs": inputs or {},
-        }
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit.")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(d, f"v{version:08d}.json"))
-        return version
+        version = (self.get_version() or 0) + 1
+        while True:
+            manifest = {
+                "version": version,
+                "committed_at": time.time() if committed_at is None else committed_at,
+                "data_path": data_path,
+                "inputs": inputs or {},
+            }
+            fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit.")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(manifest, f)
+                target = os.path.join(d, f"v{version:08d}.json")
+                try:
+                    os.link(tmp, target)  # atomic put-if-absent
+                    return version
+                except FileExistsError:
+                    version += 1  # lost the race: retry on the next slot
+            finally:
+                with __import__("contextlib").suppress(OSError):
+                    os.remove(tmp)
 
 
 def make_target(

@@ -738,3 +738,41 @@ class FileExecutor2:
     def execute(self, cj):
         cj.job.run(None)
         touch(os.path.join(cj.target.unique_id, "_SUCCESS"))
+
+
+def test_versioned_commit_put_if_absent(tmp_path):
+    """Two writers racing on the same next version must BOTH land
+    (distinct version numbers) — the put-if-absent commit protocol; a
+    clobbering implementation would silently lose one."""
+    from builder_spark.pipeline import make_target
+
+    t = make_target(f"vt://{tmp_path}/tbl")
+    # simulate the race: pre-plant v1 as the "other writer" AFTER this
+    # writer computed next=1, by committing through a second handle
+    other = make_target(f"vt://{tmp_path}/tbl")
+    v_other = other.commit(data_path="other-data", committed_at=1.0)
+    assert v_other == 1
+    # this writer now commits; even though both started from version 0
+    # state at some point, the link-based commit lands on v2
+    v_mine = t.commit(data_path="my-data", committed_at=2.0)
+    assert v_mine == 2
+    assert t.read_path(version=1) == "other-data"
+    assert t.read_path(version=2) == "my-data"
+
+
+def test_versioned_commit_retries_past_planted_version(tmp_path, monkeypatch):
+    """Force the race window: make get_version() report stale state so
+    commit targets an occupied slot — it must retry to the next free
+    version, never overwrite."""
+    from builder_spark.pipeline import VersionedTableTarget, make_target
+
+    t = make_target(f"vt://{tmp_path}/tbl")
+    t.commit(data_path="v1", committed_at=1.0)
+    t.commit(data_path="v2", committed_at=2.0)
+    monkeypatch.setattr(VersionedTableTarget, "get_version", lambda self: 0)
+    v = t.commit(data_path="v3", committed_at=3.0)
+    assert v == 3
+    monkeypatch.undo()
+    assert t.read_path(version=1) == "v1"
+    assert t.read_path(version=2) == "v2"
+    assert t.read_path(version=3) == "v3"
