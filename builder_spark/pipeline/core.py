@@ -196,7 +196,7 @@ class VersionedTableTarget(Target):
     version is the current snapshot. Each manifest records::
 
         {"version": n, "committed_at": unix_sec,
-         "data_path": "<table>/data-v%08d",
+         "data_path": "<table>/data-v%08d-<nonce>",
          "inputs": {"<dep unique_id>": dep_version_at_build_time}}
 
     - ``exists`` → ≥1 committed manifest (a crashed writer leaves data
@@ -278,10 +278,34 @@ class VersionedTableTarget(Target):
         except OSError:
             return None
 
-    def next_data_path(self) -> str:
+    def stage_data_path(self) -> str:
+        """Unique staging directory for ONE writer's data files.
+
+        Every call returns a fresh path (version hint + random nonce):
+        two writers racing on the same table stage into DIFFERENT
+        directories, so only the manifest slot is contended — and
+        :meth:`commit`'s put-if-absent arbitrates that. A deterministic
+        ``data-v{n+1}`` path would make both racers write (and
+        ``mode('overwrite')`` each other) in the SAME directory, and
+        the race loser's retried manifest would publish a directory
+        holding the winner's rows or an interleaved mix — a silently
+        corrupt snapshot. Delta stages uniquely-named data files for
+        exactly this reason. Nothing reads ``data-*`` directories
+        directly; consumers follow the committed manifest's
+        ``data_path``.
+        """
+        import uuid
+
         return os.path.join(
-            self.table_path, f"data-v{(self.get_version() or 0) + 1:08d}"
+            self.table_path,
+            f"data-v{(self.get_version() or 0) + 1:08d}-{uuid.uuid4().hex[:8]}",
         )
+
+    def next_data_path(self) -> str:
+        """Back-compat alias for :meth:`stage_data_path` (kept because
+        early callers used this name; it has the same uniqueness
+        guarantee now)."""
+        return self.stage_data_path()
 
     def commit(
         self,
@@ -311,7 +335,14 @@ class VersionedTableTarget(Target):
                 "version": version,
                 "committed_at": time.time() if committed_at is None else committed_at,
                 "data_path": data_path,
-                "inputs": inputs or {},
+                # None (not {}) when the committer didn't record inputs:
+                # recorded_inputs() must distinguish "externally
+                # committed, versions unknown -> fall back to mtime
+                # staleness" from "built from zero versioned deps".
+                # Coercing to {} here made get_stale() treat every
+                # versioned dep of an externally-committed snapshot as
+                # unknown-version -> always stale -> spurious rebuild.
+                "inputs": inputs,
             }
             fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit.")
             try:
@@ -626,7 +657,10 @@ class SparkExecutor:
                 for pat, tgts in cj.dep_targets.items()
             },
             target_path=(
-                cj.target.next_data_path() if versioned else cj.target.unique_id
+                # unique per-writer staging dir: concurrent writers on
+                # the same table never share a data directory; the
+                # manifest (put-if-absent) is the only contended slot
+                cj.target.stage_data_path() if versioned else cj.target.unique_id
             ),
         )
         df = cj.job.run(ctx)
@@ -701,6 +735,7 @@ class ExecutionManager:
         executor,
         state_path: str | None = None,
         failure_backoff: str | timedelta | None = None,
+        clock: Callable[[], float] = time.time,
     ) -> None:
         """``state_path``: optional JSONL run journal — every job
         outcome (unique_id, status, ts, duration) appends one line, so
@@ -711,11 +746,21 @@ class ExecutionManager:
         its retry budget every scheduler tick and resumes automatically
         once the window passes (or immediately under ``force=True``).
         A later success clears the backoff naturally (most-recent
-        outcome wins)."""
+        outcome wins).
+
+        Journal timestamps and the backoff comparison both use
+        ``clock`` (wall clock by default; injectable for tests) and
+        NEVER the logical build ``now`` passed to start_execution —
+        mixing the two bases (a backfill run passing a historical
+        ``now`` vs a cron run passing none) would make the backoff
+        window fire arbitrarily: always, or never. Logical ``now``
+        drives build SEMANTICS (curfew, cache_time, staleness);
+        backoff is an OPERATIONAL throttle and follows real time."""
         self.manager = manager
         self.executor = executor
         self.results: dict[str, str] = {}
         self.state_path = state_path
+        self.clock = clock
         self.failure_backoff = (
             convert_to_timedelta(failure_backoff) if failure_backoff else None
         )
@@ -769,14 +814,15 @@ class ExecutionManager:
         except OSError:
             pass  # journaling must never fail the build
 
-    def _in_backoff(self, cj: ConcreteJob, now: float, last: dict[str, dict]) -> bool:
+    def _in_backoff(self, cj: ConcreteJob, last: dict[str, dict]) -> bool:
         if self.failure_backoff is None:
             return False
         entry = last.get(cj.unique_id)
         return (
             entry is not None
             and entry.get("status") == "failed"
-            and now - float(entry.get("ts", 0.0)) < self.failure_backoff.total_seconds()
+            and self.clock() - float(entry.get("ts", 0.0))
+            < self.failure_backoff.total_seconds()
         )
 
     def _run_one(
@@ -786,9 +832,12 @@ class ExecutionManager:
         force: bool,
         last: dict[str, dict] | None = None,
     ) -> str:
-        """Evaluate + execute one job with retries. Never raises."""
-        t_now = time.time() if now is None else now
-        if not force and self._in_backoff(cj, t_now, last or {}):
+        """Evaluate + execute one job with retries. Never raises.
+
+        ``now`` is the LOGICAL build time (curfew/cache_time/staleness
+        only); journal timestamps and backoff use ``self.clock`` so the
+        two bases never mix (see __init__)."""
+        if not force and self._in_backoff(cj, last or {}):
             return "backoff"
         if not cj.get_should_run(now=now, force=force):
             return "skipped"
@@ -797,12 +846,14 @@ class ExecutionManager:
         while True:
             try:
                 self.executor.execute(cj)
-                self._journal(cj.unique_id, "ran", t_now, time.time() - t0)
+                self._journal(cj.unique_id, "ran", self.clock(), time.time() - t0)
                 return "ran"
             except Exception:
                 attempts += 1
                 if attempts > cj.job.retries:
-                    self._journal(cj.unique_id, "failed", t_now, time.time() - t0)
+                    self._journal(
+                        cj.unique_id, "failed", self.clock(), time.time() - t0
+                    )
                     return "failed"
 
     def start_execution(

@@ -666,38 +666,41 @@ def test_failure_backoff_suppresses_retry_within_window(tmp_path):
     """A job whose last journaled outcome is a recent failure is
     skipped as 'backoff' by the NEXT run (fresh manager, same journal)
     — it stops burning retries every scheduler tick; after the window
-    passes it runs again; force overrides."""
+    passes it runs again; force overrides. The window follows the
+    injected WALL clock, never the logical build `now` (a backfill
+    passing a historical `now` must not warp the throttle)."""
     attempts = {"n": 0}
     state = f"{tmp_path}/state.jsonl"
     end = D0 + timedelta(days=1)
-    t0 = 1_700_000_000.0
+    wall = {"t": 1_700_000_000.0}
+    clock = lambda: wall["t"]  # noqa: E731
 
     bm = _failing_manager(tmp_path, attempts)
-    r1 = ExecutionManager(
-        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
-    ).start_execution(D0, end, now=t0)
+    em = lambda: ExecutionManager(  # noqa: E731
+        bm, FileExecutor2(), state_path=state, failure_backoff="1h", clock=clock
+    )
+    r1 = em().start_execution(D0, end)
     assert r1[f"crash@{D0.isoformat()}"] == "failed"
     assert attempts["n"] == 1
 
-    # within the window: backoff, no execution attempt
-    r2 = ExecutionManager(
-        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
-    ).start_execution(D0, end, now=t0 + 600)
+    # within the window: backoff, no execution attempt — even when the
+    # run passes a LOGICAL now far in the past (backfill): wall clock,
+    # not build time, governs the throttle
+    wall["t"] += 600
+    r2 = em().start_execution(D0, end, now=1_000_000.0)
     assert r2[f"crash@{D0.isoformat()}"] == "backoff"
     assert attempts["n"] == 1
 
     # force bypasses backoff
-    r3 = ExecutionManager(
-        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
-    ).start_execution(D0, end, now=t0 + 700, force=True)
+    wall["t"] += 100
+    r3 = em().start_execution(D0, end, force=True)
     assert r3[f"crash@{D0.isoformat()}"] == "failed"
     assert attempts["n"] == 2
 
-    # past the window (forced run journaled a new failure at t0+700,
-    # so the window runs to t0+4300): runs (and fails) again
-    r4 = ExecutionManager(
-        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
-    ).start_execution(D0, end, now=t0 + 5000)
+    # past the window (forced run journaled a new failure at +700,
+    # so the window runs to +4300): runs (and fails) again
+    wall["t"] += 4300
+    r4 = em().start_execution(D0, end)
     assert r4[f"crash@{D0.isoformat()}"] == "failed"
     assert attempts["n"] == 3
 
@@ -707,7 +710,7 @@ def test_backoff_cleared_by_success(tmp_path):
     the job is no longer in backoff (normal staleness rules apply)."""
     state = f"{tmp_path}/state.jsonl"
     end = D0 + timedelta(days=1)
-    t0 = 1_700_000_000.0
+    wall = {"t": 1_700_000_000.0}
     flaky = {"fail": True, "n": 0}
 
     def run(ctx):
@@ -719,16 +722,20 @@ def test_backoff_cleared_by_success(tmp_path):
     bm.add(Job(name="f", run=run, targets=f"{tmp_path}/f/d=%Y-%m-%d"))
 
     em = lambda: ExecutionManager(  # noqa: E731
-        bm, FileExecutor2(), state_path=state, failure_backoff="1h"
+        bm,
+        FileExecutor2(),
+        state_path=state,
+        failure_backoff="1h",
+        clock=lambda: wall["t"],
     )
-    assert em().start_execution(D0, end, now=t0)[f"f@{D0.isoformat()}"] == "failed"
+    assert em().start_execution(D0, end)[f"f@{D0.isoformat()}"] == "failed"
     flaky["fail"] = False
     # past window -> runs, succeeds, journals 'ran'
-    assert em().start_execution(D0, end, now=t0 + 4000)[f"f@{D0.isoformat()}"] == "ran"
+    wall["t"] += 4000
+    assert em().start_execution(D0, end)[f"f@{D0.isoformat()}"] == "ran"
     # immediately after: not 'backoff' — target is fresh, so 'skipped'
-    assert (
-        em().start_execution(D0, end, now=t0 + 4100)[f"f@{D0.isoformat()}"] == "skipped"
-    )
+    wall["t"] += 100
+    assert em().start_execution(D0, end)[f"f@{D0.isoformat()}"] == "skipped"
 
 
 class FileExecutor2:
