@@ -902,14 +902,13 @@ def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     without Delta/Iceberg jars. The v2 commit proves the v1 read is
     genuinely snapshot-isolated, not latest-wins; the oracle recomputes
     v1's content predicate against the raw table."""
-    import os
     import shutil
-    import tempfile
 
     from builder_spark.pipeline import make_target
+    from builder_spark.scratch import scratch_dir
 
     o = load_table(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), "builder_spark_time_travel")
+    root = scratch_dir("time_travel")
     shutil.rmtree(root, ignore_errors=True)
     t = make_target(f"vt://{root}/orders")
     v1_path = t.next_data_path()

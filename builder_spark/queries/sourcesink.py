@@ -11,7 +11,6 @@ crossed the text boundary (bigint, double, string).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from builder_spark.catalog import load_table
 from builder_spark.operators.partitioning import stitched_running
 from builder_spark.registry import register
+from builder_spark.scratch import scratch_dir
 from builder_spark.sources import (
     read_csv,
     read_json,
@@ -49,7 +49,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_csv_roundtrip")
+    out = scratch_dir("csv_roundtrip")
     write_csv(o, out)
     back = read_csv(
         spark,
@@ -80,7 +80,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_type", "p_size", "p_retailprice"
     )
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_json_roundtrip")
+    out = scratch_dir("json_roundtrip")
     write_json(p, out)
     back = read_json(
         spark, out, schema="p_partkey bigint, p_type string, p_size int, p_retailprice double"
@@ -113,7 +113,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_orc_roundtrip")
+    out = scratch_dir("orc_roundtrip")
     write_orc(c, out)
     back = read_orc(spark, out)
     return back.groupBy("c_mktsegment").agg(
@@ -142,7 +142,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with broadcast disabled). Bucket counts MUST match on both sides.
     The oracle joins the original tables, proving the bucketed layout
     is a pure physical transform."""
-    base = os.path.join(tempfile.gettempdir(), "builder_spark_bucketed")
+    base = scratch_dir("bucketed")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, "bkt_orders", ["o_custkey"], 8, sort_cols=["o_custkey"],
@@ -181,7 +181,7 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from builder_spark.sources import read_text, write_text
 
     d = load_table(spark, sf_dir, "documents").select("text")
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_text_roundtrip")
+    out = scratch_dir("text_roundtrip")
     write_text(d, out)
     back = read_text(spark, out)
     return back.agg(
@@ -218,7 +218,7 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (regexp_extract on path) — the id-in-path pattern object stores
     rely on."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_binaryfile_src")
+    out = scratch_dir("binaryfile_src")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -275,8 +275,8 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
-    frag = os.path.join(tempfile.gettempdir(), "builder_spark_compact_frag")
-    tight = os.path.join(tempfile.gettempdir(), "builder_spark_compact_tight")
+    frag = scratch_dir("compact_frag")
+    tight = scratch_dir("compact_tight")
     for p in (frag, tight):
         shutil.rmtree(p, ignore_errors=True)
     li.repartition(64).write.mode("overwrite").parquet(frag)
@@ -387,7 +387,7 @@ def q_hive_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(tempfile.gettempdir(), "builder_spark_hive_part")
+    path = scratch_dir("hive_part")
     shutil.rmtree(path, ignore_errors=True)
     ev.select("event_id", "user_id", "value", "event_type").write.mode(
         "overwrite"
@@ -423,7 +423,7 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.gettempdir(), "builder_spark_schema_evo")
+    base = scratch_dir("schema_evo")
     shutil.rmtree(base, ignore_errors=True)
     cut = F.col("o_orderdate") >= "1995-01-01"
     o.filter(~cut).select("o_orderkey", "o_totalprice", "o_orderdate").write.mode(

@@ -10,9 +10,6 @@ same logic would be a built-in expression — UDFs are the slow path
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +18,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from builder_spark.catalog import load_table
 from builder_spark.registry import register
+from builder_spark.scratch import scratch_dir
 
 
 @register(
@@ -175,7 +173,7 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
-    out = os.path.join(tempfile.gettempdir(), "builder_spark_roundtrip")
+    out = scratch_dir("parquet_roundtrip")
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
     back = spark.read.parquet(out)
     return (

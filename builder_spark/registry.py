@@ -43,23 +43,25 @@ def register(name: str, oracle: str | None = None, category: str = "") -> Callab
     return deco
 
 
-def _previously_graded_ok() -> set[str]:
-    """Query names that already fully passed a driver CORRECTNESS round.
+def _last_graded_ok_round() -> dict[str, int]:
+    """name → the most recent driver CORRECTNESS round that graded it green.
 
-    The driver grades the first ~50 registry entries each round; rotating
-    already-green queries to the back means every round's grading window
-    covers queries with no hard signal yet. A query counts as done when
-    rows/schema/hash all matched, or when it is rows-only by design
-    (``err == "no_oracle"``) and produced rows — re-grading those gains
-    nothing. Failed or crashed entries stay in front for re-grading.
+    The driver grades the first ~50 registry entries each round. A query
+    counts as graded-green for a round when rows/schema/hash all matched,
+    or when it is rows-only by design (``err == "no_oracle"``) and
+    produced rows. A LATER failing grade evicts the entry — failed or
+    crashed queries go back to the front for immediate re-grading.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    done: set[str] = set()
+    last_ok: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 results = json.load(f)
@@ -69,18 +71,29 @@ def _previously_graded_ok() -> set[str]:
             if not isinstance(r, dict):
                 continue
             if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
-                done.add(name)
+                last_ok[name] = rnd
             elif r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) >= 0:
-                done.add(name)
-    return done
+                last_ok[name] = rnd
+            else:
+                last_ok.pop(name, None)
+    return last_ok
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: registration) and return the
-    registry, ordered so not-yet-driver-graded queries come first."""
+    """Import every query module (side effect: registration) and return
+    the registry, ordered never-graded / last-graded-failing first, then
+    green queries LEAST-recently-graded first. With the never-graded
+    backlog empty (every query green since r8), this makes the driver's
+    ~50-query window a rotation that re-verifies the longest-unchecked
+    verdicts each round instead of regrading the same insertion-order
+    prefix forever — r1-era greens get rechecked against later refactors.
+    Insertion order breaks ties, so the rotation is stable within a round
+    vintage.
+    """
     import builder_spark.queries  # noqa: F401  (import triggers registration)
 
-    done = _previously_graded_ok()
-    fresh = {n: q for n, q in QUERIES.items() if n not in done}
-    graded = {n: q for n, q in QUERIES.items() if n in done}
-    return {**fresh, **graded}
+    last_ok = _last_graded_ok_round()
+    order = list(QUERIES)
+    pos = {n: i for i, n in enumerate(order)}
+    order.sort(key=lambda n: (last_ok.get(n, -1), pos[n]))
+    return {n: QUERIES[n] for n in order}

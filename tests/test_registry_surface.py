@@ -41,22 +41,41 @@ def test_registry_matches_survey():
     )
 
 
-def test_rotation_orders_ungraded_first():
-    """Not-yet-driver-graded queries must precede graded ones so each round's
-    ~50-query window hits fresh queries."""
-    import glob
-    import json
+def test_rotation_least_recently_graded_first():
+    """Never-graded (or last-graded-failing) queries come first, then green
+    queries in ascending last-green-round order — so the driver's ~50-query
+    window rotates through the longest-unchecked verdicts each round instead
+    of regrading the same insertion-order prefix forever."""
+    from builder_spark.registry import _last_graded_ok_round
 
-    graded = set()
-    for p in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
-        graded |= set(json.load(open(p)))
-    keys = list(load_all())
-    seen_graded = False
-    for k in keys:
-        if k in graded:
-            seen_graded = True
-        else:
-            assert not seen_graded, f"ungraded {k} ordered after a graded query"
+    last_ok = _last_graded_ok_round()
+    rounds = [last_ok.get(k, -1) for k in load_all()]
+    assert rounds == sorted(rounds), "rotation not least-recently-graded-first"
+
+
+def test_rotation_failing_grade_evicts():
+    """A later failing grade must pull a query back to the front (never-green),
+    overriding any earlier green verdict. Runs the real parser against a
+    synthetic CORRECTNESS journal via a patched module __file__."""
+    import json
+    import os
+    import tempfile
+    import unittest.mock as mock
+
+    from builder_spark import registry
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    with tempfile.TemporaryDirectory() as td:
+        (Path(td) / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"q_a": green, "q_b": green})
+        )
+        (Path(td) / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"q_b": bad, "q_c": green})
+        )
+        with mock.patch.object(registry, "__file__", os.path.join(td, "pkg", "registry.py")):
+            last_ok = registry._last_graded_ok_round()
+    assert last_ok == {"q_a": 1, "q_c": 2}, last_ok
 
 
 def test_query_module_imports_are_loud():
