@@ -21,6 +21,7 @@ SURVEY.md §0):
 
 from builder_spark.pipeline.core import (
     BuildManager,
+    ConcurrentWriteError,
     ExecutionManager,
     Job,
     ObjectStoreTarget,
@@ -35,6 +36,7 @@ from builder_spark.pipeline.core import (
 
 __all__ = [
     "BuildManager",
+    "ConcurrentWriteError",
     "ExecutionManager",
     "Job",
     "ObjectStoreTarget",

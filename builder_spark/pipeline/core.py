@@ -59,6 +59,14 @@ def convert_to_timedelta(spec: str | timedelta) -> timedelta:
     return timedelta(seconds=float(num) * _UNITS[unit])
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A lost commit race whose retry would publish a snapshot built
+    from OLDER input versions than the winner's — retrying at the next
+    version slot would supersede the winner with stale data, so the
+    loser must rebuild from current inputs instead (Delta-style
+    optimistic-concurrency conflict)."""
+
+
 # ---------------------------------------------------------------------------
 # targets (pub:builder/targets.py::Target, LocalFileSystemTarget,
 # GlobLocalFileSystemTarget)
@@ -284,7 +292,10 @@ class VersionedTableTarget(Target):
         Every call returns a fresh path (version hint + random nonce):
         two writers racing on the same table stage into DIFFERENT
         directories, so only the manifest slot is contended — and
-        :meth:`commit`'s put-if-absent arbitrates that. A deterministic
+        :meth:`commit`'s put-if-absent plus its OCC input-version
+        re-check arbitrate that (a loser with stale inputs raises
+        :class:`ConcurrentWriteError` instead of superseding the
+        winner). A deterministic
         ``data-v{n+1}`` path would make both racers write (and
         ``mode('overwrite')`` each other) in the SAME directory, and
         the race loser's retried manifest would publish a directory
@@ -320,10 +331,15 @@ class VersionedTableTarget(Target):
         ``os.link`` (fails with EEXIST if the version file already
         exists) — two writers racing on the same next version can
         never silently clobber each other (the os.replace a naive
-        implementation uses would lose one commit without a trace);
-        the loser observes the winner's manifest and retries on the
-        following version number, exactly the optimistic-concurrency
-        protocol of Delta's _delta_log."""
+        implementation uses would lose one commit without a trace).
+        On a lost race the loser re-reads the winner's manifest and
+        OCC-validates before retrying at the next slot: if any input
+        version it built from is OLDER than what the winner recorded,
+        retrying would supersede the winner's snapshot with stale data
+        — it raises :class:`ConcurrentWriteError` instead (the caller
+        rebuilds from current inputs), exactly Delta's conflicting-
+        transaction check. Commits with unknown inputs (``None`` —
+        external appends, not dep rebuilds) retry unconditionally."""
         import json
         import tempfile
 
@@ -353,10 +369,105 @@ class VersionedTableTarget(Target):
                     os.link(tmp, target)  # atomic put-if-absent
                     return version
                 except FileExistsError:
-                    version += 1  # lost the race: retry on the next slot
+                    # lost the race — OCC re-check against the winner
+                    # before retrying on the next slot
+                    if inputs is not None:
+                        try:
+                            with open(target) as f:
+                                winner = json.load(f)
+                        except (OSError, ValueError):
+                            winner = {}
+                        w_inputs = winner.get("inputs") or {}
+                        stale = {
+                            dep: (inputs[dep], wv)
+                            for dep, wv in w_inputs.items()
+                            if dep in inputs and inputs[dep] < wv
+                        }
+                        if stale:
+                            raise ConcurrentWriteError(
+                                f"{self.unique_id}: lost commit race at v{version} "
+                                f"and local input versions are older than the "
+                                f"winner's (dep: (ours, winner's)) {stale} — "
+                                "rebuild from current inputs instead of retrying"
+                            ) from None
+                    version += 1
             finally:
                 with __import__("contextlib").suppress(OSError):
                     os.remove(tmp)
+
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        min_age_sec: float = 7 * 86400.0,
+        clock: Callable[[], float] = time.time,
+    ) -> dict[str, list[str]]:
+        """Retention GC — the Delta ``VACUUM`` of this log format.
+
+        Removes (a) all but the newest ``keep_last`` manifests (the
+        current snapshot is ALWAYS kept; older versions stop being
+        time-travelable) and (b) every ``data-*`` directory under the
+        table root not referenced by a surviving manifest — which
+        sweeps both expired snapshots' data and the orphaned staging
+        dirs left by crashed or race-losing writers, the unbounded
+        disk growth :meth:`stage_data_path` otherwise accumulates.
+
+        ``min_age_sec`` protects in-flight work: an unreferenced
+        directory younger than the window may belong to a live writer
+        that staged but has not committed yet, so it is skipped
+        (Delta's retention-hours check; default 7 days, like Delta).
+        Manifest removal ignores the window — a committed version is
+        superseded by definition, never in-flight. In-use ``VERSION AS
+        OF`` readers of an expired version cannot be detected on a
+        plain filesystem (no lock service); as with Delta, vacuuming
+        under a time-travel reader makes THAT read fail loudly on its
+        next file open, never silently wrong.
+
+        Returns ``{"removed_manifests": [...], "removed_data": [...]}``.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
+        ms = self._manifests()
+        keep_ms = set(ms[-keep_last:])
+        removed_manifests: list[str] = []
+        for name in ms:
+            if name in keep_ms:
+                continue
+            with __import__("contextlib").suppress(OSError):
+                os.remove(os.path.join(self._log_dir(), name))
+                removed_manifests.append(name)
+        # data dirs referenced by any SURVIVING manifest stay
+        referenced = set()
+        for name in self._manifests():
+            try:
+                import json
+
+                with open(os.path.join(self._log_dir(), name)) as f:
+                    dp = json.load(f).get("data_path")
+            except (OSError, ValueError):
+                continue
+            if dp:
+                referenced.add(os.path.realpath(dp))
+        removed_data: list[str] = []
+        now = clock()
+        root = self.table_path
+        if os.path.isdir(root):
+            for entry in sorted(os.listdir(root)):
+                if not re.fullmatch(r"data-v\d{8}(-[0-9a-f]+)?", entry):
+                    continue
+                path = os.path.join(root, entry)
+                if os.path.realpath(path) in referenced:
+                    continue
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age < min_age_sec:
+                    continue  # possibly a live writer's staged dir
+                shutil.rmtree(path, ignore_errors=True)
+                removed_data.append(entry)
+        return {"removed_manifests": removed_manifests, "removed_data": removed_data}
 
 
 def make_target(
@@ -640,20 +751,28 @@ class SparkExecutor:
 
     def execute(self, cj: ConcreteJob) -> None:
         versioned = isinstance(cj.target, VersionedTableTarget)
+
+        def dep_path(t: Target) -> str:
+            if not isinstance(t, VersionedTableTarget):
+                return t.unique_id
+            # consumers of a versioned dep read its CURRENT snapshot's
+            # data path, never the table root: the root accumulates
+            # uniquely-named staging dirs (live writers, crashed
+            # writers), so a root read would return duplicated rows
+            p = t.read_path()
+            if p is None:
+                raise RuntimeError(
+                    f"versioned dep {t.unique_id} has a committed manifest "
+                    "with no data_path — nothing readable to build from"
+                )
+            return p
+
         ctx = BuildContext(
             spark=self.spark,
             start=cj.start,
             end=cj.end,
             dep_paths={
-                # consumers of a versioned dep read its CURRENT
-                # snapshot's data path, not the table root
-                pat: [
-                    (t.read_path() or t.table_path)
-                    if isinstance(t, VersionedTableTarget)
-                    else t.unique_id
-                    for t in tgts
-                    if t.exists
-                ]
+                pat: [dep_path(t) for t in tgts if t.exists]
                 for pat, tgts in cj.dep_targets.items()
             },
             target_path=(
