@@ -98,7 +98,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # startup accounting (r8 judge item: cold-11 crept r6→r8 uniformly on
+    # trivial queries while warm medians improved — fixed first-run
+    # overhead is the hypothesis; these fields turn it into a measurement)
+    t0 = time.perf_counter()
     spark = get_spark("builder-spark-bench")
+    session_up_sec = round(time.perf_counter() - t0, 3)
     # tools/window_audit.py (CI-enforced via tests/test_window_audit.py)
     # is the single authority on single-partition windows; every
     # WindowExec "No Partition Defined" warning the bench would print
@@ -113,13 +118,23 @@ def main() -> None:
         )
     except Exception:  # noqa: BLE001 - cosmetic only; never fail the bench
         pass
+    t0 = time.perf_counter()
     registry = load_all()
+    registry_import_sec = round(time.perf_counter() - t0, 3)
     names = [n for n in HEADLINE if n in registry]
+
+    # a no-op action BEFORE the warmup: executor scheduling + result
+    # fetch with no scan, no codegen of interest — the floor any timed
+    # query pays regardless of its plan
+    t0 = time.perf_counter()
+    spark.range(1000).count()
+    noop_action_sec = round(time.perf_counter() - t0, 3)
 
     # warmup: JVM, codegen, parquet footer cache — plus the window/
     # sort/broadcast-join machinery via a SYNTHETIC stitch over a range
     # (different plan and boundary-memo key than any measured query, so
     # this warms shared JIT paths only, never a query's own state)
+    t0 = time.perf_counter()
     registry["q_agg_group"].fn(spark, sf_dir).count()
     from pyspark.sql import functions as F  # noqa: E402
 
@@ -129,6 +144,7 @@ def main() -> None:
         (F.col("id") % 9973).alias("wv"), F.col("id").alias("wk")
     )
     stitched_running(_warm, ["wv", "wk"], running={"wr": "wv"}, rank_name="wrn").count()
+    warmup_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -182,6 +198,14 @@ def main() -> None:
                 "comparable_warm_total_sec": round(
                     sum(warm[n] for n in COMPARABLE if n in warm), 3
                 ),
+                # startup decomposition (NOT included in any query time:
+                # all four complete before the first timed query) — lets
+                # a reader separate session/import/JIT drift from plan
+                # drift when cold totals move round-over-round
+                "session_up_sec": session_up_sec,
+                "registry_import_sec": registry_import_sec,
+                "noop_action_sec": noop_action_sec,
+                "warmup_sec": warmup_sec,
                 "sf": sf,
             }
         )
