@@ -533,12 +533,12 @@ def test_order_stats_are_range_partitioned(spark, name):
 def test_hive_partitioned_read_prunes(spark):
     """q_hive_partitioned_source's filtered read-back must prune to the
     one event_type directory (PartitionFilters in the scan node)."""
-    import os
-    import tempfile
+    from builder_spark.scratch import scratch_dir
 
     # run the query once so the partitioned layout exists on disk
+    # (it writes into this process's scratch dir)
     REGISTRY["q_hive_partitioned_source"].fn(spark, SF_DIR).collect()
-    path = os.path.join(tempfile.gettempdir(), "builder_spark_hive_part")
+    path = scratch_dir("hive_part")
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     plan = back._jdf.queryExecution().explainString(
         back._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -676,12 +676,13 @@ def test_compaction_layout_invariant_holds(spark):
     a TRUE literal."""
     import glob
     import os
-    import tempfile
+
+    from builder_spark.scratch import scratch_dir
 
     row = REGISTRY["q_compaction"].fn(spark, SF_DIR).collect()[0]
     assert row["layout_compacted"] is True
-    frag = os.path.join(tempfile.gettempdir(), "builder_spark_compact_frag")
-    tight = os.path.join(tempfile.gettempdir(), "builder_spark_compact_tight")
+    frag = scratch_dir("compact_frag")
+    tight = scratch_dir("compact_tight")
     nb = len(glob.glob(os.path.join(frag, "*.parquet")))
     na = len(glob.glob(os.path.join(tight, "*.parquet")))
     assert 1 <= na <= 4 < nb
