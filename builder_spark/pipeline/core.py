@@ -467,6 +467,18 @@ class VersionedTableTarget(Target):
                     continue  # possibly a live writer's staged dir
                 shutil.rmtree(path, ignore_errors=True)
                 removed_data.append(entry)
+        # hard-crashed commits can leak .commit.* mkstemp files in the
+        # log dir (the normal path removes them in a finally) — same
+        # age-gated sweep
+        log_dir = self._log_dir()
+        if os.path.isdir(log_dir):
+            for entry in os.listdir(log_dir):
+                if not entry.startswith(".commit."):
+                    continue
+                path = os.path.join(log_dir, entry)
+                with __import__("contextlib").suppress(OSError):
+                    if now - os.path.getmtime(path) >= min_age_sec:
+                        os.remove(path)
         return {"removed_manifests": removed_manifests, "removed_data": removed_data}
 
 

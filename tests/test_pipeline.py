@@ -960,3 +960,67 @@ def test_versioned_concurrent_writers_end_to_end(spark, tmp_path):
         assert len(rows) == 10 and len(tags) == 1, "mixed writers in one snapshot"
         writers |= tags
     assert writers == {"a", "b"}
+
+
+def test_occ_conflict_retry_rebuilds_from_current_inputs(spark, tmp_path):
+    """ConcurrentWriteError is retryable through the normal retry
+    budget, and the retried execution re-reads the dep's CURRENT
+    snapshot — the OCC recovery loop: lose the race, rebuild from
+    fresh inputs, commit clean."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from builder_spark.pipeline import (
+        ConcurrentWriteError,
+        SparkExecutor,
+        VersionedTableTarget,
+        make_target,
+    )
+
+    dep = make_target(f"vt://{tmp_path}/dep")
+
+    def write_dep(val: int):
+        p = dep.stage_data_path()
+        spark.range(5).select(F.lit(val).alias("v")).write.mode("overwrite").parquet(p)
+        dep.commit(data_path=p)
+
+    write_dep(1)
+
+    def summarize(ctx):
+        [p] = ctx.dep_paths[f"vt://{tmp_path}/dep"]
+        return ctx.spark.read.parquet(p).agg(F.sum("v").alias("s"))
+
+    bm = BuildManager()
+    bm.add(
+        Job(
+            name="sum",
+            run=summarize,
+            targets=f"vt://{tmp_path}/out",
+            depends=[f"vt://{tmp_path}/dep"],
+            retries=2,
+        )
+    )
+
+    real_commit = VersionedTableTarget.commit
+    state = {"failed": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if self.table_path.endswith("/out") and not state["failed"]:
+            state["failed"] = True
+            # the winner read a NEWER dep than this writer: bump the dep
+            # and simulate the lost-race OCC rejection
+            write_dep(2)
+            raise ConcurrentWriteError("simulated lost race with newer inputs")
+        return real_commit(self, *args, **kwargs)
+
+    with mock.patch.object(VersionedTableTarget, "commit", racing_commit):
+        r = ExecutionManager(bm, SparkExecutor(spark)).start_execution(
+            D0, D0 + timedelta(days=1)
+        )
+    assert r[f"sum@{D0.isoformat()}"] == "ran"
+    out = make_target(f"vt://{tmp_path}/out")
+    assert out.get_version() == 1
+    # the retry rebuilt from the dep's CURRENT (post-race) snapshot
+    assert out.recorded_inputs() == {f"vt://{tmp_path}/dep": 2}
+    assert spark.read.parquet(out.read_path()).collect()[0]["s"] == 10
