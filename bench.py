@@ -146,6 +146,15 @@ def main() -> None:
     stitched_running(_warm, ["wv", "wk"], running={"wr": "wv"}, rank_name="wrn").count()
     warmup_sec = round(time.perf_counter() - t0, 3)
 
+    # warm no-op floor: per-action overhead (task scheduling + Py4J
+    # round trip) AFTER warmup — the constant every timed query pays.
+    # If trivial queries inflate round-over-round while plans are
+    # unchanged, this floor moving is the explanation; if it holds,
+    # the inflation is real plan/scan cost.
+    t0 = time.perf_counter()
+    spark.range(1000).count()
+    noop_warm_sec = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -205,6 +214,7 @@ def main() -> None:
                 "session_up_sec": session_up_sec,
                 "registry_import_sec": registry_import_sec,
                 "noop_action_sec": noop_action_sec,
+                "noop_warm_sec": noop_warm_sec,
                 "warmup_sec": warmup_sec,
                 "sf": sf,
             }
