@@ -130,6 +130,20 @@ def main() -> None:
     print(f"[journal] persisted outcomes across runs: {outcomes}")
     assert outcomes == ["ran", "ran"]
 
+    # retention: expire src v1 (keep only the current snapshot) and
+    # sweep its data + any orphaned staging dirs past the age window —
+    # the VACUUM step a long-lived table schedules periodically.
+    # min_age_sec=0 here because the demo's "old" snapshot is seconds
+    # old; production keeps the default multi-day window so in-flight
+    # writers and live time-travel readers age out first.
+    res = src.vacuum(keep_last=1, min_age_sec=0.0)
+    print(
+        f"[vacuum] expired manifests: {res['removed_manifests']}; "
+        f"swept data dirs: {res['removed_data']}"
+    )
+    assert src.read_path(version=1) is None  # v1 no longer time-travelable
+    assert spark.read.parquet(src.read_path()).count() > 0  # current intact
+
     print("\nversioned pipeline demo: OK")
 
 
