@@ -1024,3 +1024,86 @@ def test_occ_conflict_retry_rebuilds_from_current_inputs(spark, tmp_path):
     # the retry rebuilt from the dep's CURRENT (post-race) snapshot
     assert out.recorded_inputs() == {f"vt://{tmp_path}/dep": 2}
     assert spark.read.parquet(out.read_path()).collect()[0]["s"] == 10
+
+
+def test_versioned_commit_stress_no_lost_commits(tmp_path):
+    """8 threads commit the same table concurrently (pure metadata, no
+    Spark): versions come out consecutive 1..8, every writer lands
+    exactly once, and every manifest's data_path is its own writer's —
+    the put-if-absent protocol under real thread interleaving."""
+    import threading
+
+    from builder_spark.pipeline import make_target
+
+    t = make_target(f"vt://{tmp_path}/tbl")
+    n = 8
+    barrier = threading.Barrier(n)
+    results: dict[str, int] = {}
+    errors = []
+
+    def writer(tag: str):
+        try:
+            barrier.wait(timeout=30)
+            results[tag] = t.commit(data_path=f"data-{tag}", committed_at=1.0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    assert not errors, errors
+    assert sorted(results.values()) == list(range(1, n + 1))
+    for tag, v in results.items():
+        assert t.read_path(version=v) == f"data-{tag}"
+
+
+def test_versioned_lifecycle_property(tmp_path):
+    """Randomized commit/orphan/vacuum interleavings hold the lifecycle
+    invariants: the current snapshot is always readable, kept versions
+    stay time-travelable, referenced data dirs are never swept, and
+    age-expired orphans always are."""
+    import os
+    import random
+
+    from builder_spark.pipeline import make_target
+
+    rng = random.Random(90210)
+    t = make_target(f"vt://{tmp_path}/tbl")
+    live: dict[int, str] = {}  # version -> data path
+    orphans: list[str] = []
+
+    def commit_one(i: int) -> None:
+        p = t.stage_data_path()
+        os.makedirs(p)
+        open(os.path.join(p, "part-0.parquet"), "w").write(str(i))
+        v = t.commit(data_path=p, committed_at=float(i))
+        live[v] = p
+
+    commit_one(0)
+    for i in range(1, 40):
+        op = rng.random()
+        if op < 0.5:
+            commit_one(i)
+        elif op < 0.75:
+            p = t.stage_data_path()
+            os.makedirs(p)
+            os.utime(p, (0.0, 0.0))  # aged-out crashed writer
+            orphans.append(p)
+        else:
+            keep = rng.randint(1, 3)
+            res = t.vacuum(keep_last=keep, min_age_sec=3600.0, clock=lambda: 1e12)
+            kept = sorted(live)[-keep:]
+            for v in list(live):
+                if v not in kept:
+                    del live[v]
+            for p in orphans:
+                assert os.path.basename(p) in res["removed_data"]
+            orphans.clear()
+        # invariants after every step
+        cur = t.get_version()
+        assert cur == max(live)
+        assert t.read_path() == live[cur] and os.path.isdir(live[cur])
+        for v, p in live.items():
+            assert t.read_path(version=v) == p and os.path.isdir(p)
