@@ -47,3 +47,4 @@ import builder_spark.streaming.jobs  # noqa: E402,F401  (rows 62-64 register her
 from builder_spark.queries import round5  # noqa: E402,F401
 from builder_spark.queries import round6  # noqa: E402,F401
 from builder_spark.queries import round7  # noqa: E402,F401
+from builder_spark.queries import round9  # noqa: E402,F401

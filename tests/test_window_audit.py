@@ -44,6 +44,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_lorenz_curve_points": "10 decile rows",
     "q_survival_km": "gap-hour table (calendar-bounded)",
     "q_join_key_skew": "count-of-counts table (bounded by max rows-per-key)",
+    "q_autocorrelation": "day table",
+    "q_largest_remainder": "25 nation rows",
 }
 
 
