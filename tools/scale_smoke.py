@@ -75,6 +75,13 @@ HEAVY = [
     "q_snippet_extraction",
     "q_hits_bipartite",
     "q_vocab_nucleus",
+    # round-9 batch 2: the new window/iterative shapes — per-user
+    # sweep-line interval merge, per-customer drawdown walk,
+    # per-user state-dwell lead window, and the 3-round frontier BFS
+    "q_merge_intervals",
+    "q_max_drawdown",
+    "q_time_in_state",
+    "q_bfs_frontier",
 ]
 
 #: per-table key columns to offset so replicas don't collide
@@ -108,7 +115,15 @@ def build_scaled(spark, src_dir: str, n: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # usage: scale_smoke.py [N] [query ...] — names restrict the run to
+    # a subset of HEAVY (for iterating on one operator without
+    # re-timing the whole list); the 10x corpus is cached either way
+    args = sys.argv[1:]
+    n = int(args.pop(0)) if args and args[0].isdigit() else 10
+    heavy = args or HEAVY
+    unknown = [q for q in heavy if q not in HEAVY]
+    if unknown:
+        raise SystemExit(f"not in HEAVY list: {unknown}")
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(tempfile.gettempdir(), f"bs_scale_{n}x")
     spark = get_spark("builder-spark-scale-smoke")
@@ -121,7 +136,7 @@ def main() -> None:
 
     registry["q_agg_group"].fn(spark, out_dir).count()  # warmup
     times = {}
-    for name in HEAVY:
+    for name in heavy:
         t0 = time.time()
         registry[name].fn(spark, out_dir).count()
         times[name] = round(time.time() - t0, 3)
