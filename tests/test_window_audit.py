@@ -46,6 +46,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_join_key_skew": "count-of-counts table (bounded by max rows-per-key)",
     "q_autocorrelation": "day table",
     "q_largest_remainder": "25 nation rows",
+    "q_bh_fdr": "35 contingency cells (event types x weekdays)",
+    "q_quantile_normalize": "global length-grain aggregate (bounded by distinct lengths)",
 }
 
 
@@ -65,6 +67,7 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_length_percentile_gate": "length-grain aggregate (bounded by distinct lengths)",
     "q_cusum_changepoint": "daily rollup (types x days)",
     "q_source_quota_cap": "grouped_topk survivors (<= 50*P per source)",
+    "q_quantile_normalize": "length-grain aggregate (bounded by distinct lengths)",
 }
 
 
