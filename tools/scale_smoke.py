@@ -82,6 +82,13 @@ HEAVY = [
     "q_max_drawdown",
     "q_time_in_state",
     "q_bfs_frontier",
+    # round-9 batch 3: grid-bucketed spatial join, per-part FIFO
+    # cumsum, linear-scan MRR vs broadcast queries, length-domain
+    # quantile normalization
+    "q_geo_nearest",
+    "q_fifo_fill",
+    "q_mrr_retrieval",
+    "q_quantile_normalize",
 ]
 
 #: per-table key columns to offset so replicas don't collide
