@@ -998,3 +998,58 @@ def test_round7h_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_geo_nearest_is_cell_equi_join(spark):
+    """The spatial join must be the broadcast CELL equi-join, never an
+    all-pairs nested loop — candidates scale with density, not size."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_geo_nearest"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs spatial join leaked in"
+    assert has_broadcast_join(df), "cell join should broadcast the supplier side"
+    assert count_exchanges(df) <= 1  # one per-customer rank exchange
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_fifo_fill", 1),            # one per-part exchange serves both windows
+        ("q_mrr_retrieval", 1),        # linear scan vs 20-row broadcast + rollup
+        ("q_rendezvous_shards", 1),    # row-local argmax + 8-row rollup
+        ("q_dp_noisy_counts", 1),      # one count pass
+        ("q_fleiss_kappa", 1),         # one integer-sums pass
+        ("q_vickrey_auction", 1),      # per-part window + pivot on same exchange
+        ("q_group_mode", 2),           # (user,type) agg + user windows
+        ("q_embedding_anisotropy", 2), # (label,dim) agg + label rollup
+        ("q_anova_f", 2),              # join shuffle + 5-row closed form
+        ("q_bollinger_breach", 2),     # day agg + per-prio day window
+        ("q_topk_with_ties", 3),       # price-grain agg + topk prune + rejoin
+        ("q_cuped", 3),                # bounds bcast + per-user agg + moments
+        ("q_quantile_normalize", 4),   # per-source + global cum tables + probe
+    ],
+)
+def test_round9_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # static plans re-print shared tiny-aggregate subtrees once per
+        # consumer branch; AQE stage reuse collapses them at runtime
+        ("q_theil_index", 5),
+        ("q_poisson_bootstrap", 5),
+        ("q_kendall_tau", 7),
+        ("q_mann_kendall", 8),
+        ("q_bh_fdr", 8),
+        ("q_shapley_attribution", 9),
+    ],
+)
+def test_round9_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
