@@ -89,6 +89,14 @@ HEAVY = [
     "q_fifo_fill",
     "q_mrr_retrieval",
     "q_quantile_normalize",
+    # round-9 batch 4: per-part top-2 pivot, per-user mode windows,
+    # the 16-mask Shapley lattice over a per-user agg, one-pass
+    # Fleiss kappa, and the posexplode anisotropy aggregate
+    "q_vickrey_auction",
+    "q_group_mode",
+    "q_shapley_attribution",
+    "q_fleiss_kappa",
+    "q_embedding_anisotropy",
 ]
 
 #: per-table key columns to offset so replicas don't collide
