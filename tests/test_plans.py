@@ -1053,3 +1053,37 @@ def test_round9_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_runs_test", 2),            # region-day rollup + per-region windows
+        ("q_seasonal_decompose", 2),   # day rollup + dow rollup
+        ("q_boilerplate_prefix", 3),   # prefix-key agg + key join + source rollup
+        ("q_simpson_check", 4),        # custkey agg + join + 2 regr aggs
+        ("q_mann_whitney_u", 6),       # value-grain agg + stitched running count
+        ("q_permutation_entropy", 6),  # shared day rollup re-printed per consumer
+    ],
+)
+def test_round9d_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # nation/decile-grain tiny aggregates re-printed once per consumer
+        # branch in the static plan; AQE stage reuse collapses them at runtime
+        ("q_gains_table", 12),
+        ("q_cramers_v", 14),
+        ("q_jackknife_variance", 14),
+        ("q_capped_allocation", 15),
+    ],
+)
+def test_round9d_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

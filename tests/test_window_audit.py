@@ -48,6 +48,9 @@ BOUNDED_FRAME_WHITELIST = {
     "q_largest_remainder": "25 nation rows",
     "q_bh_fdr": "35 contingency cells (event types x weekdays)",
     "q_quantile_normalize": "global length-grain aggregate (bounded by distinct lengths)",
+    "q_capped_allocation": "25 nation rows",
+    "q_gains_table": "10 decile rows",
+    "q_seasonal_decompose": "day table",
 }
 
 
@@ -68,6 +71,8 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_cusum_changepoint": "daily rollup (types x days)",
     "q_source_quota_cap": "grouped_topk survivors (<= 50*P per source)",
     "q_quantile_normalize": "length-grain aggregate (bounded by distinct lengths)",
+    "q_runs_test": "daily rollup (regions x days)",
+    "q_permutation_entropy": "daily rollup (regions x days)",
 }
 
 
