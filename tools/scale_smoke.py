@@ -97,6 +97,14 @@ HEAVY = [
     "q_shapley_attribution",
     "q_fleiss_kappa",
     "q_embedding_anisotropy",
+    # round-9 batch 5: stitched global decile rank, value-grain
+    # stitched rank-sum, region-day sign runs, md5 prefix-key join,
+    # leave-one-group fact join
+    "q_gains_table",
+    "q_mann_whitney_u",
+    "q_runs_test",
+    "q_boilerplate_prefix",
+    "q_jackknife_variance",
 ]
 
 #: per-table key columns to offset so replicas don't collide
