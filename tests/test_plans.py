@@ -1087,3 +1087,50 @@ def test_round9d_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_cohens_kappa", 1),         # one combinable 2x2 pass
+        ("q_mcnemar_test", 1),         # one combinable discordant-cell pass
+        ("q_smd_balance", 1),          # one nation agg + broadcast dim join
+        ("q_odds_ratio", 2),           # per-user flags + 1-row 2x2
+        ("q_hoeffding_gate", 3),       # source agg + 1-row broadcast total
+        ("q_friedman_test", 3),        # region-day rollup + day windows + grid windows
+        ("q_markov_entropy_rate", 3),  # user lag + 5x5 grid windows
+        ("q_price_index", 3),          # (part,year) agg + part-grain self-join
+    ],
+)
+def test_round9e_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # fact-side aggregates re-printed per consumer branch in the
+        # static plan; AQE exchange reuse collapses them at runtime
+        ("q_theil_sen", 8),            # 25-row pts feeds pairs a/b + ols
+        ("q_levene_test", 9),          # group means re-printed for the z pass
+    ],
+)
+def test_round9e_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_theil_sen_pairs_join_is_broadcast(spark):
+    """The Theil–Sen pair construction must broadcast the 25-row
+    nation-aggregate side — an all-pairs join over fact rows would be
+    the textbook scale killer this query exists to avoid."""
+    df = REGISTRY["q_theil_sen"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_smd_balance_dim_join_is_broadcast(spark):
+    df = REGISTRY["q_smd_balance"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
