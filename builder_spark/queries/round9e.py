@@ -201,17 +201,17 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Friedman rank test over (day × region) blocks
+# Friedman rank test over (month × region) blocks
 
 
 _REGION_DAILY_REV_SQL = f"""
-        SELECT r_name, date_trunc('day', o_orderdate) AS d,
+        SELECT r_name, date_trunc('month', o_orderdate) AS d,
                sum({_OC}) AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name, date_trunc('day', o_orderdate)
+        GROUP BY r_name, date_trunc('month', o_orderdate)
 """
 
 
@@ -260,20 +260,20 @@ _REGION_DAILY_REV_SQL = f"""
     category="analytics",
 )
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman rank test with tie correction: within each day
+    """Friedman rank test with tie correction: within each month
     (block) rank the five regions by revenue (average ranks on ties),
     and test whether any region is systematically hotter —
     Q = (k−1)·Σ(Rⱼ − b(k+1)/2)² / (A − C) with A = ΣΣr², the
     tie-general form (C = bk(k+1)²/4 = 45b, b(k+1)/2 = 3b for k=5).
     The nonparametric two-way sibling of q_anova_f: blocks absorb the
-    day-level demand swings a one-way test would count as noise.
+    month-level demand swings a one-way test would count as noise.
 
     Revenue is exact integer cents (ties are real ranks, not float
     dust); average ranks are exact .5-multiples, so rⱼ, a = Σr², and
     ssq are all exactly representable doubles — no summation-order
-    hazard anywhere. Rank/completeness windows partition on the DAY
-    key (≤5 rows each); the two residual global windows run over the
-    calendar-bounded day×region grid and the 5-row region aggregate
+    hazard anywhere. Rank/completeness windows partition on the MONTH
+    key (unbounded block count over a growing calendar) (≤5 rows each); the two residual global windows run over the
+    calendar-bounded month×region grid and the 5-row region aggregate
     (whitelisted). Blocks with missing regions are excluded
     (complete-block design); b = rows/5 exactly because only complete
     blocks survive."""
@@ -293,7 +293,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(load_table(spark, sf_dir, "region")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .groupBy("r_name", F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .groupBy("r_name", F.date_trunc("month", F.col("o_orderdate")).alias("d"))
         .agg(F.sum(F.expr(_OC)).alias("rev"))
     )
     blocks = daily.withColumn(
@@ -304,7 +304,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.count(F.lit(1)).over(Window.partitionBy("d", "rev")) - 1) / F.lit(2.0)
     )
     rk = blocks.select("r_name", "d", r.alias("r"))
-    wg = Window.partitionBy()  # day×region grid (calendar-bounded, whitelisted)
+    wg = Window.partitionBy()  # month×region grid (calendar-bounded, whitelisted)
     rk2 = rk.select(
         "r_name",
         "r",

@@ -53,7 +53,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_seasonal_decompose": "day table",
     "q_theil_sen": "<=300 pairwise slopes over the 25-row nation aggregate",
     "q_markov_entropy_rate": "25-row (prev,cur) transition grid",
-    "q_friedman_test": "calendar-bounded day x region grid + 5 region rows",
+    "q_friedman_test": "calendar-bounded month x region grid + 5 region rows",
 }
 
 

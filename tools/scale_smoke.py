@@ -105,6 +105,14 @@ HEAVY = [
     "q_runs_test",
     "q_boilerplate_prefix",
     "q_jackknife_variance",
+    # round-9 batch 6: two-pass Levene z-scores, day-block Friedman
+    # ranks, user-lag Markov transitions, (part,year) price-index
+    # self-join, nation-grain Theil-Sen pair lattice
+    "q_levene_test",
+    "q_friedman_test",
+    "q_markov_entropy_rate",
+    "q_price_index",
+    "q_theil_sen",
 ]
 
 #: per-table key columns to offset so replicas don't collide
