@@ -1123,6 +1123,51 @@ def test_round9e_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_cochran_q", 1),              # one combinable gate pass
+        ("q_power_analysis", 1),         # one priority-grain agg
+        ("q_srm_check", 1),              # one arm-count agg + broadcast dim
+        ("q_negative_sampling_table", 1),# vocab agg; top-V + windows local
+        ("q_zscore_normalize", 2),       # source stats + audit pass
+        ("q_effective_rank", 2),         # (dim) agg + 1-row rollup
+        ("q_trigram_support", 3),        # gram-df agg + equi-join + rollups
+        ("q_log_odds_monroe", 6),        # two vocab aggs + term join + topk
+    ],
+)
+def test_round9f_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # stitched/quantile machinery re-prints the value-grain
+        # aggregate per consumer branch; AQE reuse collapses at runtime
+        ("q_fd_histogram", 6),
+        ("q_wasserstein_1d", 10),
+    ],
+)
+def test_round9f_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_trigram_support_shuffles_only_hashes(spark):
+    """The gram text must be md5-hashed in the same projection that
+    explodes it — only 32-hex keys may cross the exchange (the
+    boilerplate-prefix discipline)."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_trigram_support"].fn(spark, SF_DIR))
+    assert "md5" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_theil_sen_pairs_join_is_broadcast(spark):
     """The Theil–Sen pair construction must broadcast the 25-row
     nation-aggregate side — an all-pairs join over fact rows would be

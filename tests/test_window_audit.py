@@ -54,6 +54,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_theil_sen": "<=300 pairwise slopes over the 25-row nation aggregate",
     "q_markov_entropy_rate": "25-row (prev,cur) transition grid",
     "q_friedman_test": "calendar-bounded month x region grid + 5 region rows",
+    "q_negative_sampling_table": "top-V TakeOrdered sampling table (V=40)",
 }
 
 
