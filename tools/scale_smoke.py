@@ -113,6 +113,12 @@ HEAVY = [
     "q_markov_entropy_rate",
     "q_price_index",
     "q_theil_sen",
+    # round-9 batch 7: stitched Wasserstein CDF pass, md5 gram-df join,
+    # vocab-grain log-odds, FD quantile stitch + bin pass
+    "q_wasserstein_1d",
+    "q_trigram_support",
+    "q_log_odds_monroe",
+    "q_fd_histogram",
 ]
 
 #: per-table key columns to offset so replicas don't collide
