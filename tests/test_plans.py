@@ -1157,6 +1157,40 @@ def test_round9f_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_gumbel_topk_sample", 1),   # scan + TakeOrdered + lang rollup
+        ("q_k_anonymity", 2),          # class sizes + segment rollup
+        ("q_oov_rate", 2),             # vocab dedup + membership join
+        ("q_peak_detection", 2),       # day rollup + per-series windows
+        ("q_recenter_l2", 3),          # dim centroid + per-vec + label rollup
+        ("q_pvm_decomposition", 5),    # (part,year) agg + full-outer self-join
+    ],
+)
+def test_round9g_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # vocab/user-grain aggregates re-printed per consumer branch in
+        # the static plan; AQE exchange reuse collapses them at runtime
+        ("q_kneser_ney_bigram", 7),
+        ("q_jl_projection", 8),
+        ("q_event_cooccurrence", 9),
+        ("q_mad_normalize", 17),       # two stitched quantile passes
+    ],
+)
+def test_round9g_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_trigram_support_shuffles_only_hashes(spark):
     """The gram text must be md5-hashed in the same projection that
     explodes it — only 32-hex keys may cross the exchange (the
