@@ -30,3 +30,16 @@ def knuth_bucket(key: Column | str, m: int) -> Column:
     key = F.col(key) if isinstance(key, str) else key
     wide = key.cast("decimal(38,0)") * F.lit(KNUTH)
     return F.pmod(F.pmod(wide, F.lit(2**32)), F.lit(m)).cast("long")
+
+
+def knuth_top_bit(key: Column | str) -> Column:
+    """The TOP bit of ``(key * KNUTH) % 2^32`` as 0/1 — the
+    well-mixed bit of a multiplicative hash. ``knuth_bucket(key, 2)``
+    is the BOTTOM bit, which a multiply-mod-2^32 by an odd constant
+    leaves equal to the key's own parity (useless as a pseudo-random
+    sign; it burned q_jl_projection's sign matrix down to rank 1
+    before this helper existed). Oracle-side equivalent:
+    ``((CAST(key AS HUGEINT) * KNUTH) % 4294967296) // 2147483648``."""
+    key = F.col(key) if isinstance(key, str) else key
+    wide = key.cast("decimal(38,0)") * F.lit(KNUTH)
+    return (F.pmod(wide, F.lit(2**32)) / F.lit(2**31)).cast("long")

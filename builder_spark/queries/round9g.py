@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
-from builder_spark.functions.hashing import KNUTH, knuth_bucket
+from builder_spark.functions.hashing import KNUTH, knuth_bucket, knuth_top_bit
 from builder_spark.registry import register
 
 _OC = "CAST(round(o_totalprice * 100) AS BIGINT)"
@@ -287,8 +287,9 @@ _JL_OUT = 8  # target dimensionality
         ),
         proj AS (
             SELECT label, j,
-                   CAST(sum(CASE WHEN (CAST(dim * {_JL_OUT} + j AS HUGEINT)
-                                       * {KNUTH}) % 4294967296 % 2 = 0
+                   CAST(sum(CASE WHEN ((CAST(dim * {_JL_OUT} + j AS HUGEINT)
+                                        * {KNUTH}) % 4294967296)
+                                       // 2147483648 = 0
                             THEN cq ELSE -cq END) AS BIGINT) AS y
             FROM cent, unnest(range(0, {_JL_OUT})) t(j)
             GROUP BY label, j
@@ -316,8 +317,10 @@ _JL_OUT = 8  # target dimensionality
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss sketch audit: project the 10 label
     centroids from 64 to 8 dims with a deterministic ±1 sign matrix
-    (sign = Knuth hash of the (dim, out-dim) cell — recomputable on
-    any engine, no RNG), and report per-pair distance distortion
+    (sign = the TOP bit of the Knuth hash of the (dim, out-dim) cell
+    — the well-mixed bit; the bottom bit is just the cell's parity
+    and collapses the matrix to rank 1 — recomputable on any engine,
+    no RNG), and report per-pair distance distortion
     √(‖y_a−y_b‖²/k)/‖c_a−c_b‖ — the empirical check on the JL promise
     (distortion ≈ 1 ± ε) that decides whether a cheap sketched index
     is safe for this embedding space.
@@ -340,7 +343,7 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "j",
         F.when(
-            knuth_bucket(F.col("dim") * _JL_OUT + F.col("j"), 2) == 0, F.col("cq")
+            knuth_top_bit(F.col("dim") * _JL_OUT + F.col("j")) == 0, F.col("cq")
         )
         .otherwise(-F.col("cq"))
         .alias("term"),

@@ -119,6 +119,14 @@ HEAVY = [
     "q_trigram_support",
     "q_log_odds_monroe",
     "q_fd_histogram",
+    # round-9 batch 8: part-grain full-outer PVM, double stitched MAD,
+    # vocab-grain KN bigram joins, user-grain co-occurrence pairs,
+    # posexplode recentering norms
+    "q_pvm_decomposition",
+    "q_mad_normalize",
+    "q_kneser_ney_bigram",
+    "q_event_cooccurrence",
+    "q_recenter_l2",
 ]
 
 #: per-table key columns to offset so replicas don't collide
