@@ -1191,6 +1191,34 @@ def test_round9g_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_signbit_density", 1),      # one (dim) agg + TakeOrdered
+        ("q_icc_orders", 2),           # per-customer agg + 1-row rollup
+        ("q_chao1_unseen", 2),         # vocab agg + lang rollup
+        ("q_cross_correlation", 2),    # day rollup + ONE window pass
+        ("q_prefix_completions", 2),   # vocab agg + prefix windows
+        ("q_sax_symbols", 4),          # day rollup + moments + motif windows
+        ("q_churn_hazard", 4),         # tenure agg -> histogram -> spine join
+        ("q_hash_uniformity", 4),      # bucket count + 1-row broadcast
+        ("q_mus_sample", 5),           # stitched cumsum + broadcast total
+        ("q_seasonality_strength", 5), # day rollup + dow rollup + raw SS
+    ],
+)
+def test_round9h_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_churn_hazard_spine_joins_histogram_not_users(spark):
+    """The week spine must join the bounded tenure HISTOGRAM (broadcast),
+    never per-user rows — the life-table scale discipline."""
+    df = REGISTRY["q_churn_hazard"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
 def test_trigram_support_shuffles_only_hashes(spark):
     """The gram text must be md5-hashed in the same projection that
     explodes it — only 32-hex keys may cross the exchange (the
