@@ -127,6 +127,13 @@ HEAVY = [
     "q_kneser_ney_bigram",
     "q_event_cooccurrence",
     "q_recenter_l2",
+    # round-9 batch 9: stitched MUS cumsum, per-customer ICC moments,
+    # vocab-grain Chao1, prefix windows, SAX motif windows
+    "q_mus_sample",
+    "q_icc_orders",
+    "q_chao1_unseen",
+    "q_prefix_completions",
+    "q_sax_symbols",
 ]
 
 #: per-table key columns to offset so replicas don't collide
