@@ -1212,6 +1212,50 @@ def test_round9h_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_price_dispersion", 1),       # one part-grain agg + TakeOrdered
+        ("q_dim_correlation", 1),        # vec-local slice join + pair agg
+        ("q_nb_overdispersion", 2),      # (user,type) agg + type rollup
+        ("q_er_blocking", 2),            # block agg + 1-row rollup
+        ("q_record_runs", 2),            # day rollup + per-series window
+        ("q_user_features", 3),          # ONE per-user shuffle + max(ts) bcast
+        ("q_delta_contribution", 6),     # seg-year agg re-printed for total
+    ],
+)
+def test_round9i_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # stitched/vocab aggregates re-printed per consumer branch in
+        # the static plan; AQE exchange reuse collapses them at runtime
+        ("q_shift_function", 8),
+        ("q_wilcoxon_signed_rank", 10),
+        ("q_cms_width_sweep", 10),
+    ],
+)
+def test_round9i_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_dim_correlation_no_row_by_row_join(spark):
+    """The dim-pair grid must come from the constant 16-slice
+    equi-join on vec_id — never a vector×vector product."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_dim_correlation"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_churn_hazard_spine_joins_histogram_not_users(spark):
     """The week spine must join the bounded tenure HISTOGRAM (broadcast),
     never per-user rows — the life-table scale discipline."""

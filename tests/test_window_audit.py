@@ -56,6 +56,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_friedman_test": "calendar-bounded month x region grid + 5 region rows",
     "q_negative_sampling_table": "top-V TakeOrdered sampling table (V=40)",
     "q_cross_correlation": "day table (calendar-bounded)",
+    "q_delta_contribution": "5 market-segment rows",
 }
 
 
