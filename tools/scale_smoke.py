@@ -134,6 +134,13 @@ HEAVY = [
     "q_chao1_unseen",
     "q_prefix_completions",
     "q_sax_symbols",
+    # round-9 batch 10: stitched signed-rank, vocab-grain CMS cells,
+    # two-group stitched deciles, 16-slice dim-pair join, part-grain CV
+    "q_wilcoxon_signed_rank",
+    "q_cms_width_sweep",
+    "q_shift_function",
+    "q_dim_correlation",
+    "q_price_dispersion",
 ]
 
 #: per-table key columns to offset so replicas don't collide
