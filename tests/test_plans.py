@@ -1246,6 +1246,53 @@ def test_round9i_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_mattr_diversity", 1),       # per-row folds + lang rollup
+        ("q_hhi_concentration", 2),     # cust agg + segment rollup
+        ("q_topk_drift", 2),            # two TakeOrdered boards
+        ("q_budget_selection", 4),      # stitched token cumsum
+        ("q_degree_assortativity", 6),  # edge dedup + two degree joins
+        ("q_posting_stats", 6),         # df agg + count-of-counts + cumsum
+        ("q_retention_halflife", 6),    # first-week agg + curve + fit
+        ("q_qini_uplift", 7),           # user agg + stitched quintiles
+    ],
+)
+def test_round9j_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # stitched value-grain aggregates re-printed per consumer
+        # branch; AQE exchange reuse collapses them at runtime
+        ("q_pca_power_iter", 8),
+        ("q_weighted_percentiles", 8),
+    ],
+)
+def test_round9j_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_pca_power_iter_single_moment_pass(spark):
+    """Both power-iteration rounds must ride windows on ONE covariance
+    grid — the plan may not re-print the fact-grain moment join per
+    round (the join formulation was 27 static exchanges / 5 grid
+    re-prints; the window form is 8 exchanges with the self-join's
+    two sides plus the n_vecs branch as the only posexplode sites)."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_pca_power_iter"].fn(spark, SF_DIR))
+    assert plan.count("posexplode") <= 5
+    assert count_exchanges(REGISTRY["q_pca_power_iter"].fn(spark, SF_DIR)) <= 8
+
+
 def test_dim_correlation_no_row_by_row_join(spark):
     """The dim-pair grid must come from the constant 16-slice
     equi-join on vec_id — never a vector×vector product."""

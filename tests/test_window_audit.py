@@ -57,6 +57,10 @@ BOUNDED_FRAME_WHITELIST = {
     "q_negative_sampling_table": "top-V TakeOrdered sampling table (V=40)",
     "q_cross_correlation": "day table (calendar-bounded)",
     "q_delta_contribution": "5 market-segment rows",
+    "q_qini_uplift": "5 quintile cells",
+    "q_posting_stats": "count-of-counts table (bounded by max df)",
+    "q_topk_drift": "two 10-row leaderboards",
+    "q_pca_power_iter": "16 diagonal covariance rows",
 }
 
 
