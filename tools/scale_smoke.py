@@ -141,6 +141,14 @@ HEAVY = [
     "q_shift_function",
     "q_dim_correlation",
     "q_price_dispersion",
+    # round-9 batch 11: stitched quintile ranks, stitched budget cut,
+    # window-iterated PCA grid, count-of-counts posting stats, per-row
+    # MATTR folds
+    "q_qini_uplift",
+    "q_budget_selection",
+    "q_pca_power_iter",
+    "q_posting_stats",
+    "q_mattr_diversity",
 ]
 
 #: per-table key columns to offset so replicas don't collide
