@@ -1280,6 +1280,35 @@ def test_round9j_shuffle_budget_shared_subtrees(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_token_position_bias", 2),   # vocab top-20 bcast + rollup
+        ("q_var_cvar", 2),              # day rollup + bounded windows
+        ("q_neyman_allocation", 3),     # stratum moments + broadcast total
+        ("q_markov2_memory", 3),        # user lags + trigram grid windows
+        ("q_croston_intermittent", 3),  # (part,day) + part rollup
+        ("q_hurst_exponent", 4),        # day rollup + block windows + fit
+        ("q_sprt_sequential", 4),       # one stitched LLR walk
+        ("q_feature_hashing", 6),       # vocab agg + bucket agg + total
+        ("q_xyz_variability", 6),       # monthly + part moments + total
+        ("q_bloom_fpr_sweep", 8),       # ONE cells projection per frame
+    ],
+)
+def test_round9k_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_bloom_sweep_single_cells_projection(spark):
+    """The (size, hash, position) sweep must explode from ONE
+    projection per frame — the per-(m,i)-branch formulation was 36
+    static exchanges; the cells form is ≤8."""
+    df = REGISTRY["q_bloom_fpr_sweep"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 8
+
+
 def test_pca_power_iter_single_moment_pass(spark):
     """Both power-iteration rounds must ride windows on ONE covariance
     grid — the plan may not re-print the fact-grain moment join per

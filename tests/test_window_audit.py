@@ -61,6 +61,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_posting_stats": "count-of-counts table (bounded by max df)",
     "q_topk_drift": "two 10-row leaderboards",
     "q_pca_power_iter": "16 diagonal covariance rows",
+    "q_markov2_memory": "<=125-cell trigram grid",
+    "q_var_cvar": "day table (calendar-bounded)",
 }
 
 
