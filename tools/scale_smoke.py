@@ -149,6 +149,14 @@ HEAVY = [
     "q_pca_power_iter",
     "q_posting_stats",
     "q_mattr_diversity",
+    # round-9 batch 12: one-projection Bloom cells, stitched SPRT walk,
+    # day-block Hurst windows, vocab-grain feature hashing, top-20
+    # position probes
+    "q_bloom_fpr_sweep",
+    "q_sprt_sequential",
+    "q_hurst_exponent",
+    "q_feature_hashing",
+    "q_token_position_bias",
 ]
 
 #: per-table key columns to offset so replicas don't collide
