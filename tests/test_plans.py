@@ -1301,6 +1301,27 @@ def test_round9k_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_session_gap_sweep", 2),     # ONE user lag + threshold cells
+        ("q_return_rate_trend", 2),     # month rollup + fit
+        ("q_supplier_risk", 3),         # (part,supp) + part rollups
+        ("q_table_checksums", 3),       # one agg per table
+        ("q_price_endings", 3),         # mod-100 domain agg
+        ("q_price_stickiness", 3),      # month rollup + part lag
+        ("q_eb_shrinkage", 3),          # source moments + 1-row scalars
+        ("q_char_bigram_entropy", 4),   # bigram alphabet aggs
+        ("q_source_uniqueness", 4),     # dedup + spread join
+        ("q_competing_risks", 5),       # user windows + cause grid
+    ],
+)
+def test_round9l_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_bloom_sweep_single_cells_projection(spark):
     """The (size, hash, position) sweep must explode from ONE
     projection per frame — the per-(m,i)-branch formulation was 36
