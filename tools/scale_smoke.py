@@ -157,6 +157,13 @@ HEAVY = [
     "q_hurst_exponent",
     "q_feature_hashing",
     "q_token_position_bias",
+    # round-9 batch 13: event-row threshold cells, user-desc rank
+    # windows, char-pair explode, vocab-spread join, part-month lag
+    "q_session_gap_sweep",
+    "q_competing_risks",
+    "q_char_bigram_entropy",
+    "q_source_uniqueness",
+    "q_price_stickiness",
 ]
 
 #: per-table key columns to offset so replicas don't collide
