@@ -1322,6 +1322,27 @@ def test_round9l_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_acceptance_sampling", 1),    # one joined agg
+        ("q_pinball_loss", 2),           # day rollup + lag + cells
+        ("q_mahalanobis_outliers", 3),   # dim moments bcast + vec agg
+        ("q_rank_stability", 3),         # 8x cells + winner windows
+        ("q_fisher_ratio", 4),           # (dim,label) + dim rollup
+        ("q_median_ci", 4),              # one stitched rank pass
+        ("q_nzv_screen", 4),             # 3x stack + value counts
+        ("q_tv_drift", 7),               # midpoint bcast + half grid
+        ("q_importance_weights", 7),     # split bins + share ratios
+        ("q_tail_dependence", 14),       # two stitched q95 probes (AQE reuse)
+    ],
+)
+def test_round9m_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_bloom_sweep_single_cells_projection(spark):
     """The (size, hash, position) sweep must explode from ONE
     projection per frame — the per-(m,i)-branch formulation was 36

@@ -63,6 +63,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_pca_power_iter": "16 diagonal covariance rows",
     "q_markov2_memory": "<=125-cell trigram grid",
     "q_var_cvar": "day table (calendar-bounded)",
+    "q_pinball_loss": "day table (calendar-bounded)",
 }
 
 
