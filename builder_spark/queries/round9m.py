@@ -522,7 +522,8 @@ _RS_REPS = 8
         WITH reps AS (
             SELECT d.source, d.n_chars, r.rep,
                    CAST(((CAST(d.doc_id * {_RS_REPS} + r.rep AS HUGEINT)
-                          * {KNUTH}) % 4294967296) % 4 AS BIGINT) AS w4
+                          * {KNUTH}) % 4294967296) // 1073741824 AS BIGINT)
+                       AS w4
             FROM documents d CROSS JOIN (
                 SELECT unnest(range(0, {_RS_REPS})) AS rep
             ) r
@@ -566,13 +567,13 @@ def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep",
         "source",
         "n_chars",
-        F.pmod(
+        (
             F.pmod(
                 (F.col("doc_id") * _RS_REPS + F.col("rep")).cast("decimal(38,0)")
                 * KNUTH,
                 F.lit(2**32),
-            ),
-            F.lit(4),
+            )
+            / F.lit(2**30)
         )
         .cast("long")
         .alias("w4"),

@@ -164,6 +164,14 @@ HEAVY = [
     "q_char_bigram_entropy",
     "q_source_uniqueness",
     "q_price_stickiness",
+    # round-9 batch 14: whitened per-vector distances, (dim,label)
+    # Fisher cells, stitched median-CI rank pass, 8x bootstrap cells,
+    # two-sided stitched tail quantiles
+    "q_mahalanobis_outliers",
+    "q_fisher_ratio",
+    "q_median_ci",
+    "q_rank_stability",
+    "q_tail_dependence",
 ]
 
 #: per-table key columns to offset so replicas don't collide
