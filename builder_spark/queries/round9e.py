@@ -15,8 +15,8 @@ Design rules (unchanged):
   constant-bounded aggregates (25 nations → ≤300 slope pairs,
   whitelisted);
 - global scalars travel as 1-row broadcast cross joins; the
-  train/control arm assignment reuses the engine-portable Knuth
-  multiplicative hash (`functions/hashing.py`) so any engine can
+  train/control arm assignment reuses the TOP BIT of the engine-portable
+  Knuth multiplicative hash (`functions/hashing.py`) so any engine can
   recompute membership from the key alone.
 """
 
@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
-from builder_spark.functions.hashing import KNUTH, knuth_bucket
+from builder_spark.functions.hashing import KNUTH, knuth_bucket, knuth_top_bit
 from builder_spark.registry import register
 
 _OC = "CAST(round(o_totalprice * 100) AS BIGINT)"
@@ -634,8 +634,8 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH armed AS (
             SELECT c_nationkey AS nk, {_AC} AS cents,
-                   CAST((CAST(c_custkey AS HUGEINT) * {KNUTH})
-                        % 4294967296 % 2 AS INT) AS arm
+                   CAST(((CAST(c_custkey AS HUGEINT) * {KNUTH})
+                         % 4294967296) // 2147483648 AS INT) AS arm
             FROM customer
         ),
         per AS (
@@ -681,7 +681,7 @@ def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     armed = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nk"),
         F.expr(_AC).alias("cents"),
-        knuth_bucket("c_custkey", 2).cast("int").alias("arm"),
+        knuth_top_bit("c_custkey").cast("int").alias("arm"),
     )
     per = armed.groupBy("nk").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),

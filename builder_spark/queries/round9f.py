@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
-from builder_spark.functions.hashing import KNUTH, knuth_bucket
+from builder_spark.functions.hashing import KNUTH, knuth_bucket, knuth_top_bit
 from builder_spark.operators.partitioning import stitched_running
 from builder_spark.registry import register
 
@@ -689,8 +689,8 @@ def q_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH armed AS (
             SELECT n_name,
-                   CAST((CAST(c_custkey AS HUGEINT) * {KNUTH})
-                        % 4294967296 % 2 AS INT) AS arm
+                   CAST(((CAST(c_custkey AS HUGEINT) * {KNUTH})
+                         % 4294967296) // 2147483648 AS INT) AS arm
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         ),
         per AS (
@@ -720,7 +720,7 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; χ² and the flag are identical integer-derived expressions —
     the flag compares integer-exact quantities and cannot flip."""
     c = load_table(spark, sf_dir, "customer").select(
-        "c_nationkey", knuth_bucket("c_custkey", 2).cast("int").alias("arm")
+        "c_nationkey", knuth_top_bit("c_custkey").cast("int").alias("arm")
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per = (
