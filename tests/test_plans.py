@@ -1343,6 +1343,27 @@ def test_round9m_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_mse_decomposition", 2),      # day rollup + lag + one pass
+        ("q_gumbel_maxima", 3),          # day -> month-max -> fit
+        ("q_mmd_linear", 3),             # (grp,dim) sums + dim join
+        ("q_fano_factor", 3),            # two calendar rollups unioned
+        ("q_cv_fold_audit", 4),          # fold moments + 1-row total
+        ("q_dup_mass_extrapolation", 4), # two distinct-count branches
+        ("q_lognormal_fit", 5),          # log moments + stitched quantiles
+        ("q_gate_ablation", 5),          # ONE flag pass fanned to 5 rows
+        ("q_capture_recapture", 5),      # (user,occasion) dedup + truth
+        ("q_conformal_interval", 14),    # stitched residual q95 (AQE reuse)
+    ],
+)
+def test_round9n_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_bloom_sweep_single_cells_projection(spark):
     """The (size, hash, position) sweep must explode from ONE
     projection per frame — the per-(m,i)-branch formulation was 36

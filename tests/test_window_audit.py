@@ -64,6 +64,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_markov2_memory": "<=125-cell trigram grid",
     "q_var_cvar": "day table (calendar-bounded)",
     "q_pinball_loss": "day table (calendar-bounded)",
+    "q_mse_decomposition": "day table (calendar-bounded)",
 }
 
 
