@@ -172,6 +172,14 @@ HEAVY = [
     "q_median_ci",
     "q_rank_stability",
     "q_tail_dependence",
+    # round-9 batch 15: stitched lognormal probes, quantized MMD sums,
+    # stitched conformal residual quantile, md5 dup extrapolation,
+    # fold-hash audit
+    "q_lognormal_fit",
+    "q_mmd_linear",
+    "q_conformal_interval",
+    "q_dup_mass_extrapolation",
+    "q_cv_fold_audit",
 ]
 
 #: per-table key columns to offset so replicas don't collide
