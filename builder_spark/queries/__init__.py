@@ -61,3 +61,4 @@ from builder_spark.queries import round9k  # noqa: E402,F401
 from builder_spark.queries import round9l  # noqa: E402,F401
 from builder_spark.queries import round9m  # noqa: E402,F401
 from builder_spark.queries import round9n  # noqa: E402,F401
+from builder_spark.queries import round9o  # noqa: E402,F401

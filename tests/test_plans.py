@@ -1364,6 +1364,21 @@ def test_round9n_shuffle_budget(spark, name, max_exchanges):
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_forecast_combo", 2),     # day rollup + ONE lag pass
+        ("q_peak_day_alignment", 5), # 35-cell grid + argmax rank
+        ("q_decile_migration", 11),  # two stitched year-decile branches
+        ("q_absorbing_time", 14),    # 4 broadcast rounds vs the 25-cell grid
+    ],
+)
+def test_round9o_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
 def test_bloom_sweep_single_cells_projection(spark):
     """The (size, hash, position) sweep must explode from ONE
     projection per frame — the per-(m,i)-branch formulation was 36

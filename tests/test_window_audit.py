@@ -65,6 +65,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_var_cvar": "day table (calendar-bounded)",
     "q_pinball_loss": "day table (calendar-bounded)",
     "q_mse_decomposition": "day table (calendar-bounded)",
+    "q_forecast_combo": "day table (calendar-bounded)",
 }
 
 
