@@ -180,6 +180,10 @@ HEAVY = [
     "q_conformal_interval",
     "q_dup_mass_extrapolation",
     "q_cv_fold_audit",
+    # round-9 batch 16: stitched two-year decile ranks, 4-round
+    # broadcast value iteration over the transition grid
+    "q_decile_migration",
+    "q_absorbing_time",
 ]
 
 #: per-table key columns to offset so replicas don't collide
