@@ -74,8 +74,10 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag-sum labels groups without any self-join.
 
     Exactness: all arithmetic is integer microseconds (``unix_micros``
-    / ``epoch_us`` agree exactly; 300s = 3e8 µs), so covered_sec is an
-    exact integer on both engines. Scale: both windows partition on
+    / ``epoch_us`` agree exactly; 300s = 3e8 µs), and covered_sec uses
+    integer floor-division (``div``) end-to-end — same semantics as the
+    oracle's ``//``, no double rounding in the path at any magnitude.
+    Scale: both windows partition on
     user_id — per-user event streams, never a global sort; the merge
     is two map-side-combinable groupBys."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -104,9 +106,7 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_merged"),
-        (F.sum(F.col("me") - F.col("ms")) / F.lit(1000000))
-        .cast("bigint")
-        .alias("covered_sec"),
+        F.expr("sum(me - ms) div 1000000").cast("bigint").alias("covered_sec"),
     )
 
 
