@@ -62,3 +62,4 @@ from builder_spark.queries import round9l  # noqa: E402,F401
 from builder_spark.queries import round9m  # noqa: E402,F401
 from builder_spark.queries import round9n  # noqa: E402,F401
 from builder_spark.queries import round9o  # noqa: E402,F401
+from builder_spark.queries import round10  # noqa: E402,F401

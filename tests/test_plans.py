@@ -1439,3 +1439,38 @@ def test_theil_sen_pairs_join_is_broadcast(spark):
 def test_smd_balance_dim_join_is_broadcast(spark):
     df = REGISTRY["q_smd_balance"].fn(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+# --- round-10 batch 1 -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # static plans re-print shared tiny-aggregate subtrees once per
+        # consumer branch; AQE stage reuse collapses them at runtime
+        ("q_cliffs_delta", 4),          # (flag,qty) cell agg re-printed per pair side + pair rollup
+        ("q_brier_decomposition", 5),   # fact projection feeds bins + raw; 10-bin rollup + 1-row total
+        ("q_h_index", 3),               # (source,n_chars) cell agg + grid window + source rollup
+        ("q_spectral_entropy", 10),     # day rollup re-printed (anchor/idx) + k-grid agg + 1-row total/shares
+    ],
+)
+def test_round10_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_cliffs_delta_pair_grid_is_broadcast(spark):
+    """Dominance pairs multiply cell COUNTS over the broadcast 150-cell
+    grid — fact rows must never pair (the all-pairs scale killer this
+    query's value-grain collapse exists to avoid)."""
+    df = REGISTRY["q_cliffs_delta"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_spectral_entropy_freq_grid_is_broadcast(spark):
+    """The DFT grid join must broadcast the 14-row frequency table onto
+    the day rollup, not shuffle either side."""
+    df = REGISTRY["q_spectral_entropy"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)

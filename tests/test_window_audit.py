@@ -66,6 +66,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_pinball_loss": "day table (calendar-bounded)",
     "q_mse_decomposition": "day table (calendar-bounded)",
     "q_forecast_combo": "day table (calendar-bounded)",
+    "q_spectral_entropy": "14-row frequency grid (constant-bounded)",
 }
 
 
@@ -88,6 +89,7 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_quantile_normalize": "length-grain aggregate (bounded by distinct lengths)",
     "q_runs_test": "daily rollup (regions x days)",
     "q_permutation_entropy": "daily rollup (regions x days)",
+    "q_h_index": "source x distinct-n_chars cell grid (char-length value domain, not doc grain)",
 }
 
 
@@ -98,11 +100,11 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 39, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 40, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
-    assert len(LOW_CARD_WINDOW_WHITELIST) == 13, (
+    assert len(LOW_CARD_WINDOW_WHITELIST) == 14, (
         "LOW_CARD_WINDOW_WHITELIST size changed — bump deliberately"
     )
     assert len(BUFFERING_PERCENTILE_WHITELIST) == 1, (
