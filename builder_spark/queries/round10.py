@@ -364,3 +364,425 @@ def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spectral_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS influence diagnostics — Cook's distance
+
+
+@register(
+    "q_cooks_distance",
+    oracle="""
+        WITH pts AS (
+            SELECT c.c_nationkey AS nk,
+                   avg(c.c_acctbal) AS x, avg(o.o_totalprice) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        ),
+        fit AS (
+            SELECT count(*) AS n, avg(x) AS xbar, avg(y) AS ybar,
+                   sum(x * x) - count(*) * avg(x) * avg(x) AS sxx,
+                   sum(x * y) - count(*) * avg(x) * avg(y) AS sxy
+            FROM pts
+        ),
+        resid AS (
+            SELECT p.nk, p.x, p.y, f.n,
+                   p.y - (f.ybar + (f.sxy / f.sxx) * (p.x - f.xbar)) AS e,
+                   1.0 / f.n + (p.x - f.xbar) * (p.x - f.xbar) / f.sxx AS h
+            FROM pts p, fit f
+        ),
+        s2 AS (SELECT sum(e * e) / (max(n) - 2) AS s2 FROM resid)
+        SELECT n.n_name AS nation,
+               round(r.h, 4) AS leverage,
+               round(r.e / sqrt(s.s2 * (1 - r.h)), 4) AS std_resid,
+               round(r.e * r.e * r.h / (2 * s.s2 * (1 - r.h) * (1 - r.h)),
+                     4) AS cooks_d,
+               CAST(CASE WHEN round(r.e * r.e * r.h
+                                    / (2 * s.s2 * (1 - r.h) * (1 - r.h)), 4)
+                              > 4.0 / r.n THEN 1 ELSE 0 END AS INT) AS influential
+        FROM resid r, s2 s JOIN nation n ON r.nk = n.n_nationkey
+        ORDER BY nation
+    """,
+    category="analytics",
+)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance — per-point influence on the OLS fit of mean
+    order value on mean account balance across nations: leverage
+    hᵢ = 1/n + (xᵢ−x̄)²/Sxx, studentized residual eᵢ/√(s²(1−hᵢ)), and
+    Dᵢ = eᵢ²hᵢ / (p·s²(1−hᵢ)²) with p = 2, flagged at the 4/n rule of
+    thumb. The diagnostics companion to q_regression /
+    q_multi_regression: not "what is the fit" but "which point owns
+    it".
+
+    One fact-join pass collapses orders×customer to the 25-nation
+    point set; the fit, residuals, leverage and D are pure algebra
+    over those 25 rows (1-row moment aggregate broadcast back). The
+    influential flag compares the ROUNDED D so the cross-engine
+    verdict is summation-order-proof."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.avg("c_acctbal").alias("x"), F.avg("o_totalprice").alias("y"))
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        (F.sum(F.col("x") * F.col("x"))
+         - F.count(F.lit(1)) * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("x") * F.col("y"))
+         - F.count(F.lit(1)) * F.avg("x") * F.avg("y")).alias("sxy"),
+    )
+    resid = pts.crossJoin(F.broadcast(fit)).select(
+        "nk",
+        "n",
+        (
+            F.col("y")
+            - (F.col("ybar") + (F.col("sxy") / F.col("sxx")) * (F.col("x") - F.col("xbar")))
+        ).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x") - F.col("xbar")) ** 2 / F.col("sxx")
+        ).alias("h"),
+    )
+    s2 = resid.agg((F.sum(F.col("e") ** 2) / (F.max("n") - 2)).alias("s2"))
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d_expr = (
+        F.col("e") ** 2 * F.col("h")
+        / (2 * F.col("s2") * (1 - F.col("h")) ** 2)
+    )
+    return (
+        resid.crossJoin(F.broadcast(s2))
+        .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round("h", 4).alias("leverage"),
+            F.round(
+                F.col("e") / F.sqrt(F.col("s2") * (1 - F.col("h"))), 4
+            ).alias("std_resid"),
+            F.round(d_expr, 4).alias("cooks_d"),
+            F.when(F.round(d_expr, 4) > 4.0 / F.col("n"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("influential"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+        ),
+        durs AS (
+            SELECT CASE WHEN nxt IS NULL
+                        THEN ((SELECT max(epoch_us(ts)) FROM events) - us)
+                        ELSE (nxt - us) END // 3600000000 AS t,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+            FROM g
+        ),
+        hour AS (
+            SELECT t, CAST(sum(observed) AS BIGINT) AS d, count(*) AS c
+            FROM durs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST((SELECT count(*) FROM durs)
+                        - coalesce(sum(c) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM hour
+        )
+        SELECT t, n_risk, d,
+               round(sum(d * 1.0 / n_risk)
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     4) AS na_cumhaz,
+               round(exp(-sum(d * 1.0 / n_risk)
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                     4) AS fh_survival
+        FROM risk WHERE d > 0
+    """,
+    category="analytics",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    on the same right-censored inter-event gap-hour table as
+    q_survival_km (last gap per user censored at observation end), plus
+    the Fleming–Harrington survival exp(−Ĥ) — the small-risk-set-robust
+    alternative to the KM product (FH ≥ KM everywhere; they converge as
+    nᵢ grows). Hazard, not survival, is what capacity planning reads.
+
+    Same scale shape as KM: per-user lead windows (user-partitioned),
+    facts collapse to the calendar-bounded gap-hour table, and the one
+    empty-frame cumulative runs over that bounded grain (whitelisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    )
+    end = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("end_us"))
+    durs = g.crossJoin(F.broadcast(end)).select(
+        (
+            F.when(F.col("nxt").isNull(), F.col("end_us") - F.col("us"))
+            .otherwise(F.col("nxt") - F.col("us"))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    hour = durs.groupBy("t").agg(
+        F.sum("observed").cast("bigint").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    tot = durs.agg(F.count(F.lit(1)).alias("n_tot"))
+    # gap-hour table (calendar-bounded) — whitelisted empty-frame windows
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = hour.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n_tot") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    haz = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(w_run)
+    return risk.select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(haz, 4).alias("na_cumhaz"),
+        F.round(F.exp(-haz), 4).alias("fh_survival"),
+    ).filter(F.col("d") > 0)
+
+
+# ---------------------------------------------------------------------------
+# geometric median (Weiszfeld, fixed iterations)
+
+
+_WEISZFELD_ROUNDS = 3
+
+
+def _gm_step(proj: DataFrame, m: DataFrame) -> DataFrame:
+    """One Weiszfeld update: m' = Σ(x/d)/Σ(1/d), d = ‖x − m‖ (guarded).
+    The 10-row iterate broadcasts; the point set is scanned once per
+    round — O(rounds) passes, never a pairwise anything."""
+    d = F.greatest(
+        F.sqrt((F.col("e0") - F.col("mx")) ** 2 + (F.col("e1") - F.col("my")) ** 2),
+        F.lit(1e-12),
+    )
+    return (
+        proj.join(F.broadcast(m), "label")
+        .groupBy("label")
+        .agg(
+            (F.sum(F.col("e0") / d) / F.sum(1.0 / d)).alias("mx"),
+            (F.sum(F.col("e1") / d) / F.sum(1.0 / d)).alias("my"),
+        )
+    )
+
+
+@register(
+    "q_geometric_median",
+    oracle="""
+        WITH proj AS (
+            SELECT label, CAST(embedding[1] AS DOUBLE) AS e0,
+                   CAST(embedding[2] AS DOUBLE) AS e1
+            FROM embeddings
+        ),
+        m0 AS (SELECT label, avg(e0) AS mx, avg(e1) AS my FROM proj GROUP BY label),
+        m1 AS (
+            SELECT p.label,
+                   sum(e0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS mx,
+                   sum(e1 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS my
+            FROM proj p JOIN m0 USING (label) GROUP BY p.label
+        ),
+        m2 AS (
+            SELECT p.label,
+                   sum(e0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS mx,
+                   sum(e1 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS my
+            FROM proj p JOIN m1 USING (label) GROUP BY p.label
+        ),
+        m3 AS (
+            SELECT p.label,
+                   sum(e0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS mx,
+                   sum(e1 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12))
+                   / sum(1.0 / greatest(sqrt((e0-mx)*(e0-mx)+(e1-my)*(e1-my)), 1e-12)) AS my
+            FROM proj p JOIN m2 USING (label) GROUP BY p.label
+        ),
+        cost AS (
+            SELECT p.label,
+                   avg(sqrt((e0-c.mx)*(e0-c.mx)+(e1-c.my)*(e1-c.my))) AS cost_mean,
+                   avg(sqrt((e0-g.mx)*(e0-g.mx)+(e1-g.my)*(e1-g.my))) AS cost_gm
+            FROM proj p JOIN m0 c USING (label) JOIN m3 g USING (label)
+            GROUP BY p.label
+        )
+        SELECT g.label, round(g.mx, 4) AS gm_x, round(g.my, 4) AS gm_y,
+               round(c.cost_mean, 4) AS cost_mean, round(c.cost_gm, 4) AS cost_gm
+        FROM m3 g JOIN cost c USING (label) ORDER BY g.label
+    """,
+    category="llm-similarity",
+)
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric (L1/spatial) median per label over the first two
+    embedding dimensions — 3 fixed Weiszfeld iterations seeded at the
+    centroid, plus the mean-distance cost of centroid vs median (the
+    median never loses; the gap measures outlier pull). The robust
+    companion to q_label_centroids: centroids move with outliers, the
+    geometric median doesn't — which is why robust-aggregation
+    pipelines (federated averaging, poisoning defense) use it.
+
+    Fixed-round iteration with a broadcast 10-row iterate per round:
+    the point set is scanned O(rounds) times, nothing is collected,
+    and every round is one join + one combinable aggregate. Identical
+    guarded-division formula on both engines; outputs rounded once."""
+    proj = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.col("embedding").getItem(0).cast("double").alias("e0"),
+        F.col("embedding").getItem(1).cast("double").alias("e1"),
+    )
+    m0 = proj.groupBy("label").agg(F.avg("e0").alias("mx"), F.avg("e1").alias("my"))
+    m = m0
+    for _ in range(_WEISZFELD_ROUNDS):
+        m = _gm_step(proj, m)
+    c = m0.select("label", F.col("mx").alias("cx"), F.col("my").alias("cy"))
+    g = m.select("label", F.col("mx").alias("gx"), F.col("my").alias("gy"))
+    cost = (
+        proj.join(F.broadcast(c), "label")
+        .join(F.broadcast(g), "label")
+        .groupBy("label")
+        .agg(
+            F.avg(
+                F.sqrt((F.col("e0") - F.col("cx")) ** 2 + (F.col("e1") - F.col("cy")) ** 2)
+            ).alias("cost_mean"),
+            F.avg(
+                F.sqrt((F.col("e0") - F.col("gx")) ** 2 + (F.col("e1") - F.col("gy")) ** 2)
+            ).alias("cost_gm"),
+        )
+    )
+    return (
+        g.join(cost, "label")
+        .select(
+            "label",
+            F.round("gx", 4).alias("gm_x"),
+            F.round("gy", 4).alias("gm_y"),
+            F.round("cost_mean", 4).alias("cost_mean"),
+            F.round("cost_gm", 4).alias("cost_gm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# decision-stump best split (weighted Gini)
+
+
+_STUMP_GRID = [50000 * i for i in range(1, 11)]
+
+
+@register(
+    "q_best_split_stump",
+    oracle=f"""
+        WITH f AS (
+            SELECT o_totalprice AS x,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        grid AS (SELECT unnest({_STUMP_GRID}) AS thr),
+        cells AS (
+            SELECT thr,
+                   sum(CASE WHEN x <= thr THEN 1 ELSE 0 END) AS nl,
+                   sum(CASE WHEN x <= thr THEN y ELSE 0 END) AS pl,
+                   sum(CASE WHEN x > thr THEN 1 ELSE 0 END) AS nr,
+                   sum(CASE WHEN x > thr THEN y ELSE 0 END) AS pr
+            FROM f, grid GROUP BY thr
+        ),
+        gini AS (
+            SELECT thr, CAST(nl AS BIGINT) AS n_left,
+                   round(pl * 1.0 / greatest(nl, 1), 4) AS pos_rate_left,
+                   round((nl * (2.0 * (pl * 1.0 / greatest(nl, 1))
+                                * (1 - pl * 1.0 / greatest(nl, 1)))
+                          + nr * (2.0 * (pr * 1.0 / greatest(nr, 1))
+                                  * (1 - pr * 1.0 / greatest(nr, 1))))
+                         / (nl + nr), 6) AS g6
+            FROM cells
+        ),
+        best AS (SELECT min(g6) AS gmin FROM gini)
+        SELECT g.thr AS threshold, g.n_left, g.pos_rate_left,
+               round(g.g6, 4) AS gini_split,
+               CAST(CASE WHEN g.g6 = b.gmin THEN 1 ELSE 0 END AS INT) AS is_best
+        FROM gini g, best b ORDER BY g.thr
+    """,
+    category="analytics",
+)
+def q_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump search: weighted binary Gini impurity of the
+    split "order price ≤ t" against the is-urgent label over a fixed
+    threshold grid, with the argmin flagged — the inner loop of every
+    tree learner, run once as a query. Gini = 2p(1−p) per side,
+    weighted by side mass.
+
+    The sweep is CELLS from one projection (SCALE.md trap 9): the fact
+    pass crosses the broadcast 10-row grid and every per-threshold
+    count is a combinable conditional sum in ONE aggregate — 10
+    thresholds cost one exchange, not 10 plan branches. The argmin
+    compares 6-dp-rounded impurity so the flag is order-proof."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.createDataFrame([(t,) for t in _STUMP_GRID], "thr int")
+    cells = (
+        f.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0)).alias("pl"),
+            F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("x") > F.col("thr"), F.col("y")).otherwise(0)).alias("pr"),
+        )
+    )
+    p_l = F.col("pl") * 1.0 / F.greatest(F.col("nl"), F.lit(1))
+    p_r = F.col("pr") * 1.0 / F.greatest(F.col("nr"), F.lit(1))
+    gini = cells.select(
+        "thr",
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.round(p_l, 4).alias("pos_rate_left"),
+        F.round(
+            (F.col("nl") * (2.0 * p_l * (1 - p_l)) + F.col("nr") * (2.0 * p_r * (1 - p_r)))
+            / (F.col("nl") + F.col("nr")),
+            6,
+        ).alias("g6"),
+    )
+    best = gini.agg(F.min("g6").alias("gmin"))
+    return (
+        gini.crossJoin(F.broadcast(best))
+        .select(
+            F.col("thr").alias("threshold"),
+            "n_left",
+            "pos_rate_left",
+            F.round(F.col("g6"), 4).alias("gini_split"),
+            F.when(F.col("g6") == F.col("gmin"), 1).otherwise(0).cast("int").alias("is_best"),
+        )
+        .orderBy("threshold")
+    )

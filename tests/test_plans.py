@@ -1474,3 +1474,33 @@ def test_spectral_entropy_freq_grid_is_broadcast(spark):
     the day rollup, not shuffle either side."""
     df = REGISTRY["q_spectral_entropy"].fn(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # tiny-aggregate subtrees (pts/fit/iterates) re-printed per
+        # consumer branch in the static plan; AQE collapses at runtime
+        ("q_cooks_distance", 8),       # nation-point agg + fit/s2 one-rows re-printed
+        ("q_nelson_aalen", 6),         # user lead window + gap-hour rollup + 1-row total
+        ("q_geometric_median", 11),    # 3 Weiszfeld rounds x (join+agg) + cost pass
+        ("q_best_split_stump", 4),     # one fact x grid cell agg + 1-row argmin
+    ],
+)
+def test_round10b_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_geometric_median_iterate_is_broadcast(spark):
+    """Each Weiszfeld round must broadcast the 10-row iterate onto the
+    point set — shuffling points per round would be the O(rounds)
+    scale killer."""
+    df = REGISTRY["q_geometric_median"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_best_split_grid_is_broadcast(spark):
+    df = REGISTRY["q_best_split_stump"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
