@@ -786,3 +786,402 @@ def q_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+
+
+@register(
+    "q_rake_keywords",
+    oracle=r"""
+        WITH seg AS (
+            SELECT lang,
+                   trim(unnest(string_split(
+                       regexp_replace(text, '\b\w{1,3}\b', '|', 'g'), '|'))) AS phrase
+            FROM documents
+        ),
+        phrases AS (
+            SELECT lang, phrase, count(*) AS n_occ
+            FROM seg WHERE length(phrase) > 0 GROUP BY lang, phrase
+        ),
+        pw AS (
+            SELECT lang, phrase, unnest(string_split(phrase, ' ')) AS w,
+                   len(string_split(phrase, ' ')) AS plen, n_occ
+            FROM phrases
+        ),
+        ws AS (
+            SELECT lang, w,
+                   sum(n_occ) AS freq, sum(plen * n_occ) AS degree
+            FROM pw GROUP BY lang, w
+        ),
+        scored AS (
+            SELECT p.lang, p.phrase, max(p.n_occ) AS n_occ,
+                   round(sum(ws.degree * 1.0 / ws.freq), 6) AS s6
+            FROM pw p JOIN ws ON p.lang = ws.lang AND p.w = ws.w
+            GROUP BY p.lang, p.phrase
+        )
+        SELECT lang, phrase, CAST(n_occ AS BIGINT) AS n_occ,
+               round(s6, 4) AS rake_score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY s6 DESC, phrase ASC) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """,
+    category="llm-text",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases are
+    maximal runs of content words (here: words longer than 3 chars —
+    the fixture has no stopword list, so short words play the delimiter
+    role), each word scores degree/frequency (degree = summed length of
+    phrases it appears in), and a phrase scores the sum of its member
+    word scores. Top-3 phrases per language. The phrase-level
+    complement to q_tfidf_top_terms' unigram weighting.
+
+    One regexp projection per document → phrase stream; phrases
+    collapse to (lang, phrase) grain BEFORE word explosion, so word
+    scores join a deduped phrase table weighted by n_occ, never the raw
+    instance stream twice. Ranking compares 6-dp-rounded scores (ties
+    break on the phrase) so float summation order can't flip ranks.
+    Per-lang top-3 via grouped_topk two-phase prune."""
+    from builder_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = d.select(
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace("text", r"\b\w{1,3}\b", "|"), r"\|")
+        ).alias("raw_seg"),
+    ).select("lang", F.trim("raw_seg").alias("phrase"))
+    phrases = (
+        seg.filter(F.length("phrase") > 0)
+        .groupBy("lang", "phrase")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    pw = phrases.select(
+        "lang",
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("lang", "w").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("plen") * F.col("n_occ")).alias("degree"),
+    )
+    scored = (
+        pw.join(F.broadcast(ws), ["lang", "w"])
+        .groupBy("lang", "phrase")
+        .agg(
+            F.max("n_occ").alias("n_occ"),
+            F.round(F.sum(F.col("degree") * 1.0 / F.col("freq")), 6).alias("s6"),
+        )
+    )
+    top = grouped_topk(scored, ["lang"], [F.col("s6").desc(), F.col("phrase").asc()], 3)
+    return top.select(
+        "lang",
+        "phrase",
+        F.col("n_occ").cast("bigint").alias("n_occ"),
+        F.round("s6", 4).alias("rake_score"),
+        "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish
+
+
+@register(
+    "q_median_polish",
+    oracle="""
+        WITH grid AS (
+            SELECT r.r_name AS region, month(o.o_orderdate) AS m,
+                   avg(o.o_totalprice) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, month(o.o_orderdate)
+        ),
+        rowe AS (SELECT region, median(v) AS row_eff FROM grid GROUP BY region),
+        r1 AS (
+            SELECT g.region, g.m, g.v - e.row_eff AS resid
+            FROM grid g JOIN rowe e USING (region)
+        ),
+        cole AS (SELECT m, median(resid) AS col_eff FROM r1 GROUP BY m),
+        r2 AS (
+            SELECT r1.region, r1.m, r1.resid - c.col_eff AS resid
+            FROM r1 JOIN cole c USING (m)
+        )
+        SELECT e.region,
+               round(e.row_eff, 4) AS row_effect,
+               round(median(abs(r2.resid)), 4) AS resid_mad,
+               round(max(abs(r2.resid)), 4) AS resid_max
+        FROM r2 JOIN rowe e USING (region)
+        GROUP BY e.region, e.row_eff
+        ORDER BY e.region
+    """,
+    category="analytics",
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish on the region × order-month grid of average
+    order value: one row sweep (subtract region medians) and one column
+    sweep (subtract month medians), reporting each region's effect and
+    the residual MAD/max after both sweeps — the robust two-way-table
+    decomposition (resistant ANOVA) that outliers can't drag the way
+    mean-based effects can.
+
+    Facts collapse to the 5×12 calendar-bounded grid in one pass; both
+    sweeps are group medians over that bounded grid (whitelisted exact
+    percentile — a value→count buffer over ≤12 cells), and every join
+    afterwards is grid-to-effect, broadcast-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.month("o_orderdate").alias("m")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    grid = (
+        o.join(F.broadcast(dim.select("c_custkey", "r_name")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("r_name").alias("region"), "m")
+        .agg(F.avg("o_totalprice").alias("v"))
+    )
+    rowe = grid.groupBy("region").agg(F.median("v").alias("row_eff"))
+    r1 = grid.join(F.broadcast(rowe), "region").select(
+        "region", "m", (F.col("v") - F.col("row_eff")).alias("resid")
+    )
+    cole = r1.groupBy("m").agg(F.median("resid").alias("col_eff"))
+    r2 = r1.join(F.broadcast(cole), "m").select(
+        "region", "m", (F.col("resid") - F.col("col_eff")).alias("resid")
+    )
+    return (
+        r2.join(F.broadcast(rowe), "region")
+        .groupBy("region", "row_eff")
+        .agg(
+            F.round(F.median(F.abs("resid")), 4).alias("resid_mad"),
+            F.round(F.max(F.abs("resid")), 4).alias("resid_max"),
+        )
+        .select(
+            "region",
+            F.round("row_eff", 4).alias("row_effect"),
+            "resid_mad",
+            "resid_max",
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+
+
+@register(
+    "q_clustering_coeff",
+    oracle="""
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        e AS (
+            SELECT a.p_brand AS u, b.p_brand AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING count(*) >= 20
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+              ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tn AS (
+            SELECT node, count(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y AS node FROM tri
+                UNION ALL SELECT z AS node FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node AS brand, CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               round(2.0 * coalesce(t.triangles, 0)
+                     / (d.degree * (d.degree - 1)), 4) AS coeff
+        FROM deg d LEFT JOIN tn t ON d.node = t.node
+        WHERE d.degree >= 2
+        ORDER BY brand
+    """,
+    category="analytics",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the brand co-purchase
+    graph (same edge rule as q_triangle_count: ≥20 co-occurring orders,
+    edges oriented u<v): coeff = 2·triangles / (deg·(deg−1)) — the
+    transitivity profile that separates clique-like communities from
+    star-like hubs. q_triangle_count's global count, localized.
+
+    Triangles enumerate once on the oriented edge list (two vertex
+    equi-joins), then unpivot to their 3 corners and count per node —
+    never a per-node neighborhood materialization. At real graph scale
+    the joins shuffle by vertex key; hub mitigation is the standard
+    low-degree→high-degree orientation noted on q_triangle_count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lp = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("v"))
+    e = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 20)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tn = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("brand"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson–Darling exponential-fit test
+
+
+@register(
+    "q_anderson_darling",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+        ),
+        gaps AS (
+            SELECT (nxt - us) // 1000000 AS t FROM g WHERE nxt IS NOT NULL
+        ),
+        lam AS (SELECT count(*) AS n, 1.0 / avg(t) AS lambda FROM gaps),
+        v AS (SELECT t, count(*) AS c FROM gaps GROUP BY t),
+        r AS (
+            SELECT t, c,
+                   coalesce(sum(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rk
+            FROM v
+        ),
+        terms AS (
+            SELECT l.n, l.lambda,
+                   (2.0 * c * rk + c * c)
+                     * ln(greatest(least(1 - exp(-l.lambda * t),
+                                         1 - 1e-12), 1e-12))
+                   + (2.0 * c * (l.n - rk) - c * c)
+                     * ln(greatest(least(exp(-l.lambda * t),
+                                         1 - 1e-12), 1e-12)) AS w
+            FROM r, lam l
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               round(max(lambda), 6) AS lambda_hat,
+               round(-max(n) - sum(w) / max(n), 4) AS a_squared,
+               CAST(CASE WHEN round(-max(n) - sum(w) / max(n), 4) > 1.321
+                    THEN 1 ELSE 0 END AS INT) AS reject_exponential
+        FROM terms
+    """,
+    category="analytics",
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling goodness-of-fit of the exponential law to
+    inter-event gaps (are arrivals Poisson?): A² = −n − (1/n)·Σ(2i−1)
+    [ln F(x₍ᵢ₎) + ln(1−F(x₍ₙ₊₁₋ᵢ₎))] with F = 1−exp(−λ̂x), λ̂ = 1/mean,
+    compared against Stephens' 5% critical value 1.321 for the
+    estimated-parameter case. The tail-sensitive sibling of q_ks_test
+    (AD weights the tails where exponentiality actually fails).
+
+    The rank-weighted sum collapses to VALUE grain: a run of c ties
+    after rk predecessors contributes (2c·rk + c²)·lnF + (2c(n−rk) −
+    c²)·ln(1−F) in closed form, so the whole statistic is one stitched
+    running count over distinct gap-seconds plus one aggregate — no
+    per-row global rank, no sort. F is clamped to [1e-12, 1−1e-12]
+    identically on both engines before the log."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    )
+    gaps = g.filter(F.col("nxt").isNotNull()).select(
+        ((F.col("nxt") - F.col("us")) / F.lit(1000000)).cast("long").alias("t")
+    )
+    lam = gaps.agg(
+        F.count(F.lit(1)).alias("n"), (1.0 / F.avg("t")).alias("lambda")
+    )
+    v = gaps.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    r = stitched_running(v, ["t"], running={"cum": "c"}).select(
+        "t", "c", (F.col("cum") - F.col("c")).alias("rk")
+    )
+    f_hi = F.greatest(
+        F.least(1 - F.exp(-F.col("lambda") * F.col("t")), F.lit(1 - 1e-12)),
+        F.lit(1e-12),
+    )
+    f_lo = F.greatest(
+        F.least(F.exp(-F.col("lambda") * F.col("t")), F.lit(1 - 1e-12)), F.lit(1e-12)
+    )
+    terms = r.crossJoin(F.broadcast(lam)).select(
+        "n",
+        "lambda",
+        (
+            (2.0 * F.col("c") * F.col("rk") + F.col("c") * F.col("c")) * F.log(f_hi)
+            + (2.0 * F.col("c") * (F.col("n") - F.col("rk")) - F.col("c") * F.col("c"))
+            * F.log(f_lo)
+        ).alias("w"),
+    )
+    a2 = -F.max("n") - F.sum("w") / F.max("n")
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("lambda"), 6).alias("lambda_hat"),
+        F.round(a2, 4).alias("a_squared"),
+        F.when(F.round(a2, 4) > 1.321, 1).otherwise(0).cast("int").alias("reject_exponential"),
+    )

@@ -590,7 +590,9 @@ def test_stitched_running_explicit_boundaries_matches_naive(spark):
         assert want.exceptAll(got).count() == 0
 
 
-@pytest.mark.parametrize("name", ["q_market_basket", "q_triangle_count"])
+@pytest.mark.parametrize(
+    "name", ["q_market_basket", "q_triangle_count", "q_clustering_coeff"]
+)
 def test_pair_graph_joins_are_equi_joins(spark, name):
     """Pair/triangle generation must be keyed equi-joins (per-order or
     per-vertex). The ONE allowed nested-loop join is the deliberate
@@ -1504,3 +1506,22 @@ def test_geometric_median_iterate_is_broadcast(spark):
 def test_best_split_grid_is_broadcast(spark):
     df = REGISTRY["q_best_split_stump"].fn(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_rake_keywords", 5),        # phrase agg + word-stat agg + grouped_topk prune
+        ("q_median_polish", 11),       # fact->grid agg; grid/effect tiny aggs re-printed per sweep
+        # the oriented edge list (lp join + pair agg) is re-printed for
+        # deg + each of the 3 triangle roles in the static plan; every
+        # reprint is an identical subtree AQE stage-reuse collapses at
+        # runtime (same shape as q_triangle_count)
+        ("q_clustering_coeff", 45),
+        ("q_anderson_darling", 10),    # value-grain agg + stitched running machinery
+    ],
+)
+def test_round10c_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

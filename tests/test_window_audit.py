@@ -91,6 +91,7 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_runs_test": "daily rollup (regions x days)",
     "q_permutation_entropy": "daily rollup (regions x days)",
     "q_h_index": "source x distinct-n_chars cell grid (char-length value domain, not doc grain)",
+    "q_rake_keywords": "grouped_topk survivors (<= 3*P per lang)",
 }
 
 
@@ -105,10 +106,10 @@ def test_whitelists_are_ratcheted():
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
-    assert len(LOW_CARD_WINDOW_WHITELIST) == 14, (
+    assert len(LOW_CARD_WINDOW_WHITELIST) == 15, (
         "LOW_CARD_WINDOW_WHITELIST size changed — bump deliberately"
     )
-    assert len(BUFFERING_PERCENTILE_WHITELIST) == 1, (
+    assert len(BUFFERING_PERCENTILE_WHITELIST) == 2, (
         "BUFFERING_PERCENTILE_WHITELIST size changed — bump deliberately"
     )
     for wl in (
@@ -189,6 +190,7 @@ def test_former_offenders_stay_clean(spark, name):
 #: distinct-value count, i.e. the row count for continuous doubles)
 BUFFERING_PERCENTILE_WHITELIST = {
     "q_anomaly_mad": "input is the (type x day) daily rollup (calendar-bounded)",
+    "q_median_polish": "medians over the 5x12 region x month grid (calendar-bounded)",
 }
 
 
