@@ -1185,3 +1185,434 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a2, 4).alias("a_squared"),
         F.when(F.round(a2, 4) > 1.321, 1).otherwise(0).cast("int").alias("reject_exponential"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@register(
+    "q_holt_linear",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY date_trunc('day', ts)
+        ),
+        days AS (
+            SELECT row_number() OVER (ORDER BY d) AS t, y FROM daily
+        ),
+        holt AS (
+            SELECT 1 AS t, d1.y AS y, d1.y AS l,
+                   (SELECT y FROM days WHERE t = 2) - d1.y AS b
+            FROM days d1 WHERE d1.t = 1
+            UNION ALL
+            SELECT d.t, d.y,
+                   {_HOLT_ALPHA} * d.y + (1 - {_HOLT_ALPHA}) * (h.l + h.b),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * d.y
+                                    + (1 - {_HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+                   + (1 - {_HOLT_BETA}) * h.b
+            FROM holt h JOIN days d ON d.t = h.t + 1
+        ),
+        err AS (
+            SELECT cur.y, prev.l + prev.b AS fc
+            FROM holt cur JOIN holt prev ON cur.t = prev.t + 1
+        ),
+        last AS (SELECT l, b FROM holt ORDER BY t DESC LIMIT 1)
+        SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n_days,
+               round((SELECT l FROM last), 4) AS level_end,
+               round((SELECT b FROM last), 4) AS trend_end,
+               round((SELECT l FROM last) + 7 * (SELECT b FROM last), 4)
+                   AS forecast_7d,
+               round(avg(abs(y - fc)), 4) AS mae_one_step
+        FROM err
+    """,
+    category="analytics",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over daily event
+    counts (α=0.3, β=0.1, textbook init l₁=y₁, b₁=y₂−y₁): end-of-series
+    level/trend, the 7-day-ahead forecast l+7b, and one-step-ahead MAE.
+    Completes the forecasting family (q_exp_smoothing = level only,
+    q_seasonal_naive_error / q_forecast_combo = baselines): Holt is the
+    first model that extrapolates a trend.
+
+    The level/trend recursion is a genuinely sequential scan — a
+    coupled linear recurrence no window aggregate expresses — so this
+    is the declared Pandas path: facts collapse to the calendar-bounded
+    day table FIRST (one shuffle), then applyInPandas runs the
+    recursion over that ≤O(days) table in one Arrow batch. The oracle
+    is a recursive CTE running the identical IEEE double recursion, so
+    values match bit-for-bit before the single rounding."""
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].tolist()
+        n = len(y)
+        if n < 2:
+            return pd.DataFrame(
+                {"n_days": [n], "level_end": [float("nan")],
+                 "trend_end": [float("nan")], "forecast_7d": [float("nan")],
+                 "mae_one_step": [float("nan")]}
+            )
+        l, b = y[0], y[1] - y[0]
+        abs_err = []
+        for t in range(1, n):
+            fc = l + b
+            abs_err.append(abs(y[t] - fc))
+            l_new = _HOLT_ALPHA * y[t] + (1 - _HOLT_ALPHA) * (l + b)
+            b = _HOLT_BETA * (l_new - l) + (1 - _HOLT_BETA) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "level_end": [round(l, 4)],
+                "trend_end": [round(b, 4)],
+                "forecast_7d": [round(l + 7 * b, 4)],
+                "mae_one_step": [round(sum(abs_err) / len(abs_err), 4)],
+            }
+        )
+
+    return (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            holt,
+            schema=(
+                "n_days bigint, level_end double, trend_end double, "
+                "forecast_7d double, mae_one_step double"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAV via the minimax formula)
+
+
+@register(
+    "q_isotonic_calibration",
+    oracle="""
+        WITH f AS (
+            SELECT least(CAST(floor((event_id % 1000) / 100) AS INT), 9) AS bin,
+                   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+            FROM events
+        ),
+        bins AS (
+            SELECT bin, count(*) AS nk, avg(o) AS obar FROM f GROUP BY bin
+        ),
+        iv AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   sum(m.nk * m.obar) / sum(m.nk) AS a
+            FROM bins j JOIN bins k ON j.bin <= k.bin
+            JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+            GROUP BY j.bin, k.bin
+        ),
+        inner_min AS (
+            SELECT i.bin AS i, iv.j, min(iv.a) AS mn
+            FROM bins i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+            GROUP BY i.bin, iv.j
+        ),
+        fit AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+        SELECT b.bin, CAST(b.nk AS BIGINT) AS nk,
+               round(b.obar, 4) AS obar,
+               round(f.iso, 4) AS iso_fit,
+               CAST(CASE WHEN round(f.iso, 4)
+                              >= round(lag(f.iso, 1, f.iso)
+                                       OVER (ORDER BY b.bin), 4)
+                    THEN 1 ELSE 0 END AS INT) AS monotone_ok
+        FROM bins b JOIN fit f ON f.i = b.bin
+        ORDER BY b.bin
+    """,
+    category="analytics",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the q_brier_decomposition
+    reliability curve: the weighted isotonic fit of per-bin outcome
+    rates, computed by the exact minimax identity fᵢ = max_{j≤i}
+    min_{k≥i} Ā(j,k) (Ā = weighted mean of bins j..k) — the closed form
+    of pool-adjacent-violators that needs no sequential pooling loop,
+    so it distributes as three bounded joins. Monotonicity of the fit
+    is asserted per row.
+
+    Facts collapse to the 10-bin reliability table once; intervals
+    (≤55), inner minima (≤100 (i,j) pairs) and the outer max are all
+    grid-sized — constant work at any fact scale. The same identity
+    runs verbatim in the oracle."""
+    f = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor((F.col("event_id") % 1000) / 100).cast("int"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("o"),
+    )
+    bins = f.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"), F.avg("o").alias("obar")
+    )
+    bj = bins.select(F.col("bin").alias("j"))
+    bk = bins.select(F.col("bin").alias("k"))
+    bm = bins.select(F.col("bin").alias("m"), "nk", "obar")
+    iv = (
+        bj.join(F.broadcast(bk), F.col("j") <= F.col("k"))
+        .join(F.broadcast(bm), (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum(F.col("nk") * F.col("obar")) / F.sum("nk")).alias("a"))
+    )
+    bi = bins.select(F.col("bin").alias("i"))
+    inner_min = (
+        bi.join(F.broadcast(iv), (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("mn"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("mn").alias("iso"))
+    out = bins.join(F.broadcast(fit), bins.bin == fit.i)
+    w = Window.orderBy("bin")  # 10-bin grid (whitelisted)
+    return (
+        out.select(
+            "bin",
+            F.col("nk").cast("bigint").alias("nk"),
+            F.round("obar", 4).alias("obar"),
+            F.round("iso", 4).alias("iso_fit"),
+        )
+        .withColumn(
+            "monotone_ok",
+            F.when(
+                F.col("iso_fit")
+                >= F.coalesce(F.lag("iso_fit", 1).over(w), F.col("iso_fit")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# newsvendor critical fractile
+
+
+_NV_FRACTILE = 0.75  # cu/(cu+co) with underage twice as costly as overage
+
+
+@register(
+    "q_newsvendor",
+    oracle=f"""
+        WITH cells AS (
+            SELECT p.p_brand AS brand, CAST(l.l_quantity AS INT) AS q,
+                   count(*) AS c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, CAST(l.l_quantity AS INT)
+        ),
+        cum AS (
+            SELECT brand, q, c,
+                   sum(c) OVER (PARTITION BY brand ORDER BY q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cc,
+                   sum(c) OVER (PARTITION BY brand) AS n
+            FROM cells
+        )
+        SELECT brand, CAST(max(n) AS BIGINT) AS n_lines,
+               CAST(min(CASE WHEN cc * 1.0 / n >= {_NV_FRACTILE}
+                        THEN q END) AS INT) AS q_star,
+               round(min(CASE WHEN cc * 1.0 / n >= {_NV_FRACTILE}
+                         THEN cc * 1.0 / n END), 4) AS service_level
+        FROM cum GROUP BY brand ORDER BY brand
+    """,
+    category="analytics",
+)
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking: per brand, the smallest
+    order-up-to quantity q* whose demand CDF reaches cu/(cu+co) = 0.75
+    (underage twice as costly as overage), plus the service level q*
+    actually achieves on the discrete distribution. The inventory-
+    optimization reading of a per-group quantile — the answer is a
+    stock decision, not a statistic.
+
+    Demand collapses to the (brand × quantity) cell grid — both
+    domains enum-bounded (≤25 × ≤50) — and the CDF is one cumulative
+    over that grid (whitelisted low-card window over a bounded
+    aggregate). The fractile pick is an exact integer-count
+    comparison, so cross-engine agreement is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cells = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("l_quantity").cast("int").alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("brand")
+    cum = cells.select(
+        "brand",
+        "q",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    frac = F.col("cc") * 1.0 / F.col("n")
+    return (
+        cum.groupBy("brand")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min(F.when(frac >= _NV_FRACTILE, F.col("q"))).cast("int").alias("q_star"),
+            F.round(F.min(F.when(frac >= _NV_FRACTILE, frac)), 4).alias("service_level"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D two-component Gaussian mixture via unrolled EM
+
+
+_EM_ROUNDS = 3
+_SQRT2PI = 2.5066282746310002
+
+
+def _em_round_sql(prev: str, cur: str) -> str:
+    """One EM round as SQL CTE text (E-step responsibilities in closed
+    form, M-step from sufficient statistics — single pass)."""
+    return f"""
+        {cur}_s AS (
+            SELECT sum(r2) AS s2, sum(r2 * x) AS sx2, sum(r2 * x * x) AS sxx2,
+                   sum(1 - r2) AS s1, sum((1 - r2) * x) AS sx1,
+                   sum((1 - r2) * x * x) AS sxx1, count(*) AS n
+            FROM (
+                SELECT x,
+                       (p.pi2 * exp(-(x - p.mu2) * (x - p.mu2)
+                                    / (2 * p.sg2 * p.sg2)) / p.sg2)
+                       / ((1 - p.pi2) * exp(-(x - p.mu1) * (x - p.mu1)
+                                            / (2 * p.sg1 * p.sg1)) / p.sg1
+                          + p.pi2 * exp(-(x - p.mu2) * (x - p.mu2)
+                                        / (2 * p.sg2 * p.sg2)) / p.sg2) AS r2
+                FROM pts, {prev} p
+            )
+        ),
+        {cur} AS (
+            SELECT s2 / n AS pi2, sx1 / s1 AS mu1, sx2 / s2 AS mu2,
+                   greatest(sqrt(sxx1 / s1 - (sx1 / s1) * (sx1 / s1)), 1e-6) AS sg1,
+                   greatest(sqrt(sxx2 / s2 - (sx2 / s2) * (sx2 / s2)), 1e-6) AS sg2
+            FROM {cur}_s
+        )"""
+
+
+@register(
+    "q_gmm_em_1d",
+    oracle=f"""
+        WITH pts AS (SELECT ln(o_totalprice) AS x FROM orders),
+        mom AS (
+            SELECT avg(x) AS m, stddev_samp(x) AS s FROM pts
+        ),
+        em0 AS (
+            SELECT 0.5 AS pi2, m - s AS mu1, m + s AS mu2, s AS sg1, s AS sg2
+            FROM mom
+        ),{_em_round_sql("em0", "em1")},{_em_round_sql("em1", "em2")},{_em_round_sql("em2", "em3")},
+        ll AS (
+            SELECT sum(ln(((1 - p.pi2) * exp(-(x - p.mu1) * (x - p.mu1)
+                                            / (2 * p.sg1 * p.sg1)) / p.sg1
+                           + p.pi2 * exp(-(x - p.mu2) * (x - p.mu2)
+                                         / (2 * p.sg2 * p.sg2)) / p.sg2)
+                          / {_SQRT2PI})) AS loglik,
+                   count(*) AS n
+            FROM pts, em3 p
+        )
+        SELECT round(p.pi2, 4) AS pi2, round(p.mu1, 4) AS mu1,
+               round(p.mu2, 4) AS mu2, round(p.sg1, 4) AS sg1,
+               round(p.sg2, 4) AS sg2,
+               round(l.loglik / l.n, 4) AS avg_loglik
+        FROM em3 p, ll l
+    """,
+    category="analytics",
+)
+def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture over log order value, fit by
+    {_EM_ROUNDS} unrolled EM rounds from a deterministic moment init
+    (μ = m∓s, σ = s, π = ½): mixture weight, component means/sds, and
+    the average log-likelihood. The EM family's missing member next to
+    Lloyd's k-means (q_kmeans_embed) — soft assignments instead of
+    hard, fit entirely with sufficient statistics.
+
+    Each round is ONE combinable aggregate over the fact projection
+    with the 5-number parameter row broadcast (E-step responsibilities
+    are a closed-form expression, M-step = Σr, Σrx, Σrx² algebra) — so
+    {_EM_ROUNDS} rounds cost {_EM_ROUNDS} scans and nothing is ever
+    collected. Identical guarded expressions both engines; rounded
+    once."""
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.log("o_totalprice").alias("x")
+    )
+    mom = pts.agg(F.avg("x").alias("m"), F.stddev_samp("x").alias("s"))
+    params = mom.select(
+        F.lit(0.5).alias("pi2"),
+        (F.col("m") - F.col("s")).alias("mu1"),
+        (F.col("m") + F.col("s")).alias("mu2"),
+        F.col("s").alias("sg1"),
+        F.col("s").alias("sg2"),
+    )
+
+    def dens(mu: str, sg: str):
+        return (
+            F.exp(-((F.col("x") - F.col(mu)) ** 2) / (2 * F.col(sg) ** 2)) / F.col(sg)
+        )
+
+    for _ in range(_EM_ROUNDS):
+        j = pts.crossJoin(F.broadcast(params))
+        r2 = (F.col("pi2") * dens("mu2", "sg2")) / (
+            (1 - F.col("pi2")) * dens("mu1", "sg1") + F.col("pi2") * dens("mu2", "sg2")
+        )
+        s = j.select(F.col("x"), r2.alias("r2")).agg(
+            F.sum("r2").alias("s2"),
+            F.sum(F.col("r2") * F.col("x")).alias("sx2"),
+            F.sum(F.col("r2") * F.col("x") * F.col("x")).alias("sxx2"),
+            F.sum(1 - F.col("r2")).alias("s1"),
+            F.sum((1 - F.col("r2")) * F.col("x")).alias("sx1"),
+            F.sum((1 - F.col("r2")) * F.col("x") * F.col("x")).alias("sxx1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        params = s.select(
+            (F.col("s2") / F.col("n")).alias("pi2"),
+            (F.col("sx1") / F.col("s1")).alias("mu1"),
+            (F.col("sx2") / F.col("s2")).alias("mu2"),
+            F.greatest(
+                F.sqrt(F.col("sxx1") / F.col("s1") - (F.col("sx1") / F.col("s1")) ** 2),
+                F.lit(1e-6),
+            ).alias("sg1"),
+            F.greatest(
+                F.sqrt(F.col("sxx2") / F.col("s2") - (F.col("sx2") / F.col("s2")) ** 2),
+                F.lit(1e-6),
+            ).alias("sg2"),
+        )
+    jf = pts.crossJoin(F.broadcast(params))
+    mix = (1 - F.col("pi2")) * dens("mu1", "sg1") + F.col("pi2") * dens("mu2", "sg2")
+    ll = jf.agg(
+        F.sum(F.log(mix / F.lit(_SQRT2PI))).alias("loglik"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("pi2").alias("pi2"),
+        F.max("mu1").alias("mu1"),
+        F.max("mu2").alias("mu2"),
+        F.max("sg1").alias("sg1"),
+        F.max("sg2").alias("sg2"),
+    )
+    return ll.select(
+        F.round("pi2", 4).alias("pi2"),
+        F.round("mu1", 4).alias("mu1"),
+        F.round("mu2", 4).alias("mu2"),
+        F.round("sg1", 4).alias("sg1"),
+        F.round("sg2", 4).alias("sg2"),
+        F.round(F.col("loglik") / F.col("n"), 4).alias("avg_loglik"),
+    )

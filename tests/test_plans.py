@@ -1525,3 +1525,26 @@ def test_round10c_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_holt_linear", 2),            # day rollup + single-group Arrow batch
+        ("q_isotonic_calibration", 6),   # 10-bin rollup re-printed per grid role
+        ("q_newsvendor", 3),             # (brand,qty) cell agg + grid windows
+        ("q_gmm_em_1d", 5),              # 3 EM rounds + init moments + loglik, 1-row params broadcast
+    ],
+)
+def test_round10d_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_gmm_em_param_row_is_broadcast(spark):
+    """Every EM round must broadcast the 5-number parameter row onto
+    the fact projection — a shuffled join would re-exchange the facts
+    once per round."""
+    df = REGISTRY["q_gmm_em_1d"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
