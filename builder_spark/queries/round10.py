@@ -1616,3 +1616,412 @@ def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sg2", 4).alias("sg2"),
         F.round(F.col("loglik") / F.col("n"), 4).alias("avg_loglik"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ridge regression coefficient path (closed form, 2 features)
+
+
+_RIDGE_GRID = [0.0, 0.1, 1.0, 10.0]
+
+
+@register(
+    "q_ridge_path",
+    oracle=f"""
+        WITH mom AS (
+            SELECT count(*) AS n,
+                   avg(l_quantity) AS m1, stddev_samp(l_quantity) AS s1,
+                   avg(l_discount) AS m2, stddev_samp(l_discount) AS s2,
+                   avg(l_extendedprice) AS my, stddev_samp(l_extendedprice) AS sy
+            FROM lineitem
+        ),
+        z AS (
+            SELECT sum(((l_quantity - m.m1) / m.s1)
+                       * ((l_discount - m.m2) / m.s2)) AS s12,
+                   sum(((l_quantity - m.m1) / m.s1)
+                       * ((l_extendedprice - m.my) / m.sy)) AS s1y,
+                   sum(((l_discount - m.m2) / m.s2)
+                       * ((l_extendedprice - m.my) / m.sy)) AS s2y,
+                   max(m.n) AS n
+            FROM lineitem, mom m
+        ),
+        grid AS (SELECT unnest({_RIDGE_GRID}) AS lam),
+        path AS (
+            SELECT g.lam,
+                   (z.n - 1) * (1 + g.lam) AS d11,
+                   z.s12 AS d12, z.s1y AS b1, z.s2y AS b2
+            FROM grid g, z
+        )
+        SELECT lam AS lambda_rel,
+               round((b1 * d11 - b2 * d12) / (d11 * d11 - d12 * d12), 6) AS beta_qty,
+               round((b2 * d11 - b1 * d12) / (d11 * d11 - d12 * d12), 6) AS beta_disc,
+               round(sqrt(power((b1 * d11 - b2 * d12) / (d11 * d11 - d12 * d12), 2)
+                          + power((b2 * d11 - b1 * d12)
+                                  / (d11 * d11 - d12 * d12), 2)), 6) AS coef_norm
+        FROM path ORDER BY lam
+    """,
+    category="analytics",
+)
+def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge coefficient path in closed form: standardized 2-feature
+    regression of extended price on quantity and discount, solved from
+    the 2×2 normal equations (XᵀX + λ(n−1)I)β = Xᵀy at λ_rel ∈
+    {0, 0.1, 1, 10} — the shrinkage path ‖β(λ)‖ every regularization
+    tutorial draws, as a query. λ_rel = 0 reproduces OLS; coef_norm
+    must shrink monotonically in λ.
+
+    Two fact passes total (moments, then standardized cross-products —
+    the second needs the first's means), then the λ sweep is a 4-row
+    grid over the broadcast 1-row sufficient statistics: the path costs
+    algebra, not scans. Standardization makes XᵀX's diagonal (n−1)
+    exactly, so the 2×2 solve is the cofactor formula verbatim on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_quantity").alias("m1"),
+        F.stddev_samp("l_quantity").alias("s1"),
+        F.avg("l_discount").alias("m2"),
+        F.stddev_samp("l_discount").alias("s2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.stddev_samp("l_extendedprice").alias("sy"),
+    )
+    z1 = (F.col("l_quantity") - F.col("m1")) / F.col("s1")
+    z2 = (F.col("l_discount") - F.col("m2")) / F.col("s2")
+    zy = (F.col("l_extendedprice") - F.col("my")) / F.col("sy")
+    z = li.crossJoin(F.broadcast(mom)).agg(
+        F.sum(z1 * z2).alias("s12"),
+        F.sum(z1 * zy).alias("s1y"),
+        F.sum(z2 * zy).alias("s2y"),
+        F.max("n").alias("n"),
+    )
+    grid = spark.createDataFrame([(x,) for x in _RIDGE_GRID], "lam double")
+    path = grid.crossJoin(F.broadcast(z)).select(
+        "lam",
+        ((F.col("n") - 1) * (1 + F.col("lam"))).alias("d11"),
+        F.col("s12").alias("d12"),
+        F.col("s1y").alias("b1"),
+        F.col("s2y").alias("b2"),
+    )
+    det = F.col("d11") * F.col("d11") - F.col("d12") * F.col("d12")
+    beta1 = (F.col("b1") * F.col("d11") - F.col("b2") * F.col("d12")) / det
+    beta2 = (F.col("b2") * F.col("d11") - F.col("b1") * F.col("d12")) / det
+    return path.select(
+        F.col("lam").alias("lambda_rel"),
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_disc"),
+        F.round(F.sqrt(beta1 ** 2 + beta2 ** 2), 6).alias("coef_norm"),
+    ).orderBy("lambda_rel")
+
+
+# ---------------------------------------------------------------------------
+# inverse-propensity-weighted treatment effect
+
+
+@register(
+    "q_propensity_ipw",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS t,
+                   o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        prop AS (SELECT seg, avg(t) AS e FROM base GROUP BY seg),
+        w AS (
+            SELECT b.t, b.y, p.e FROM base b JOIN prop p USING (seg)
+        ),
+        agg AS (
+            SELECT sum(t * y / e) / sum(t / e) AS mu1,
+                   sum((1 - t) * y / (1 - e)) / sum((1 - t) / (1 - e)) AS mu0,
+                   avg(CASE WHEN t = 1 THEN y END)
+                     - avg(CASE WHEN t = 0 THEN y END) AS naive,
+                   min(e) AS emin, max(e) AS emax
+            FROM w
+        )
+        SELECT round(naive, 4) AS naive_diff,
+               round(mu1 - mu0, 4) AS ipw_ate,
+               round(emin, 4) AS min_propensity,
+               round(emax, 4) AS max_propensity
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hájek-normalized inverse-propensity-weighted treatment effect:
+    "urgent priority" as treatment, order value as outcome, market
+    segment as the confounder whose empirical propensity e(seg) =
+    P(T|seg) reweights both arms — μ̂₁ − μ̂₀ with self-normalized
+    weights, next to the naive arm difference. Completes the causal
+    battery (q_cuped variance reduction, q_diff_in_diff panels,
+    q_smd_balance diagnostics): IPW is the estimator the balance check
+    feeds.
+
+    One fact-join pass; the propensity table is a 5-row broadcast; the
+    ATE is a single combinable aggregate of weighted sums (Hájek
+    ratios are computed once at the end, order-proof after rounding)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("seg", "t", "y")
+    prop = base.groupBy("seg").agg(F.avg("t").alias("e"))
+    w = base.join(F.broadcast(prop), "seg")
+    agg = w.agg(
+        (F.sum(F.col("t") * F.col("y") / F.col("e")) / F.sum(F.col("t") / F.col("e"))).alias("mu1"),
+        (
+            F.sum((1 - F.col("t")) * F.col("y") / (1 - F.col("e")))
+            / F.sum((1 - F.col("t")) / (1 - F.col("e")))
+        ).alias("mu0"),
+        (
+            F.avg(F.when(F.col("t") == 1.0, F.col("y")))
+            - F.avg(F.when(F.col("t") == 0.0, F.col("y")))
+        ).alias("naive"),
+        F.min("e").alias("emin"),
+        F.max("e").alias("emax"),
+    )
+    return agg.select(
+        F.round("naive", 4).alias("naive_diff"),
+        F.round(F.col("mu1") - F.col("mu0"), 4).alias("ipw_ate"),
+        F.round("emin", 4).alias("min_propensity"),
+        F.round("emax", 4).alias("max_propensity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing frequency re-estimation
+
+
+@register(
+    "q_good_turing",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        vocab AS (SELECT w, count(*) AS r FROM tok GROUP BY w),
+        coc AS (SELECT r, count(*) AS nr FROM vocab GROUP BY r),
+        n_tot AS (SELECT sum(r * nr) AS n FROM coc),
+        gt AS (
+            SELECT a.r, a.nr,
+                   (a.r + 1) * b.nr * 1.0 / a.nr AS r_star
+            FROM coc a JOIN coc b ON b.r = a.r + 1
+            ORDER BY a.r LIMIT 5
+        )
+        SELECT g.r, CAST(g.nr AS BIGINT) AS n_r,
+               round(g.r_star, 4) AS r_star,
+               round(g.r_star / g.r, 4) AS discount,
+               round(coalesce((SELECT nr FROM coc WHERE r = 1), 0) * 1.0 / t.n,
+                     4) AS p0_unseen
+        FROM gt g, n_tot t ORDER BY g.r
+    """,
+    category="llm-text",
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency re-estimation on the corpus unigram
+    distribution: adjusted counts r* = (r+1)·n_{r+1}/n_r for r ≤ 5, the
+    per-frequency discount r*/r, and the Good–Turing unseen-probability
+    mass p₀ = n₁/N — the smoothing layer under every n-gram LM
+    (q_kneser_ney_bigram uses a fixed discount; this derives it) and
+    the same count-of-counts machinery as q_chao1_unseen pointed at
+    probability instead of richness.
+
+    Tokens collapse to vocab grain, vocab to the count-of-counts table
+    (bounded by max word frequency); the r↔r+1 self-join runs on that
+    tiny table. One token shuffle total."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    coc = vocab.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    n_tot = coc.agg(F.sum(F.col("r") * F.col("nr")).alias("n"))
+    n1 = coc.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("nr"))), F.lit(0)
+        ).alias("n1")
+    )
+    b = coc.select((F.col("r") - 1).alias("r_prev"), F.col("nr").alias("nr_next"))
+    # the 5 SMALLEST observed frequencies with a successor (fixed r<=5
+    # can be empty on a small corpus whose min word frequency is high)
+    gt = (
+        coc.join(F.broadcast(b), F.col("r") == F.col("r_prev"))
+        .select(
+            "r",
+            "nr",
+            ((F.col("r") + 1) * F.col("nr_next") * 1.0 / F.col("nr")).alias("r_star"),
+        )
+        .orderBy("r")
+        .limit(5)
+    )
+    return (
+        gt.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.col("nr").cast("bigint").alias("n_r"),
+            F.round("r_star", 4).alias("r_star"),
+            F.round(F.col("r_star") / F.col("r"), 4).alias("discount"),
+            F.round(F.col("n1") * 1.0 / F.col("n"), 4).alias("p0_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-way ANOVA (region x market segment)
+
+
+@register(
+    "q_two_way_anova",
+    oracle="""
+        WITH cells AS (
+            SELECT r.r_name AS a, c.c_mktsegment AS b,
+                   count(*) AS n, sum(o.o_totalprice) AS s,
+                   sum(o.o_totalprice * o.o_totalprice) AS ss
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+            JOIN region r ON nt.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, c.c_mktsegment
+        ),
+        tot AS (
+            SELECT sum(n) AS n, sum(s) / sum(n) AS gm,
+                   sum(ss) - sum(s) * sum(s) / sum(n) AS sst
+            FROM cells
+        ),
+        ma AS (SELECT a, sum(n) AS n, sum(s) / sum(n) AS m FROM cells GROUP BY a),
+        mb AS (SELECT b, sum(n) AS n, sum(s) / sum(n) AS m FROM cells GROUP BY b),
+        parts AS (
+            SELECT
+                (SELECT sum(n * (m - t.gm) * (m - t.gm)) FROM ma) AS ssa,
+                (SELECT sum(n * (m - t.gm) * (m - t.gm)) FROM mb) AS ssb,
+                (SELECT sum(c.n * (c.s / c.n - ma.m - mb.m + t.gm)
+                            * (c.s / c.n - ma.m - mb.m + t.gm))
+                 FROM cells c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b) AS ssab,
+                (SELECT sum(c.ss - c.s * c.s / c.n) FROM cells c) AS sse,
+                t.sst, t.n,
+                (SELECT count(*) FROM ma) AS ka,
+                (SELECT count(*) FROM mb) AS kb
+            FROM tot t
+        )
+        SELECT 'region' AS factor,
+               CAST(ka - 1 AS INT) AS df,
+               round(ssa / sst, 4) AS eta_sq,
+               round((ssa / (ka - 1)) / (sse / (n - ka * kb)), 4) AS f_stat
+        FROM parts
+        UNION ALL
+        SELECT 'segment', CAST(kb - 1 AS INT),
+               round(ssb / sst, 4),
+               round((ssb / (kb - 1)) / (sse / (n - ka * kb)), 4)
+        FROM parts
+        UNION ALL
+        SELECT 'interaction', CAST((ka - 1) * (kb - 1) AS INT),
+               round(ssab / sst, 4),
+               round((ssab / ((ka - 1) * (kb - 1))) / (sse / (n - ka * kb)), 4)
+        FROM parts
+        ORDER BY factor
+    """,
+    category="analytics",
+)
+def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction on order value by region ×
+    market segment: effect sizes η² = SS/SST and F statistics for both
+    main effects and the interaction (cell-mean decomposition — the
+    standard factorial sums of squares on the observed margins).
+    Extends q_anova_f's one-way battery to the question production
+    dashboards actually ask: does the segment effect DIFFER by region?
+
+    One fact-join pass collapses everything to the 25-cell (region ×
+    segment) sufficient-statistics table — n, Σy, Σy² per cell — and
+    SST/SSA/SSB/SSAB/SSE are all algebra over those 25 rows and their
+    margins. η² ratios and F are scale-free, so 4-dp rounding is
+    summation-order-proof where raw SS (∼10¹⁰) would not be."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("a"), F.col("c_mktsegment").alias("b"))
+    )
+    cells = (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") ** 2).alias("ss"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_all"),
+        (F.sum("s") / F.sum("n")).alias("gm"),
+        (F.sum("ss") - F.sum("s") ** 2 / F.sum("n")).alias("sst"),
+    )
+    ma = cells.groupBy("a").agg(
+        F.sum("n").alias("na"), (F.sum("s") / F.sum("n")).alias("mav")
+    )
+    mb = cells.groupBy("b").agg(
+        F.sum("n").alias("nb"), (F.sum("s") / F.sum("n")).alias("mbv")
+    )
+    ssa = ma.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("na") * (F.col("mav") - F.col("gm")) ** 2).alias("ssa"),
+        F.count(F.lit(1)).alias("ka"),
+    )
+    ssb = mb.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("nb") * (F.col("mbv") - F.col("gm")) ** 2).alias("ssb"),
+        F.count(F.lit(1)).alias("kb"),
+    )
+    ssab = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("s") / F.col("n") - F.col("mav") - F.col("mbv") + F.col("gm")) ** 2
+            ).alias("ssab")
+        )
+    )
+    sse = cells.agg(
+        F.sum(F.col("ss") - F.col("s") ** 2 / F.col("n")).alias("sse")
+    )
+    parts = (
+        tot.crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssab))
+        .crossJoin(F.broadcast(sse))
+    )
+    dfe = F.col("n_all") - F.col("ka") * F.col("kb")
+    mse = F.col("sse") / dfe
+
+    def factor_row(name: str, ss, df_):
+        return F.struct(
+            F.lit(name).alias("factor"),
+            df_.cast("int").alias("df"),
+            F.round(ss / F.col("sst"), 4).alias("eta_sq"),
+            F.round((ss / df_) / mse, 4).alias("f_stat"),
+        )
+
+    # the 3 output rows EXPLODE from the single parts row — a 3-way
+    # union would re-print the whole cells subtree once per row
+    rows = parts.select(
+        F.explode(
+            F.array(
+                factor_row("region", F.col("ssa"), F.col("ka") - 1),
+                factor_row("segment", F.col("ssb"), F.col("kb") - 1),
+                factor_row(
+                    "interaction", F.col("ssab"), (F.col("ka") - 1) * (F.col("kb") - 1)
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*").orderBy("factor")

@@ -1548,3 +1548,22 @@ def test_gmm_em_param_row_is_broadcast(spark):
     once per round."""
     df = REGISTRY["q_gmm_em_1d"].fn(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_ridge_path", 3),           # moments + standardized cross-products + 4-row grid
+        ("q_propensity_ipw", 2),       # fact-join pass + 5-row propensity broadcast
+        ("q_good_turing", 10),         # token shuffle -> vocab -> count-of-counts + tiny joins
+        # 25-cell sufficient-stats subtree re-printed per margin consumer
+        # (tot/ma/mb/ssa/ssb/ssab/sse); AQE stage reuse collapses at
+        # runtime. The 3 output rows EXPLODE from one parts row — the
+        # union variant re-printed the whole tree per row (52 vs 22).
+        ("q_two_way_anova", 22),
+    ],
+)
+def test_round10e_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

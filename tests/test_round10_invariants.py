@@ -1,0 +1,241 @@
+"""Semantic invariants for the round-10 operators: effect-size bounds
+and label consistency (Cliff's delta), the Murphy decomposition
+identity, h-index defining property, spectral-entropy normalization,
+OLS diagnostic identities (leverage sums to p), hazard/survival
+consistency (NA vs FH), Weiszfeld cost dominance, stump impurity
+bounds, Holt vs naive MAE, isotonic monotonicity + calibration-mass
+conservation, newsvendor service-level feasibility, GMM mixture laws,
+RAKE score floors, median-polish residual centering, clustering-
+coefficient range, and Anderson–Darling positivity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from builder_spark.registry import load_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+REGISTRY = load_all()
+
+
+def test_cliffs_delta_bounds_and_labels(spark):
+    rows = REGISTRY["q_cliffs_delta"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3  # pairs of A/N/R
+    for r in rows:
+        assert -1.0 <= r["delta"] <= 1.0
+        a = abs(r["delta"])
+        expect = (
+            "negligible" if a < 0.147 else
+            "small" if a < 0.33 else
+            "medium" if a < 0.474 else "large"
+        )
+        assert r["magnitude"] == expect
+        assert r["n_gt"] >= 0 and r["n_lt"] >= 0
+
+
+def test_brier_decomposition_identity(spark):
+    r = REGISTRY["q_brier_decomposition"].fn(spark, SF_DIR).collect()[0]
+    # Murphy identity holds exactly for binned forecasts
+    assert r["brier_binned"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=0.001
+    )
+    assert 0.0 <= r["uncertainty"] <= 0.25  # p(1-p) max at 0.25
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert r["brier_raw"] >= 0
+
+
+def test_h_index_defining_property(spark):
+    """h ≤ n_docs always, and h ≤ max n_chars trivially; h ≥ 1 when the
+    source has ≥1 doc of ≥1 char."""
+    rows = REGISTRY["q_h_index"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["h_index"] <= r["n_docs"]
+
+
+def test_spectral_entropy_normalized(spark):
+    r = REGISTRY["q_spectral_entropy"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["spectral_entropy"] <= 1.0001
+    assert 1 <= r["dom_k"] <= 14
+    assert r["dom_period_days"] == pytest.approx(r["n_days"] / r["dom_k"], abs=0.001)
+
+
+def test_cooks_leverage_sums_to_p(spark):
+    """Σhᵢ = p = 2 for simple OLS — the hat-matrix trace identity."""
+    rows = REGISTRY["q_cooks_distance"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert sum(r["leverage"] for r in rows) == pytest.approx(2.0, abs=0.01)
+    for r in rows:
+        assert 0.0 < r["leverage"] < 1.0
+        assert r["cooks_d"] >= 0
+
+
+def test_nelson_aalen_vs_km_ordering(spark):
+    """Ĥ is nondecreasing; FH survival = exp(−Ĥ) is nonincreasing and
+    ≥ the KM product at every event time (standard FH ≥ KM bound)."""
+    na = {r["t"]: r for r in REGISTRY["q_nelson_aalen"].fn(spark, SF_DIR).collect()}
+    km = {r["t"]: r for r in REGISTRY["q_survival_km"].fn(spark, SF_DIR).collect()}
+    assert na and set(na) == set(km)  # same event-time grain
+    prev_h = 0.0
+    for t in sorted(na):
+        assert na[t]["na_cumhaz"] >= prev_h - 1e-9
+        prev_h = na[t]["na_cumhaz"]
+        assert na[t]["fh_survival"] >= km[t]["s_t"] - 0.001
+        assert na[t]["n_risk"] >= na[t]["d"] >= 1
+
+
+def test_geometric_median_never_loses(spark):
+    """The geometric median minimizes summed distance, so its cost can
+    never exceed the centroid's (up to rounding)."""
+    rows = REGISTRY["q_geometric_median"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cost_gm"] <= r["cost_mean"] + 0.001
+
+
+def test_stump_impurity_bounds_and_unique_best(spark):
+    rows = REGISTRY["q_best_split_stump"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert sum(r["is_best"] for r in rows) >= 1
+    for r in rows:
+        assert 0.0 <= r["gini_split"] <= 0.5  # binary Gini max
+        assert 0.0 <= r["pos_rate_left"] <= 1.0
+
+
+def test_rake_scores_floor(spark):
+    """Every word score degree/freq ≥ 1, so a phrase of w words scores
+    ≥ w ≥ 1; ranks are 1..3 per lang."""
+    rows = REGISTRY["q_rake_keywords"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        assert r["rake_score"] >= 1.0
+        assert r["n_occ"] >= 1
+        by_lang.setdefault(r["lang"], []).append(r["rnk"])
+    for _lang, rnks in by_lang.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_median_polish_row_residuals_center(spark):
+    """After the row sweep the per-region residual median is 0; the col
+    sweep moves it by at most the col-effect spread — MAD stays small
+    relative to the effects and is nonnegative."""
+    rows = REGISTRY["q_median_polish"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["resid_mad"] >= 0
+        assert r["resid_max"] >= r["resid_mad"]
+
+
+def test_clustering_coeff_range(spark):
+    rows = REGISTRY["q_clustering_coeff"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["coeff"] <= 1.0001
+        assert r["degree"] >= 2
+        # triangles at a node can't exceed C(deg, 2)
+        assert r["triangles"] <= r["degree"] * (r["degree"] - 1) / 2
+
+
+def test_anderson_darling_positive(spark):
+    r = REGISTRY["q_anderson_darling"].fn(spark, SF_DIR).collect()[0]
+    assert r["a_squared"] > 0
+    assert r["lambda_hat"] > 0
+    assert r["reject_exponential"] in (0, 1)
+    assert r["reject_exponential"] == (1 if r["a_squared"] > 1.321 else 0)
+
+
+def test_holt_beats_nothing_blows_up(spark):
+    """Level must sit inside the observed count range's convex hull
+    (exponential smoothing is a convex combination), trend finite."""
+    r = REGISTRY["q_holt_linear"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_days"] >= 2
+    assert r["mae_one_step"] >= 0
+    assert abs(r["trend_end"]) < 1e6
+    assert r["forecast_7d"] == pytest.approx(
+        r["level_end"] + 7 * r["trend_end"], abs=0.001
+    )
+
+
+def test_isotonic_monotone_and_mass_preserving(spark):
+    """The PAV fit is nondecreasing and preserves the weighted mean of
+    the calibration targets (projection property)."""
+    rows = sorted(
+        REGISTRY["q_isotonic_calibration"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) == 10
+    prev = -1.0
+    for r in rows:
+        assert r["iso_fit"] >= prev - 1e-9
+        prev = r["iso_fit"]
+        assert r["monotone_ok"] == 1
+    tot = sum(r["nk"] for r in rows)
+    mean_obar = sum(r["nk"] * r["obar"] for r in rows) / tot
+    mean_iso = sum(r["nk"] * r["iso_fit"] for r in rows) / tot
+    assert mean_iso == pytest.approx(mean_obar, abs=0.002)
+
+
+def test_newsvendor_service_feasible(spark):
+    rows = REGISTRY["q_newsvendor"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["q_star"] is not None
+        assert r["service_level"] >= 0.75 - 1e-9
+        assert 1 <= r["q_star"] <= 50
+
+
+def test_gmm_mixture_laws(spark):
+    r = REGISTRY["q_gmm_em_1d"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 < r["pi2"] < 1.0
+    assert r["sg1"] > 0 and r["sg2"] > 0
+    assert r["mu1"] <= r["mu2"] + 1e-9  # moment init orders components; EM keeps it
+    assert r["avg_loglik"] < 0 or abs(r["avg_loglik"]) < 10
+
+
+def test_ridge_path_shrinks_monotonically(spark):
+    """‖β(λ)‖ is strictly decreasing in λ, and λ=0 is OLS (largest)."""
+    rows = sorted(
+        REGISTRY["q_ridge_path"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["lambda_rel"],
+    )
+    assert [r["lambda_rel"] for r in rows] == [0.0, 0.1, 1.0, 10.0]
+    norms = [r["coef_norm"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(norms, norms[1:]))
+    assert norms[0] > norms[-1]
+
+
+def test_ipw_propensity_sane(spark):
+    r = REGISTRY["q_propensity_ipw"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 < r["min_propensity"] <= r["max_propensity"] < 1.0
+    # segment is (near-)independent of priority in the fixture, so the
+    # IPW estimate should land near the naive difference — loose box
+    assert abs(r["ipw_ate"] - r["naive_diff"]) < 5000
+
+
+def test_good_turing_mass_laws(spark):
+    rows = sorted(REGISTRY["q_good_turing"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["r"])
+    assert rows and rows[0]["r"] >= 1
+    for r in rows:
+        assert r["r_star"] > 0
+        assert r["discount"] > 0
+        assert 0.0 <= r["p0_unseen"] <= 1.0
+    # p0 is a corpus constant — identical on every row
+    assert len({r["p0_unseen"] for r in rows}) == 1
+
+
+def test_two_way_anova_decomposition(spark):
+    rows = {r["factor"]: r for r in REGISTRY["q_two_way_anova"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"region", "segment", "interaction"}
+    assert rows["region"]["df"] == 4
+    assert rows["segment"]["df"] == 4
+    assert rows["interaction"]["df"] == 16
+    for r in rows.values():
+        assert r["eta_sq"] >= 0.0
+        assert r["f_stat"] >= 0.0
+    # effect shares can't exceed 1 in total (SSE absorbs the rest)
+    assert sum(r["eta_sq"] for r in rows.values()) <= 1.0001

@@ -184,6 +184,23 @@ HEAVY = [
     # broadcast value iteration over the transition grid
     "q_decile_migration",
     "q_absorbing_time",
+    # round-10: explode-heavy RAKE phrases, triangle-join clustering
+    # coefficient, 3-scan EM and Weiszfeld iterations, stitched AD
+    # rank weights, user-window NA hazard, value-grain Cliff cells
+    "q_rake_keywords",
+    "q_clustering_coeff",
+    "q_gmm_em_1d",
+    "q_geometric_median",
+    "q_anderson_darling",
+    "q_nelson_aalen",
+    "q_cliffs_delta",
+    "q_newsvendor",
+    # round-10 batch 5: double-pass ridge moments, fact-join IPW,
+    # token-explode Good-Turing, 25-cell two-way ANOVA
+    "q_ridge_path",
+    "q_propensity_ipw",
+    "q_good_turing",
+    "q_two_way_anova",
 ]
 
 #: per-table key columns to offset so replicas don't collide
