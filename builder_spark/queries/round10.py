@@ -2025,3 +2025,287 @@ def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.*").orderBy("factor")
+
+
+# ---------------------------------------------------------------------------
+# partial correlation
+
+
+@register(
+    "q_partial_correlation",
+    oracle="""
+        WITH c AS (
+            SELECT corr(l_quantity, l_extendedprice) AS rxy,
+                   corr(l_quantity, l_discount) AS rxz,
+                   corr(l_extendedprice, l_discount) AS ryz,
+                   count(*) AS n
+            FROM lineitem
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(rxy, 4) AS r_xy,
+               round(rxz, 4) AS r_xz,
+               round(ryz, 4) AS r_yz,
+               round((rxy - rxz * ryz)
+                     / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4)
+                   AS partial_xy_given_z
+        FROM c
+    """,
+    category="analytics",
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation: quantity↔price with discount
+    partialled out, ρ_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) —
+    the confounder-removal primitive under q_simpson_check's paradox
+    hunt and q_rank_correlation's monotone screen. (In this synthetic
+    fixture the three columns are near-independent, so the partial
+    tracks the raw r_xy — the formula's identity limit; on real data
+    the gap IS the confounder's share.)
+
+    One combinable pass: three Pearson correlations and the count in a
+    single aggregate (corr is a streaming moment aggregate on both
+    engines); the partial is pure algebra over that 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("rxy"),
+        F.corr("l_quantity", "l_discount").alias("rxz"),
+        F.corr("l_extendedprice", "l_discount").alias("ryz"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1 - F.col("rxz") ** 2) * (1 - F.col("ryz") ** 2)
+    )
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("rxy", 4).alias("r_xy"),
+        F.round("rxz", 4).alias("r_xz"),
+        F.round("ryz", 4).alias("r_yz"),
+        F.round(partial, 4).alias("partial_xy_given_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1)
+
+
+@register(
+    "q_granger_lag1",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS y
+            FROM events GROUP BY date_trunc('day', ts)
+        ),
+        lagged AS (
+            SELECT y, lag(y) OVER (ORDER BY d) AS yl,
+                   lag(x) OVER (ORDER BY d) AS xl
+            FROM daily
+        ),
+        pts AS (SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL),
+        mom AS (
+            SELECT count(*) AS n, avg(y) AS my, avg(yl) AS m1, avg(xl) AS m2
+            FROM pts
+        ),
+        cen AS (
+            SELECT sum((yl - m1) * (yl - m1)) AS s11,
+                   sum((xl - m2) * (xl - m2)) AS s22,
+                   sum((yl - m1) * (xl - m2)) AS s12,
+                   sum((yl - m1) * (y - my)) AS s1y,
+                   sum((xl - m2) * (y - my)) AS s2y,
+                   sum((y - my) * (y - my)) AS syy,
+                   max(m.n) AS n
+            FROM pts, mom m
+        ),
+        fit AS (
+            SELECT n, syy,
+                   syy - s1y * s1y / s11 AS rss_r,
+                   syy - ((s1y * s22 - s2y * s12) * s1y
+                          + (s2y * s11 - s1y * s12) * s2y)
+                         / (s11 * s22 - s12 * s12) AS rss_f,
+                   (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS beta_xlag
+            FROM cen
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(beta_xlag, 6) AS beta_xlag,
+               round((rss_r - rss_f) / (rss_f / (n - 3)), 4) AS f_stat,
+               CAST(CASE WHEN round((rss_r - rss_f) / (rss_f / (n - 3)), 4)
+                              > 4.18 THEN 1 ELSE 0 END AS INT) AS x_causes_y
+        FROM fit
+    """,
+    category="analytics",
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality: do yesterday's clicks improve today's
+    purchase forecast beyond yesterday's purchases? F-test of the
+    restricted AR(1) against the full model y_t ~ y_{t−1} + x_{t−1},
+    F = (RSS_r − RSS_f)/(RSS_f/(n−3)) vs the 5% critical ≈4.18 — the
+    lead-lag causality screen that q_cross_correlation's symmetric
+    lags can't settle (correlation at lag k ≠ incremental
+    predictability).
+
+    Facts collapse to the calendar-bounded day table (one pass,
+    whitelisted lag windows); both models solve in closed form from
+    one centered-moment aggregate — RSS_r from the 1-var projection,
+    RSS_f from the 2×2 cofactor solve, no iterative fitting. The
+    verdict flag compares the ROUNDED F."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d")  # day table (whitelisted)
+    pts = (
+        daily.select(
+            "y", F.lag("y").over(w).alias("yl"), F.lag("x").over(w).alias("xl")
+        )
+        .filter(F.col("yl").isNotNull())
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("yl").alias("m1"),
+        F.avg("xl").alias("m2"),
+    )
+    j = pts.crossJoin(F.broadcast(mom))
+    cen = j.agg(
+        F.sum((F.col("yl") - F.col("m1")) ** 2).alias("s11"),
+        F.sum((F.col("xl") - F.col("m2")) ** 2).alias("s22"),
+        F.sum((F.col("yl") - F.col("m1")) * (F.col("xl") - F.col("m2"))).alias("s12"),
+        F.sum((F.col("yl") - F.col("m1")) * (F.col("y") - F.col("my"))).alias("s1y"),
+        F.sum((F.col("xl") - F.col("m2")) * (F.col("y") - F.col("my"))).alias("s2y"),
+        F.sum((F.col("y") - F.col("my")) ** 2).alias("syy"),
+        F.max("n").alias("n"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") ** 2
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    fit = cen.select(
+        "n",
+        (F.col("syy") - F.col("s1y") ** 2 / F.col("s11")).alias("rss_r"),
+        (F.col("syy") - (b1 * F.col("s1y") + b2 * F.col("s2y"))).alias("rss_f"),
+        b2.alias("beta_xlag"),
+    )
+    f_stat = (F.col("rss_r") - F.col("rss_f")) / (F.col("rss_f") / (F.col("n") - 3))
+    return fit.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("beta_xlag", 6).alias("beta_xlag"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.when(F.round(f_stat, 4) > 4.18, 1).otherwise(0).cast("int").alias("x_causes_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta (stylometry)
+
+
+_DELTA_TOP_WORDS = 20
+
+
+@register(
+    "q_burrows_delta",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        slen AS (SELECT source, count(*) AS n_tok FROM tok GROUP BY source),
+        topw AS (
+            SELECT w FROM tok GROUP BY w
+            ORDER BY count(*) DESC, w ASC LIMIT {_DELTA_TOP_WORDS}
+        ),
+        freq AS (
+            SELECT t.source, t.w, count(*) * 1.0 / max(s.n_tok) AS f
+            FROM tok t JOIN topw USING (w) JOIN slen s ON s.source = t.source
+            GROUP BY t.source, t.w
+        ),
+        grid AS (
+            SELECT s.source, tw.w, coalesce(f.f, 0.0) AS f
+            FROM slen s CROSS JOIN topw tw
+            LEFT JOIN freq f ON f.source = s.source AND f.w = tw.w
+        ),
+        z AS (
+            SELECT source, w,
+                   (f - avg(f) OVER (PARTITION BY w))
+                   / greatest(stddev_samp(f) OVER (PARTITION BY w), 1e-12) AS z
+            FROM grid
+        ),
+        pairs AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   round(avg(abs(a.z - b.z)), 6) AS d6
+            FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT s1, s2, round(d6, 4) AS delta,
+               row_number() OVER (ORDER BY d6 ASC, s1 ASC, s2 ASC) AS rnk
+        FROM pairs
+        QUALIFY rnk <= 5
+    """,
+    category="llm-text",
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta — the stylometry standard: z-score each source's
+    relative frequency of the {_DELTA_TOP_WORDS} most common corpus
+    words (across sources, per word), then Δ(s₁,s₂) = mean |z₁ − z₂|;
+    the 5 most stylistically similar source pairs. The
+    author/template-attribution screen (near-identical Δ ⇒ same
+    generator) complementing q_source_vocab_overlap's set view with a
+    distributional one.
+
+    Tokens shuffle once to (source, word) grain; the feature space is
+    the bounded 20-source × {_DELTA_TOP_WORDS}-word grid, so z-scores,
+    the 190-pair join, and the ranking are all constant-size work.
+    Ranks compare 6-dp Δ with (s1, s2) tie-breaks — order-proof."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    tw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    topw = (
+        tw.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(_DELTA_TOP_WORDS)
+        .select("w")
+    )
+    slen = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    freq = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(slen), "source")
+        .select("source", "w", (F.col("c") * 1.0 / F.col("n_tok")).alias("f"))
+    )
+    grid = (
+        slen.select("source")
+        .crossJoin(F.broadcast(topw))
+        .join(freq, ["source", "w"], "left")
+        .select("source", "w", F.coalesce(F.col("f"), F.lit(0.0)).alias("f"))
+    )
+    # per-word stats over the bounded source x top-word grid
+    wq = Window.partitionBy("w")
+    z = grid.select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.avg("f").over(wq))
+            / F.greatest(F.stddev_samp("f").over(wq), F.lit(1e-12))
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("s1"), "w", F.col("z").alias("z1"))
+    b = z.select(F.col("source").alias("s2"), F.col("w").alias("w2"), F.col("z").alias("z2"))
+    pairs = (
+        a.join(F.broadcast(b), (F.col("w") == F.col("w2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.round(F.avg(F.abs(F.col("z1") - F.col("z2"))), 6).alias("d6"))
+    )
+    wr = Window.orderBy(F.col("d6").asc(), F.col("s1").asc(), F.col("s2").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("s1", "s2", F.round("d6", 4).alias("delta"), "rnk")
+    )

@@ -1567,3 +1567,17 @@ def test_round10e_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_partial_correlation", 1),  # one combinable moment pass
+        ("q_granger_lag1", 4),         # day rollup + lag windows + moment aggs
+        ("q_burrows_delta", 13),       # token shuffle + bounded grid/z/pair stages
+    ],
+)
+def test_round10f_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

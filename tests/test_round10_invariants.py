@@ -239,3 +239,31 @@ def test_two_way_anova_decomposition(spark):
         assert r["f_stat"] >= 0.0
     # effect shares can't exceed 1 in total (SSE absorbs the rest)
     assert sum(r["eta_sq"] for r in rows.values()) <= 1.0001
+
+
+def test_partial_correlation_bounds(spark):
+    r = REGISTRY["q_partial_correlation"].fn(spark, SF_DIR).collect()[0]
+    for k in ("r_xy", "r_xz", "r_yz", "partial_xy_given_z"):
+        assert -1.0001 <= r[k] <= 1.0001
+    # fixture columns are near-independent: with |r_xz|,|r_yz| ≈ 0 the
+    # partial must sit close to the raw correlation (formula limit)
+    assert r["partial_xy_given_z"] == pytest.approx(r["r_xy"], abs=0.02)
+    assert r["n"] > 0
+
+
+def test_granger_f_nonnegative(spark):
+    r = REGISTRY["q_granger_lag1"].fn(spark, SF_DIR).collect()[0]
+    assert r["f_stat"] >= -0.001  # RSS_r >= RSS_f by nesting
+    assert r["x_causes_y"] == (1 if r["f_stat"] > 4.18 else 0)
+    assert r["n"] >= 3
+
+
+def test_burrows_delta_metric_properties(spark):
+    rows = REGISTRY["q_burrows_delta"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["delta"] >= 0.0
+        assert r["s1"] < r["s2"]
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+    deltas = [r["delta"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert all(a <= b + 1e-9 for a, b in zip(deltas, deltas[1:]))
