@@ -2309,3 +2309,144 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("s1", "s2", F.round("d6", 4).alias("delta"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+
+
+_MARKOV_ROUNDS = 8
+_CHANNELS = ["click", "view", "error", "signup"]
+
+
+def _markov_round_sql(prev: str, cur: str) -> str:
+    """One conversion-probability value-iteration round as SQL text:
+    p'(s) = P(s→purchase) + Σ_{t≠purchase} P(s→t)·p(t)."""
+    return f"""
+        {cur} AS (
+            SELECT x.variant, x.s,
+                   sum(CASE WHEN x.t = 'purchase' THEN x.p
+                            ELSE x.p * coalesce(pr.p, 0) END) AS p
+            FROM vtx x LEFT JOIN {prev} pr
+              ON pr.variant = x.variant AND pr.s = x.t
+            GROUP BY x.variant, x.s
+        )"""
+
+
+@register(
+    "q_attribution_markov",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS prev
+            FROM events
+        ),
+        trans AS (
+            SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+                        THEN 'START' ELSE prev END AS s,
+                   event_type AS t, count(*) AS c
+            FROM ev GROUP BY 1, 2
+        ),
+        tx AS (
+            SELECT s, t, c * 1.0 / sum(c) OVER (PARTITION BY s) AS p
+            FROM trans
+        ),
+        variants AS (
+            SELECT unnest(['none', 'click', 'view', 'error', 'signup']) AS variant
+        ),
+        vtx AS (
+            SELECT v.variant, x.s, x.t, x.p
+            FROM variants v, tx x
+            WHERE x.s != v.variant AND x.t != v.variant
+        ),
+        p0 AS (SELECT variant, s, 0.0 AS p FROM vtx GROUP BY variant, s),{",".join(_markov_round_sql(f"p{i}", f"p{i + 1}") for i in range(_MARKOV_ROUNDS))},
+        conv AS (
+            SELECT variant, p FROM p{_MARKOV_ROUNDS} WHERE s = 'START'
+        ),
+        eff AS (
+            SELECT c.variant AS channel,
+                   1 - c.p / f.p AS removal
+            FROM conv c, (SELECT p FROM conv WHERE variant = 'none') f
+            WHERE c.variant != 'none'
+        )
+        SELECT channel,
+               round((SELECT p FROM conv WHERE variant = 'none'), 4) AS conv_full,
+               round(removal, 4) AS removal_effect,
+               round(removal / (SELECT sum(removal) FROM eff), 4) AS attribution
+        FROM eff ORDER BY channel
+    """,
+    category="analytics",
+)
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the third classic next to
+    q_session_paths (first/last-touch journeys) and
+    q_shapley_attribution (cooperative game): fit a first-order Markov
+    chain on per-user event journeys (episodes reset after each
+    purchase; START → first event), compute the conversion probability
+    from START by {_MARKOV_ROUNDS} unrolled value-iteration rounds,
+    then re-run the walk with each channel's state deleted — a
+    channel's credit is the conversion mass that disappears without it
+    (removal effect), normalized to attribution shares.
+
+    Facts are scanned ONCE, distributed (the per-user lag window +
+    transition count aggregate); the walk then runs on a grid bounded
+    by the EVENT-TYPE ENUM (≤6×6 = 36 cells), which is collected —
+    the same bounded-by-design collect as the k-means centroid rounds
+    (llmscale.py) and the Bloom literal (joins.py): at any data scale
+    the grid stays 36 cells, and {_MARKOV_ROUNDS} rounds of a 6-state
+    recursion belong on the driver, not in {_MARKOV_ROUNDS}² re-printed
+    plan subtrees (the all-lazy iterate variant measured 130+ static
+    exchanges for the identical arithmetic). The oracle runs the same
+    unrolled rounds in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        ev.select(
+            F.col("event_type").alias("t_raw"),
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .select(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") == "purchase"), "START"
+            )
+            .otherwise(F.col("prev"))
+            .alias("s"),
+            F.col("t_raw").alias("t"),
+        )
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded-by-design collect: the grid is capped by the event-type
+    # enum (≤6 states → ≤36 cells) regardless of fact rows
+    cells = [(r["s"], r["t"], r["c"]) for r in trans.collect()]
+    out_mass: dict[str, int] = {}
+    for s, _t, c in cells:
+        out_mass[s] = out_mass.get(s, 0) + c
+    tx = {(s, t): c / out_mass[s] for s, t, c in cells}
+
+    def conv_prob(removed: str | None) -> float:
+        grid = {
+            (s, t): p
+            for (s, t), p in sorted(tx.items())
+            if s != removed and t != removed
+        }
+        p: dict[str, float] = {"purchase": 1.0}
+        for _ in range(_MARKOV_ROUNDS):
+            nxt: dict[str, float] = {}
+            for (s, t), w_p in grid.items():
+                nxt[s] = nxt.get(s, 0.0) + w_p * p.get(t, 0.0)
+            nxt["purchase"] = 1.0
+            p = nxt
+        return p.get("START", 0.0)
+
+    p_full = conv_prob(None)
+    removal = {c: 1 - conv_prob(c) / p_full for c in _CHANNELS}
+    rtot = sum(removal.values())
+    rows = [
+        (c, round(p_full, 4), round(removal[c], 4), round(removal[c] / rtot, 4))
+        for c in sorted(_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, conv_full double, removal_effect double, attribution double"
+    )

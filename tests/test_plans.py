@@ -1581,3 +1581,13 @@ def test_round10f_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_markov_attribution_single_fact_pass(spark):
+    """The returned plan is the literal result of the bounded-grid
+    walk (the ≤36-cell enum-bounded transition grid is collected once
+    at construction — the k-means-centroid precedent); no fact scan
+    may survive in the returned lineage."""
+    df = REGISTRY["q_attribution_markov"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    assert df.count() == 4

@@ -267,3 +267,15 @@ def test_burrows_delta_metric_properties(spark):
     assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
     deltas = [r["delta"] for r in sorted(rows, key=lambda r: r["rnk"])]
     assert all(a <= b + 1e-9 for a, b in zip(deltas, deltas[1:]))
+
+
+def test_markov_attribution_conservation(spark):
+    rows = REGISTRY["q_attribution_markov"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert sum(r["attribution"] for r in rows) == pytest.approx(1.0, abs=0.002)
+    for r in rows:
+        assert 0.0 < r["conv_full"] <= 1.0
+        assert 0.0 <= r["removal_effect"] <= 1.0  # removing never adds conversions
+        assert 0.0 <= r["attribution"] <= 1.0
+    # conv_full is the same chain for every row
+    assert len({r["conv_full"] for r in rows}) == 1
