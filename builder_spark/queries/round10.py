@@ -2450,3 +2450,65 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel string, conv_full double, removal_effect double, attribution double"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 (pricing summary report) — completes the 22-query suite
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_quantity), 4) AS sum_qty,
+            round(sum(l_extendedprice), 4) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    category="tpch",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 verbatim (pricing summary report with the DELTA=90
+    shipdate cutoff and the spec's ORDER BY) — completing the full
+    22-query TPC-H suite; q_agg_group has carried the unfiltered shape
+    since r1, this adds the spec's predicate + ordering. Registered in
+    the round-10 module so the grading rotation's never-graded order
+    is untouched (a mid-file insert into tpch.py would jump the
+    backlog queue).
+
+    Plan: the shipdate predicate pushes to the parquet scan
+    (PushedFilters), columns prune to the 7 used, and the aggregate is
+    one map-side-combinable exchange on the 3×2 enum key — the
+    canonical whole-stage-codegen scan→filter→partial-agg→final-agg
+    pipeline Q1 exists to exercise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-12-01").cast("timestamp_ntz") - F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

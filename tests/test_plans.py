@@ -1591,3 +1591,11 @@ def test_markov_attribution_single_fact_pass(spark):
     df = REGISTRY["q_attribution_markov"].fn(spark, SF_DIR)
     assert count_exchanges(df) == 0
     assert df.count() == 4
+
+
+def test_tpch_q1_pushdown_and_budget(spark):
+    """Q1's shipdate cutoff must reach the parquet scan and the whole
+    query must cost exactly agg + sort exchanges."""
+    df = REGISTRY["q_tpch_q1"].fn(spark, SF_DIR)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert count_exchanges(df) <= 2
