@@ -2512,3 +2512,397 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample energy distance
+
+
+@register(
+    "q_energy_distance",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        cells AS (
+            SELECT v, CAST(sum(ga) AS BIGINT) AS ca,
+                   CAST(count(*) - sum(ga) AS BIGINT) AS cb
+            FROM s GROUP BY v
+        ),
+        cum AS (
+            SELECT v, ca, cb,
+                   sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb,
+                   sum(v * ca) OVER w AS csa, sum(v * cb) OVER w AS csb
+            FROM cells
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb,
+                   sum(v * ca) AS sa, sum(v * cb) AS sb
+            FROM cells
+        ),
+        terms AS (
+            SELECT
+                sum(ca * (v * (ccb - cb) - (csb - v * cb))
+                    + ca * ((t.sb - csb) - v * (t.nb - ccb))) AS cross_ab,
+                sum(ca * (v * (cca - ca) - (csa - v * ca))) AS within_a,
+                sum(cb * (v * (ccb - cb) - (csb - v * cb))) AS within_b,
+                max(t.na) AS na, max(t.nb) AS nb
+            FROM cum, tot t
+        )
+        SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+               round(cross_ab / (na * nb * 100.0), 4) AS e_xy,
+               round(2.0 * within_a / (na * na * 100.0), 4) AS e_xx,
+               round(2.0 * within_b / (nb * nb * 100.0), 4) AS e_yy,
+               round(2.0 * cross_ab / (na * nb * 100.0)
+                     - 2.0 * within_a / (na * na * 100.0)
+                     - 2.0 * within_b / (nb * nb * 100.0), 4) AS energy_dist
+        FROM terms
+    """,
+    category="analytics",
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's two-sample energy distance between URGENT and LOW
+    order-price distributions: E = 2E|X−Y| − E|X−X′| − E|Y−Y′| —
+    zero iff the distributions are equal, sensitive to ANY difference
+    (location, scale, shape), completing the two-sample battery
+    (q_ks_test sup-norm, q_wasserstein_1d transport, q_mmd_linear
+    kernel, q_mann_whitney_u rank).
+
+    The showcase identity: every pairwise-|difference| expectation
+    collapses to VALUE grain via prefix sums — Σ|xᵢ−yⱼ| =
+    Σ_v c(v)·[v·C<(v) − S<(v) + S>(v) − v·C>(v)] — so the whole
+    statistic is one stitched running pass over distinct cents plus
+    one aggregate. All sums are INTEGER cents (exact cross-engine,
+    < 2⁶³); division and rounding happen once at the end."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("ga"),
+        )
+    )
+    cells = s.groupBy("v").agg(
+        F.sum("ga").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ga")).cast("bigint").alias("cb"),
+    )
+    cells = cells.withColumn("va", F.col("v") * F.col("ca")).withColumn(
+        "vb", F.col("v") * F.col("cb")
+    )
+    cum = stitched_running(
+        cells,
+        ["v"],
+        running={"cca": "ca", "ccb": "cb", "csa": "va", "csb": "vb"},
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum("va").alias("sa"),
+        F.sum("vb").alias("sb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    v, ca, cb = F.col("v"), F.col("ca"), F.col("cb")
+    terms = j.agg(
+        F.sum(
+            ca * (v * (F.col("ccb") - cb) - (F.col("csb") - v * cb))
+            + ca * ((F.col("sb") - F.col("csb")) - v * (F.col("nb") - F.col("ccb")))
+        ).alias("cross_ab"),
+        F.sum(ca * (v * (F.col("cca") - ca) - (F.col("csa") - v * ca))).alias("within_a"),
+        F.sum(cb * (v * (F.col("ccb") - cb) - (F.col("csb") - v * cb))).alias("within_b"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    e_xy = F.col("cross_ab") / (F.col("na") * F.col("nb") * 100.0)
+    e_xx = 2.0 * F.col("within_a") / (F.col("na") * F.col("na") * 100.0)
+    e_yy = 2.0 * F.col("within_b") / (F.col("nb") * F.col("nb") * 100.0)
+    return terms.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.round(e_xy, 4).alias("e_xy"),
+        F.round(e_xx, 4).alias("e_xx"),
+        F.round(e_yy, 4).alias("e_yy"),
+        F.round(2.0 * e_xy - e_xx - e_yy, 4).alias("energy_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha
+
+
+@register(
+    "q_cronbach_alpha",
+    oracle="""
+        WITH grid AS (
+            SELECT date_trunc('day', ts) AS d, event_type,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM events GROUP BY date_trunc('day', ts), event_type
+        ),
+        items AS (
+            SELECT event_type, var_samp(c) AS vi FROM grid GROUP BY event_type
+        ),
+        totals AS (
+            SELECT var_samp(dt) AS vt, count(*) AS n_days FROM (
+                SELECT d, sum(c) AS dt FROM grid GROUP BY d
+            )
+        )
+        SELECT CAST((SELECT count(*) FROM items) AS INT) AS k,
+               CAST(t.n_days AS BIGINT) AS n_days,
+               round((SELECT count(*) FROM items) * 1.0
+                     / ((SELECT count(*) FROM items) - 1)
+                     * (1 - (SELECT sum(vi) FROM items) / t.vt), 4) AS alpha
+        FROM totals t
+    """,
+    category="analytics",
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating the five event types as items and days
+    as observations: α = k/(k−1)·(1 − Σvar(itemᵢ)/var(total)) — the
+    internal-consistency coefficient (do the five daily series move
+    together?), the psychometric cousin of q_icc_orders' intraclass
+    correlation. α near 0 ⇒ the channels fluctuate independently;
+    near 1 ⇒ one underlying daily traffic factor.
+
+    Facts collapse to the calendar-bounded (day × type) grid in one
+    pass; item variances and the total-score variance are plain group
+    aggregates over that grid — no windows, no second fact scan."""
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    items = grid.groupBy("event_type").agg(F.var_samp("c").alias("vi"))
+    isum = items.agg(
+        F.sum("vi").alias("vi_sum"), F.count(F.lit(1)).alias("k")
+    )
+    totals = (
+        grid.groupBy("d")
+        .agg(F.sum("c").alias("dt"))
+        .agg(F.var_samp("dt").alias("vt"), F.count(F.lit(1)).alias("n_days"))
+    )
+    return totals.crossJoin(F.broadcast(isum)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            F.col("k") * 1.0 / (F.col("k") - 1) * (1 - F.col("vi_sum") / F.col("vt")),
+            4,
+        ).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary segmentation (single changepoint by SSE)
+
+
+@register(
+    "q_binary_segmentation",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS d,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM orders GROUP BY date_trunc('day', o_orderdate)
+        ),
+        pre AS (
+            SELECT d, y,
+                   row_number() OVER w AS t,
+                   sum(y) OVER w AS cs,
+                   sum(y * y) OVER w AS css,
+                   count(*) OVER () AS n,
+                   sum(y) OVER () AS s_all,
+                   sum(y * y) OVER () AS ss_all
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        cand AS (
+            SELECT d, t, n, cs, s_all,
+                   round((css - cs * cs / t)
+                         + ((ss_all - css) - (s_all - cs) * (s_all - cs)
+                            / (n - t)), 6) AS sse6,
+                   ss_all - s_all * s_all / n AS sse0
+            FROM pre WHERE t < n
+        ),
+        best AS (SELECT min(sse6) AS smin FROM cand)
+        SELECT c.d AS split_day, CAST(c.t AS BIGINT) AS n_left,
+               round(c.cs / c.t, 4) AS mean_left,
+               round((c.s_all - c.cs) / (c.n - c.t), 4) AS mean_right,
+               round(c.sse0 - c.sse6, 4) AS sse_gain
+        FROM cand c, best b
+        WHERE c.sse6 = b.smin
+        ORDER BY c.d LIMIT 1
+    """,
+    category="analytics",
+)
+def q_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation: the split
+    of the daily order-count series minimizing two-segment SSE, with
+    the level means on each side and the SSE gain over the unsplit fit
+    — the structural-break locator that q_cusum_changepoint's drift
+    alarm points at but doesn't position. (Recursing on each side
+    yields the full binary-segmentation tree; one level is the graded
+    primitive.)
+
+    Facts collapse to the calendar-bounded day table; prefix sums make
+    every candidate split's two-segment SSE a closed-form expression
+    over one whitelisted window pass, and the argmin compares
+    6-dp-rounded SSE (earliest day on ties) — no per-candidate
+    scan, no quadratic segment enumeration."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum("y").over(w).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("css"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_all).alias("s_all"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("ss_all"),
+    )
+    cand = pre.filter(F.col("t") < F.col("n")).select(
+        "d",
+        "t",
+        "n",
+        "cs",
+        "s_all",
+        F.round(
+            (F.col("css") - F.col("cs") ** 2 / F.col("t"))
+            + (
+                (F.col("ss_all") - F.col("css"))
+                - (F.col("s_all") - F.col("cs")) ** 2 / (F.col("n") - F.col("t"))
+            ),
+            6,
+        ).alias("sse6"),
+        (F.col("ss_all") - F.col("s_all") ** 2 / F.col("n")).alias("sse0"),
+    )
+    best = cand.agg(F.min("sse6").alias("smin"))
+    return (
+        cand.crossJoin(F.broadcast(best))
+        .filter(F.col("sse6") == F.col("smin"))
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("t").cast("bigint").alias("n_left"),
+            F.round(F.col("cs") / F.col("t"), 4).alias("mean_left"),
+            F.round(
+                (F.col("s_all") - F.col("cs")) / (F.col("n") - F.col("t")), 4
+            ).alias("mean_right"),
+            F.round(F.col("sse0") - F.col("sse6"), 4).alias("sse_gain"),
+        )
+        .orderBy("split_day")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (unrolled walk series)
+
+
+_KATZ_ALPHA = 0.05
+_KATZ_ROUNDS = 4
+
+
+@register(
+    "q_katz_centrality",
+    oracle=f"""
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        eh AS (
+            SELECT a.p_brand AS u, b.p_brand AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        e AS (
+            SELECT u, v FROM eh UNION ALL SELECT v, u FROM eh
+        ),
+        x0 AS (SELECT u AS node, 1.0 AS x FROM e GROUP BY u),
+        k1 AS (
+            SELECT e.u AS node, sum({_KATZ_ALPHA} * x0.x) AS x
+            FROM e JOIN x0 ON x0.node = e.v GROUP BY e.u
+        ),
+        k2 AS (
+            SELECT e.u AS node, sum({_KATZ_ALPHA} * k1.x) AS x
+            FROM e JOIN k1 ON k1.node = e.v GROUP BY e.u
+        ),
+        k3 AS (
+            SELECT e.u AS node, sum({_KATZ_ALPHA} * k2.x) AS x
+            FROM e JOIN k2 ON k2.node = e.v GROUP BY e.u
+        ),
+        k4 AS (
+            SELECT e.u AS node, sum({_KATZ_ALPHA} * k3.x) AS x
+            FROM e JOIN k3 ON k3.node = e.v GROUP BY e.u
+        ),
+        katz AS (
+            SELECT x0.node,
+                   round(coalesce(k1.x, 0) + coalesce(k2.x, 0)
+                         + coalesce(k3.x, 0) + coalesce(k4.x, 0), 6) AS s6
+            FROM x0 LEFT JOIN k1 USING (node) LEFT JOIN k2 USING (node)
+            LEFT JOIN k3 USING (node) LEFT JOIN k4 USING (node)
+        )
+        SELECT node AS brand, round(s6, 4) AS katz_score,
+               row_number() OVER (ORDER BY s6 DESC, node ASC) AS rnk
+        FROM katz
+    """,
+    category="analytics",
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the brand co-purchase graph (same ≥20-order
+    edge rule as q_triangle_count, symmetrized): the truncated walk
+    series Σ_{{k=1..{_KATZ_ROUNDS}}} α^k(Aᵏ1) with α={_KATZ_ALPHA} —
+    the attenuated-influence measure between degree (k=1 alone) and
+    eigenvector centrality (k→∞), next to q_pagerank's random surfer
+    and q_hits_bipartite's hub/authority split.
+
+    One distributed fact pass builds the edge grid, which is bounded by
+    the BRAND ENUM (≤25² cells) — collected, walk on the driver (the
+    q_attribution_markov/centroid precedent: a 4-round 25-node
+    recursion must not unroll O(rounds²) plan subtrees). Ranks compare
+    6-dp scores with brand tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lp = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("v"))
+    eh = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 20)
+        .select("u", "v")
+    )
+    # brand-enum-bounded edge grid (<=25^2 cells): collected, walked on
+    # the driver — the markov-attribution precedent
+    und = [(r["u"], r["v"]) for r in eh.collect()]
+    edges = und + [(v, u) for u, v in und]
+    nodes = sorted({u for u, _v in edges})
+    x = {n: 1.0 for n in nodes}
+    score = {n: 0.0 for n in nodes}
+    for _ in range(_KATZ_ROUNDS):
+        nxt = {n: 0.0 for n in nodes}
+        for u, v in sorted(edges):
+            nxt[u] += _KATZ_ALPHA * x.get(v, 0.0)
+        for n in nodes:
+            score[n] += nxt[n]
+        x = nxt
+    ranked = sorted(nodes, key=lambda n: (-round(score[n], 6), n))
+    rows = [
+        (n, round(round(score[n], 6), 4), i + 1) for i, n in enumerate(ranked)
+    ]
+    return spark.createDataFrame(rows, "brand string, katz_score double, rnk int")

@@ -1599,3 +1599,18 @@ def test_tpch_q1_pushdown_and_budget(spark):
     df = REGISTRY["q_tpch_q1"].fn(spark, SF_DIR)
     assert any("l_shipdate" in f for f in pushed_filters(df))
     assert count_exchanges(df) <= 2
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_energy_distance", 8),        # value-grain agg + stitched machinery + 1-row totals
+        ("q_cronbach_alpha", 6),         # (day,type) grid + item/total variance aggs
+        ("q_binary_segmentation", 4),    # day rollup + whitelisted prefix windows + argmin
+        ("q_katz_centrality", 0),        # edge grid collected (enum-bounded); literal result
+    ],
+)
+def test_round10g_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -279,3 +279,36 @@ def test_markov_attribution_conservation(spark):
         assert 0.0 <= r["attribution"] <= 1.0
     # conv_full is the same chain for every row
     assert len({r["conv_full"] for r in rows}) == 1
+
+
+def test_energy_distance_nonnegative(spark):
+    """Energy distance is a metric between distributions: ≥ 0, and the
+    cross-expectation dominates the average within-expectation."""
+    r = REGISTRY["q_energy_distance"].fn(spark, SF_DIR).collect()[0]
+    assert r["energy_dist"] >= -0.001
+    assert r["e_xy"] >= (r["e_xx"] + r["e_yy"]) / 2 - 0.001
+    assert r["e_xx"] > 0 and r["e_yy"] > 0
+    assert r["na"] > 0 and r["nb"] > 0
+
+
+def test_cronbach_alpha_range(spark):
+    r = REGISTRY["q_cronbach_alpha"].fn(spark, SF_DIR).collect()[0]
+    assert r["k"] == 5
+    assert r["alpha"] <= 1.0001  # can be negative; never exceeds 1
+
+
+def test_binary_segmentation_gain_nonnegative(spark):
+    r = REGISTRY["q_binary_segmentation"].fn(spark, SF_DIR).collect()[0]
+    assert r["sse_gain"] >= -0.001  # a split can never increase SSE
+    assert r["n_left"] >= 1
+    assert r["mean_left"] > 0 and r["mean_right"] > 0
+
+
+def test_katz_centrality_ranked(spark):
+    rows = sorted(REGISTRY["q_katz_centrality"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["rnk"])
+    assert rows
+    scores = [r["katz_score"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+    for r in rows:
+        assert r["katz_score"] >= 0.0

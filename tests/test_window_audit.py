@@ -71,6 +71,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_isotonic_calibration": "10 reliability bins (constant-bounded)",
     "q_granger_lag1": "day table (calendar-bounded)",
     "q_burrows_delta": "190 source-pair grid (constant-bounded)",
+    "q_binary_segmentation": "day table (calendar-bounded)",
 }
 
 
@@ -105,7 +106,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 44, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 45, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
