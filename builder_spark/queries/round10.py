@@ -2906,3 +2906,330 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n, round(round(score[n], 6), 4), i + 1) for i, n in enumerate(ranked)
     ]
     return spark.createDataFrame(rows, "brand string, katz_score double, rnk int")
+
+
+# ---------------------------------------------------------------------------
+# ANN hubness diagnostic
+
+
+_HUB_DIMS = [2, 12, 22, 32, 42, 52]  # 1-based fixed dims -> 64 sign-cells
+_HUB_K = 3
+
+
+@register(
+    "q_ann_hubness",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id,
+                   {" + ".join(f"CASE WHEN embedding[{d}] >= 0 THEN {1 << (5 - i)} ELSE 0 END" for i, d in enumerate(_HUB_DIMS))} AS cell,
+                   embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (a.nrm * b.nrm), 6) AS cos6
+            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id != b.vec_id
+        ),
+        topk AS (
+            SELECT ia, ib,
+                   row_number() OVER (PARTITION BY ia
+                                      ORDER BY cos6 DESC, ib ASC) AS rnk
+            FROM pairs
+            QUALIFY rnk <= {_HUB_K}
+        ),
+        indeg AS (
+            SELECT e.vec_id, CAST(count(t.ia) AS DOUBLE) AS k_occ
+            FROM embeddings e LEFT JOIN topk t ON t.ib = e.vec_id
+            GROUP BY e.vec_id
+        ),
+        m AS (SELECT count(*) AS n, avg(k_occ) AS mu FROM indeg)
+        SELECT CAST(m.n AS BIGINT) AS n_vectors,
+               CAST(max(k_occ) AS BIGINT) AS max_indegree,
+               round((sum(power(k_occ - m.mu, 3)) / m.n)
+                     / power(sum(power(k_occ - m.mu, 2)) / m.n, 1.5), 4)
+                   AS indegree_skewness,
+               round(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) * 1.0 / m.n,
+                     4) AS pct_never_retrieved
+        FROM indeg, m GROUP BY m.n, m.mu
+    """,
+    category="llm-similarity",
+)
+def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic for the ANN index: with cell-confined cosine
+    top-{_HUB_K} retrieval (64 sign-cells, the SemDeDup confinement),
+    how skewed is the k-occurrence distribution — how often does each
+    vector appear in OTHERS' top-{_HUB_K}? High positive skew and fat
+    max in-degree are the high-dimensional hubness pathology that
+    silently degrades kNN label quality (hubs dominate every answer);
+    pct_never_retrieved is the anti-hub mass. The index-health
+    companion to q_ann_recall/q_ndcg_ann's accuracy views.
+
+    The pairwise compare is cell-confined (never all-pairs), ranks
+    compare 6-dp cosine with id tie-breaks, and the in-degree table is
+    a vector-grain left join + one moment aggregate (skewness from
+    Σ(x−μ)², Σ(x−μ)³ — combinable)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = sum(
+        F.when(F.element_at("embedding", d) >= 0, F.lit(1 << (5 - i))).otherwise(F.lit(0))
+        for i, d in enumerate(_HUB_DIMS)
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    c = e.select("vec_id", "embedding", cell.alias("cell"), nrm.alias("nrm"))
+    a = c.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        "cell", F.col("nrm").alias("na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        F.col("cell").alias("cellb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("ia") != F.col("ib")))
+        .select("ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos6"))
+    )
+    wr = Window.partitionBy("ia").orderBy(F.col("cos6").desc(), F.col("ib").asc())
+    topk = pairs.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= _HUB_K
+    )
+    # in-degree with zeros: left join counts onto the full vector set
+    cnt = topk.groupBy(F.col("ib").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("k_occ_nz")
+    )
+    indeg = (
+        e.select("vec_id")
+        .join(F.broadcast(cnt), "vec_id", "left")
+        .select(F.coalesce(F.col("k_occ_nz"), F.lit(0)).cast("double").alias("k_occ"))
+    )
+    m = indeg.agg(F.count(F.lit(1)).alias("n"), F.avg("k_occ").alias("mu"))
+    j = indeg.crossJoin(F.broadcast(m))
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.max("k_occ").cast("bigint").alias("max_indegree"),
+        F.round(
+            (F.sum((F.col("k_occ") - F.col("mu")) ** 3) / F.max("n"))
+            / F.pow(F.sum((F.col("k_occ") - F.col("mu")) ** 2) / F.max("n"), 1.5),
+            4,
+        ).alias("indegree_skewness"),
+        F.round(
+            F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0)) * 1.0 / F.max("n"), 4
+        ).alias("pct_never_retrieved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-language boilerplate screen
+
+
+@register(
+    "q_crosslang_dup",
+    oracle="""
+        WITH f AS (
+            SELECT lang,
+                   md5(array_to_string(array_slice(string_split(text, ' '), 1, 5),
+                                       ' ')) AS h
+            FROM documents
+        ),
+        g AS (
+            SELECT h, count(DISTINCT lang) AS n_langs, count(*) AS n_docs,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+            FROM f GROUP BY h
+        )
+        SELECT h AS prefix_hash, CAST(n_langs AS INT) AS n_langs,
+               CAST(n_docs AS BIGINT) AS n_docs, langs
+        FROM g WHERE n_langs >= 2 ORDER BY h
+    """,
+    category="llm-dedup",
+)
+def q_crosslang_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language boilerplate screen: 5-token opening-prefix
+    fingerprints that appear under two or more language labels — the
+    shared-template / mislabeled-language signal a per-language dedup
+    pass would never see (it dedups WITHIN lang). Output is the
+    offending prefix hashes with their language spread. The
+    cross-cutting audit next to q_boilerplate_prefix (per-source) and
+    q_langid_confusion (label quality).
+
+    One projection computes the md5 prefix key (16 bytes shuffle,
+    never text — the house fingerprint discipline); one groupBy with a
+    distinct-lang count; the HAVING filter rides the aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "lang",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        ).alias("h"),
+    )
+    g = f.groupBy("h").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+    )
+    return (
+        g.filter(F.col("n_langs") >= 2)
+        .select(
+            F.col("h").alias("prefix_hash"),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "langs",
+        )
+        .orderBy("prefix_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization error sweep
+
+
+_SQ_BITS = [2, 4, 8]
+
+
+@register(
+    "q_scalar_quant_sweep",
+    oracle=f"""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        x AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+            FROM embeddings, dims
+        ),
+        dmax AS (SELECT i, max(abs(v)) AS mx FROM x GROUP BY i),
+        bits AS (SELECT unnest({_SQ_BITS}) AS b),
+        err AS (
+            SELECT b.b,
+                   sum(x.v * x.v) AS sig,
+                   sum(power(x.v - round(x.v / (2 * d.mx / (power(2, b.b) - 1)))
+                             * (2 * d.mx / (power(2, b.b) - 1)), 2)) AS noise,
+                   count(*) AS n
+            FROM x JOIN dmax d USING (i), bits b
+            GROUP BY b.b
+        )
+        SELECT b AS bits,
+               round(noise / n, 6) AS mse,
+               round(10 * log10(sig / noise), 4) AS sqnr_db
+        FROM err ORDER BY b
+    """,
+    category="llm-similarity",
+)
+def q_scalar_quant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric scalar quantization error sweep: at b ∈
+    {_SQ_BITS} bits with step Δᵢ = 2·max|xᵢ|/(2ᵇ−1), the MSE and
+    signal-to-quantization-noise ratio over all (vector, dim) values —
+    the bits-vs-recall budget curve every embedding-store compaction
+    decision reads (int8 is the industry default; this measures WHY).
+    The scalar sibling of q_vec_quantize's product quantizer.
+
+    One posexplode to (dim, value) grain, a 64-row per-dim max
+    broadcast back, and the bit sweep is CELLS from one projection
+    (trap 9) — three bit-widths cost one exchange. Identical
+    round/step expressions both engines; MSE/SQNR rounded once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.col("embedding")).alias("i", "v_raw")
+    ).select(F.col("i").cast("int").alias("i"), F.col("v_raw").cast("double").alias("v"))
+    dmax = x.groupBy("i").agg(F.max(F.abs("v")).alias("mx"))
+    bits = spark.createDataFrame([(b,) for b in _SQ_BITS], "b int")
+    step = 2 * F.col("mx") / (F.pow(F.lit(2.0), F.col("b")) - 1)
+    err = (
+        x.join(F.broadcast(dmax), "i")
+        .crossJoin(F.broadcast(bits))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("v")).alias("sig"),
+            F.sum((F.col("v") - F.round(F.col("v") / step) * step) ** 2).alias("noise"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return err.select(
+        F.col("b").alias("bits"),
+        F.round(F.col("noise") / F.col("n"), 6).alias("mse"),
+        F.round(10 * F.log10(F.col("sig") / F.col("noise")), 4).alias("sqnr_db"),
+    ).orderBy("bits")
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer interpolation sweep
+
+
+_JM_LAMBDAS = [0.1, 0.5, 0.9]
+
+
+@register(
+    "q_lm_interpolation_sweep",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        train AS (SELECT w FROM tok WHERE doc_id % 2 = 0),
+        held AS (SELECT w FROM tok WHERE doc_id % 2 = 1),
+        uni AS (SELECT w, count(*) AS c FROM train GROUP BY w),
+        tt AS (SELECT sum(c) AS n_train, count(*) AS v FROM uni),
+        lam AS (SELECT unnest({_JM_LAMBDAS}) AS l),
+        scored AS (
+            SELECT l.l,
+                   sum(ln(l.l * coalesce(u.c, 0) * 1.0 / t.n_train
+                          + (1 - l.l) / t.v)) AS ll,
+                   count(*) AS n_held
+            FROM held h LEFT JOIN uni u ON u.w = h.w, tt t, lam l
+            GROUP BY l.l
+        )
+        SELECT l AS lambda, CAST(n_held AS BIGINT) AS n_tokens,
+               round(exp(-ll / n_held), 4) AS perplexity
+        FROM scored ORDER BY l
+    """,
+    category="llm-text",
+)
+def q_lm_interpolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer smoothing sweep: held-out perplexity of the
+    interpolated unigram LM p = λ·p_train + (1−λ)/V at λ ∈
+    {_JM_LAMBDAS}, with a deterministic even/odd doc split — the
+    hyperparameter curve that picks the mixing weight
+    q_kneser_ney_bigram and q_lm_perplexity take as given. OOV
+    held-out tokens survive through the uniform floor (never −∞).
+
+    Tokens shuffle once per split; the train vocab is a broadcastable
+    word-grain table; the λ sweep is CELLS from one projection
+    (trap 9) — three λ's, one exchange. Log-probs sum in one
+    combinable aggregate; perplexity exp(−LL/N) rounds once."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    train = tok.filter(F.col("doc_id") % 2 == 0).select("w")
+    held = tok.filter(F.col("doc_id") % 2 == 1).select("w")
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tt = uni.agg(F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v"))
+    lam = spark.createDataFrame([(x,) for x in _JM_LAMBDAS], "l double")
+    scored = (
+        held.join(F.broadcast(uni), "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(lam))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                F.log(
+                    F.col("l") * F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n_train")
+                    + (1 - F.col("l")) / F.col("v")
+                )
+            ).alias("ll"),
+            F.count(F.lit(1)).alias("n_held"),
+        )
+    )
+    return scored.select(
+        F.col("l").alias("lambda"),
+        F.col("n_held").cast("bigint").alias("n_tokens"),
+        F.round(F.exp(-F.col("ll") / F.col("n_held")), 4).alias("perplexity"),
+    ).orderBy("lambda")

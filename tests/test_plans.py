@@ -1614,3 +1614,28 @@ def test_round10g_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_ann_hubness", 6),           # cell-confined pairs + per-query window + indeg join
+        ("q_crosslang_dup", 3),         # md5-prefix agg + filter + sort
+        ("q_scalar_quant_sweep", 3),    # (dim,value) grain + 64-row max broadcast + bit cells
+        ("q_lm_interpolation_sweep", 5),# split token shuffles + vocab broadcast + lambda cells
+    ],
+)
+def test_round10h_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+def test_hubness_pairs_are_cell_confined(spark):
+    """The cosine pair join must be an equi-join on the cell id —
+    a nested-loop pair join would be the all-pairs blowup."""
+    from builder_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_ann_hubness"].fn(spark, SF_DIR))
+    nl_nodes = plan.count("BroadcastNestedLoopJoin") // 2
+    assert nl_nodes <= 1  # only the 1-row moments crossJoin

@@ -312,3 +312,39 @@ def test_katz_centrality_ranked(spark):
     assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
     for r in rows:
         assert r["katz_score"] >= 0.0
+
+
+def test_hubness_accounting(spark):
+    r = REGISTRY["q_ann_hubness"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_vectors"] > 0
+    assert 0 <= r["max_indegree"] <= r["n_vectors"] - 1
+    assert 0.0 <= r["pct_never_retrieved"] <= 1.0
+
+
+def test_crosslang_dup_spread(spark):
+    rows = REGISTRY["q_crosslang_dup"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_langs"] >= 2
+        assert r["n_docs"] >= r["n_langs"]
+        assert len(r["langs"].split(",")) == r["n_langs"]
+
+
+def test_scalar_quant_monotone_in_bits(spark):
+    """More bits can only reduce quantization error; SQNR grows ~6dB/bit."""
+    rows = sorted(REGISTRY["q_scalar_quant_sweep"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["bits"])
+    assert [r["bits"] for r in rows] == [2, 4, 8]
+    mses = [r["mse"] for r in rows]
+    assert mses[0] > mses[1] > mses[2] >= 0
+    sqnrs = [r["sqnr_db"] for r in rows]
+    assert sqnrs[0] < sqnrs[1] < sqnrs[2]
+
+
+def test_jm_perplexity_bounded_by_vocab(spark):
+    """Perplexity of any λ-mixture is at most V/(1−λ) (uniform floor)
+    and at least 1; the curve must be finite for every λ."""
+    rows = REGISTRY["q_lm_interpolation_sweep"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["perplexity"] >= 1.0
+        assert r["n_tokens"] > 0
