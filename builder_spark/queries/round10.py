@@ -3233,3 +3233,363 @@ def q_lm_interpolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_held").cast("bigint").alias("n_tokens"),
         F.round(F.exp(-F.col("ll") / F.col("n_held")), 4).alias("perplexity"),
     ).orderBy("lambda")
+
+
+# ---------------------------------------------------------------------------
+# chain-ladder development triangle
+
+
+@register(
+    "q_chain_ladder",
+    oracle="""
+        WITH tri AS (
+            SELECT date_trunc('month', o.o_orderdate) AS cohort,
+                   CAST(datediff('month', date_trunc('month', o.o_orderdate),
+                                 date_trunc('month', l.l_shipdate)) AS INT) AS lag,
+                   sum(l.l_extendedprice) AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, lag,
+                   sum(v) OVER (PARTITION BY cohort ORDER BY lag
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+            FROM tri
+        ),
+        fac AS (
+            SELECT a.lag,
+                   sum(b.c) / sum(a.c) AS f,
+                   CAST(count(*) AS BIGINT) AS n_cohorts
+            FROM cum a JOIN cum b
+              ON b.cohort = a.cohort AND b.lag = a.lag + 1
+            GROUP BY a.lag
+        ),
+        a2u AS (
+            SELECT lag, f, n_cohorts,
+                   exp(sum(ln(f)) OVER (ORDER BY lag DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       AS age_to_ultimate
+            FROM fac
+        )
+        SELECT lag, round(f, 4) AS dev_factor, n_cohorts,
+               round(age_to_ultimate, 4) AS age_to_ultimate
+        FROM a2u ORDER BY lag
+    """,
+    category="analytics",
+)
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors on the (order-cohort ×
+    ship-lag) revenue triangle — the actuarial reserving standard: per
+    lag, the volume-weighted link ratio Σc_{l+1}/Σc_l over cohorts
+    observed at both ages, and the age-to-ultimate factor (suffix
+    product) that grosses a cohort's current cumulative up to its
+    projected ultimate. The triangle is NATURALLY right-censored (the
+    newest cohorts haven't reached the older ages), which is exactly
+    the situation chain-ladder exists for.
+
+    One fact-join pass collapses to the calendar-bounded
+    (cohort-month × lag) triangle; the per-cohort cumulative, the
+    link-ratio join (lag↔lag+1), and the log-sum suffix product all
+    run on that bounded grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    tri = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("cohort"),
+            (
+                (F.year("l_shipdate") - F.year("o_orderdate")) * 12
+                + (F.month("l_shipdate") - F.month("o_orderdate"))
+            )
+            .cast("int")
+            .alias("lag"),
+        )
+        .agg(F.sum("l_extendedprice").alias("v"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tri.select("cohort", "lag", F.sum("v").over(w_cum).alias("c"))
+    a = cum.select("cohort", "lag", F.col("c").alias("ca"))
+    b = cum.select(
+        F.col("cohort").alias("cohort_b"), (F.col("lag") - 1).alias("lag_b"),
+        F.col("c").alias("cb"),
+    )
+    fac = (
+        a.join(b, (F.col("cohort") == F.col("cohort_b")) & (F.col("lag") == F.col("lag_b")))
+        .groupBy("lag")
+        .agg(
+            (F.sum("cb") / F.sum("ca")).alias("f"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+        )
+    )
+    w_suf = Window.orderBy(F.col("lag").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # <=lag-domain factor table (bounded)
+    return (
+        fac.select(
+            "lag",
+            "f",
+            "n_cohorts",
+            F.exp(F.sum(F.log("f")).over(w_suf)).alias("age_to_ultimate"),
+        )
+        .select(
+            "lag",
+            F.round("f", 4).alias("dev_factor"),
+            "n_cohorts",
+            F.round("age_to_ultimate", 4).alias("age_to_ultimate"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Borda rank aggregation
+
+
+@register(
+    "q_borda_ranking",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', l.l_shipdate) AS d, p.p_brand AS brand,
+                   sum(l.l_extendedprice) AS rev
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT d, brand,
+                   row_number() OVER (PARTITION BY d
+                                      ORDER BY rev DESC, brand ASC) AS rnk,
+                   count(*) OVER (PARTITION BY d) AS k
+            FROM daily
+        ),
+        borda AS (
+            SELECT brand, CAST(sum(k - rnk) AS BIGINT) AS borda_points,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM ranked GROUP BY brand
+        ),
+        overall AS (
+            SELECT brand,
+                   row_number() OVER (ORDER BY sum(rev) DESC, brand ASC) AS rev_rank
+            FROM daily GROUP BY brand
+        )
+        SELECT b.brand, b.borda_points, b.n_days,
+               CAST(row_number() OVER (ORDER BY b.borda_points DESC, b.brand ASC)
+                    AS INT) AS borda_rank,
+               CAST(o.rev_rank AS INT) AS revenue_rank
+        FROM borda b JOIN overall o USING (brand)
+        ORDER BY borda_rank
+    """,
+    category="analytics",
+)
+def q_borda_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank aggregation: every ship-day ranks the brands
+    by revenue (a "voter"), each brand earns (k − rank) points per
+    day, and the consensus ranking is total points — the positional
+    voting rule that damps single-day outliers a plain revenue sum
+    carries through. The revenue_rank column sits alongside so the
+    disagreement IS the outlier signal.
+
+    Facts collapse to the calendar-bounded (day × brand) grid; the
+    per-day ranking partitions by day over ≤25 rows each; both final
+    rankings order the 25-brand aggregate. Integer points throughout —
+    exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w_day = Window.partitionBy("d").orderBy(F.col("rev").desc(), F.col("brand").asc())
+    w_k = Window.partitionBy("d")
+    ranked = daily.select(
+        "brand",
+        F.row_number().over(w_day).alias("rnk"),
+        F.count(F.lit(1)).over(w_k).alias("k"),
+    )
+    borda = ranked.groupBy("brand").agg(
+        F.sum(F.col("k") - F.col("rnk")).cast("bigint").alias("borda_points"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    overall = (
+        daily.groupBy("brand")
+        .agg(F.sum("rev").alias("tot"))
+        .select(
+            "brand",
+            F.row_number()
+            .over(Window.orderBy(F.col("tot").desc(), F.col("brand").asc()))
+            .alias("rev_rank"),
+        )
+    )
+    w_borda = Window.orderBy(F.col("borda_points").desc(), F.col("brand").asc())
+    return (
+        borda.join(F.broadcast(overall), "brand")
+        .select(
+            "brand",
+            "borda_points",
+            "n_days",
+            F.row_number().over(w_borda).cast("int").alias("borda_rank"),
+            F.col("rev_rank").cast("int").alias("revenue_rank"),
+        )
+        .orderBy("borda_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word burstiness (Church–Gale)
+
+
+@register(
+    "q_word_burstiness",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wd AS (SELECT w, doc_id, count(*) AS c FROM tok GROUP BY w, doc_id),
+        n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+        stats AS (
+            SELECT w, sum(c) AS tot,
+                   count(*) AS df1,
+                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2
+            FROM wd GROUP BY w
+        ),
+        burst AS (
+            SELECT w, tot, df1, df2, d.nd,
+                   round((tot * 1.0 / df1)
+                         / ((tot * 1.0 / d.nd)
+                            / (1 - exp(-(tot * 1.0 / d.nd)))), 6) AS b6
+            FROM stats, n_docs d
+            WHERE df1 >= 5
+        )
+        SELECT w AS word, CAST(tot AS BIGINT) AS occurrences,
+               CAST(df1 AS BIGINT) AS doc_freq,
+               round(df2 * 1.0 / df1, 4) AS repeat_rate,
+               round(b6, 4) AS burstiness,
+               row_number() OVER (ORDER BY b6 DESC, w ASC) AS rnk
+        FROM burst
+        QUALIFY rnk <= 20
+    """,
+    category="llm-text",
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale word burstiness: observed mean occurrences per
+    containing document (tot/df₁) over the Poisson expectation
+    E[X|X≥1] = λ/(1−e^{−λ}) — words far above 1 cluster into few
+    documents (topical/template words), words near 1 spread evenly
+    (function words). Top-20 burstiest with df ≥ 5; the
+    document-clumping lens that corpus-level frequency (q_zipf_slope)
+    and positional bias (q_token_position_bias) both miss.
+
+    Tokens collapse to (word, doc) grain in one shuffle; word stats
+    are a second bounded rollup; the Poisson comparison is algebra
+    with the 1-row doc count broadcast. Ranks on 6-dp scores."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wd = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = wd.agg(F.countDistinct("doc_id").alias("nd"))
+    stats = wd.groupBy("w").agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("df1"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("df2"),
+    )
+    lam = F.col("tot") * 1.0 / F.col("nd")
+    b6 = F.round(
+        (F.col("tot") * 1.0 / F.col("df1")) / (lam / (1 - F.exp(-lam))), 6
+    )
+    burst = (
+        stats.filter(F.col("df1") >= 5)
+        .crossJoin(F.broadcast(nd))
+        .select("w", "tot", "df1", "df2", b6.alias("b6"))
+    )
+    # TakeOrdered prune to the 20 survivors FIRST (vocab grain is
+    # unbounded at scale); the rank window then runs over 20 rows
+    top = burst.orderBy(F.col("b6").desc(), F.col("w").asc()).limit(20)
+    wr = Window.orderBy(F.col("b6").desc(), F.col("w").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .select(
+            F.col("w").alias("word"),
+            F.col("tot").cast("bigint").alias("occurrences"),
+            F.col("df1").cast("bigint").alias("doc_freq"),
+            F.round(F.col("df2") * 1.0 / F.col("df1"), 4).alias("repeat_rate"),
+            F.round("b6", 4).alias("burstiness"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M/M/1 queueing profile
+
+
+@register(
+    "q_queueing_mm1",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(hour(ts) AS INT) AS h, count(*) AS c
+            FROM events GROUP BY hour(ts)
+        ),
+        span AS (
+            SELECT count(DISTINCT date_trunc('day', ts)) AS n_days FROM events
+        ),
+        rates AS (
+            SELECT h, c, c * 1.0 / (s.n_days * 3600) AS lam
+            FROM hourly, span s
+        ),
+        mu AS (SELECT max(lam) * 1.25 AS mu FROM rates)
+        SELECT r.h AS hour,
+               round(r.lam, 6) AS lambda_per_sec,
+               round(r.lam / m.mu, 4) AS rho,
+               round((r.lam / m.mu) * (r.lam / m.mu) / (1 - r.lam / m.mu),
+                     4) AS lq,
+               round((r.lam / m.mu) * (r.lam / m.mu) / (1 - r.lam / m.mu)
+                     / r.lam, 4) AS wq_sec
+        FROM rates r, mu m ORDER BY r.h
+    """,
+    category="analytics",
+)
+def q_queueing_mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 queueing profile by hour of day: arrival rate λ_h from
+    the event stream, a service rate μ = 1.25 × peak λ (deterministic
+    from the data, guaranteeing stability ρ < 0.8 everywhere), and the
+    steady-state Pollaczek formulas — utilization ρ, expected queue
+    length Lq = ρ²/(1−ρ), expected wait Wq = Lq/λ. The capacity-
+    planning read of q_activity_heatmap's raw load matrix: not "when
+    is traffic high" but "when does the queue blow up".
+
+    Facts collapse to the 24-row hour grid + a 1-row day count; μ is a
+    1-row broadcast; everything after is algebra on 24 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").cast("int").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = ev.agg(
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("n_days")
+    )
+    rates = hourly.crossJoin(F.broadcast(span)).select(
+        "h", (F.col("c") * 1.0 / (F.col("n_days") * 3600)).alias("lam")
+    )
+    mu = rates.agg((F.max("lam") * 1.25).alias("mu"))
+    rho = F.col("lam") / F.col("mu")
+    lq = rho * rho / (1 - rho)
+    return (
+        rates.crossJoin(F.broadcast(mu))
+        .select(
+            F.col("h").alias("hour"),
+            F.round("lam", 6).alias("lambda_per_sec"),
+            F.round(rho, 4).alias("rho"),
+            F.round(lq, 4).alias("lq"),
+            F.round(lq / F.col("lam"), 4).alias("wq_sec"),
+        )
+        .orderBy("hour")
+    )

@@ -1639,3 +1639,18 @@ def test_hubness_pairs_are_cell_confined(spark):
     plan = formatted_plan(REGISTRY["q_ann_hubness"].fn(spark, SF_DIR))
     nl_nodes = plan.count("BroadcastNestedLoopJoin") // 2
     assert nl_nodes <= 1  # only the 1-row moments crossJoin
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_chain_ladder", 8),       # fact join -> triangle + cum windows + link join + suffix product
+        ("q_borda_ranking", 7),      # (day,brand) grid + day windows + 25-row rankings
+        ("q_word_burstiness", 5),    # (word,doc) grain + word rollup + TakeOrdered-20
+        ("q_queueing_mm1", 8),       # 24-row hour grid + 1-row day count + 1-row mu
+    ],
+)
+def test_round10i_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -348,3 +348,47 @@ def test_jm_perplexity_bounded_by_vocab(spark):
     for r in rows:
         assert r["perplexity"] >= 1.0
         assert r["n_tokens"] > 0
+
+
+def test_chain_ladder_factor_laws(spark):
+    """Cumulative payments only grow, so every link ratio ≥ 1 and the
+    age-to-ultimate suffix product is nonincreasing in lag (ends ≥ 1)."""
+    rows = sorted(REGISTRY["q_chain_ladder"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["lag"])
+    assert rows
+    a2u = [r["age_to_ultimate"] for r in rows]
+    for r in rows:
+        assert r["dev_factor"] >= 1.0 - 1e-9
+        assert r["n_cohorts"] >= 1
+    assert all(a >= b - 1e-9 for a, b in zip(a2u, a2u[1:]))
+    assert a2u[-1] >= 1.0 - 1e-9
+
+
+def test_borda_ranks_are_permutations(spark):
+    rows = REGISTRY["q_borda_ranking"].fn(spark, SF_DIR).collect()
+    k = len(rows)
+    assert sorted(r["borda_rank"] for r in rows) == list(range(1, k + 1))
+    assert sorted(r["revenue_rank"] for r in rows) == list(range(1, k + 1))
+    # max possible points per day is k-1 per voter
+    for r in rows:
+        assert 0 <= r["borda_points"] <= r["n_days"] * (k - 1)
+
+
+def test_burstiness_at_least_poisson_floor(spark):
+    rows = REGISTRY["q_word_burstiness"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_freq"] >= 5
+        assert 0.0 <= r["repeat_rate"] <= 1.0
+        assert r["burstiness"] > 0
+        assert r["occurrences"] >= r["doc_freq"]
+
+
+def test_mm1_stability_and_littles_law(spark):
+    rows = REGISTRY["q_queueing_mm1"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert 0.0 < r["rho"] <= 0.8 + 1e-9  # mu = 1.25x peak guarantees this
+        assert r["lq"] >= 0
+        # Little's law: Lq = lambda * Wq
+        assert r["lq"] == pytest.approx(r["lambda_per_sec"] * r["wq_sec"], rel=0.02)
