@@ -201,6 +201,18 @@ HEAVY = [
     "q_propensity_ipw",
     "q_good_turing",
     "q_two_way_anova",
+    # round-10 batches 6-10: token-grid stylometry, stitched energy
+    # distance, cell-pair hubness, 64x posexplode quantization sweep,
+    # lambda-cell LM sweep, fact-join reserving triangle, day-grid
+    # Borda votes, (word,doc)-grain burstiness
+    "q_burrows_delta",
+    "q_energy_distance",
+    "q_ann_hubness",
+    "q_scalar_quant_sweep",
+    "q_lm_interpolation_sweep",
+    "q_chain_ladder",
+    "q_borda_ranking",
+    "q_word_burstiness",
 ]
 
 #: per-table key columns to offset so replicas don't collide
