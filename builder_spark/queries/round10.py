@@ -3593,3 +3593,436 @@ def q_queueing_mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Huber robust regression via unrolled IRLS
+
+
+_HUBER_ROUNDS = 3
+_HUBER_K = 1.345
+
+
+def _huber_round_sql(prev: str, cur: str) -> str:
+    """One IRLS round: weights w = min(1, k·s/|r|) from the previous
+    fit, then weighted least squares in closed form."""
+    return f"""
+        {cur}_w AS (
+            SELECT x, y,
+                   least(1.0, {_HUBER_K} * p.s
+                              / greatest(abs(y - (p.a + p.b * x)), 1e-9)) AS w
+            FROM pts, {prev} p
+        ),
+        {cur} AS (
+            SELECT (sum(w * y) * sum(w * x * x) - sum(w * x) * sum(w * x * y))
+                   / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS a,
+                   (sum(w) * sum(w * x * y) - sum(w * x) * sum(w * y))
+                   / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS b,
+                   (SELECT s FROM {prev}) AS s
+            FROM {cur}_w
+        )"""
+
+
+@register(
+    "q_huber_irls",
+    oracle=f"""
+        WITH pts AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        ols AS (
+            SELECT avg(y) - (covar_samp(x, y) / var_samp(x)) * avg(x) AS a,
+                   covar_samp(x, y) / var_samp(x) AS b
+            FROM pts
+        ),
+        h0 AS (
+            SELECT o.a, o.b, stddev_samp(y - (o.a + o.b * x)) AS s
+            FROM pts, ols o GROUP BY o.a, o.b
+        ),{",".join(_huber_round_sql(f"h{i}", f"h{i + 1}") for i in range(_HUBER_ROUNDS))},
+        dl AS (
+            SELECT sum(CASE WHEN least(1.0, {_HUBER_K} * p.s
+                             / greatest(abs(y - (p.a + p.b * x)), 1e-9)) < 1
+                       THEN 1 ELSE 0 END) AS n_down, count(*) AS n
+            FROM pts, h{_HUBER_ROUNDS} p
+        )
+        SELECT round(o.a, 4) AS ols_intercept, round(o.b, 6) AS ols_slope,
+               round(h.a, 4) AS huber_intercept, round(h.b, 6) AS huber_slope,
+               CAST(d.n AS BIGINT) AS n,
+               round(d.n_down * 1.0 / d.n, 4) AS downweighted_share
+        FROM ols o, h{_HUBER_ROUNDS} h, dl d
+    """,
+    category="analytics",
+)
+def q_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression by {_HUBER_ROUNDS} unrolled IRLS rounds
+    (k = {_HUBER_K}, scale frozen at the OLS residual sd): rows whose
+    residual exceeds k·s get weight k·s/|r|, and each round is one
+    weighted-least-squares closed form. Reported against plain OLS
+    with the share of downweighted rows — the estimator q_theil_sen
+    approximates nonparametrically and q_cooks_distance only
+    diagnoses; IRLS actually refits.
+
+    Same iterative scale shape as q_gmm_em_1d: every round is ONE
+    combinable weighted-moment aggregate over the fact projection with
+    the 3-number (a, b, s) fit broadcast — {_HUBER_ROUNDS} rounds =
+    {_HUBER_ROUNDS} scans, nothing collected, guarded |r| ≥ 1e-9
+    identical on both engines."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    ols = pts.agg(
+        (F.avg("y") - (F.covar_samp("x", "y") / F.var_samp("x")) * F.avg("x")).alias("a"),
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("b"),
+    )
+    h = pts.crossJoin(F.broadcast(ols)).agg(
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.stddev_samp(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias("s"),
+    )
+    for _ in range(_HUBER_ROUNDS):
+        j = pts.crossJoin(F.broadcast(h))
+        w = F.least(
+            F.lit(1.0),
+            _HUBER_K
+            * F.col("s")
+            / F.greatest(
+                F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), F.lit(1e-9)
+            ),
+        )
+        ws = j.select("x", "y", w.alias("w"), "s").agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+            F.max("s").alias("s"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        h = ws.select(
+            ((F.col("swy") * F.col("swxx") - F.col("swx") * F.col("swxy")) / det).alias("a"),
+            ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / det).alias("b"),
+            F.col("s"),
+        )
+    dl = pts.crossJoin(F.broadcast(h)).agg(
+        F.sum(
+            F.when(
+                F.least(
+                    F.lit(1.0),
+                    _HUBER_K
+                    * F.col("s")
+                    / F.greatest(
+                        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))),
+                        F.lit(1e-9),
+                    ),
+                )
+                < 1.0,
+                1,
+            ).otherwise(0)
+        ).alias("n_down"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("a").alias("ha"),
+        F.max("b").alias("hb"),
+    )
+    return dl.crossJoin(F.broadcast(ols)).select(
+        F.round("a", 4).alias("ols_intercept"),
+        F.round("b", 6).alias("ols_slope"),
+        F.round("ha", 4).alias("huber_intercept"),
+        F.round("hb", 6).alias("huber_slope"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n_down") * 1.0 / F.col("n"), 4).alias("downweighted_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence / information value
+
+
+_WOE_BANDS = [50000 * i for i in range(1, 10)]  # 10 price bands
+
+
+@register(
+    "q_woe_iv",
+    oracle=f"""
+        WITH f AS (
+            SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS band,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS bad
+            FROM orders
+        ),
+        cells AS (
+            SELECT band, CAST(sum(bad) AS BIGINT) AS n_bad,
+                   CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+            FROM f GROUP BY band
+        ),
+        tot AS (SELECT sum(n_bad) AS tb, sum(n_good) AS tg FROM cells)
+        SELECT c.band,
+               c.n_good, c.n_bad,
+               round(ln(greatest(c.n_good * 1.0 / t.tg, 1e-9)
+                        / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 4) AS woe,
+               round((c.n_good * 1.0 / t.tg - c.n_bad * 1.0 / t.tb)
+                     * ln(greatest(c.n_good * 1.0 / t.tg, 1e-9)
+                          / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 6) AS iv_part
+        FROM cells c, tot t ORDER BY c.band
+    """,
+    category="analytics",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table — the credit-
+    scoring standard for screening a binned feature against a binary
+    target: per price band, WOE = ln((good share)/(bad share)) and its
+    IV contribution (Σiv_part is the feature's predictive power:
+    <0.02 useless, >0.3 strong). The scorecard-calibrated sibling of
+    q_target_encoding (which fits means, not log-odds evidence).
+
+    One fact pass to the 10-band × outcome cell grid; WOE/IV are
+    algebra over those cells with the 1-row totals broadcast, shares
+    guarded at 1e-9 identically on both engines."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)).alias(
+            "band"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("bad"),
+    )
+    cells = f.groupBy("band").agg(
+        F.sum("bad").cast("bigint").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).cast("bigint").alias("n_good"),
+    )
+    tot = cells.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
+    g_share = F.greatest(F.col("n_good") * 1.0 / F.col("tg"), F.lit(1e-9))
+    b_share = F.greatest(F.col("n_bad") * 1.0 / F.col("tb"), F.lit(1e-9))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_good",
+            "n_bad",
+            F.round(F.log(g_share / b_share), 4).alias("woe"),
+            F.round(
+                (F.col("n_good") * 1.0 / F.col("tg") - F.col("n_bad") * 1.0 / F.col("tb"))
+                * F.log(g_share / b_share),
+                6,
+            ).alias("iv_part"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# inventory policy: EOQ + safety stock + reorder point
+
+
+_INV_ORDER_COST = 75.0  # fixed cost per replenishment
+_INV_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit price
+_INV_Z = 1.645  # 95% cycle service level
+_INV_LEAD_DAYS = 7.0
+
+
+@register(
+    "q_inventory_policy",
+    oracle=f"""
+        WITH daily AS (
+            SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS d,
+                   sum(l.l_quantity) AS q
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT count(DISTINCT d) AS n_days FROM daily
+        ),
+        price AS (
+            SELECT p.p_brand AS brand, avg(p.p_retailprice) AS unit_cost
+            FROM part p GROUP BY p.p_brand
+        ),
+        stats AS (
+            SELECT brand, sum(q) AS tot, avg(q) AS mu_d, stddev_samp(q) AS sd_d,
+                   count(*) AS n_obs
+            FROM daily GROUP BY brand
+        )
+        SELECT s.brand,
+               round(s.tot * 365.0 / sp.n_days, 2) AS annual_demand,
+               round(sqrt(2 * (s.tot * 365.0 / sp.n_days) * {_INV_ORDER_COST}
+                          / ({_INV_HOLD_RATE} * pr.unit_cost)), 2) AS eoq,
+               round({_INV_Z} * s.sd_d * sqrt({_INV_LEAD_DAYS}), 2) AS safety_stock,
+               round(s.mu_d * {_INV_LEAD_DAYS}
+                     + {_INV_Z} * s.sd_d * sqrt({_INV_LEAD_DAYS}), 2) AS reorder_point
+        FROM stats s, span sp JOIN price pr ON pr.brand = s.brand
+        ORDER BY s.brand
+    """,
+    category="analytics",
+)
+def q_inventory_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full inventory policy per brand: EOQ = √(2·D·K / h·c) from the
+    annualized demand rate, safety stock z·σ_d·√L at a 95% cycle
+    service level, and the reorder point μ_d·L + safety stock — the
+    three numbers a replenishment system actually sets, assembled from
+    the demand statistics q_newsvendor (single-period) and
+    q_croston_intermittent (sparse demand) stop short of.
+
+    One fact-join pass to the (brand × day) grid; per-brand demand
+    moments and the 25-row unit-cost dimension join are grid work; the
+    policy formulas are algebra with pinned cost constants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("d"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    span = daily.agg(F.countDistinct("d").alias("n_days"))
+    price = p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.avg("p_retailprice").alias("unit_cost")
+    )
+    stats = daily.groupBy("brand").agg(
+        F.sum("q").alias("tot"),
+        F.avg("q").alias("mu_d"),
+        F.stddev_samp("q").alias("sd_d"),
+    )
+    annual = F.col("tot") * 365.0 / F.col("n_days")
+    ss = _INV_Z * F.col("sd_d") * F.sqrt(F.lit(_INV_LEAD_DAYS))
+    return (
+        stats.crossJoin(F.broadcast(span))
+        .join(F.broadcast(price), "brand")
+        .select(
+            "brand",
+            F.round(annual, 2).alias("annual_demand"),
+            F.round(
+                F.sqrt(
+                    2 * annual * _INV_ORDER_COST / (_INV_HOLD_RATE * F.col("unit_cost"))
+                ),
+                2,
+            ).alias("eoq"),
+            F.round(ss, 2).alias("safety_stock"),
+            F.round(F.col("mu_d") * _INV_LEAD_DAYS + ss, 2).alias("reorder_point"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative proportional fitting (raking)
+
+
+_IPF_SWEEPS = 3
+
+
+def _ipf_sweep_sql(prev: str, cur: str) -> str:
+    """One IPF sweep as SQL: scale rows to the region margin, then
+    columns to the segment margin."""
+    return f"""
+        {cur}_r AS (
+            SELECT w.a, w.b,
+                   w.v * ma.target / sum(w.v) OVER (PARTITION BY w.a) AS v
+            FROM {prev} w JOIN ma ON ma.a = w.a
+        ),
+        {cur} AS (
+            SELECT r.a, r.b,
+                   r.v * mb.target / sum(r.v) OVER (PARTITION BY r.b) AS v
+            FROM {cur}_r r JOIN mb ON mb.b = r.b
+        )"""
+
+
+@register(
+    "q_ipf_raking",
+    oracle=f"""
+        WITH cells AS (
+            SELECT r.r_name AS a, c.c_mktsegment AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT sum(v) AS t FROM cells),
+        ma AS (
+            SELECT a, max(t.t) / 5.0 AS target FROM cells, tot t GROUP BY a
+        ),
+        mb AS (
+            SELECT b, max(t.t) / 5.0 AS target FROM cells, tot t GROUP BY b
+        ),
+        w0 AS (SELECT a, b, v FROM cells),{",".join(_ipf_sweep_sql(f"w{i}", f"w{i + 1}") for i in range(_IPF_SWEEPS))},
+        audit AS (
+            SELECT w.a, sum(w.v) AS row_sum, max(ma.target) AS row_target
+            FROM w{_IPF_SWEEPS} w JOIN ma ON ma.a = w.a GROUP BY w.a
+        )
+        SELECT w.a AS region, w.b AS segment,
+               round(w.v, 4) AS raked_weight,
+               round(w.v / c.v, 4) AS adjustment,
+               round(au.row_sum / au.row_target, 4) AS row_margin_ratio
+        FROM w{_IPF_SWEEPS} w
+        JOIN cells c ON c.a = w.a AND c.b = w.b
+        JOIN audit au ON au.a = w.a
+        ORDER BY region, segment
+    """,
+    category="analytics",
+)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking): scale the
+    observed region × segment order counts so both margins hit UNIFORM
+    targets (total/5 each), by {_IPF_SWEEPS} alternating row/column
+    sweeps — the weighting method behind every post-stratified survey
+    estimate and RIM-weighted panel, here exposing each cell's raked
+    weight, its adjustment factor vs raw, and the per-row margin ratio
+    (→ 1.0 as IPF converges). Completes the weighting family
+    (q_importance_weights covariate-shift, q_neyman_allocation
+    design).
+
+    One fact-join pass to the 25-cell grid; every sweep is two
+    window-normalizations OVER THAT BOUNDED GRID (≤5 rows per
+    partition) — {_IPF_SWEEPS} sweeps never rescan facts."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("a"), F.col("c_mktsegment").alias("b"))
+    )
+    cells = (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    tot = cells.agg(F.sum("v").alias("t"))
+    ma = cells.crossJoin(F.broadcast(tot)).groupBy("a").agg(
+        (F.max("t") / 5.0).alias("ta")
+    )
+    mb = cells.crossJoin(F.broadcast(tot)).groupBy("b").agg(
+        (F.max("t") / 5.0).alias("tb")
+    )
+    w = cells
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    for _ in range(_IPF_SWEEPS):
+        w = (
+            w.join(F.broadcast(ma), "a")
+            .withColumn("v", F.col("v") * F.col("ta") / F.sum("v").over(wa))
+            .drop("ta")
+        )
+        w = (
+            w.join(F.broadcast(mb), "b")
+            .withColumn("v", F.col("v") * F.col("tb") / F.sum("v").over(wb))
+            .drop("tb")
+        )
+    audit = (
+        w.join(F.broadcast(ma), "a")
+        .groupBy("a")
+        .agg(F.sum("v").alias("row_sum"), F.max("ta").alias("row_target"))
+    )
+    raw = cells.select("a", "b", F.col("v").alias("v_raw"))
+    return (
+        w.join(raw, ["a", "b"])
+        .join(F.broadcast(audit), "a")
+        .select(
+            F.col("a").alias("region"),
+            F.col("b").alias("segment"),
+            F.round("v", 4).alias("raked_weight"),
+            F.round(F.col("v") / F.col("v_raw"), 4).alias("adjustment"),
+            F.round(F.col("row_sum") / F.col("row_target"), 4).alias("row_margin_ratio"),
+        )
+        .orderBy("region", "segment")
+    )

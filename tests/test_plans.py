@@ -1654,3 +1654,24 @@ def test_round10i_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_huber_irls", 7),        # OLS init + 3 IRLS scans + downweight audit
+        ("q_woe_iv", 4),            # band-cell agg + 1-row totals
+        ("q_inventory_policy", 6),  # (brand,day) grid + brand stats + dims
+        # IPF stays LAZY by design: raking grids grow with the margin
+        # domains at survey scale (zip x age = millions of cells), so
+        # the per-sweep margin windows are the scale-correct shape —
+        # the static plan re-prints the 25-cell subtree per sweep and
+        # AQE stage reuse collapses them at runtime (unlike the
+        # enum-bounded markov/katz walks, which collect)
+        ("q_ipf_raking", 70),
+    ],
+)
+def test_round10j_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -392,3 +392,47 @@ def test_mm1_stability_and_littles_law(spark):
         assert r["lq"] >= 0
         # Little's law: Lq = lambda * Wq
         assert r["lq"] == pytest.approx(r["lambda_per_sec"] * r["wq_sec"], rel=0.02)
+
+
+def test_huber_downweights_and_stays_sane(spark):
+    r = REGISTRY["q_huber_irls"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["downweighted_share"] <= 1.0
+    assert r["n"] > 0
+    # Huber slope should stay within an order of magnitude of OLS
+    assert abs(r["huber_slope"]) <= 10 * abs(r["ols_slope"]) + 1
+
+
+def test_woe_iv_parts_nonnegative(spark):
+    """Each IV contribution is (g−b)·ln(g/b) ≥ 0 (same sign factors)."""
+    rows = REGISTRY["q_woe_iv"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["iv_part"] >= -1e-9
+        assert r["n_good"] >= 0 and r["n_bad"] >= 0
+
+
+def test_inventory_policy_positive(spark):
+    rows = REGISTRY["q_inventory_policy"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["annual_demand"] > 0
+        assert r["eoq"] > 0
+        assert r["safety_stock"] >= 0
+        assert r["reorder_point"] >= r["safety_stock"]
+
+
+def test_ipf_margins_converge(spark):
+    rows = REGISTRY["q_ipf_raking"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["raked_weight"] > 0
+        assert r["adjustment"] > 0
+        # after 3 sweeps the row margins sit near their targets
+        assert abs(r["row_margin_ratio"] - 1.0) < 0.1
+    # column margins are EXACT after the final column sweep
+    from collections import defaultdict
+    col = defaultdict(float)
+    for r in rows:
+        col[r["segment"]] += r["raked_weight"]
+    vals = list(col.values())
+    assert max(vals) - min(vals) < 0.01 * max(vals)
