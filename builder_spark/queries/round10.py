@@ -4026,3 +4026,439 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 boosting with decision stumps
+
+
+_BOOST_LR = 0.5
+_BOOST_GRID = [5 * i for i in range(1, 10)]  # quantity thresholds 5..45
+
+
+def _boost_round_sql(prev_pred: str, rnd: int) -> str:
+    """One L2-boosting round as SQL text: fit the best SSE stump to the
+    current residuals over the threshold grid, emit the round's stump
+    and the updated prediction expression."""
+    return f"""
+        r{rnd}_cells AS (
+            SELECT g.thr,
+                   sum(CASE WHEN x <= g.thr THEN y - {prev_pred} ELSE 0 END) AS sl,
+                   sum(CASE WHEN x <= g.thr THEN 1 ELSE 0 END) AS nl,
+                   sum(CASE WHEN x > g.thr THEN y - {prev_pred} ELSE 0 END) AS sr,
+                   sum(CASE WHEN x > g.thr THEN 1 ELSE 0 END) AS nr,
+                   sum((y - {prev_pred}) * (y - {prev_pred})) AS ssr
+            FROM pts, grid g GROUP BY g.thr
+        ),
+        r{rnd}_best AS (
+            SELECT thr, sl / greatest(nl, 1) AS vl, sr / greatest(nr, 1) AS vr,
+                   round(ssr - (sl * sl / greatest(nl, 1)
+                                + sr * sr / greatest(nr, 1)), 6) AS sse6
+            FROM r{rnd}_cells
+            ORDER BY sse6 ASC, thr ASC LIMIT 1
+        )"""
+
+
+@register(
+    "q_l2_boost_stumps",
+    oracle=f"""
+        WITH pts AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        grid AS (SELECT unnest({_BOOST_GRID}) AS thr),
+        base AS (SELECT avg(y) AS f0 FROM pts),
+        {_boost_round_sql("(SELECT f0 FROM base)", 1)},
+        {_boost_round_sql(
+            "((SELECT f0 FROM base) + " + str(_BOOST_LR) + " * (SELECT CASE WHEN x <= thr THEN vl ELSE vr END FROM r1_best))",
+            2,
+        )},
+        mse AS (
+            SELECT
+              avg(power(y - (SELECT f0 FROM base), 2)) AS mse0,
+              avg(power(y - ((SELECT f0 FROM base)
+                   + {_BOOST_LR} * (SELECT CASE WHEN x <= thr THEN vl ELSE vr END
+                                    FROM r1_best)), 2)) AS mse1,
+              avg(power(y - ((SELECT f0 FROM base)
+                   + {_BOOST_LR} * (SELECT CASE WHEN x <= thr THEN vl ELSE vr END
+                                    FROM r1_best)
+                   + {_BOOST_LR} * (SELECT CASE WHEN x <= thr THEN vl ELSE vr END
+                                    FROM r2_best)), 2)) AS mse2
+            FROM pts
+        )
+        SELECT CAST((SELECT thr FROM r1_best) AS INT) AS thr_1,
+               CAST((SELECT thr FROM r2_best) AS INT) AS thr_2,
+               round((SELECT vl FROM r1_best), 4) AS left_val_1,
+               round((SELECT vr FROM r1_best), 4) AS right_val_1,
+               round(mse0, 2) AS mse_baseline,
+               round(mse1 / mse0, 6) AS mse_ratio_r1,
+               round(mse2 / mse0, 6) AS mse_ratio_r2
+        FROM mse
+    """,
+    category="analytics",
+)
+def q_l2_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2 gradient boosting with depth-1 stumps (learning
+    rate {_BOOST_LR}): start from the mean, fit the best-SSE stump on
+    the residuals over a fixed quantity-threshold grid, shrink, refit —
+    reporting both stumps and the train-MSE ratio after each round
+    (must decline monotonically). The sequential-ensemble member next
+    to q_best_split_stump's single split: boosting is SEQUENTIAL in
+    rounds but each round is embarrassingly parallel.
+
+    Every round is ONE fact pass: the threshold sweep is conditional
+    sums against the broadcast 9-row grid (cells, not branches), the
+    argmin is a 9-row TakeOrdered, and the round's stump broadcasts
+    back as three numbers. Residuals are recomputed from the compact
+    model expression — never materialized per-row."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    grid = spark.createDataFrame([(t,) for t in _BOOST_GRID], "thr int")
+    base = pts.agg(F.avg("y").alias("f0"))
+
+    def fit_round(pred_expr):
+        resid = F.col("y") - pred_expr
+        cells = (
+            pts.crossJoin(F.broadcast(base))
+            .crossJoin(F.broadcast(grid))
+            .groupBy("thr")
+            .agg(
+                F.sum(F.when(F.col("x") <= F.col("thr"), resid).otherwise(0.0)).alias("sl"),
+                F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0)).alias("nl"),
+                F.sum(F.when(F.col("x") > F.col("thr"), resid).otherwise(0.0)).alias("sr"),
+                F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0)).alias("nr"),
+                F.sum(resid * resid).alias("ssr"),
+            )
+        )
+        return (
+            cells.select(
+                "thr",
+                (F.col("sl") / F.greatest(F.col("nl"), F.lit(1))).alias("vl"),
+                (F.col("sr") / F.greatest(F.col("nr"), F.lit(1))).alias("vr"),
+                F.round(
+                    F.col("ssr")
+                    - (
+                        F.col("sl") ** 2 / F.greatest(F.col("nl"), F.lit(1))
+                        + F.col("sr") ** 2 / F.greatest(F.col("nr"), F.lit(1))
+                    ),
+                    6,
+                ).alias("sse6"),
+            )
+            .orderBy(F.col("sse6").asc(), F.col("thr").asc())
+            .limit(1)
+        )
+
+    # round 1: predict f0
+    best1 = fit_round(F.col("f0"))
+    b1 = best1.select(
+        F.col("thr").alias("t1"), F.col("vl").alias("vl1"), F.col("vr").alias("vr1")
+    )
+
+    def pred1():
+        return F.col("f0") + _BOOST_LR * F.when(
+            F.col("x") <= F.col("t1"), F.col("vl1")
+        ).otherwise(F.col("vr1"))
+
+    # round 2: predict f0 + lr*stump1 — rebuild the cells against it
+    resid2 = F.col("y") - pred1()
+    cells2 = (
+        pts.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("thr"), resid2).otherwise(0.0)).alias("sl"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("x") > F.col("thr"), resid2).otherwise(0.0)).alias("sr"),
+            F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0)).alias("nr"),
+            F.sum(resid2 * resid2).alias("ssr"),
+        )
+    )
+    best2 = (
+        cells2.select(
+            "thr",
+            (F.col("sl") / F.greatest(F.col("nl"), F.lit(1))).alias("vl"),
+            (F.col("sr") / F.greatest(F.col("nr"), F.lit(1))).alias("vr"),
+            F.round(
+                F.col("ssr")
+                - (
+                    F.col("sl") ** 2 / F.greatest(F.col("nl"), F.lit(1))
+                    + F.col("sr") ** 2 / F.greatest(F.col("nr"), F.lit(1))
+                ),
+                6,
+            ).alias("sse6"),
+        )
+        .orderBy(F.col("sse6").asc(), F.col("thr").asc())
+        .limit(1)
+    )
+    b2 = best2.select(
+        F.col("thr").alias("t2"), F.col("vl").alias("vl2"), F.col("vr").alias("vr2")
+    )
+    pred2 = pred1() + _BOOST_LR * F.when(
+        F.col("x") <= F.col("t2"), F.col("vl2")
+    ).otherwise(F.col("vr2"))
+    mse = (
+        pts.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .agg(
+            F.avg((F.col("y") - F.col("f0")) ** 2).alias("mse0"),
+            F.avg((F.col("y") - pred1()) ** 2).alias("mse1"),
+            F.avg((F.col("y") - pred2) ** 2).alias("mse2"),
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("vl1").alias("vl1"),
+            F.max("vr1").alias("vr1"),
+        )
+    )
+    return mse.select(
+        F.col("t1").cast("int").alias("thr_1"),
+        F.col("t2").cast("int").alias("thr_2"),
+        F.round("vl1", 4).alias("left_val_1"),
+        F.round("vr1", 4).alias("right_val_1"),
+        F.round("mse0", 2).alias("mse_baseline"),
+        F.round(F.col("mse1") / F.col("mse0"), 6).alias("mse_ratio_r1"),
+        F.round(F.col("mse2") / F.col("mse0"), 6).alias("mse_ratio_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# adstock (geometric decay) transformation
+
+
+_ADSTOCK_LAMBDA = 0.5
+_ADSTOCK_K = 7
+
+
+@register(
+    "q_adstock_decay",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS y
+            FROM events GROUP BY date_trunc('day', ts)
+        ),
+        ad AS (
+            SELECT d, y,
+                   {" + ".join(f"coalesce(lag(x, {k}) OVER (ORDER BY d), 0) * {_ADSTOCK_LAMBDA ** k}" for k in range(_ADSTOCK_K + 1))} AS adstock,
+                   x
+            FROM daily
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(x, y), 4) AS corr_raw,
+               round(corr(adstock, y), 4) AS corr_adstock,
+               round(avg(adstock) / avg(x), 4) AS carryover_multiplier
+        FROM ad
+    """,
+    category="analytics",
+)
+def q_adstock_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric-decay carryover) transformation — the
+    media-mix-modeling primitive: clicks decay at λ={_ADSTOCK_LAMBDA}
+    over a {_ADSTOCK_K}-day window, adstockₜ = Σ λᵏ·xₜ₋ₖ, and the
+    payoff is measured as corr(adstock, purchases) vs corr(raw,
+    purchases) — carryover captures delayed response a same-day
+    correlation misses. The marketing sibling of q_exp_smoothing
+    (which decays the TARGET; adstock decays the DRIVER).
+
+    The decay is a FINITE closed-form lag combination over the
+    calendar-bounded day table — {_ADSTOCK_K + 1} whitelisted lag
+    terms in one window pass, not a recursion — then one correlation
+    aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d")  # day table (whitelisted)
+    adstock = sum(
+        F.coalesce(F.lag("x", k).over(w), F.lit(0.0)) * F.lit(_ADSTOCK_LAMBDA ** k)
+        for k in range(_ADSTOCK_K + 1)
+    )
+    ad = daily.select("y", "x", adstock.alias("adstock"))
+    return ad.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.corr("x", "y"), 4).alias("corr_raw"),
+        F.round(F.corr("adstock", "y"), 4).alias("corr_adstock"),
+        F.round(F.avg("adstock") / F.avg("x"), 4).alias("carryover_multiplier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons
+
+
+_HSD_Q05_K5 = 3.86  # studentized range q(0.05, k=5, df=inf)
+
+
+@register(
+    "q_tukey_hsd",
+    oracle=f"""
+        WITH pts AS (
+            SELECT n.n_regionkey AS rk, o.o_totalprice AS y
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        g AS (
+            SELECT r.r_name AS region, count(*) AS n, avg(y) AS m,
+                   sum(y * y) - count(*) * avg(y) * avg(y) AS ssw
+            FROM pts JOIN region r ON r.r_regionkey = pts.rk
+            GROUP BY r.r_name
+        ),
+        mse AS (
+            SELECT sum(ssw) / (sum(n) - count(*)) AS mse FROM g
+        )
+        SELECT a.region AS region_a, b.region AS region_b,
+               round(a.m - b.m, 4) AS mean_diff,
+               round((a.m - b.m) / sqrt(m.mse / 2
+                     * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat,
+               CAST(CASE WHEN abs(round((a.m - b.m) / sqrt(m.mse / 2
+                          * (1.0 / a.n + 1.0 / b.n)), 4)) > {_HSD_Q05_K5}
+                    THEN 1 ELSE 0 END AS INT) AS significant
+        FROM g a JOIN g b ON a.region < b.region, mse m
+        ORDER BY region_a, region_b
+    """,
+    category="analytics",
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc comparisons — the step q_anova_f /
+    q_two_way_anova stop before: all 10 region pairs' mean order-value
+    differences as studentized-range q statistics against the 5%
+    critical value {_HSD_Q05_K5} (k=5, df≈∞), with the family-wise
+    error rate controlled by construction (that's the point of HSD
+    over 10 separate t-tests; q_bh_fdr is the FDR alternative).
+
+    One fact-join pass to 5 group rows carrying (n, mean, within-SS);
+    pooled MSE is a 1-row broadcast; the pair grid is 10 rows. The
+    significance flag compares the ROUNDED q — order-proof."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region"))
+    )
+    g = (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            (
+                F.sum(F.col("o_totalprice") ** 2)
+                - F.count(F.lit(1)) * F.avg("o_totalprice") * F.avg("o_totalprice")
+            ).alias("ssw"),
+        )
+    )
+    mse = g.agg((F.sum("ssw") / (F.sum("n") - F.count(F.lit(1)))).alias("mse"))
+    a = g.select(
+        F.col("region").alias("region_a"), F.col("n").alias("na"), F.col("m").alias("ma")
+    )
+    b = g.select(
+        F.col("region").alias("region_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
+    )
+    q = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("mse") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("region_a") < F.col("region_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "region_a",
+            "region_b",
+            F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+            F.round(q, 4).alias("q_stat"),
+            F.when(F.abs(F.round(q, 4)) > _HSD_Q05_K5, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("region_a", "region_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p-chart (proportion control chart)
+
+
+@register(
+    "q_p_chart",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS d,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM orders GROUP BY date_trunc('day', o_orderdate)
+        ),
+        pbar AS (SELECT sum(x) * 1.0 / sum(n) AS p FROM daily)
+        SELECT d AS day, CAST(n AS BIGINT) AS n_orders,
+               round(x * 1.0 / n, 4) AS p_day,
+               round(pb.p + 3 * sqrt(pb.p * (1 - pb.p) / n), 4) AS ucl,
+               round(greatest(pb.p - 3 * sqrt(pb.p * (1 - pb.p) / n), 0.0),
+                     4) AS lcl,
+               CAST(CASE WHEN x * 1.0 / n
+                              > pb.p + 3 * sqrt(pb.p * (1 - pb.p) / n)
+                         OR x * 1.0 / n
+                              < greatest(pb.p - 3 * sqrt(pb.p * (1 - pb.p) / n),
+                                         0.0)
+                    THEN 1 ELSE 0 END AS INT) AS out_of_control
+        FROM daily, pbar pb
+        ORDER BY d
+    """,
+    category="analytics",
+)
+def q_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on the daily urgent-order share: per-day
+    proportion against ±3σ binomial control limits p̄ ± 3√(p̄(1−p̄)/nₜ)
+    (limits WIDEN on low-volume days — the binomial discipline a fixed
+    band gets wrong), reporting out-of-control days plus low-volume
+    days (n < 30, where the normal approximation thins). The
+    attribute-data control chart next to q_bollinger_breach
+    (variables) and q_anomaly_mad (robust). The full chart (every day
+    with its limits and flag) is the output — on in-control data the
+    flag column is almost all zeros, which is the chart working.
+
+    One pass to the day table; p̄ is a 1-row broadcast; limits and
+    flags are per-row algebra over the calendar-bounded days."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    pbar = daily.agg((F.sum("x") * 1.0 / F.sum("n")).alias("p"))
+    j = daily.crossJoin(F.broadcast(pbar))
+    sig = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    ucl = F.col("p") + 3 * sig
+    lcl = F.greatest(F.col("p") - 3 * sig, F.lit(0.0))
+    p_day = F.col("x") * 1.0 / F.col("n")
+    ooc = (p_day > ucl) | (p_day < lcl)
+    return (
+        j.select(
+            F.col("d").alias("day"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(p_day, 4).alias("p_day"),
+            F.round(ucl, 4).alias("ucl"),
+            F.round(lcl, 4).alias("lcl"),
+            F.when(ooc, 1).otherwise(0).cast("int").alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -1675,3 +1675,18 @@ def test_round10j_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_l2_boost_stumps", 8),    # base + 2 stump-cell scans + mse scan, stumps broadcast
+        ("q_adstock_decay", 2),      # day rollup + whitelisted lag window + corr agg
+        ("q_tukey_hsd", 5),          # 5-group stats + 1-row MSE + 10-pair grid
+        ("q_p_chart", 4),            # day rollup + 1-row pbar broadcast
+    ],
+)
+def test_round10k_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

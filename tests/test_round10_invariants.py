@@ -436,3 +436,45 @@ def test_ipf_margins_converge(spark):
         col[r["segment"]] += r["raked_weight"]
     vals = list(col.values())
     assert max(vals) - min(vals) < 0.01 * max(vals)
+
+
+def test_boosting_mse_declines(spark):
+    """Each boosting round can only reduce train MSE (lr ∈ (0,1],
+    fitted on the exact residuals)."""
+    r = REGISTRY["q_l2_boost_stumps"].fn(spark, SF_DIR).collect()[0]
+    assert r["mse_ratio_r1"] <= 1.0 + 1e-6
+    assert r["mse_ratio_r2"] <= r["mse_ratio_r1"] + 1e-6
+    assert r["mse_baseline"] > 0
+    assert 5 <= r["thr_1"] <= 45 and 5 <= r["thr_2"] <= 45
+
+
+def test_adstock_carryover_multiplier(spark):
+    """Geometric carryover with λ=0.5 over 7 lags multiplies total
+    exposure by ≈ Σλᵏ ≈ 1.99 (edge effects shave a little)."""
+    r = REGISTRY["q_adstock_decay"].fn(spark, SF_DIR).collect()[0]
+    assert 1.5 <= r["carryover_multiplier"] <= 2.0
+    assert -1.0001 <= r["corr_raw"] <= 1.0001
+    assert -1.0001 <= r["corr_adstock"] <= 1.0001
+
+
+def test_tukey_hsd_antisymmetry_and_count(spark):
+    rows = REGISTRY["q_tukey_hsd"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r["region_a"] < r["region_b"]
+        assert r["significant"] in (0, 1)
+        # q and mean_diff share sign
+        assert (r["q_stat"] >= 0) == (r["mean_diff"] >= 0) or r["mean_diff"] == 0
+
+
+def test_p_chart_limits_bracket(spark):
+    rows = REGISTRY["q_p_chart"].fn(spark, SF_DIR).collect()
+    assert rows
+    n_ooc = 0
+    for r in rows:
+        assert 0.0 <= r["lcl"] <= r["ucl"] <= 1.5
+        inside = r["lcl"] <= r["p_day"] <= r["ucl"]
+        assert r["out_of_control"] == (0 if inside else 1)
+        n_ooc += r["out_of_control"]
+    # in-control synthetic data: OOC days are rare (< 5%)
+    assert n_ooc <= len(rows) * 0.05
