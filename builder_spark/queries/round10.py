@@ -4462,3 +4462,404 @@ def q_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram vocabulary coverage curve
+
+
+_COV_KS = [100, 500, 2000]
+
+
+@register(
+    "q_ngram_coverage_curve",
+    oracle=f"""
+        WITH tok AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS b
+            FROM tok
+        ),
+        cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+        coc AS (SELECT n AS v, count(*) AS n_types FROM cnt GROUP BY n),
+        cum AS (
+            SELECT v, n_types,
+                   sum(n_types) OVER w AS cum_types,
+                   sum(v * n_types) OVER w AS cum_tokens
+            FROM coc
+            WINDOW w AS (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT sum(n_types) AS t_types, sum(v * n_types) AS t_tokens FROM coc
+        ),
+        ks AS (SELECT unnest({_COV_KS}) AS k)
+        SELECT k.k AS top_k,
+               CAST(max(t.t_types) AS BIGINT) AS n_types,
+               round(CASE WHEN max(t.t_types) <= k.k THEN 1.0
+                     ELSE sum(CASE WHEN cum_types - n_types < k.k
+                                    AND k.k <= cum_types
+                              THEN ((cum_tokens - v * n_types)
+                                    + (k.k - (cum_types - n_types)) * v)
+                                   * 1.0 / greatest(t.t_tokens, 1)
+                              ELSE 0 END) END, 4) AS token_coverage
+        FROM ks k, cum, tot t GROUP BY k.k ORDER BY k.k
+    """,
+    category="llm-text",
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-vocabulary coverage curve: the fraction of corpus bigram
+    TOKENS covered by the top-k bigram TYPES at k ∈ {_COV_KS} — the
+    vocabulary-size-vs-coverage tradeoff every tokenizer/cache design
+    reads (q_vocab_nucleus asks the dual top-p question). Computed in
+    closed form at COUNT grain: within a frequency-v tie bucket types
+    are interchangeable, so coverage(k) = cum_tokens(above v) +
+    (k − cum_types(above v))·v, no per-type global rank at all.
+
+    One bigram shuffle to type grain, a count-of-counts rollup
+    (bounded by max frequency), ONE stitched running pass over it, and
+    the k sweep is a 3-row broadcast grid aggregated as cells."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)),
+            )
+        ).alias("b")
+    )
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    coc = cnt.groupBy(F.col("n").alias("v")).agg(F.count(F.lit(1)).alias("n_types"))
+    coc = coc.withColumn("neg_v", -F.col("v")).withColumn(
+        "tok_mass", F.col("v") * F.col("n_types")
+    )
+    cum = stitched_running(
+        coc, ["neg_v"], running={"cum_types": "n_types", "cum_tokens": "tok_mass"}
+    )
+    tot = coc.agg(
+        F.sum("n_types").alias("t_types"), F.sum("tok_mass").alias("t_tokens")
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    j = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+    bracket = (F.col("cum_types") - F.col("n_types") < F.col("k")) & (
+        F.col("k") <= F.col("cum_types")
+    )
+    covered = (
+        (F.col("cum_tokens") - F.col("v") * F.col("n_types"))
+        + (F.col("k") - (F.col("cum_types") - F.col("n_types"))) * F.col("v")
+    ) * 1.0 / F.greatest(F.col("t_tokens"), F.lit(1))
+    return (
+        j.groupBy("k")
+        .agg(
+            F.max("t_types").cast("bigint").alias("n_types"),
+            F.round(
+                F.when(F.max("t_types") <= F.col("k"), 1.0).otherwise(
+                    F.sum(F.when(bracket, covered).otherwise(0.0))
+                ),
+                4,
+            ).alias("token_coverage"),
+        )
+        .select(F.col("k").alias("top_k"), "n_types", "token_coverage")
+        .orderBy("top_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit by median-rank regression
+
+
+@register(
+    "q_weibull_fit",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+        ),
+        gaps AS (
+            SELECT (nxt - us) // 1000000 AS t FROM g
+            WHERE nxt IS NOT NULL AND nxt > us
+        ),
+        v AS (SELECT t, count(*) AS c FROM gaps GROUP BY t),
+        r AS (
+            SELECT t, c,
+                   coalesce(sum(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rk,
+                   sum(c) OVER () AS n
+            FROM v
+        ),
+        pts AS (
+            SELECT ln(t / 3600.0) AS x,
+                   ln(-ln(1 - ((rk + (c + 1) / 2.0) - 0.3) / (n + 0.4))) AS y,
+                   c, n
+            FROM r
+        ),
+        fit AS (
+            SELECT max(n) AS n,
+                   (sum(c * x * y) - sum(c * x) * sum(c * y) / sum(c))
+                   / (sum(c * x * x) - sum(c * x) * sum(c * x) / sum(c)) AS k,
+                   sum(c * y) / sum(c) AS ybar, sum(c * x) / sum(c) AS xbar,
+                   (sum(c * x * y) - sum(c * x) * sum(c * y) / sum(c))
+                   / sqrt((sum(c * x * x) - sum(c * x) * sum(c * x) / sum(c))
+                          * (sum(c * y * y) - sum(c * y) * sum(c * y) / sum(c)))
+                       AS r
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(k, 4) AS shape_k,
+               round(exp(-(ybar - k * xbar) / k), 4) AS scale_hours,
+               round(r * r, 4) AS r_squared
+        FROM fit
+    """,
+    category="analytics",
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of inter-event gaps by median-rank regression
+    (Bernard's approximation F̂ᵢ = (i−0.3)/(n+0.4), midpoint ranks for
+    ties): ln(−ln(1−F̂)) is linear in ln t with slope = shape k and
+    intercept −k·ln λ — the parametric member of the survival family
+    (q_survival_km empirical, q_nelson_aalen hazard,
+    q_anderson_darling the k=1 GOF test: shape < 1 here means the same
+    heavy tail AD rejects exponentiality for).
+
+    Gaps collapse to value grain; midpoint ranks come from the same
+    tie-run closed form as q_anderson_darling (cumulative prior count
+    + (c+1)/2) in ONE window over the bounded gap-second grain; the
+    weighted OLS is a single combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    )
+    gaps = g.filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))).select(
+        ((F.col("nxt") - F.col("us")) / F.lit(1000000)).cast("long").alias("t")
+    )
+    v = gaps.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    from builder_spark.operators.partitioning import stitched_running
+
+    r = stitched_running(v, ["t"], running={"cum": "c"}, with_totals=False)
+    tot = v.agg(F.sum("c").alias("n"))
+    pts = (
+        r.select("t", "c", (F.col("cum") - F.col("c")).alias("rk"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.log(F.col("t") / 3600.0).alias("x"),
+            F.log(
+                -F.log(
+                    1
+                    - ((F.col("rk") + (F.col("c") + 1) / 2.0) - 0.3)
+                    / (F.col("n") + 0.4)
+                )
+            ).alias("y"),
+            "c",
+            "n",
+        )
+    )
+    fit = pts.agg(
+        F.max("n").alias("n"),
+        (
+            (F.sum(F.col("c") * F.col("x") * F.col("y"))
+             - F.sum(F.col("c") * F.col("x")) * F.sum(F.col("c") * F.col("y")) / F.sum("c"))
+            / (F.sum(F.col("c") * F.col("x") * F.col("x"))
+               - F.sum(F.col("c") * F.col("x")) ** 2 / F.sum("c"))
+        ).alias("k"),
+        (F.sum(F.col("c") * F.col("y")) / F.sum("c")).alias("ybar"),
+        (F.sum(F.col("c") * F.col("x")) / F.sum("c")).alias("xbar"),
+        (
+            (F.sum(F.col("c") * F.col("x") * F.col("y"))
+             - F.sum(F.col("c") * F.col("x")) * F.sum(F.col("c") * F.col("y")) / F.sum("c"))
+            / F.sqrt(
+                (F.sum(F.col("c") * F.col("x") * F.col("x"))
+                 - F.sum(F.col("c") * F.col("x")) ** 2 / F.sum("c"))
+                * (F.sum(F.col("c") * F.col("y") * F.col("y"))
+                   - F.sum(F.col("c") * F.col("y")) ** 2 / F.sum("c"))
+            )
+        ).alias("r"),
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("k", 4).alias("shape_k"),
+        F.round(F.exp(-(F.col("ybar") - F.col("k") * F.col("xbar")) / F.col("k")), 4).alias(
+            "scale_hours"
+        ),
+        F.round(F.col("r") ** 2, 4).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-moving-average seasonal indices
+
+
+@register(
+    "q_ratio_to_ma_seasonal",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   sum(o_totalprice) AS y
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        ),
+        ma AS (
+            SELECT m, y,
+                   (0.5 * lag(y, 6) OVER w
+                    + lag(y, 5) OVER w + lag(y, 4) OVER w + lag(y, 3) OVER w
+                    + lag(y, 2) OVER w + lag(y, 1) OVER w + y
+                    + lead(y, 1) OVER w + lead(y, 2) OVER w + lead(y, 3) OVER w
+                    + lead(y, 4) OVER w + lead(y, 5) OVER w
+                    + 0.5 * lead(y, 6) OVER w) / 12.0 AS cma
+            FROM monthly
+            WINDOW w AS (ORDER BY m)
+        ),
+        ratio AS (
+            SELECT CAST(month(m) AS INT) AS moy, y / cma AS r
+            FROM ma WHERE cma IS NOT NULL
+        ),
+        idx AS (
+            SELECT moy, avg(r) AS raw_idx, CAST(count(*) AS BIGINT) AS n_obs
+            FROM ratio GROUP BY moy
+        ),
+        norm AS (SELECT avg(raw_idx) AS g FROM idx)
+        SELECT i.moy AS month,
+               round(i.raw_idx, 4) AS raw_index,
+               round(i.raw_idx / n.g, 4) AS seasonal_index,
+               i.n_obs
+        FROM idx i, norm n ORDER BY i.moy
+    """,
+    category="analytics",
+)
+def q_ratio_to_ma_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal indices: a centered
+    12-month MA (half-weights at the ±6 ends — the even-order centering
+    textbooks require), per-month ratios, averaged by month-of-year and
+    normalized to mean 1 — THE pre-STL decomposition method, and a
+    different estimator from q_seasonal_decompose's day-of-week means
+    (multiplicative vs additive, MA-detrended vs global-mean).
+
+    Facts collapse to the calendar-bounded month table; the centered MA
+    is a closed-form 13-term lag/lead combination in one whitelisted
+    window pass; the index rollup is a 12-row aggregate."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("m")  # month table (whitelisted)
+    cma = (
+        0.5 * F.lag("y", 6).over(w)
+        + sum(F.lag("y", k).over(w) for k in range(1, 6))
+        + F.col("y")
+        + sum(F.lead("y", k).over(w) for k in range(1, 6))
+        + 0.5 * F.lead("y", 6).over(w)
+    ) / 12.0
+    ratio = (
+        monthly.select(F.month("m").cast("int").alias("moy"), (F.col("y") / cma).alias("r"))
+        .filter(F.col("r").isNotNull())
+    )
+    idx = ratio.groupBy("moy").agg(
+        F.avg("r").alias("raw_idx"), F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    norm = idx.agg(F.avg("raw_idx").alias("g"))
+    return (
+        idx.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("moy").alias("month"),
+            F.round("raw_idx", 4).alias("raw_index"),
+            F.round(F.col("raw_idx") / F.col("g"), 4).alias("seasonal_index"),
+            "n_obs",
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-driven stopword discovery
+
+
+@register(
+    "q_stopword_discovery",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        stot AS (SELECT source, count(*) AS st FROM tok GROUP BY source),
+        wdoc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        wsrc AS (
+            SELECT t.w, t.source, count(*) * 1.0 / max(s.st) AS share
+            FROM tok t JOIN stot s ON s.source = t.source
+            GROUP BY t.w, t.source
+        ),
+        flat AS (
+            SELECT w, min(share) / max(share) AS flatness,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM wsrc GROUP BY w
+        ),
+        cand AS (
+            SELECT d.w, round(d.df * 1.0 / n.n_docs, 4) AS df_share,
+                   round(f.flatness, 4) AS flatness, f.n_sources
+            FROM wdoc d JOIN flat f ON f.w = d.w, nd n
+            WHERE d.df * 1.0 / n.n_docs >= 0.8
+        )
+        SELECT w AS word, df_share, flatness, n_sources,
+               row_number() OVER (ORDER BY df_share DESC, w ASC) AS rnk
+        FROM cand
+        QUALIFY rnk <= 20
+    """,
+    category="llm-text",
+)
+def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword discovery: words present in ≥80% of
+    documents, scored by document-frequency share and cross-source
+    FLATNESS (min/max of per-source frequency shares — true stopwords
+    are uniformly common everywhere; topical words spike in some
+    sources). Top-20 candidates — the bootstrap for the stopword list
+    that q_rake_keywords and every quality gate otherwise hard-code.
+
+    One token shuffle feeds all three grains (doc-frequency,
+    source-share, totals); the candidate set after the df-share gate is
+    tiny and the rank window runs over ≤20 survivors... of the gated
+    candidates (bounded by the words-in-80%-of-docs set, a vocabulary
+    CORE that saturates, not grows, with corpus size)."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("st"))
+    wdoc = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    wsrc = (
+        tok.groupBy("w", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(stot), "source")
+        .select("w", (F.col("c") * 1.0 / F.col("st")).alias("share"))
+    )
+    flat = wsrc.groupBy("w").agg(
+        (F.min("share") / F.max("share")).alias("flatness"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    cand = (
+        wdoc.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 1.0 / F.col("n_docs") >= 0.8)
+        .join(F.broadcast(flat), "w")
+        .select(
+            "w",
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 4).alias("df_share"),
+            F.round("flatness", 4).alias("flatness"),
+            "n_sources",
+        )
+    )
+    top = cand.orderBy(F.col("df_share").desc(), F.col("w").asc()).limit(20)
+    wr = Window.orderBy(F.col("df_share").desc(), F.col("w").asc())
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        F.col("w").alias("word"), "df_share", "flatness", "n_sources", "rnk"
+    )

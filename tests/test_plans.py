@@ -1690,3 +1690,18 @@ def test_round10k_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_ngram_coverage_curve", 12),  # bigram shuffle + count-of-counts + stitched + k cells
+        ("q_weibull_fit", 11),           # user lead window + value grain + stitched + WLS agg
+        ("q_ratio_to_ma_seasonal", 4),   # month rollup + whitelisted MA window + 12-row index
+        ("q_stopword_discovery", 7),     # token shuffle -> df/source-share grains + TakeOrdered-20
+    ],
+)
+def test_round10l_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -478,3 +478,42 @@ def test_p_chart_limits_bracket(spark):
         n_ooc += r["out_of_control"]
     # in-control synthetic data: OOC days are rare (< 5%)
     assert n_ooc <= len(rows) * 0.05
+
+
+def test_coverage_curve_monotone(spark):
+    rows = sorted(REGISTRY["q_ngram_coverage_curve"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["top_k"])
+    assert [r["top_k"] for r in rows] == [100, 500, 2000]
+    covs = [r["token_coverage"] for r in rows]
+    assert all(0.0 < c <= 1.0001 for c in covs)
+    assert all(a <= b + 1e-9 for a, b in zip(covs, covs[1:]))  # more types, more coverage
+    # once k exceeds the type count, coverage is exactly 1
+    for r in rows:
+        if r["top_k"] >= r["n_types"]:
+            assert r["token_coverage"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weibull_fit_sane(spark):
+    r = REGISTRY["q_weibull_fit"].fn(spark, SF_DIR).collect()[0]
+    assert r["shape_k"] > 0
+    assert r["scale_hours"] > 0
+    assert 0.0 <= r["r_squared"] <= 1.0001
+    assert r["n"] > 0
+
+
+def test_seasonal_indices_normalized(spark):
+    rows = REGISTRY["q_ratio_to_ma_seasonal"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r["seasonal_index"] for r in rows) / 12
+    assert mean_idx == pytest.approx(1.0, abs=0.01)
+    for r in rows:
+        assert r["raw_index"] > 0 and r["n_obs"] >= 1
+
+
+def test_stopword_candidates_are_core(spark):
+    rows = REGISTRY["q_stopword_discovery"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["df_share"] >= 0.8
+        assert 0.0 < r["flatness"] <= 1.0001
+        assert r["n_sources"] >= 1

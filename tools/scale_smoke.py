@@ -213,6 +213,17 @@ HEAVY = [
     "q_chain_ladder",
     "q_borda_ranking",
     "q_word_burstiness",
+    # round-10 batches 11-12: 3-scan IRLS, lazy IPF sweeps, 3-scan
+    # boosting, (brand,day) policy grid, pair-grid HSD, band cells,
+    # day-lag adstock, full-chart p-chart
+    "q_huber_irls",
+    "q_ipf_raking",
+    "q_l2_boost_stumps",
+    "q_inventory_policy",
+    "q_tukey_hsd",
+    "q_woe_iv",
+    "q_adstock_decay",
+    "q_p_chart",
 ]
 
 #: per-table key columns to offset so replicas don't collide
