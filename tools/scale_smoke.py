@@ -224,6 +224,12 @@ HEAVY = [
     "q_woe_iv",
     "q_adstock_decay",
     "q_p_chart",
+    # round-10 batch 13: bigram count-grain coverage, stitched Weibull
+    # ranks, month-MA seasonal indices, multi-grain stopword screen
+    "q_ngram_coverage_curve",
+    "q_weibull_fit",
+    "q_ratio_to_ma_seasonal",
+    "q_stopword_discovery",
 ]
 
 #: per-table key columns to offset so replicas don't collide
