@@ -4863,3 +4863,358 @@ def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(wr)).select(
         F.col("w").alias("word"), "df_share", "flatness", "n_sources", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+        WITH g AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS seg, count(*) AS cnt
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, c.c_mktsegment
+        ),
+        shares AS (
+            SELECT nation, cnt,
+                   cnt * 1.0 / sum(cnt) OVER (PARTITION BY nation) AS p
+            FROM g
+        ),
+        per AS (
+            SELECT nation,
+                   CAST(sum(cnt) AS BIGINT) AS group_size,
+                   CAST(count(*) AS INT) AS distinct_sensitive,
+                   round(exp(-sum(p * ln(p))), 4) AS entropy_l
+            FROM shares GROUP BY nation
+        )
+        SELECT nation, group_size, distinct_sensitive, entropy_l,
+               CAST(CASE WHEN distinct_sensitive >= 3
+                          AND entropy_l >= 3.0 THEN 1 ELSE 0 END AS INT)
+                   AS satisfies_l3
+        FROM per
+        ORDER BY nation
+    """,
+    category="llm-pipeline",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release gate one step past
+    q_k_anonymity: treating nation as the quasi-identifier group and
+    market segment as the sensitive attribute, each group needs ≥ l
+    WELL-REPRESENTED sensitive values. Reports both distinct
+    l-diversity (count) and ENTROPY l-diversity (exp of the sensitive-
+    value entropy — the strict version that catches a group which has
+    3 values but 98% of one), flagged at l = 3.
+
+    One dim-join pass to the (nation × segment) cell grid; per-group
+    shares and entropies are windows/aggregates over that enum-bounded
+    grid."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_nat = Window.partitionBy("nation")  # 25x5 enum grid
+    shares = g.select(
+        "nation", "cnt", (F.col("cnt") * 1.0 / F.sum("cnt").over(w_nat)).alias("p")
+    )
+    per = shares.groupBy("nation").agg(
+        F.sum("cnt").cast("bigint").alias("group_size"),
+        F.count(F.lit(1)).cast("int").alias("distinct_sensitive"),
+        F.round(F.exp(-F.sum(F.col("p") * F.log("p"))), 4).alias("entropy_l"),
+    )
+    return per.select(
+        "nation",
+        "group_size",
+        "distinct_sensitive",
+        "entropy_l",
+        F.when((F.col("distinct_sensitive") >= 3) & (F.col("entropy_l") >= 3.0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("satisfies_l3"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (total-variation flavor)
+
+
+@register(
+    "q_t_closeness",
+    oracle="""
+        WITH g AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS seg, count(*) AS cnt
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, c.c_mktsegment
+        ),
+        gd AS (
+            SELECT seg, sum(cnt) * 1.0 / (SELECT sum(cnt) FROM g) AS q
+            FROM g GROUP BY seg
+        ),
+        grid AS (
+            SELECT nat.nation, gl.seg, gl.q,
+                   coalesce(g.cnt, 0) * 1.0 / nat.n AS p
+            FROM (SELECT nation, sum(cnt) AS n FROM g GROUP BY nation) nat
+            CROSS JOIN gd gl
+            LEFT JOIN g ON g.nation = nat.nation AND g.seg = gl.seg
+        )
+        SELECT nation,
+               round(sum(abs(p - q)) / 2, 4) AS tv_distance,
+               CAST(CASE WHEN round(sum(abs(p - q)) / 2, 4) <= 0.2
+                    THEN 1 ELSE 0 END AS INT) AS satisfies_t02
+        FROM grid GROUP BY nation ORDER BY nation
+    """,
+    category="llm-pipeline",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (total-variation flavor) — the third rung of
+    the release ladder (q_k_anonymity group sizes, q_l_diversity value
+    spread): a group can be large AND diverse yet still leak if its
+    sensitive-value DISTRIBUTION deviates from the global one. Per
+    nation: TV distance ½Σ|p − q| between its segment distribution and
+    the corpus's, flagged at t = 0.2.
+
+    The (nation × segment) grid is completed with the broadcast global
+    distribution (zeros included — a missing segment IS signal), and
+    the distance is one aggregate per group over the enum-bounded
+    grid."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = g.agg(F.sum("cnt").alias("t"))
+    glob = (
+        g.groupBy("seg")
+        .agg(F.sum("cnt").alias("sc"))
+        .crossJoin(F.broadcast(tot))
+        .select("seg", (F.col("sc") * 1.0 / F.col("t")).alias("q"))
+    )
+    nat = g.groupBy("nation").agg(F.sum("cnt").alias("n"))
+    grid = (
+        nat.crossJoin(F.broadcast(glob))
+        .join(g, ["nation", "seg"], "left")
+        .select(
+            "nation",
+            "q",
+            (F.coalesce(F.col("cnt"), F.lit(0)) * 1.0 / F.col("n")).alias("p"),
+        )
+    )
+    tv = F.sum(F.abs(F.col("p") - F.col("q"))) / 2
+    return (
+        grid.groupBy("nation")
+        .agg(
+            F.round(tv, 4).alias("tv_distance"),
+            F.when(F.round(tv, 4) <= 0.2, 1).otherwise(0).cast("int").alias(
+                "satisfies_t02"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-origin forecast backtest
+
+
+_BT_ORIGINS = 8
+_BT_HORIZONS = [1, 2, 3]
+
+
+@register(
+    "q_rolling_origin_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY date_trunc('day', ts)
+        ),
+        idx AS (
+            SELECT d, y, row_number() OVER (ORDER BY d) AS t,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        horizons AS (SELECT unnest({_BT_HORIZONS}) AS h),
+        evalrows AS (
+            SELECT h.h,
+                   o.y AS y_origin,
+                   fut.y AS y_true,
+                   lag7.y AS y_snaive
+            FROM idx o
+            JOIN horizons h ON true
+            JOIN idx fut ON fut.t = o.t + h.h
+            LEFT JOIN idx lag7 ON lag7.t = o.t + h.h - 7
+            WHERE o.t > o.n - {_BT_ORIGINS} - 3 AND o.t <= o.n - 3
+        )
+        SELECT h AS horizon,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               round(avg(abs(y_true - y_origin)), 4) AS mae_naive,
+               round(avg(abs(y_true - coalesce(y_snaive, y_origin))), 4)
+                   AS mae_seasonal,
+               CAST(CASE WHEN avg(abs(y_true - coalesce(y_snaive, y_origin)))
+                              < avg(abs(y_true - y_origin))
+                    THEN 1 ELSE 0 END AS INT) AS seasonal_wins
+        FROM evalrows GROUP BY h ORDER BY h
+    """,
+    category="analytics",
+)
+def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest — the evaluation HARNESS the forecast
+    family plugs into: from each of the last {_BT_ORIGINS} usable
+    origins, forecast horizons 1–3 days ahead with the naive
+    (last-value) and seasonal-naive (same weekday) rules, and score
+    MAE per horizon with a seasonal-wins verdict. Unlike a single
+    train/test split, every origin contributes one error per horizon —
+    the cross-validation of time series (and deliberately re-uses the
+    same baselines q_forecast_combo averages).
+
+    Facts collapse to the day table once; origins × horizons are
+    self-joins on the row index over that calendar-bounded table
+    (whitelisted), and the scoring is one combinable aggregate per
+    horizon cell."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.orderBy("d")  # day table (whitelisted)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "y", F.row_number().over(w).alias("t"), F.count(F.lit(1)).over(w_all).alias("n")
+    )
+    horizons = spark.createDataFrame([(h,) for h in _BT_HORIZONS], "h int")
+    o = idx.select(
+        F.col("y").alias("y_origin"), F.col("t").alias("to"), F.col("n")
+    ).filter((F.col("to") > F.col("n") - _BT_ORIGINS - 3) & (F.col("to") <= F.col("n") - 3))
+    fut = idx.select(F.col("y").alias("y_true"), F.col("t").alias("tf"))
+    lag7 = idx.select(F.col("y").alias("y_snaive"), F.col("t").alias("tl"))
+    ev = (
+        o.crossJoin(F.broadcast(horizons))
+        .join(F.broadcast(fut), F.col("tf") == F.col("to") + F.col("h"))
+        .join(
+            F.broadcast(lag7),
+            F.col("tl") == F.col("to") + F.col("h") - 7,
+            "left",
+        )
+    )
+    snaive = F.coalesce(F.col("y_snaive"), F.col("y_origin"))
+    return (
+        ev.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+            F.round(F.avg(F.abs(F.col("y_true") - F.col("y_origin"))), 4).alias(
+                "mae_naive"
+            ),
+            F.round(F.avg(F.abs(F.col("y_true") - snaive)), 4).alias("mae_seasonal"),
+            F.when(
+                F.avg(F.abs(F.col("y_true") - snaive))
+                < F.avg(F.abs(F.col("y_true") - F.col("y_origin"))),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("seasonal_wins"),
+        )
+        .select(F.col("h").alias("horizon"), "n_evals", "mae_naive", "mae_seasonal", "seasonal_wins")
+        .orderBy("horizon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# indirectly standardized ratio (SMR)
+
+
+@register(
+    "q_smr_indirect",
+    oracle="""
+        WITH base AS (
+            SELECT r.r_name AS region, c.c_mktsegment AS seg,
+                   CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        rates AS (SELECT seg, avg(e) AS rate FROM base GROUP BY seg),
+        cells AS (
+            SELECT region, seg, count(*) AS n, CAST(sum(e) AS BIGINT) AS obs
+            FROM base GROUP BY region, seg
+        ),
+        smr AS (
+            SELECT c.region,
+                   CAST(sum(c.obs) AS BIGINT) AS observed,
+                   round(sum(c.n * r.rate), 4) AS expected,
+                   round(sum(c.obs) / sum(c.n * r.rate), 4) AS smr
+            FROM cells c JOIN rates r USING (seg)
+            GROUP BY c.region
+        )
+        SELECT region, observed, expected, smr,
+               round(exp(ln(smr) - 1.96 / sqrt(observed)), 4) AS ci_lo,
+               round(exp(ln(smr) + 1.96 / sqrt(observed)), 4) AS ci_hi,
+               CAST(CASE WHEN exp(ln(smr) - 1.96 / sqrt(observed)) > 1
+                          OR exp(ln(smr) + 1.96 / sqrt(observed)) < 1
+                    THEN 1 ELSE 0 END AS INT) AS significant
+        FROM smr ORDER BY region
+    """,
+    category="analytics",
+)
+def q_smr_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirectly standardized ratio (the SMR of epidemiology, as an
+    ops metric): each region's observed urgent-order count over the
+    count EXPECTED if its segment mix experienced the corpus-wide
+    per-segment urgent rates — the mix-adjusted comparison that raw
+    regional rates (q_abtest_proportions) get wrong whenever segment
+    mix differs by region, with the log-normal (Byar-style) 95% CI.
+    The indirect counterpart of q_pvm_decomposition's direct
+    decomposition and q_ipf_raking's margin matching.
+
+    One fact-join pass feeds both the 5-row reference rates and the
+    25-cell (region × segment) observed/size grid; SMR and its CI are
+    algebra over those cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("e"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region"), F.col("c_mktsegment").alias("seg"))
+    )
+    base = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey).select(
+        "region", "seg", "e"
+    )
+    rates = base.groupBy("seg").agg(F.avg("e").alias("rate"))
+    cells = base.groupBy("region", "seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("e").cast("bigint").alias("obs")
+    )
+    smr = (
+        cells.join(F.broadcast(rates), "seg")
+        .groupBy("region")
+        .agg(
+            F.sum("obs").cast("bigint").alias("observed"),
+            F.round(F.sum(F.col("n") * F.col("rate")), 4).alias("expected"),
+            F.round(F.sum("obs") / F.sum(F.col("n") * F.col("rate")), 4).alias("smr"),
+        )
+    )
+    lo = F.exp(F.log("smr") - 1.96 / F.sqrt(F.col("observed")))
+    hi = F.exp(F.log("smr") + 1.96 / F.sqrt(F.col("observed")))
+    return smr.select(
+        "region",
+        "observed",
+        "expected",
+        "smr",
+        F.round(lo, 4).alias("ci_lo"),
+        F.round(hi, 4).alias("ci_hi"),
+        F.when((lo > 1) | (hi < 1), 1).otherwise(0).cast("int").alias("significant"),
+    ).orderBy("region")

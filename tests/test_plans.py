@@ -1705,3 +1705,18 @@ def test_round10l_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_l_diversity", 3),             # dim join + (nation,seg) grid + group rollup
+        ("q_t_closeness", 8),             # grid completed w/ broadcast global dist
+        ("q_rolling_origin_backtest", 6), # day table + whitelisted index windows + horizon cells
+        ("q_smr_indirect", 4),            # fact join -> rates + cells + SMR algebra
+    ],
+)
+def test_round10m_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

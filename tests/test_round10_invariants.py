@@ -517,3 +517,42 @@ def test_stopword_candidates_are_core(spark):
         assert r["df_share"] >= 0.8
         assert 0.0 < r["flatness"] <= 1.0001
         assert r["n_sources"] >= 1
+
+
+def test_l_diversity_entropy_bound(spark):
+    """Entropy l-diversity never exceeds distinct l-diversity
+    (exp(H) ≤ #values, equality iff uniform)."""
+    rows = REGISTRY["q_l_diversity"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 1.0 <= r["entropy_l"] <= r["distinct_sensitive"] + 0.001
+        assert r["group_size"] >= r["distinct_sensitive"]
+
+
+def test_t_closeness_tv_range(spark):
+    rows = REGISTRY["q_t_closeness"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r["tv_distance"] <= 1.0
+        assert r["satisfies_t02"] == (1 if r["tv_distance"] <= 0.2 else 0)
+
+
+def test_backtest_horizons_complete(spark):
+    rows = sorted(REGISTRY["q_rolling_origin_backtest"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["horizon"])
+    assert [r["horizon"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["n_evals"] >= 1
+        assert r["mae_naive"] >= 0 and r["mae_seasonal"] >= 0
+
+
+def test_smr_ci_brackets_point(spark):
+    rows = REGISTRY["q_smr_indirect"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    tot_obs = sum(r["observed"] for r in rows)
+    tot_exp = sum(r["expected"] for r in rows)
+    # indirect standardization conserves totals: sum O = sum E
+    assert tot_obs == pytest.approx(tot_exp, rel=0.01)
+    for r in rows:
+        assert r["ci_lo"] <= r["smr"] <= r["ci_hi"]
+        assert r["significant"] in (0, 1)
