@@ -5218,3 +5218,351 @@ def q_smr_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 4).alias("ci_hi"),
         F.when((lo > 1) | (hi < 1), 1).otherwise(0).cast("int").alias("significant"),
     ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# event-study leads and lags
+
+
+_ES_EVENT = "1998-01-01"
+
+
+@register(
+    "q_event_study",
+    oracle=f"""
+        WITH base AS (
+            SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS tr,
+                   greatest(least(datediff('month',
+                       DATE '{_ES_EVENT}',
+                       date_trunc('month', o.o_orderdate)), 3), -3) AS r,
+                   o.o_totalprice AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE abs(datediff('month', DATE '{_ES_EVENT}',
+                      date_trunc('month', o.o_orderdate))) <= 3
+        ),
+        cells AS (
+            SELECT r, tr, avg(y) AS m, count(*) AS n FROM base GROUP BY r, tr
+        ),
+        gaps AS (
+            SELECT t.r, t.m - c.m AS gap,
+                   CAST(t.n + c.n AS BIGINT) AS n_obs
+            FROM cells t JOIN cells c ON c.r = t.r AND c.tr = 0
+            WHERE t.tr = 1
+        ),
+        pre AS (SELECT gap AS g0 FROM gaps WHERE r = -1)
+        SELECT g.r AS rel_month, g.n_obs,
+               round(g.gap, 4) AS treated_control_gap,
+               round(g.gap - p.g0, 4) AS effect_vs_pre
+        FROM gaps g, pre p ORDER BY g.r
+    """,
+    category="analytics",
+)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads-and-lags — the modern presentation of
+    q_diff_in_diff's 2×2: treated (BUILDING segment) vs control mean
+    order value at relative months −3..+3 around {_ES_EVENT}, each
+    gap normalized to the r = −1 pre-period (so pre-trends are visible
+    as nonzero leads, the diagnostic a plain DiD hides). On this
+    no-treatment synthetic fixture every effect should hover near 0 —
+    which is the harness telling the truth.
+
+    One fact-join pass to the 14-cell (relative-month × arm) grid;
+    gaps and the pre-period normalization are joins over those cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("tr"),
+    )
+    rel = (F.year("m") - F.lit(1998)) * 12 + (F.month("m") - 1)
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("tr", rel.alias("rm"), F.col("o_totalprice").alias("y"))
+        .filter(F.abs(F.col("rm")) <= 3)
+        .select(
+            "tr", F.greatest(F.least(F.col("rm"), F.lit(3)), F.lit(-3)).alias("r"), "y"
+        )
+    )
+    cells = base.groupBy("r", "tr").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    t = cells.filter(F.col("tr") == 1).select(
+        "r", F.col("m").alias("mt"), F.col("n").alias("nt")
+    )
+    ctrl = cells.filter(F.col("tr") == 0).select(
+        F.col("r").alias("rc"), F.col("m").alias("mc"), F.col("n").alias("nc")
+    )
+    gaps = t.join(F.broadcast(ctrl), F.col("r") == F.col("rc")).select(
+        "r",
+        (F.col("mt") - F.col("mc")).alias("gap"),
+        (F.col("nt") + F.col("nc")).cast("bigint").alias("n_obs"),
+    )
+    pre = gaps.filter(F.col("r") == -1).select(F.col("gap").alias("g0"))
+    return (
+        gaps.crossJoin(F.broadcast(pre))
+        .select(
+            F.col("r").alias("rel_month"),
+            "n_obs",
+            F.round("gap", 4).alias("treated_control_gap"),
+            F.round(F.col("gap") - F.col("g0"), 4).alias("effect_vs_pre"),
+        )
+        .orderBy("rel_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion grid fit
+
+
+_BASS_PS = [0.01, 0.03, 0.1]
+_BASS_QS = [0.2, 0.4, 0.6]
+
+
+@register(
+    "q_bass_diffusion_fit",
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events
+            GROUP BY user_id
+        ),
+        anchor AS (SELECT min(d0) AS start, count(*) AS m FROM first_seen),
+        daily AS (
+            SELECT date_diff('day', a.start, f.d0) + 1 AS t, count(*) AS c
+            FROM first_seen f, anchor a GROUP BY 1
+        ),
+        cum AS (
+            SELECT t, sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) * 1.0
+                      / (SELECT m FROM anchor) AS f_obs
+            FROM daily
+        ),
+        grid AS (
+            SELECT p.p, q.q
+            FROM (SELECT unnest({_BASS_PS}) AS p) p,
+                 (SELECT unnest({_BASS_QS}) AS q) q
+        ),
+        sse AS (
+            SELECT g.p, g.q,
+                   round(sum(power(c.f_obs
+                       - (1 - exp(-(g.p + g.q) * c.t))
+                         / (1 + (g.q / g.p) * exp(-(g.p + g.q) * c.t)), 2)),
+                       6) AS sse6,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM cum c, grid g GROUP BY g.p, g.q
+        ),
+        best AS (SELECT min(sse6) AS s FROM sse)
+        SELECT p, q, sse6 AS sse, n_days,
+               CAST(CASE WHEN sse6 = b.s THEN 1 ELSE 0 END AS INT) AS is_best
+        FROM sse, best b ORDER BY p, q
+    """,
+    category="analytics",
+)
+def q_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion grid fit: the cumulative first-activity curve
+    (each user's first event = adoption) against the closed-form Bass
+    CDF F(t) = (1−e^{{−(p+q)t}})/(1+(q/p)e^{{−(p+q)t}}) over a
+    {len(_BASS_PS)}×{len(_BASS_QS)} (innovation p × imitation q) grid,
+    SSE per cell with the argmin flagged — the product-adoption model
+    behind every launch forecast, fit by the same sweep-cells
+    discipline as q_best_split_stump (grid search IS a projection, not
+    plan branches).
+
+    One pass to per-user first days, a calendar-bounded adoption
+    curve with ONE whitelisted cumulative, and the 9-cell grid
+    crossed/aggregated in one exchange. Argmin on 6-dp SSE."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    anchor = first_seen.agg(F.min("d0").alias("start"), F.count(F.lit(1)).alias("m"))
+    daily = (
+        first_seen.crossJoin(F.broadcast(anchor))
+        .groupBy((F.datediff(F.col("d0"), F.col("start")) + 1).alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"), F.max("m").alias("m"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "t", (F.sum("c").over(w) * 1.0 / F.col("m")).alias("f_obs")
+    )
+    grid = spark.createDataFrame(
+        [(p, q) for p in _BASS_PS for q in _BASS_QS], "p double, q double"
+    )
+    pred = (1 - F.exp(-(F.col("p") + F.col("q")) * F.col("t"))) / (
+        1 + (F.col("q") / F.col("p")) * F.exp(-(F.col("p") + F.col("q")) * F.col("t"))
+    )
+    sse = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("p", "q")
+        .agg(
+            F.round(F.sum((F.col("f_obs") - pred) ** 2), 6).alias("sse6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    best = sse.agg(F.min("sse6").alias("s"))
+    return (
+        sse.crossJoin(F.broadcast(best))
+        .select(
+            "p",
+            "q",
+            F.col("sse6").alias("sse"),
+            "n_days",
+            F.when(F.col("sse6") == F.col("s"), 1).otherwise(0).cast("int").alias("is_best"),
+        )
+        .orderBy("p", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential outlier peeling (ESD-style)
+
+
+_ESD_ROUNDS = 3
+
+
+def _esd_round_sql(prev_excl: str, rnd: int) -> str:
+    return f"""
+        m{rnd} AS (
+            SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM daily
+            WHERE d NOT IN (SELECT d FROM {prev_excl})
+        ),
+        p{rnd} AS (
+            SELECT daily.d, daily.y,
+                   round(abs(daily.y - m.mu) / m.sd, 6) AS z6
+            FROM daily, m{rnd} m
+            WHERE daily.d NOT IN (SELECT d FROM {prev_excl})
+            ORDER BY z6 DESC, daily.d ASC LIMIT 1
+        ),
+        x{rnd} AS (
+            SELECT d FROM {prev_excl} UNION ALL SELECT d FROM p{rnd}
+        )"""
+
+
+@register(
+    "q_esd_outliers",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY date_trunc('day', ts)
+        ),
+        x0 AS (SELECT NULL::TIMESTAMP AS d WHERE false),
+        {",".join(_esd_round_sql(f"x{i}", i + 1) for i in range(_ESD_ROUNDS))}
+        SELECT 1 AS round, d AS day, round(y, 1) AS value, z6 AS z_at_peel,
+               CAST(CASE WHEN z6 > 3.0 THEN 1 ELSE 0 END AS INT) AS flagged
+        FROM p1
+        UNION ALL
+        SELECT 2, d, round(y, 1), z6,
+               CAST(CASE WHEN z6 > 3.0 THEN 1 ELSE 0 END AS INT) FROM p2
+        UNION ALL
+        SELECT 3, d, round(y, 1), z6,
+               CAST(CASE WHEN z6 > 3.0 THEN 1 ELSE 0 END AS INT) FROM p3
+        ORDER BY round
+    """,
+    category="analytics",
+)
+def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential outlier peeling (generalized-ESD style, fixed 3.0
+    critical): {_ESD_ROUNDS} rounds of "find the max-|z| day, record
+    it, REMOVE it, recompute mean/sd" over daily event counts — the
+    masking-proof procedure q_anomaly_mad and q_iqr_outliers can't
+    replicate (one huge outlier inflates σ and hides the second; ESD
+    re-estimates after every peel).
+
+    The day table is calendar-bounded, so each round is a tiny
+    aggregate + TakeOrdered-1 with the ≤{_ESD_ROUNDS}-row exclusion
+    set anti-joined (broadcast); facts are scanned once into the day
+    rollup and never again."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    excl = None
+    peeled = []
+    for rnd in range(1, _ESD_ROUNDS + 1):
+        remaining = (
+            daily if excl is None else daily.join(F.broadcast(excl), "d", "left_anti")
+        )
+        m = remaining.agg(F.avg("y").alias("mu"), F.stddev_samp("y").alias("sd"))
+        p = (
+            remaining.crossJoin(F.broadcast(m))
+            .select(
+                "d",
+                "y",
+                F.round(F.abs(F.col("y") - F.col("mu")) / F.col("sd"), 6).alias("z6"),
+            )
+            .orderBy(F.col("z6").desc(), F.col("d").asc())
+            .limit(1)
+        )
+        peeled.append(
+            p.select(
+                F.lit(rnd).alias("round"),
+                F.col("d").alias("day"),
+                F.round("y", 1).alias("value"),
+                F.col("z6").alias("z_at_peel"),
+                F.when(F.col("z6") > 3.0, 1).otherwise(0).cast("int").alias("flagged"),
+            )
+        )
+        sel = p.select("d")
+        excl = sel if excl is None else excl.unionByName(sel)
+    out = peeled[0]
+    for df in peeled[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words duplicate audit
+
+
+@register(
+    "q_bow_dup_audit",
+    oracle="""
+        WITH f AS (
+            SELECT md5(array_to_string(list_sort(string_split(text, ' ')),
+                                       ' ')) AS bag_h,
+                   md5(text) AS text_h
+            FROM documents
+        ),
+        g AS (
+            SELECT bag_h, count(*) AS c, count(DISTINCT text_h) AS dt
+            FROM f GROUP BY bag_h
+        )
+        SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS distinct_bags,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS bag_dup_docs,
+               CAST(sum(CASE WHEN c >= 2 AND dt >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS shuffled_template_groups
+        FROM g
+    """,
+    category="llm-dedup",
+)
+def q_bow_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words duplicate audit: fingerprint each document by its
+    SORTED token multiset (md5 of the sorted join) and count groups
+    where the bag collides — including shuffled templates (same bag,
+    different text), the permutation-dup class exact text
+    fingerprints (q_dedup_fingerprint) are blind to and MinHash only
+    catches probabilistically. On this fixture the detector correctly
+    reports ZERO — a clean audit is a result, not a failure.
+
+    One projection computes both md5 keys (16-byte shuffles, never
+    text); one groupBy + one summary aggregate."""
+    f = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.array_join(F.array_sort(F.split("text", " ")), " ")).alias("bag_h"),
+        F.md5("text").alias("text_h"),
+    )
+    g = f.groupBy("bag_h").agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("text_h").alias("dt")
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bags"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("bag_dup_docs"),
+        F.sum(F.when((F.col("c") >= 2) & (F.col("dt") >= 2), 1).otherwise(0))
+        .cast("bigint")
+        .alias("shuffled_template_groups"),
+    )

@@ -1720,3 +1720,21 @@ def test_round10m_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_event_study", 5),          # fact join -> 14-cell grid + gap/pre joins
+        ("q_bass_diffusion_fit", 10),  # first-seen agg + adoption cum + 9-cell grid
+        # 3 peel rounds each re-print the day rollup + exclusion chain
+        # in the static plan; the day table is calendar-bounded and AQE
+        # stage reuse collapses the identical rollups at runtime
+        ("q_esd_outliers", 39),
+        ("q_bow_dup_audit", 3),        # md5 projection + bag agg + summary
+    ],
+)
+def test_round10n_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -556,3 +556,42 @@ def test_smr_ci_brackets_point(spark):
     for r in rows:
         assert r["ci_lo"] <= r["smr"] <= r["ci_hi"]
         assert r["significant"] in (0, 1)
+
+
+def test_event_study_pre_period_normalized(spark):
+    rows = {r["rel_month"]: r for r in
+            REGISTRY["q_event_study"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(-3, 4))
+    # by construction the r=-1 effect is exactly 0
+    assert rows[-1]["effect_vs_pre"] == pytest.approx(0.0, abs=1e-6)
+    for r in rows.values():
+        assert r["n_obs"] > 0
+
+
+def test_bass_grid_complete_with_best(spark):
+    rows = REGISTRY["q_bass_diffusion_fit"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert sum(r["is_best"] for r in rows) >= 1
+    for r in rows:
+        assert r["sse"] >= 0
+        assert r["n_days"] >= 1
+
+
+def test_esd_z_decreasing_rounds(spark):
+    """Peeled z-scores can bounce (sd shrinks after each peel), but all
+    three rounds must produce distinct days with positive z."""
+    rows = sorted(REGISTRY["q_esd_outliers"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    days = [r["day"] for r in rows]
+    assert len(set(days)) == 3  # peeling never re-selects a removed day
+    for r in rows:
+        assert r["z_at_peel"] > 0
+        assert r["flagged"] == (1 if r["z_at_peel"] > 3.0 else 0)
+
+
+def test_bow_audit_accounting(spark):
+    r = REGISTRY["q_bow_dup_audit"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_docs"] >= r["distinct_bags"] >= 1
+    assert 0 <= r["bag_dup_docs"] <= r["n_docs"]
+    assert 0 <= r["shuffled_template_groups"] <= r["distinct_bags"]

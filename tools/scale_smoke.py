@@ -230,6 +230,12 @@ HEAVY = [
     "q_weibull_fit",
     "q_ratio_to_ma_seasonal",
     "q_stopword_discovery",
+    # round-10 batch 14: privacy grids, day-index backtest joins,
+    # fact-join SMR cells
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_rolling_origin_backtest",
+    "q_smr_indirect",
 ]
 
 #: per-table key columns to offset so replicas don't collide
