@@ -5566,3 +5566,297 @@ def q_bow_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shuffled_template_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# self-excitation (Hawkes branching proxy)
+
+
+@register(
+    "q_self_excitation",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC) AS prev
+            FROM events
+        ),
+        flags AS (
+            SELECT CASE WHEN prev IS NOT NULL
+                         AND us - prev <= 300000000 THEN 1 ELSE 0 END AS fast,
+                   CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END AS has_prev,
+                   CASE WHEN prev IS NOT NULL THEN (us - prev) / 1e6 END AS gap_s
+            FROM g
+        ),
+        agg AS (
+            SELECT sum(fast) AS n_fast, sum(has_prev) AS n_gaps,
+                   avg(gap_s) AS mean_gap
+            FROM flags
+        )
+        SELECT CAST(n_gaps AS BIGINT) AS n_gaps,
+               round(n_fast * 1.0 / n_gaps, 4) AS share_within_5min,
+               round(1 - exp(-300.0 / mean_gap), 4) AS poisson_expected,
+               round((n_fast * 1.0 / n_gaps)
+                     / (1 - exp(-300.0 / mean_gap)), 4) AS excitation_ratio
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_self_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-excitation proxy (the Hawkes branching question asked with
+    counts): the share of same-user inter-event gaps under 5 minutes
+    against the exponential-null expectation 1−e^{−300/mean_gap} — a
+    ratio ≫ 1 means events SPAWN events (sessions, cascades), ≈ 1
+    means memoryless arrivals. The point-process companion to
+    q_fano_factor (dispersion) and q_burstiness (CV): this one names
+    the trigger-follow mechanism.
+
+    One per-user lag window (user-partitioned) and one combinable
+    aggregate — gap flags, counts, and the null expectation all ride
+    a single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev"),
+    )
+    agg = g.agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("us") - F.col("prev") <= 300000000), 1
+            ).otherwise(0)
+        ).alias("n_fast"),
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0)).alias("n_gaps"),
+        F.avg(
+            F.when(F.col("prev").isNotNull(), (F.col("us") - F.col("prev")) / 1e6)
+        ).alias("mean_gap"),
+    )
+    share = F.col("n_fast") * 1.0 / F.col("n_gaps")
+    null_p = 1 - F.exp(-300.0 / F.col("mean_gap"))
+    return agg.select(
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(share, 4).alias("share_within_5min"),
+        F.round(null_p, 4).alias("poisson_expected"),
+        F.round(share / null_p, 4).alias("excitation_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplicated effective token budget
+
+
+@register(
+    "q_effective_tokens",
+    oracle="""
+        WITH f AS (
+            SELECT source, md5(text) AS h,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        cl AS (
+            SELECT h, count(*) AS csize FROM f GROUP BY h
+        )
+        SELECT f.source,
+               CAST(sum(f.toks) AS BIGINT) AS raw_tokens,
+               round(sum(f.toks * 1.0 / cl.csize), 2) AS effective_tokens,
+               round(1 - sum(f.toks * 1.0 / cl.csize) / sum(f.toks), 4)
+                   AS dup_discount
+        FROM f JOIN cl USING (h)
+        GROUP BY f.source ORDER BY f.source
+    """,
+    category="llm-pipeline",
+)
+def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated effective token budget per source: each document's
+    tokens are down-weighted by 1/(its exact-duplicate cluster size),
+    so a doc duplicated k times contributes its tokens ONCE in total —
+    the training-budget number that raw token counts (q_token_count)
+    overstate and that a hard dedup (q_dedup_keep_best) understates
+    when you still want the soft multiplicity signal. dup_discount is
+    the share of the raw budget that is duplicate mass.
+
+    One md5 projection (16-byte keys shuffle, never text); cluster
+    sizes join back by hash; one weighted rollup per source."""
+    f = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    cl = f.groupBy("h").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        f.join(cl, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("toks").cast("bigint").alias("raw_tokens"),
+            F.round(F.sum(F.col("toks") * 1.0 / F.col("csize")), 2).alias(
+                "effective_tokens"
+            ),
+            F.round(
+                1 - F.sum(F.col("toks") * 1.0 / F.col("csize")) / F.sum("toks"), 4
+            ).alias("dup_discount"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bullwhip ratio
+
+
+@register(
+    "q_bullwhip_ratio",
+    oracle="""
+        WITH om AS (
+            SELECT p.p_brand AS brand, date_trunc('month', o.o_orderdate) AS m,
+                   sum(l.l_quantity) AS q
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        ),
+        sm AS (
+            SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS m,
+                   sum(l.l_quantity) AS q
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT brand, var_samp(q) AS v, avg(q) AS mu FROM om GROUP BY brand
+        ),
+        sv AS (
+            SELECT brand, var_samp(q) AS v FROM sm GROUP BY brand
+        )
+        SELECT o.brand,
+               round(o.v / (o.mu * o.mu), 4) AS order_cv2,
+               round(o.v / s.v, 4) AS bullwhip_ratio,
+               CAST(CASE WHEN round(o.v / s.v, 4) > 1 THEN 1 ELSE 0 END AS INT)
+                   AS amplifies
+        FROM ov o JOIN sv s USING (brand) ORDER BY o.brand
+    """,
+    category="analytics",
+)
+def q_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip ratio per brand: variance of monthly ORDERED quantity
+    over variance of monthly SHIPPED quantity — the supply-chain
+    amplification diagnostic (orders more volatile than fulfillment ⇒
+    upstream demand distortion; the classic beer-game metric). Order
+    timing vs ship timing shifts the same units across month
+    boundaries, and the ratio measures exactly how much noise that
+    adds. Complements q_inventory_policy (which consumes these
+    variances) and q_xyz_variability (single-series CV classes).
+
+    Two calendar-bounded (brand × month) rollups from one fact
+    lineage; variances are plain group aggregates; the ratio joins 25
+    brand rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    om = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    sm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    ov = om.groupBy("brand").agg(F.var_samp("q").alias("v"), F.avg("q").alias("mu"))
+    sv = sm.groupBy("brand").agg(F.var_samp("q").alias("sv"))
+    ratio = F.col("v") / F.col("sv")
+    return (
+        ov.join(sv, "brand")
+        .select(
+            "brand",
+            F.round(F.col("v") / (F.col("mu") ** 2), 4).alias("order_cv2"),
+            F.round(ratio, 4).alias("bullwhip_ratio"),
+            F.when(F.round(ratio, 4) > 1, 1).otherwise(0).cast("int").alias("amplifies"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with union merge
+
+
+_KMV_K = 16
+
+
+@register(
+    "q_kmv_union_distinct",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT source, w FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+        ),
+        hashed AS (
+            SELECT source, w,
+                   (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1000000007)
+                       / 1000000007.0 AS hv
+            FROM tok
+        ),
+        merged AS (
+            SELECT DISTINCT w, hv FROM hashed
+        ),
+        kth AS (
+            SELECT hv FROM merged ORDER BY hv ASC, w ASC
+            LIMIT 1 OFFSET {_KMV_K - 1}
+        ),
+        est AS (
+            SELECT ({_KMV_K} - 1) / (SELECT hv FROM kth) AS kmv_est
+        ),
+        truth AS (SELECT count(*) AS exact FROM merged)
+        SELECT CAST(t.exact AS BIGINT) AS exact_distinct,
+               round(e.kmv_est, 1) AS kmv_estimate,
+               round(abs(e.kmv_est - t.exact) / t.exact, 4) AS rel_error
+        FROM est e, truth t
+    """,
+    category="llm-pipeline",
+)
+def q_kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over the union of
+    per-source vocabularies: hash every word to [0,1) with an
+    engine-portable md5-prefix hash, keep the {_KMV_K} smallest, and
+    estimate distinct = (k−1)/h₍ₖ₎ — the ORDER-STATISTICS sketch that
+    completes the family (q_hll_sketch_union register-based,
+    q_heavy_hitters_cms frequency, q_bloom_membership membership).
+    KMV's merge is just "union the mins and re-truncate", which is why
+    distributed systems love it; the exact distinct and relative error
+    ride alongside as the verification twin.
+
+    Hashing is the house md5-prefix arithmetic (bit-identical across
+    engines, SCALE.md trap discipline); the k-th min is a TakeOrdered
+    over the deduped hash stream — no global sort materializes."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    hv = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint") % 1000000007
+    ) / 1000000007.0
+    merged = tok.select("w", hv.alias("hv")).distinct()
+    kth = merged.orderBy(F.col("hv").asc(), F.col("w").asc()).limit(_KMV_K).agg(
+        F.max("hv").alias("hk")
+    )
+    truth = merged.agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        truth.crossJoin(F.broadcast(kth))
+        .select(
+            F.col("exact").cast("bigint").alias("exact_distinct"),
+            F.round((_KMV_K - 1) / F.col("hk"), 1).alias("kmv_estimate"),
+            F.round(
+                F.abs((_KMV_K - 1) / F.col("hk") - F.col("exact")) / F.col("exact"), 4
+            ).alias("rel_error"),
+        )
+    )

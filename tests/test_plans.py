@@ -1738,3 +1738,18 @@ def test_round10n_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_self_excitation", 2),      # user lag window + one combinable agg
+        ("q_effective_tokens", 3),     # md5 projection + cluster agg + source rollup
+        ("q_bullwhip_ratio", 5),       # two (brand,month) rollups + 25-row ratio join
+        ("q_kmv_union_distinct", 3),   # deduped hash stream + TakeOrdered-k + truth count
+    ],
+)
+def test_round10o_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -595,3 +595,37 @@ def test_bow_audit_accounting(spark):
     assert r["n_docs"] >= r["distinct_bags"] >= 1
     assert 0 <= r["bag_dup_docs"] <= r["n_docs"]
     assert 0 <= r["shuffled_template_groups"] <= r["distinct_bags"]
+
+
+def test_self_excitation_ratio_positive(spark):
+    r = REGISTRY["q_self_excitation"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_gaps"] > 0
+    assert 0.0 <= r["share_within_5min"] <= 1.0
+    assert 0.0 < r["poisson_expected"] < 1.0
+    assert r["excitation_ratio"] > 0
+
+
+def test_effective_tokens_bounds(spark):
+    rows = REGISTRY["q_effective_tokens"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["effective_tokens"] <= r["raw_tokens"] + 0.01
+        assert 0.0 <= r["dup_discount"] <= 1.0
+
+
+def test_bullwhip_positive(spark):
+    rows = REGISTRY["q_bullwhip_ratio"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["bullwhip_ratio"] > 0
+        assert r["order_cv2"] >= 0
+        assert r["amplifies"] == (1 if r["bullwhip_ratio"] > 1 else 0)
+
+
+def test_kmv_estimate_in_ballpark(spark):
+    """KMV with k=16 has ~1/sqrt(k-2) ≈ 27% relative sd — assert the
+    estimate lands within 4 sds of the exact count."""
+    r = REGISTRY["q_kmv_union_distinct"].fn(spark, SF_DIR).collect()[0]
+    assert r["exact_distinct"] >= 16  # k <= n, sketch well-defined
+    assert r["rel_error"] <= 1.1
+    assert r["kmv_estimate"] > 0
