@@ -236,6 +236,17 @@ HEAVY = [
     "q_t_closeness",
     "q_rolling_origin_backtest",
     "q_smr_indirect",
+    # round-10 batches 15-16: cell-grid event study, adoption-curve
+    # grid fit, peel-round ESD, bag-hash audit, lag-window excitation,
+    # hash-cluster token budget, dual-rollup bullwhip, KMV sketch
+    "q_event_study",
+    "q_bass_diffusion_fit",
+    "q_esd_outliers",
+    "q_bow_dup_audit",
+    "q_self_excitation",
+    "q_effective_tokens",
+    "q_bullwhip_ratio",
+    "q_kmv_union_distinct",
 ]
 
 #: per-table key columns to offset so replicas don't collide
