@@ -5860,3 +5860,403 @@ def q_kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# survey design effect
+
+
+@register(
+    "q_design_effect",
+    oracle="""
+        WITH obs AS (SELECT user_id, value AS y FROM events),
+        g AS (
+            SELECT user_id, count(*) AS n, avg(y) AS m,
+                   sum(y * y) - count(*) * avg(y) * avg(y) AS ssw
+            FROM obs GROUP BY user_id
+        ),
+        tot AS (
+            SELECT sum(n) AS n, count(*) AS k, avg(m) AS _mg,
+                   sum(n * m) / sum(n) AS gm
+            FROM g
+        ),
+        comp AS (
+            SELECT t.n, t.k,
+                   (SELECT sum(n * (m - t.gm) * (m - t.gm)) FROM g) / (t.k - 1)
+                       AS msb,
+                   (SELECT sum(ssw) FROM g) / (t.n - t.k) AS msw,
+                   t.n * 1.0 / t.k AS mbar
+            FROM tot t
+        ),
+        icc AS (
+            SELECT n, k, mbar,
+                   (msb - msw) / (msb + (mbar - 1) * msw) AS rho
+            FROM comp
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS n_clusters,
+               round(mbar, 4) AS avg_cluster_size,
+               round(rho, 4) AS icc,
+               round(1 + (mbar - 1) * rho, 4) AS deff,
+               round(n / (1 + (mbar - 1) * rho), 1) AS effective_n
+        FROM icc
+    """,
+    category="analytics",
+)
+def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey design effect for user-clustered sampling: the one-way
+    ANOVA intraclass correlation of event values within users, Kish's
+    DEFF = 1 + (m̄−1)·ρ, and the effective sample size n/DEFF — the
+    number that says how much clustering shrinks your real information
+    (10k events from 150 users are NOT 10k independent observations).
+    Pairs with q_icc_orders (the reliability ICC) and q_neyman_
+    allocation (which assumes the answer).
+
+    One pass to per-user sufficient statistics (n, mean, within-SS);
+    MSB/MSW/ICC/DEFF are algebra over those rows with the 1-row totals
+    broadcast."""
+    obs = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").alias("y")
+    )
+    g = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("m"),
+        (F.sum(F.col("y") ** 2) - F.count(F.lit(1)) * F.avg("y") * F.avg("y")).alias(
+            "ssw"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+    )
+    comp = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_tot").alias("n_tot"),
+        F.max("k").alias("k"),
+        (
+            F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2) / (F.max("k") - 1)
+        ).alias("msb"),
+        (F.sum("ssw") / (F.max("n_tot") - F.max("k"))).alias("msw"),
+        (F.max("n_tot") * 1.0 / F.max("k")).alias("mbar"),
+    )
+    rho = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("mbar") - 1) * F.col("msw")
+    )
+    deff = 1 + (F.col("mbar") - 1) * rho
+    return comp.select(
+        F.col("n_tot").cast("bigint").alias("n_obs"),
+        F.col("k").cast("bigint").alias("n_clusters"),
+        F.round("mbar", 4).alias("avg_cluster_size"),
+        F.round(rho, 4).alias("icc"),
+        F.round(deff, 4).alias("deff"),
+        F.round(F.col("n_tot") / deff, 1).alias("effective_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mediation analysis (product of coefficients)
+
+
+@register(
+    "q_mediation_paths",
+    oracle="""
+        WITH pts AS (
+            SELECT l_discount AS x, l_quantity AS m, l_extendedprice AS y
+            FROM lineitem
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   avg(x) AS mx, avg(m) AS mm, avg(y) AS my,
+                   sum(x * x) - count(*) * avg(x) * avg(x) AS sxx,
+                   sum(m * m) - count(*) * avg(m) * avg(m) AS smm,
+                   sum(x * m) - count(*) * avg(x) * avg(m) AS sxm,
+                   sum(x * y) - count(*) * avg(x) * avg(y) AS sxy,
+                   sum(m * y) - count(*) * avg(m) * avg(y) AS smy
+            FROM pts
+        ),
+        paths AS (
+            SELECT n,
+                   sxm / sxx AS a,
+                   (smy * sxx - sxy * sxm) / (smm * sxx - sxm * sxm) AS b,
+                   sxy / sxx AS c_total,
+                   (sxy * smm - smy * sxm) / (smm * sxx - sxm * sxm) AS c_prime
+            FROM mom
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(a, 6) AS path_a,
+               round(b, 6) AS path_b,
+               round(c_total, 6) AS total_effect,
+               round(c_prime, 6) AS direct_effect,
+               round(a * b, 6) AS indirect_effect,
+               round(a * b + c_prime - c_total, 6) AS decomposition_gap
+        FROM paths
+    """,
+    category="analytics",
+)
+def q_mediation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mediation analysis by product of coefficients (Baron–Kenny with
+    the algebraic identity): a = X→M, b = M→Y|X from the two-regressor
+    solve, total c = X→Y, direct c′ = X→Y|M — and the exact linear-
+    model identity c = c′ + a·b, whose decomposition_gap column must
+    be 0 to rounding (the self-audit). X = discount, M = quantity,
+    Y = extended price; on this independent-columns fixture all paths
+    sit near 0, which is the correct reading.
+
+    ONE combinable moment pass (five centered cross-products); every
+    path coefficient is a cofactor expression over the 1-row result."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("m"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    mom = pts.agg(
+        n.alias("n"),
+        (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("m") * F.col("m")) - n * F.avg("m") * F.avg("m")).alias("smm"),
+        (F.sum(F.col("x") * F.col("m")) - n * F.avg("x") * F.avg("m")).alias("sxm"),
+        (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
+        (F.sum(F.col("m") * F.col("y")) - n * F.avg("m") * F.avg("y")).alias("smy"),
+    )
+    det = F.col("smm") * F.col("sxx") - F.col("sxm") ** 2
+    a = F.col("sxm") / F.col("sxx")
+    b = (F.col("smy") * F.col("sxx") - F.col("sxy") * F.col("sxm")) / det
+    c_total = F.col("sxy") / F.col("sxx")
+    c_prime = (F.col("sxy") * F.col("smm") - F.col("smy") * F.col("sxm")) / det
+    return mom.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(a, 6).alias("path_a"),
+        F.round(b, 6).alias("path_b"),
+        F.round(c_total, 6).alias("total_effect"),
+        F.round(c_prime, 6).alias("direct_effect"),
+        F.round(a * b, 6).alias("indirect_effect"),
+        F.round(a * b + c_prime - c_total, 6).alias("decomposition_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster validity
+
+
+@register(
+    "q_davies_bouldin",
+    oracle="""
+        WITH dims AS (SELECT unnest(range(64)) AS i),
+        x AS (
+            SELECT e.label, e.vec_id, CAST(i AS INT) AS i,
+                   CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+            FROM embeddings e, dims
+        ),
+        cent AS (
+            SELECT label, i, avg(v) AS c FROM x GROUP BY label, i
+        ),
+        scat AS (
+            SELECT x.label,
+                   sqrt(sum((x.v - c.c) * (x.v - c.c))
+                        / count(DISTINCT x.vec_id)) AS s
+            FROM x JOIN cent c ON c.label = x.label AND c.i = x.i
+            GROUP BY x.label
+        ),
+        cdist AS (
+            SELECT a.label AS la, b.label AS lb,
+                   sqrt(sum((a.c - b.c) * (a.c - b.c))) AS d
+            FROM cent a JOIN cent b ON a.i = b.i AND a.label != b.label
+            GROUP BY a.label, b.label
+        ),
+        rij AS (
+            SELECT d.la, max((sa.s + sb.s) / d.d) AS r
+            FROM cdist d
+            JOIN scat sa ON sa.label = d.la
+            JOIN scat sb ON sb.label = d.lb
+            GROUP BY d.la
+        )
+        SELECT CAST(count(*) AS INT) AS n_clusters,
+               round(avg(r), 4) AS davies_bouldin,
+               round(min(r), 4) AS best_cluster_r,
+               round(max(r), 4) AS worst_cluster_r
+        FROM rij
+    """,
+    category="llm-similarity",
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin index over the label clusters in embedding
+    space: per cluster the worst (sᵢ+sⱼ)/d(cᵢ,cⱼ) ratio against every
+    other cluster, averaged — lower is better-separated; the internal-
+    validity metric that q_kmeans_silhouette complements (silhouette
+    is point-level O(n²)-ish, DB is centroid-level O(k²)). Scatter s =
+    RMS distance to own centroid, d = centroid Euclidean distance.
+
+    Facts collapse to (label × dim) centroid cells (640 rows) and
+    10 scatter rows in one posexplode pass; the pairwise stage is the
+    10×10 label grid — constant at any vector count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", "vec_id", F.posexplode(F.col("embedding")).alias("i", "v_raw")
+    ).select("label", "vec_id", "i", F.col("v_raw").cast("double").alias("v"))
+    cent = x.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    scat = (
+        x.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("c")) ** 2) / F.countDistinct("vec_id")
+            ).alias("s")
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb"))
+    cdist = (
+        a.join(F.broadcast(b), (F.col("i") == F.col("ib")) & (F.col("la") != F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)).alias("d"))
+    )
+    sa = scat.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = scat.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    rij = (
+        cdist.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(F.max((F.col("s_a") + F.col("s_b")) / F.col("d")).alias("r"))
+    )
+    return rij.agg(
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.round(F.avg("r"), 4).alias("davies_bouldin"),
+        F.round(F.min("r"), 4).alias("best_cluster_r"),
+        F.round(F.max("r"), 4).alias("worst_cluster_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UMass topic coherence
+
+
+@register(
+    "q_umass_coherence",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        dlen AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        tf AS (
+            SELECT doc_id, lang, term, count(*) AS n FROM tok GROUP BY doc_id, lang, term
+        ),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.lang, tf.term,
+                   round(sum((tf.n / CAST(dlen.n_tok AS DOUBLE))
+                             * ln(n_docs.n / CAST(dft.df AS DOUBLE))), 4) AS tfidf
+            FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term)
+            CROSS JOIN n_docs
+            GROUP BY tf.lang, tf.term
+        ),
+        topic AS (
+            SELECT lang, term,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored QUALIFY rnk <= 5
+        ),
+        docsets AS (
+            SELECT DISTINCT t.doc_id, tp.lang, tp.term, tp.rnk
+            FROM tok t JOIN topic tp ON tp.term = t.term
+        ),
+        pairs AS (
+            SELECT hi.lang,
+                   sum(ln((codoc.c + 1.0) / dlo.df)) AS coh,
+                   count(*) AS n_pairs
+            FROM topic hi
+            JOIN topic lo ON lo.lang = hi.lang AND lo.rnk < hi.rnk
+            JOIN dft dlo ON dlo.term = lo.term
+            JOIN (
+                SELECT a.lang, a.term AS thi, b.term AS tlo,
+                       count(DISTINCT a.doc_id) AS c
+                FROM docsets a JOIN docsets b
+                  ON b.doc_id = a.doc_id AND b.lang = a.lang
+                 AND b.rnk < a.rnk
+                GROUP BY a.lang, a.term, b.term
+            ) codoc ON codoc.lang = hi.lang AND codoc.thi = hi.term
+                   AND codoc.tlo = lo.term
+            GROUP BY hi.lang
+        )
+        SELECT lang, CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(coh / n_pairs, 4) AS umass_coherence
+        FROM pairs ORDER BY lang
+    """,
+    category="llm-text",
+)
+def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass topic coherence of each language's top-5 TF-IDF terms
+    (treating them as a topic): mean over ordered term pairs of
+    ln((D(w_hi, w_lo)+1)/D(w_lo)) — the corpus-intrinsic coherence
+    score used to rank LDA topics without human eyes. High (near 0)
+    means the topic's words actually co-occur; very negative means the
+    "topic" is an artifact. Closes the topic-quality loop on
+    q_tfidf_top_terms' term lists.
+
+    The co-document counts are confined to the ≤25 topic terms (docset
+    semi-join first), so the pair stage is tiny; document frequencies
+    reuse the vocab-grain rollup. 10 ordered pairs per language."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("n").alias("n_tok"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("lang", "term")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("n_tok").cast("double"))
+                    * F.log(F.col("_n_docs") / F.col("df").cast("double"))
+                ),
+                4,
+            ).alias("tfidf")
+        )
+    )
+    from builder_spark.operators.topk import grouped_topk
+
+    topic = grouped_topk(
+        scored, ["lang"], [F.col("tfidf").desc(), F.col("term").asc()], 5
+    ).select("lang", "term", "rnk")
+    # corpus-wide co-occurrence (UMass counts ALL docs containing both
+    # terms, not just the topic's own language) — join on term only,
+    # the lang label comes from the TOPIC side
+    docsets = (
+        tok.select("doc_id", "term")
+        .join(F.broadcast(topic), "term")
+        .select("doc_id", "lang", "term", "rnk")
+        .distinct()
+    )
+    a = docsets.select("doc_id", "lang", F.col("term").alias("thi"), F.col("rnk").alias("rhi"))
+    b = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("term").alias("tlo"), F.col("rnk").alias("rlo"),
+    )
+    codoc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("rlo") < F.col("rhi")),
+        )
+        .groupBy("lang", "thi", "tlo")
+        .agg(F.countDistinct("doc_id").alias("c"))
+    )
+    dlo = dft.select(F.col("term").alias("tlo"), F.col("df").alias("df_lo"))
+    pairs = (
+        codoc.join(F.broadcast(dlo), "tlo")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.log((F.col("c") + 1.0) / F.col("df_lo"))).alias("coh"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        "lang",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("coh") / F.col("n_pairs"), 4).alias("umass_coherence"),
+    ).orderBy("lang")

@@ -1753,3 +1753,20 @@ def test_round10o_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_design_effect", 4),      # per-user suff stats + 1-row totals
+        ("q_mediation_paths", 1),    # ONE combinable moment pass
+        ("q_davies_bouldin", 11),    # (label,dim) centroid cells + scatter + 10x10 grid
+        # the tfidf/topic subtree re-prints per consumer branch
+        # (docsets/codoc/df); AQE stage reuse collapses at runtime
+        ("q_umass_coherence", 26),
+    ],
+)
+def test_round10p_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -629,3 +629,36 @@ def test_kmv_estimate_in_ballpark(spark):
     assert r["exact_distinct"] >= 16  # k <= n, sketch well-defined
     assert r["rel_error"] <= 1.1
     assert r["kmv_estimate"] > 0
+
+
+def test_design_effect_laws(spark):
+    r = REGISTRY["q_design_effect"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["icc"] <= 1.0001
+    assert r["deff"] >= 0
+    assert 0 < r["effective_n"] <= r["n_obs"] * 2  # deff >= .5 in practice here
+    assert r["avg_cluster_size"] == pytest.approx(
+        r["n_obs"] / r["n_clusters"], abs=0.001
+    )
+
+
+def test_mediation_identity_exact(spark):
+    """The linear-model identity c = c' + a*b holds exactly."""
+    r = REGISTRY["q_mediation_paths"].fn(spark, SF_DIR).collect()[0]
+    assert r["decomposition_gap"] == pytest.approx(0.0, abs=1e-4)
+    assert r["n"] > 0
+
+
+def test_davies_bouldin_positive(spark):
+    r = REGISTRY["q_davies_bouldin"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_clusters"] == 10
+    assert 0 < r["best_cluster_r"] <= r["davies_bouldin"] <= r["worst_cluster_r"]
+
+
+def test_umass_coherence_nonpositive_ish(spark):
+    """ln((c+1)/df) <= 0 whenever c+1 <= df; coherence is typically
+    negative — assert finiteness and the pair count C(5,2)=10."""
+    rows = REGISTRY["q_umass_coherence"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_pairs"] == 10
+        assert -50 < r["umass_coherence"] < 5

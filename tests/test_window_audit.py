@@ -104,6 +104,7 @@ LOW_CARD_WINDOW_WHITELIST = {
     "q_permutation_entropy": "daily rollup (regions x days)",
     "q_h_index": "source x distinct-n_chars cell grid (char-length value domain, not doc grain)",
     "q_rake_keywords": "grouped_topk survivors (<= 3*P per lang)",
+    "q_umass_coherence": "grouped_topk survivors (<= 5*P per lang)",
 }
 
 
@@ -118,7 +119,7 @@ def test_whitelists_are_ratcheted():
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
-    assert len(LOW_CARD_WINDOW_WHITELIST) == 15, (
+    assert len(LOW_CARD_WINDOW_WHITELIST) == 16, (
         "LOW_CARD_WINDOW_WHITELIST size changed — bump deliberately"
     )
     assert len(BUFFERING_PERCENTILE_WHITELIST) == 2, (
