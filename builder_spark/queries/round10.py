@@ -6260,3 +6260,422 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.round(F.col("coh") / F.col("n_pairs"), 4).alias("umass_coherence"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Hotelling two-sample T-squared (2-D)
+
+
+@register(
+    "q_hotelling_t2",
+    oracle="""
+        WITH pts AS (
+            SELECT label, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings WHERE label IN (0, 1)
+        ),
+        g AS (
+            SELECT label, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                   sum(x * x) - count(*) * avg(x) * avg(x) AS sxx,
+                   sum(y * y) - count(*) * avg(y) * avg(y) AS syy,
+                   sum(x * y) - count(*) * avg(x) * avg(y) AS sxy
+            FROM pts GROUP BY label
+        ),
+        pool AS (
+            SELECT sum(n) AS n, min(n) AS n0, max(n) AS n1,
+                   sum(sxx) / (sum(n) - 2) AS pxx,
+                   sum(syy) / (sum(n) - 2) AS pyy,
+                   sum(sxy) / (sum(n) - 2) AS pxy,
+                   max(CASE WHEN label = 0 THEN mx END)
+                     - max(CASE WHEN label = 1 THEN mx END) AS dx,
+                   max(CASE WHEN label = 0 THEN my END)
+                     - max(CASE WHEN label = 1 THEN my END) AS dy,
+                   max(CASE WHEN label = 0 THEN n END) AS na,
+                   max(CASE WHEN label = 1 THEN n END) AS nb
+            FROM g
+        ),
+        t2 AS (
+            SELECT n, na, nb,
+                   (na * nb * 1.0 / (na + nb))
+                   * (dx * (pyy * dx - pxy * dy)
+                      + dy * (pxx * dy - pxy * dx))
+                   / (pxx * pyy - pxy * pxy) AS t2
+            FROM pool
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(t2, 4) AS t_squared,
+               round(t2 * (na + nb - 3) / (2.0 * (na + nb - 2)), 4) AS f_stat,
+               CAST(CASE WHEN round(t2 * (na + nb - 3)
+                                    / (2.0 * (na + nb - 2)), 4) > 3.0
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_means
+        FROM t2
+    """,
+    category="llm-similarity",
+)
+def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's two-sample T² on the first two embedding dimensions
+    between labels 0 and 1: T² = (n_a·n_b/n)·d'S⁻¹d with the pooled
+    2×2 covariance inverted in closed form (cofactors), converted to
+    its exact F statistic (p=2) against the ≈5% critical 3.0 — the
+    MULTIVARIATE mean test the univariate battery (q_welch_ttest,
+    q_mann_whitney_u) can't do: correlated dimensions can separate
+    jointly while every marginal overlaps.
+
+    One pass to per-label sufficient statistics (5 numbers each);
+    pooling, the 2×2 solve, and the F conversion are 1-row algebra."""
+    pts = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(0, 1)
+    ).select(
+        "label",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    g = pts.groupBy("label").agg(
+        n.alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("x") ** 2) - n * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("y") ** 2) - n * F.avg("y") * F.avg("y")).alias("syy"),
+        (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
+    )
+    pool = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum("sxx") / (F.sum("n") - 2)).alias("pxx"),
+        (F.sum("syy") / (F.sum("n") - 2)).alias("pyy"),
+        (F.sum("sxy") / (F.sum("n") - 2)).alias("pxy"),
+        (
+            F.max(F.when(F.col("label") == 0, F.col("mx")))
+            - F.max(F.when(F.col("label") == 1, F.col("mx")))
+        ).alias("dx"),
+        (
+            F.max(F.when(F.col("label") == 0, F.col("my")))
+            - F.max(F.when(F.col("label") == 1, F.col("my")))
+        ).alias("dy"),
+        F.max(F.when(F.col("label") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("label") == 1, F.col("n"))).alias("nb"),
+    )
+    det = F.col("pxx") * F.col("pyy") - F.col("pxy") ** 2
+    t2 = (
+        (F.col("na") * F.col("nb") * 1.0 / (F.col("na") + F.col("nb")))
+        * (
+            F.col("dx") * (F.col("pyy") * F.col("dx") - F.col("pxy") * F.col("dy"))
+            + F.col("dy") * (F.col("pxx") * F.col("dy") - F.col("pxy") * F.col("dx"))
+        )
+        / det
+    )
+    f_stat = t2 * (F.col("na") + F.col("nb") - 3) / (2.0 * (F.col("na") + F.col("nb") - 2))
+    return pool.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(t2, 4).alias("t_squared"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.when(F.round(f_stat, 4) > 3.0, 1).otherwise(0).cast("int").alias(
+            "reject_equal_means"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# precision-recall curve + average precision
+
+
+_PR_THRESHOLDS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "q_pr_curve",
+    oracle=f"""
+        WITH f AS (
+            SELECT (event_id % 1000) / 1000.0 AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events
+        ),
+        grid AS (SELECT unnest({_PR_THRESHOLDS}) AS thr),
+        cells AS (
+            SELECT g.thr,
+                   sum(CASE WHEN score >= g.thr THEN pos ELSE 0 END) AS tp,
+                   sum(CASE WHEN score >= g.thr THEN 1 - pos ELSE 0 END) AS fp,
+                   sum(CASE WHEN score < g.thr THEN pos ELSE 0 END) AS fn
+            FROM f, grid g GROUP BY g.thr
+        )
+        SELECT thr AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               round(tp * 1.0 / greatest(tp + fp, 1), 4) AS precision,
+               round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall,
+               round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 4) AS f1
+        FROM cells ORDER BY thr
+    """,
+    category="analytics",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision–recall curve of the deterministic scorer (the same
+    score/outcome pair as q_brier_decomposition) over a 9-threshold
+    grid, with F1 per operating point — the imbalanced-data companion
+    to q_auc_roc (ROC flatters when negatives dominate; PR doesn't).
+    On the near-random fixture precision hugs the base rate at every
+    threshold, which is the correct calibration reading.
+
+    The whole curve is ONE fact pass: conditional confusion-cell sums
+    against the broadcast threshold grid (sweep CELLS, trap 9),
+    guarded denominators identical both engines."""
+    f = load_table(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 1000) / 1000.0).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    grid = spark.createDataFrame([(t,) for t in _PR_THRESHOLDS], "thr double")
+    cells = (
+        f.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("thr"), F.col("pos")).otherwise(0)).alias("tp"),
+            F.sum(
+                F.when(F.col("score") >= F.col("thr"), 1 - F.col("pos")).otherwise(0)
+            ).alias("fp"),
+            F.sum(F.when(F.col("score") < F.col("thr"), F.col("pos")).otherwise(0)).alias("fn"),
+        )
+    )
+    return cells.select(
+        F.col("thr").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 4).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 4).alias(
+            "recall"
+        ),
+        F.round(
+            2.0 * F.col("tp") / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            4,
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W (concordance across daily rankings)
+
+
+@register(
+    "q_kendall_w",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('month', l.l_shipdate) AS d, p.p_brand AS brand,
+                   sum(l.l_extendedprice) AS rev
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        ),
+        full_days AS (
+            SELECT d FROM daily GROUP BY d
+            HAVING count(*) = (SELECT count(DISTINCT brand) FROM daily)
+        ),
+        ranked AS (
+            SELECT daily.d, brand,
+                   row_number() OVER (PARTITION BY daily.d
+                                      ORDER BY rev DESC, brand ASC) AS rnk
+            FROM daily JOIN full_days USING (d)
+        ),
+        sums AS (
+            SELECT brand, sum(rnk) AS ri, count(*) AS m
+            FROM ranked GROUP BY brand
+        ),
+        agg AS (
+            SELECT count(*) AS n, max(m) AS m, avg(ri) AS rbar,
+                   sum((ri - avg(ri) OVER ()) * (ri - avg(ri) OVER ())) AS _x
+            FROM sums GROUP BY ()
+        ),
+        dev AS (
+            SELECT s.brand, s.ri, a.n, a.m,
+                   (s.ri - a.rbar) * (s.ri - a.rbar) AS d2
+            FROM sums s, (SELECT count(*) AS n, max(m) AS m, avg(ri) AS rbar
+                          FROM sums) a
+        )
+        SELECT CAST(max(n) AS INT) AS n_items,
+               CAST(max(m) AS BIGINT) AS n_judges,
+               round(12.0 * sum(d2) / (max(m) * max(m)
+                     * (max(n) * max(n) * max(n) - max(n))), 4) AS kendall_w
+        FROM dev
+    """,
+    category="analytics",
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W — the concordance coefficient over complete monthly
+    brand rankings (each full-coverage ship-month is a judge): W =
+    12·ΣD²/(m²(n³−n)) ∈ [0,1], 0 = months rank brands at random, 1 =
+    every month agrees. The effect size behind q_friedman_test's
+    significance and the agreement summary q_borda_ranking's consensus
+    quietly assumes; near-0 here says monthly leadership is noise.
+
+    Only COMPLETE months vote (the W formula needs every judge to rank
+    every item — month grain keeps judges complete even on sparse
+    data); rankings partition by month over ≤25 rows, rank sums
+    collapse to 25 brand rows, and W is algebra over them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).alias("d"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    n_brands = daily.agg(F.countDistinct("brand").alias("nb"))
+    full_days = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_brands))
+        .filter(F.col("c") == F.col("nb"))
+        .select("d")
+    )
+    w_day = Window.partitionBy("d").orderBy(F.col("rev").desc(), F.col("brand").asc())
+    ranked = daily.join(F.broadcast(full_days), "d").select(
+        "brand", F.row_number().over(w_day).alias("rnk")
+    )
+    sums = ranked.groupBy("brand").agg(
+        F.sum("rnk").alias("ri"), F.count(F.lit(1)).alias("m")
+    )
+    stats = sums.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("m").alias("m_all"),
+        F.avg("ri").alias("rbar"),
+    )
+    dev = sums.crossJoin(F.broadcast(stats))
+    return dev.agg(
+        F.max("n").cast("int").alias("n_items"),
+        F.max("m_all").cast("bigint").alias("n_judges"),
+        F.round(
+            12.0
+            * F.sum((F.col("ri") - F.col("rbar")) ** 2)
+            / (F.max("m_all") * F.max("m_all") * (F.max("n") ** 3 - F.max("n"))),
+            4,
+        ).alias("kendall_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# log-rank test between two survival cohorts
+
+
+@register(
+    "q_logrank_test",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, user_id % 2 AS arm, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS nxt
+            FROM events
+        ),
+        durs AS (
+            SELECT arm,
+                   CASE WHEN nxt IS NULL
+                        THEN ((SELECT max(epoch_us(ts)) FROM events) - us)
+                        ELSE (nxt - us) END // 3600000000 AS t,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+            FROM g
+        ),
+        hour AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN arm = 0 THEN observed ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(sum(observed) AS BIGINT) AS d,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+                   count(*) AS c
+            FROM durs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d0, d,
+                   (SELECT count(*) FROM durs WHERE arm = 0)
+                     - coalesce(sum(c0) OVER (ORDER BY t ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+                   (SELECT count(*) FROM durs)
+                     - coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+            FROM hour
+        ),
+        terms AS (
+            SELECT sum(d0 - d * n0 * 1.0 / n) AS o_minus_e,
+                   sum(CASE WHEN n > 1
+                       THEN d * (n0 * 1.0 / n) * (1 - n0 * 1.0 / n)
+                            * (n - d) / (n - 1.0) ELSE 0 END) AS v
+            FROM risk WHERE d > 0
+        )
+        SELECT round(o_minus_e, 4) AS o_minus_e,
+               round(v, 4) AS variance,
+               round(o_minus_e * o_minus_e / v, 4) AS chi_sq,
+               CAST(CASE WHEN round(o_minus_e * o_minus_e / v, 4) > 3.841
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_survival
+        FROM terms
+    """,
+    category="analytics",
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test between two user cohorts' inter-event
+    survival curves (even vs odd user ids, same censored gap-hour
+    construction as q_survival_km): at each event time the observed
+    arm-0 events against the hypergeometric expectation d·n₀/n, summed
+    into the χ²₁ statistic vs 3.841 — the between-group TEST the
+    survival family was missing (KM/NA estimate curves; log-rank
+    compares them).
+
+    Same scale shape as KM: user-partitioned lead windows, facts
+    collapse to the calendar-bounded gap-hour × arm table, the risk
+    sets come from two whitelisted cumulatives, and the statistic is
+    one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    )
+    end = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("end_us"))
+    durs = g.crossJoin(F.broadcast(end)).select(
+        "arm",
+        (
+            F.when(F.col("nxt").isNull(), F.col("end_us") - F.col("us"))
+            .otherwise(F.col("nxt") - F.col("us"))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    hour = durs.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    tots = durs.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0_tot"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hour.crossJoin(F.broadcast(tots)).select(
+        "t",
+        "d0",
+        "d",
+        (F.col("n0_tot") - F.coalesce(F.sum("c0").over(w_prev), F.lit(0))).alias("n0"),
+        (F.col("n_tot") - F.coalesce(F.sum("c").over(w_prev), F.lit(0))).alias("n"),
+    )
+    share = F.col("n0") * 1.0 / F.col("n")
+    terms = risk.filter(F.col("d") > 0).agg(
+        F.sum(F.col("d0") - F.col("d") * share).alias("o_minus_e"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d") * share * (1 - share) * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1.0),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    chi = F.col("o_minus_e") ** 2 / F.col("v")
+    return terms.select(
+        F.round("o_minus_e", 4).alias("o_minus_e"),
+        F.round("v", 4).alias("variance"),
+        F.round(chi, 4).alias("chi_sq"),
+        F.when(F.round(chi, 4) > 3.841, 1).otherwise(0).cast("int").alias(
+            "reject_equal_survival"
+        ),
+    )

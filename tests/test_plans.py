@@ -1770,3 +1770,18 @@ def test_round10p_shuffle_budget(spark, name, max_exchanges):
     df = REGISTRY[name].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_hotelling_t2", 2),     # per-label suff stats + 1-row pool
+        ("q_pr_curve", 2),         # one fact x grid cells pass
+        ("q_kendall_w", 16),       # (day,brand) grid re-printed for full-day filter + ranks
+        ("q_logrank_test", 6),     # user lead window + gap-hour rollup + risk windows
+    ],
+)
+def test_round10q_shuffle_budget(spark, name, max_exchanges):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges > budget {max_exchanges}"

@@ -662,3 +662,41 @@ def test_umass_coherence_nonpositive_ish(spark):
     for r in rows:
         assert r["n_pairs"] == 10
         assert -50 < r["umass_coherence"] < 5
+
+
+def test_hotelling_t2_nonnegative(spark):
+    r = REGISTRY["q_hotelling_t2"].fn(spark, SF_DIR).collect()[0]
+    assert r["t_squared"] >= 0
+    assert r["f_stat"] >= 0
+    assert r["n_a"] > 2 and r["n_b"] > 2
+    assert r["reject_equal_means"] == (1 if r["f_stat"] > 3.0 else 0)
+
+
+def test_pr_curve_recall_monotone(spark):
+    """Raising the threshold can only lower recall; precision stays in
+    [0,1] and near the base rate for a random scorer."""
+    rows = sorted(REGISTRY["q_pr_curve"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["threshold"])
+    assert len(rows) == 9
+    recalls = [r["recall"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["f1"] <= 1.0
+
+
+def test_kendall_w_range(spark):
+    r = REGISTRY["q_kendall_w"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["kendall_w"] <= 1.0001
+    assert r["n_items"] >= 2
+    assert r["n_judges"] >= 1
+
+
+def test_logrank_consistency(spark):
+    r = REGISTRY["q_logrank_test"].fn(spark, SF_DIR).collect()[0]
+    assert r["variance"] > 0
+    assert r["chi_sq"] >= 0
+    assert r["chi_sq"] == pytest.approx(
+        r["o_minus_e"] ** 2 / r["variance"], rel=0.01
+    )
+    assert r["reject_equal_survival"] == (1 if r["chi_sq"] > 3.841 else 0)

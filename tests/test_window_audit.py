@@ -80,6 +80,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_stopword_discovery": "top-20 TakeOrdered survivors (constant-bounded)",
     "q_rolling_origin_backtest": "day table (calendar-bounded)",
     "q_bass_diffusion_fit": "adoption-day table (calendar-bounded)",
+    "q_logrank_test": "gap-hour table (calendar-bounded)",
 }
 
 
@@ -115,7 +116,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 53, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 54, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
