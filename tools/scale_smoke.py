@@ -247,6 +247,18 @@ HEAVY = [
     "q_effective_tokens",
     "q_bullwhip_ratio",
     "q_kmv_union_distinct",
+    # round-10 batches 17-18: ANOVA-component design effect,
+    # centroid-cell Davies-Bouldin, topic-confined coherence pairs,
+    # suff-stat Hotelling, threshold-cell PR curve, month-rank W,
+    # gap-grain log-rank
+    "q_design_effect",
+    "q_davies_bouldin",
+    "q_umass_coherence",
+    "q_mediation_paths",
+    "q_hotelling_t2",
+    "q_pr_curve",
+    "q_kendall_w",
+    "q_logrank_test",
 ]
 
 #: per-table key columns to offset so replicas don't collide
