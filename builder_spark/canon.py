@@ -29,8 +29,33 @@ from __future__ import annotations
 
 import datetime
 import math
+import struct
 
 import numpy as np
+
+_NEG_ZERO_BITS = 0x8000000000000000
+
+
+def is_neg_zero(v) -> bool:
+    """True iff v is float64 negative zero (bits 0x8000000000000000).
+
+    The driver's pandas value hash is bit-pattern sensitive: DuckDB
+    ``round()`` preserves IEEE signed zero where Spark's BigDecimal
+    ``round`` cannot (CORRECTNESS_r10 q_zscore_normalize) — so -0.0 in
+    any graded output is a latent hash failure."""
+    if not isinstance(v, (float, np.floating)) or v != 0.0:
+        return False
+    return struct.unpack("<Q", struct.pack("<d", float(v)))[0] == _NEG_ZERO_BITS
+
+
+def scan_neg_zero(cols: list[str], rows: list[tuple]) -> dict[str, int]:
+    """Column name -> count of negative-zero cells in a fetched result."""
+    hits: dict[str, int] = {}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if is_neg_zero(v):
+                hits[c] = hits.get(c, 0) + 1
+    return hits
 
 
 def canon_val(v) -> str:
@@ -45,9 +70,12 @@ def canon_val(v) -> str:
             return "∅"
         if math.isinf(v):
             return f"f:{'+' if v > 0 else '-'}inf"
-        if v == 0:  # -0.0 == 0.0 to the driver's pandas hash; don't diverge on sign
-            v = 0.0
-        return f"f:{v:.6f}"
+        # Bit-faithful: the driver's pandas value hash distinguishes -0.0
+        # from +0.0 (CORRECTNESS_r10 q_zscore_normalize falsified the old
+        # "don't diverge on sign" normalization) and is full-precision —
+        # repr() is the shortest round-trip string, so distinct float64
+        # bit patterns (including the sign of zero) canon distinctly.
+        return f"f:{float(v)!r}"
     if isinstance(v, datetime.datetime):
         if v != v:  # pd.NaT (NaT != NaT, like NaN) — a missing value
             return "∅"

@@ -538,14 +538,13 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
     )
     end = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("end_us"))
+    # integer `div` end-to-end to match the oracle's `//` (ADVICE r10 — the
+    # q_merge_intervals double-rounding class; exact at any microsecond span)
     durs = g.crossJoin(F.broadcast(end)).select(
-        (
-            F.when(F.col("nxt").isNull(), F.col("end_us") - F.col("us"))
-            .otherwise(F.col("nxt") - F.col("us"))
-            / F.lit(3600000000)
-        )
-        .cast("long")
-        .alias("t"),
+        F.expr(
+            "CASE WHEN nxt IS NULL THEN (end_us - us) ELSE (nxt - us) END"
+            " div 3600000000"
+        ).alias("t"),
         F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
     )
     hour = durs.groupBy("t").agg(
@@ -2366,14 +2365,16 @@ def _markov_round_sql(prev: str, cur: str) -> str:
         ),
         eff AS (
             SELECT c.variant AS channel,
-                   1 - c.p / f.p AS removal
+                   CASE WHEN f.p > 0 THEN 1 - c.p / f.p ELSE 0.0 END AS removal
             FROM conv c, (SELECT p FROM conv WHERE variant = 'none') f
             WHERE c.variant != 'none'
         )
         SELECT channel,
-               round((SELECT p FROM conv WHERE variant = 'none'), 4) AS conv_full,
-               round(removal, 4) AS removal_effect,
-               round(removal / (SELECT sum(removal) FROM eff), 4) AS attribution
+               round((SELECT p FROM conv WHERE variant = 'none'), 4) + 0.0 AS conv_full,
+               round(removal, 4) + 0.0 AS removal_effect,
+               CASE WHEN (SELECT sum(removal) FROM eff) > 0
+                    THEN round(removal / (SELECT sum(removal) FROM eff), 4) + 0.0
+                    ELSE 0.0 END AS attribution
         FROM eff ORDER BY channel
     """,
     category="analytics",
@@ -2398,7 +2399,14 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion belong on the driver, not in {_MARKOV_ROUNDS}² re-printed
     plan subtrees (the all-lazy iterate variant measured 130+ static
     exchanges for the identical arithmetic). The oracle runs the same
-    unrolled rounds in SQL."""
+    unrolled rounds in SQL.
+
+    ACCUMULATION-ORDER CONTRACT (ADVICE r10): each value-iteration
+    round folds transition terms in sorted(tx.items()) order — a
+    deterministic total order that must not be reordered; cross-engine
+    equality with the SQL replica rests on round-to-4 absorbing only
+    ORDER-INDEPENDENT float dust, so a reordered fold can shift a
+    value across a rounding boundary and silently diverge."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     trans = (
@@ -2441,10 +2449,21 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         return p.get("START", 0.0)
 
     p_full = conv_prob(None)
-    removal = {c: 1 - conv_prob(c) / p_full for c in _CHANNELS}
+    # Degenerate-input guards (ADVICE r10): a corpus with zero reachable
+    # purchase conversions (p_full == 0) or all-zero removal effects
+    # (rtot == 0) degrades to defined 0.0 outputs instead of raising
+    # ZeroDivisionError — mirrored by the oracle's CASE guards.
+    removal = {
+        c: (1 - conv_prob(c) / p_full) if p_full > 0 else 0.0 for c in _CHANNELS
+    }
     rtot = sum(removal.values())
     rows = [
-        (c, round(p_full, 4), round(removal[c], 4), round(removal[c] / rtot, 4))
+        (
+            c,
+            round(p_full, 4) + 0.0,
+            round(removal[c], 4) + 0.0,
+            (round(removal[c] / rtot, 4) + 0.0) if rtot > 0 else 0.0,
+        )
         for c in sorted(_CHANNELS)
     ]
     return spark.createDataFrame(
@@ -2870,7 +2889,15 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BRAND ENUM (≤25² cells) — collected, walk on the driver (the
     q_attribution_markov/centroid precedent: a 4-round 25-node
     recursion must not unroll O(rounds²) plan subtrees). Ranks compare
-    6-dp scores with brand tie-breaks."""
+    6-dp scores with brand tie-breaks.
+
+    ACCUMULATION-ORDER CONTRACT (ADVICE r10): the driver-side walk
+    folds edge contributions in sorted(edges) order every round — a
+    deterministic total order that must not be reordered (e.g. to dict
+    insertion order), because cross-engine equality with the SQL
+    replica rests on round-to-4/6 absorbing only ORDER-INDEPENDENT
+    float dust; a reordered fold can shift a value across a rounding
+    boundary and silently diverge from the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     lp = (
@@ -3756,10 +3783,10 @@ _WOE_BANDS = [50000 * i for i in range(1, 10)]  # 10 price bands
         SELECT c.band,
                c.n_good, c.n_bad,
                round(ln(greatest(c.n_good * 1.0 / t.tg, 1e-9)
-                        / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 4) AS woe,
+                        / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 4) + 0.0 AS woe,
                round((c.n_good * 1.0 / t.tg - c.n_bad * 1.0 / t.tb)
                      * ln(greatest(c.n_good * 1.0 / t.tg, 1e-9)
-                          / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 6) AS iv_part
+                          / greatest(c.n_bad * 1.0 / t.tb, 1e-9)), 6) + 0.0 AS iv_part
         FROM cells c, tot t ORDER BY c.band
     """,
     category="analytics",
@@ -5882,15 +5909,15 @@ def q_kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         comp AS (
             SELECT t.n, t.k,
-                   (SELECT sum(n * (m - t.gm) * (m - t.gm)) FROM g) / (t.k - 1)
-                       AS msb,
-                   (SELECT sum(ssw) FROM g) / (t.n - t.k) AS msw,
+                   (SELECT sum(n * (m - t.gm) * (m - t.gm)) FROM g)
+                       / nullif(t.k - 1, 0) AS msb,
+                   (SELECT sum(ssw) FROM g) / nullif(t.n - t.k, 0) AS msw,
                    t.n * 1.0 / t.k AS mbar
             FROM tot t
         ),
         icc AS (
             SELECT n, k, mbar,
-                   (msb - msw) / (msb + (mbar - 1) * msw) AS rho
+                   (msb - msw) / nullif(msb + (mbar - 1) * msw, 0) AS rho
             FROM comp
         )
         SELECT CAST(n AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS n_clusters,
@@ -5929,18 +5956,24 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
     )
+    # Degenerate-input guards (ADVICE r10): one-event-per-user data makes
+    # n == k (msw denominator 0) and cancelling components zero the rho
+    # denominator — nullif-style guards on BOTH engines so each degrades
+    # to NULL identically instead of an engine-specific division quirk.
+    msb_den = F.max("k") - 1
+    msw_den = F.max("n_tot") - F.max("k")
     comp = g.crossJoin(F.broadcast(tot)).agg(
         F.max("n_tot").alias("n_tot"),
         F.max("k").alias("k"),
         (
-            F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2) / (F.max("k") - 1)
+            F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2)
+            / F.when(msb_den != 0, msb_den)
         ).alias("msb"),
-        (F.sum("ssw") / (F.max("n_tot") - F.max("k"))).alias("msw"),
+        (F.sum("ssw") / F.when(msw_den != 0, msw_den)).alias("msw"),
         (F.max("n_tot") * 1.0 / F.max("k")).alias("mbar"),
     )
-    rho = (F.col("msb") - F.col("msw")) / (
-        F.col("msb") + (F.col("mbar") - 1) * F.col("msw")
-    )
+    rho_den = F.col("msb") + (F.col("mbar") - 1) * F.col("msw")
+    rho = (F.col("msb") - F.col("msw")) / F.when(rho_den != 0, rho_den)
     deff = 1 + (F.col("mbar") - 1) * rho
     return comp.select(
         F.col("n_tot").cast("bigint").alias("n_obs"),
@@ -5982,12 +6015,12 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mom
         )
         SELECT CAST(n AS BIGINT) AS n,
-               round(a, 6) AS path_a,
-               round(b, 6) AS path_b,
-               round(c_total, 6) AS total_effect,
-               round(c_prime, 6) AS direct_effect,
-               round(a * b, 6) AS indirect_effect,
-               round(a * b + c_prime - c_total, 6) AS decomposition_gap
+               round(a, 6) + 0.0 AS path_a,
+               round(b, 6) + 0.0 AS path_b,
+               round(c_total, 6) + 0.0 AS total_effect,
+               round(c_prime, 6) + 0.0 AS direct_effect,
+               round(a * b, 6) + 0.0 AS indirect_effect,
+               round(a * b + c_prime - c_total, 6) + 0.0 AS decomposition_gap
         FROM paths
     """,
     category="analytics",
@@ -6628,15 +6661,14 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
     )
     end = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("end_us"))
+    # integer `div` end-to-end to match the oracle's `//` (ADVICE r10 — the
+    # q_merge_intervals double-rounding class; exact at any microsecond span)
     durs = g.crossJoin(F.broadcast(end)).select(
         "arm",
-        (
-            F.when(F.col("nxt").isNull(), F.col("end_us") - F.col("us"))
-            .otherwise(F.col("nxt") - F.col("us"))
-            / F.lit(3600000000)
-        )
-        .cast("long")
-        .alias("t"),
+        F.expr(
+            "CASE WHEN nxt IS NULL THEN (end_us - us) ELSE (nxt - us) END"
+            " div 3600000000"
+        ).alias("t"),
         F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
     )
     hour = durs.groupBy("t").agg(

@@ -493,7 +493,9 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_us"),
         F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
     ).select(
-        (F.col("gap_us") / F.lit(3_600_000_000)).cast("bigint").alias("t"),
+        # integer `div` to match the oracle's `//` (ADVICE r10 — the
+        # q_merge_intervals double-rounding class)
+        F.expr("gap_us div 3600000000").alias("t"),
         "observed",
     )
     hour = durs.groupBy("t").agg(

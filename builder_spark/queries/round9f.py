@@ -327,7 +327,7 @@ def q_log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE m.n > 1 AND m.ss * m.n > m.s * m.s
         )
         SELECT source, CAST(count(*) AS BIGINT) AS n,
-               round(avg(zv), 4) AS z_mean,
+               round(avg(zv), 4) + 0.0 AS z_mean,
                round(max(abs(zv)), 4) AS max_abs_z,
                CAST(sum(CASE WHEN abs(zv) > 3 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_outliers

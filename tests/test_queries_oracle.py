@@ -9,7 +9,7 @@ import os
 import duckdb
 import pytest
 
-from builder_spark.canon import canon_rows, fetch_duckdb, fetch_spark
+from builder_spark.canon import canon_rows, fetch_duckdb, fetch_spark, scan_neg_zero
 from builder_spark.catalog import TABLES
 from builder_spark.registry import load_all
 
@@ -55,6 +55,13 @@ def test_query_matches_oracle(name, spark, duck):
                 f"precision>18 as float64 — cast output to bigint cents"
             )
     d_cols, d_rows = fetch_duckdb(duck, q.oracle)
+    # Standing signed-zero audit (r10: q_zscore_normalize driver hash fail).
+    # DuckDB round() preserves IEEE -0.0; Spark BigDecimal round cannot emit
+    # it; the driver's hash is bit-sensitive. Pinned-empty carrier list: any
+    # -0.0 cell on either engine is a latent driver failure — fix the oracle
+    # with `round(...) + 0.0` (SURVEY §2 DuckDB-parity trap 10).
+    assert scan_neg_zero(s_cols, s_rows) == {}, f"{name}: spark emits -0.0"
+    assert scan_neg_zero(d_cols, d_rows) == {}, f"{name}: oracle emits -0.0"
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows)
