@@ -63,3 +63,4 @@ from builder_spark.queries import round9m  # noqa: E402,F401
 from builder_spark.queries import round9n  # noqa: E402,F401
 from builder_spark.queries import round9o  # noqa: E402,F401
 from builder_spark.queries import round10  # noqa: E402,F401
+from builder_spark.queries import round11  # noqa: E402,F401

@@ -1,0 +1,771 @@
+"""Round-11 surface growth, batch 1: time-series diagnostics
+(Ljung–Box portmanteau, Durbin–Watson serial correlation),
+heteroscedasticity (Breusch–Pagan LM), variance homogeneity
+(Bartlett's test), welfare-economics inequality (Atkinson index,
+Hoover / Robin-Hood index), lexical-richness stylometry (Yule's K +
+hapax spectrum), and a code-vs-prose gate for LLM corpus curation.
+
+Design rules (same as the rest of the graded surface):
+- integer-exact cores wherever possible (counts, cents via the
+  repo-standard ``CAST(round(x * 100) AS BIGINT)``); floats only
+  through one identical expression tree on both engines, then
+  ``round(·, 4)``;
+- SIGNED-ZERO discipline (SURVEY §2 trap 10, driver-confirmed r10):
+  every rounded oracle float that can be mathematically zero carries
+  ``+ 0.0`` so DuckDB's IEEE −0.0 normalizes to the +0.0 Spark's
+  BigDecimal round always emits;
+- deterministic total orders under every window (day/value grain with
+  unique keys); empty-partition frames only over calendar-bounded or
+  enum-bounded aggregates, each whitelisted with its grain in
+  tests/test_window_audit.py;
+- scale-shaped plans: facts collapse to day/value/cell grain in ONE
+  combinable pass before any window or closed-form algebra; dims
+  (nation/region) broadcast; global scalars travel as 1-row broadcast
+  cross joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+#: repo-standard exact-cents encoding (identical text on both engines)
+_OC = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev_cents) — exact-integer daily revenue, the shared
+    day-grain rollup for the round-11 time-series diagnostics."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.expr(_OC)).cast("bigint").alias("rev"))
+    )
+
+
+_DAILY_REV_SQL = """
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev
+            FROM orders GROUP BY 1
+        )"""
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test
+
+
+@register(
+    "q_ljung_box",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        m AS (SELECT count(*) AS n, avg(rev) AS mu FROM daily),
+        lagged AS (
+            SELECT rev,
+                   lag(rev, 1) OVER (ORDER BY d) AS l1,
+                   lag(rev, 2) OVER (ORDER BY d) AS l2,
+                   lag(rev, 3) OVER (ORDER BY d) AS l3,
+                   lag(rev, 4) OVER (ORDER BY d) AS l4,
+                   lag(rev, 5) OVER (ORDER BY d) AS l5
+            FROM daily
+        ),
+        acf AS (
+            SELECT m.n,
+                   sum((rev - m.mu) * (rev - m.mu)) AS den,
+                   sum(CASE WHEN l1 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l1 - m.mu) END) AS c1,
+                   sum(CASE WHEN l2 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l2 - m.mu) END) AS c2,
+                   sum(CASE WHEN l3 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l3 - m.mu) END) AS c3,
+                   sum(CASE WHEN l4 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l4 - m.mu) END) AS c4,
+                   sum(CASE WHEN l5 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l5 - m.mu) END) AS c5
+            FROM lagged, m GROUP BY m.n
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(c1 / den, 4) + 0.0 AS acf1,
+               round(c2 / den, 4) + 0.0 AS acf2,
+               round(c3 / den, 4) + 0.0 AS acf3,
+               round(c4 / den, 4) + 0.0 AS acf4,
+               round(c5 / den, 4) + 0.0 AS acf5,
+               round(n * (n + 2.0) * ((c1 / den) * (c1 / den) / (n - 1)
+                                    + (c2 / den) * (c2 / den) / (n - 2)
+                                    + (c3 / den) * (c3 / den) / (n - 3)
+                                    + (c4 / den) * (c4 / den) / (n - 4)
+                                    + (c5 / den) * (c5 / den) / (n - 5)), 4)
+                   + 0.0 AS q_stat,
+               CAST(CASE WHEN n * (n + 2.0) * ((c1 / den) * (c1 / den) / (n - 1)
+                                    + (c2 / den) * (c2 / den) / (n - 2)
+                                    + (c3 / den) * (c3 / den) / (n - 3)
+                                    + (c4 / den) * (c4 / den) / (n - 4)
+                                    + (c5 / den) * (c5 / den) / (n - 5)) > 11.0705
+                    THEN 1 ELSE 0 END AS INT) AS reject_white_noise
+        FROM acf
+    """,
+    category="analytics",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily revenue: are the first five
+    autocorrelations jointly zero? Q = n(n+2)·Σ_{k≤5} r̂²_k/(n−k)
+    against χ²₅ (11.07) — the whole-correlogram WHITE-NOISE test that
+    q_autocorrelation (per-lag ACF) and q_runs_test (sign runs) lack;
+    the standard residual diagnostic after any forecast fit
+    (q_holt_linear/q_exp_smoothing).
+
+    One combinable fact pass to the calendar-bounded day table (exact
+    integer cents); the five lag products come from ONE ordered window
+    pass over that table (whitelisted bounded frame) with the 1-row
+    mean broadcast; Q is a single-row closed form, so the only float
+    work is the identical centered-product tree on both engines."""
+    daily = _daily_rev(spark, sf_dir)
+    m = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("rev").alias("mu"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, 6)]
+    )
+    acf = lagged.crossJoin(F.broadcast(m)).agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias(
+            "den"
+        ),
+        *[
+            F.sum(
+                F.when(F.col(f"l{k}").isNull(), 0.0).otherwise(
+                    (F.col("rev") - F.col("mu")) * (F.col(f"l{k}") - F.col("mu"))
+                )
+            ).alias(f"c{k}")
+            for k in range(1, 6)
+        ],
+    )
+    n = F.col("n")
+    q = (
+        n
+        * (n + 2.0)
+        * sum(
+            (F.col(f"c{k}") / F.col("den")) ** 2 / (n - k) for k in range(1, 6)
+        )
+    )
+    return acf.select(
+        n.cast("bigint").alias("n_days"),
+        *[
+            F.round(F.col(f"c{k}") / F.col("den"), 4).alias(f"acf{k}")
+            for k in range(1, 6)
+        ],
+        F.round(q, 4).alias("q_stat"),
+        F.when(q > 11.0705, 1).otherwise(0).cast("int").alias("reject_white_noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test
+
+
+@register(
+    "q_breusch_pagan",
+    oracle="""
+        WITH pts AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        mom AS (
+            SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                   sum(x * x) - count(*) * avg(x) * avg(x) AS sxx,
+                   sum(x * y) - count(*) * avg(x) * avg(y) AS sxy
+            FROM pts
+        ),
+        coef AS (
+            SELECT n, mx, my, sxx, sxy / sxx AS b, my - (sxy / sxx) * mx AS a
+            FROM mom
+        ),
+        aux AS (
+            SELECT c.n, c.sxx,
+                   sum((p.y - c.a - c.b * p.x)
+                       * (p.y - c.a - c.b * p.x)) AS su,
+                   sum((p.y - c.a - c.b * p.x) * (p.y - c.a - c.b * p.x)
+                       * (p.y - c.a - c.b * p.x)
+                       * (p.y - c.a - c.b * p.x)) AS suu,
+                   sum(p.x * (p.y - c.a - c.b * p.x)
+                       * (p.y - c.a - c.b * p.x)) AS sxu_raw,
+                   sum(p.x) AS sx
+            FROM pts p, coef c
+            GROUP BY c.n, c.sxx
+        ),
+        lm AS (
+            SELECT n,
+                   (sxu_raw - sx * su / n) AS sxu_c,
+                   (suu - su * su / n) AS suu_c,
+                   sxx
+            FROM aux
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(n * (sxu_c * sxu_c) / (sxx * suu_c), 4) + 0.0 AS lm_stat,
+               CAST(CASE WHEN n * (sxu_c * sxu_c) / (sxx * suu_c) > 3.8415
+                    THEN 1 ELSE 0 END AS INT) AS reject_homoscedastic
+        FROM lm
+    """,
+    category="analytics",
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan LM test for heteroscedasticity of the
+    extendedprice ~ quantity OLS fit: regress squared residuals on x
+    and test n·R²_aux against χ²₁ (3.84). The variance-structure
+    diagnostic the regression family (q_regression,
+    q_multi_regression, q_cooks_distance) was missing — fan-shaped
+    residuals invalidate the homoscedastic standard errors.
+
+    TWO combinable fact passes (the q_levene_test/q_zscore_normalize
+    precedent): pass 1 fits (a, b) from centered moments; the 1-row
+    coefficients broadcast back into pass 2, which folds the residual
+    powers. Every expression tree is identical on both engines; the
+    statistic is one O(1) closed form rounded once."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    n = F.count(F.lit(1))
+    mom = pts.agg(
+        n.alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
+    )
+    coef = mom.select(
+        "n",
+        "mx",
+        "sxx",
+        (F.col("sxy") / F.col("sxx")).alias("b"),
+        (F.col("my") - (F.col("sxy") / F.col("sxx")) * F.col("mx")).alias("a"),
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    aux = pts.crossJoin(F.broadcast(coef)).agg(
+        F.max("n").alias("n"),
+        F.max("sxx").alias("sxx"),
+        F.sum(e * e).alias("su"),
+        F.sum(e * e * e * e).alias("suu"),
+        F.sum(F.col("x") * e * e).alias("sxu_raw"),
+        F.sum("x").alias("sx"),
+    )
+    sxu_c = F.col("sxu_raw") - F.col("sx") * F.col("su") / F.col("n")
+    suu_c = F.col("suu") - F.col("su") * F.col("su") / F.col("n")
+    lm = F.col("n") * (sxu_c * sxu_c) / (F.col("sxx") * suu_c)
+    return aux.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(lm, 4).alias("lm_stat"),
+        F.when(lm > 3.8415, 1).otherwise(0).cast("int").alias(
+            "reject_homoscedastic"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson serial-correlation statistic
+
+
+@register(
+    "q_durbin_watson",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        idx AS (
+            SELECT rev, CAST(d - (SELECT min(d) FROM daily) AS BIGINT) AS t, d
+            FROM daily
+        ),
+        mom AS (
+            SELECT count(*) AS n, avg(t) AS mt, avg(rev) AS mr,
+                   sum(t * rev) - count(*) * avg(t) * avg(rev) AS str_,
+                   sum(t * t) - count(*) * avg(t) * avg(t) AS stt
+            FROM idx
+        ),
+        res AS (
+            SELECT i.d,
+                   i.rev - (m.mr - (m.str_ / m.stt) * m.mt)
+                         - (m.str_ / m.stt) * i.t AS e
+            FROM idx i, mom m
+        ),
+        lagged AS (
+            SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM res
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM mom) AS n_days,
+               round(sum(CASE WHEN ep IS NULL THEN 0
+                              ELSE (e - ep) * (e - ep) END)
+                     / sum(e * e), 4) + 0.0 AS dw,
+               round(1 - sum(CASE WHEN ep IS NULL THEN 0
+                                  ELSE (e - ep) * (e - ep) END)
+                         / sum(e * e) / 2, 4) + 0.0 AS rho_approx,
+               CAST(CASE WHEN sum(CASE WHEN ep IS NULL THEN 0
+                                       ELSE (e - ep) * (e - ep) END)
+                              / sum(e * e) < 1.5
+                    THEN 1 ELSE 0 END AS INT) AS positive_autocorr
+        FROM lagged
+    """,
+    category="analytics",
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of the daily-revenue
+    linear trend: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² ∈ [0,4], ≈2(1−ρ̂) — the
+    FIRST-ORDER serial-correlation check on a fitted trend, companion
+    to q_ljung_box (which tests the raw correlogram) and the
+    autocorrelation-aware guard a trend fit like q_holt_linear needs
+    before its standard errors mean anything.
+
+    Two passes on the calendar-bounded day table: the trend fits from
+    centered moments (1-row broadcast), residuals + one lag window
+    over the day table (whitelisted bounded frame), one closed-form
+    aggregate. Day index t is the exact integer day offset, so both
+    engines center identical values."""
+    daily = _daily_rev(spark, sf_dir)
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        "d", "rev", F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("t")
+    )
+    n = F.count(F.lit(1))
+    mom = idx.agg(
+        n.alias("n"),
+        F.avg("t").alias("mt"),
+        F.avg("rev").alias("mr"),
+        (F.sum(F.col("t") * F.col("rev")) - n * F.avg("t") * F.avg("rev")).alias(
+            "str_"
+        ),
+        (F.sum(F.col("t") * F.col("t")) - n * F.avg("t") * F.avg("t")).alias("stt"),
+    )
+    b = F.col("str_") / F.col("stt")
+    res = idx.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "n",
+        (F.col("rev") - (F.col("mr") - b * F.col("mt")) - b * F.col("t")).alias("e"),
+    )
+    w = Window.orderBy("d")
+    lagged = res.select("n", "e", F.lag("e").over(w).alias("ep"))
+    num = F.sum(
+        F.when(F.col("ep").isNull(), 0.0).otherwise(
+            (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+        )
+    )
+    den = F.sum(F.col("e") * F.col("e"))
+    return lagged.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 4).alias("dw"),
+        F.round(1 - num / den / 2, 4).alias("rho_approx"),
+        F.when(num / den < 1.5, 1).otherwise(0).cast("int").alias(
+            "positive_autocorr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity
+
+
+@register(
+    "q_bartlett_test",
+    oracle=f"""
+        WITH x AS (
+            SELECT r.r_name AS region,
+                   CAST({_OC} AS DOUBLE) / 100 AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        g AS (
+            SELECT region, count(*) AS n,
+                   (sum(v * v) - count(*) * avg(v) * avg(v)) / (count(*) - 1)
+                       AS s2
+            FROM x GROUP BY region
+        ),
+        agg AS (
+            SELECT count(*) AS k, sum(n) AS nt,
+                   sum((n - 1) * s2) AS pooled_num,
+                   sum((n - 1) * ln(s2)) AS sum_ln,
+                   sum(1.0 / (n - 1)) AS sum_inv
+            FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(nt AS BIGINT) AS n_total,
+               round(((nt - k) * ln(pooled_num / (nt - k)) - sum_ln)
+                     / (1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1))), 4)
+                   + 0.0 AS t_stat,
+               CAST(k - 1 AS INT) AS df,
+               CAST(CASE WHEN ((nt - k) * ln(pooled_num / (nt - k)) - sum_ln)
+                              / (1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1)))
+                              > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_var
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test: do the five regions' order values share one
+    variance? T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C against χ²₄
+    (9.49) — the formal homogeneity-of-variance gate that q_anova_f
+    and q_bartlett-sibling q_levene_test assume or approximate
+    (Levene is the robust cousin; Bartlett is the exact-normal one).
+
+    One combinable pass to 5 region rows of sufficient statistics
+    (n, Σv, Σv² — v re-quantized from exact cents so both engines
+    square identical doubles); the statistic is closed-form algebra
+    over those 5 rows. Dims broadcast; the fact scan shuffles once on
+    the customer join key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_OC).alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nr = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("r_name").alias("region"))
+    )
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("region", (F.col("cents").cast("double") / 100).alias("v"))
+    )
+    g = x.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (F.sum(F.col("v") * F.col("v")) - F.count(F.lit(1)) * F.avg("v") * F.avg("v"))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+        F.sum((F.col("n") - 1) * F.log(F.col("s2"))).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    t_stat = ((nt - k) * F.log(F.col("pooled_num") / (nt - k)) - F.col("sum_ln")) / (
+        1 + (F.col("sum_inv") - 1.0 / (nt - k)) / (3 * (k - 1))
+    )
+    return agg.select(
+        k.cast("bigint").alias("k"),
+        nt.cast("bigint").alias("n_total"),
+        F.round(t_stat, 4).alias("t_stat"),
+        (k - 1).cast("int").alias("df"),
+        F.when(t_stat > 9.4877, 1).otherwise(0).cast("int").alias(
+            "reject_equal_var"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index
+
+
+@register(
+    "q_atkinson_index",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum({_OC}) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        x AS (
+            SELECT r.r_name AS region, s.cents * 1.0 / 100 AS y
+            FROM spend s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT region,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               round(avg(y), 2) AS mean_spend,
+               round(1 - (avg(sqrt(y)) * avg(sqrt(y))) / avg(y), 4)
+                   + 0.0 AS atkinson_half
+        FROM x GROUP BY region ORDER BY region
+    """,
+    category="analytics",
+)
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 0.5) of per-customer total spend
+    by region: A = 1 − EDE/μ with EDE = (mean √y)² — the WELFARE-
+    weighted inequality measure next to q_gini_concentration (rank-
+    based) and q_theil_index (entropy-based); A is the fraction of
+    total spend a region could give up and be equally well off were
+    spend distributed equally (ε sets inequality aversion).
+
+    Two combinable aggregates: customer-grain spend (exact cents),
+    then 5 region rows of (n, Σy, Σ√y) — EDE/μ is per-row algebra.
+    Dims broadcast; √ of an exact-cents-derived double is the one
+    identical float tree on both engines."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(_OC)).cast("bigint").alias("cents"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nr = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("r_name").alias("region"))
+    )
+    x = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("region", (F.col("cents") * 1.0 / 100).alias("y"))
+    )
+    return (
+        x.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(F.avg("y"), 2).alias("mean_spend"),
+            F.round(
+                1 - (F.avg(F.sqrt("y")) * F.avg(F.sqrt("y"))) / F.avg("y"), 4
+            ).alias("atkinson_half"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hoover (Robin Hood) index
+
+
+@register(
+    "q_hoover_index",
+    oracle=f"""
+        WITH cells AS (
+            SELECT n.n_regionkey AS rk, n.n_name AS nat,
+                   CAST(sum({_OC}) AS BIGINT) AS rev,
+                   CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS nc
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        reg AS (
+            SELECT r.r_name AS region, cells.nat,
+                   rev * 1.0 / sum(rev) OVER (PARTITION BY r.r_name) AS rev_share,
+                   nc * 1.0 / sum(nc) OVER (PARTITION BY r.r_name) AS cust_share
+            FROM cells JOIN region r ON cells.rk = r.r_regionkey
+        )
+        SELECT region,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               round(0.5 * sum(abs(rev_share - cust_share)), 4)
+                   + 0.0 AS hoover
+        FROM reg GROUP BY region ORDER BY region
+    """,
+    category="analytics",
+)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index per region: H = ½·Σ_nations
+    |revenue share − customer share| — the share of regional revenue
+    that would have to move between nations for revenue to track
+    head-count exactly. The L1 inequality member next to Gini (L1 of
+    the Lorenz gap), Theil (entropy), and Atkinson (welfare) — four
+    lenses, one family, all now graded.
+
+    One fact pass to the 25-nation cell grid (exact cents + distinct
+    customers); shares come from an enum-bounded partitioned window
+    over ≤25 rows (5 per region), then 5 output rows. Dims broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_OC).alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nat")
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "nat")
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev"),
+            F.countDistinct("o_custkey").cast("bigint").alias("nc"),
+        )
+    )
+    reg = cells.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "region").select(
+                "r_regionkey", F.col("r_name").alias("region")
+            )
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    wr = Window.partitionBy("region")
+    shares = reg.select(
+        "region",
+        (F.col("rev") * 1.0 / F.sum("rev").over(wr)).alias("rev_share"),
+        (F.col("nc") * 1.0 / F.sum("nc").over(wr)).alias("cust_share"),
+    )
+    return (
+        shares.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.round(
+                0.5 * F.sum(F.abs(F.col("rev_share") - F.col("cust_share"))), 4
+            ).alias("hoover"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K lexical richness
+
+
+@register(
+    "q_yules_k",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT source, w, count(*) AS f
+            FROM tok WHERE w != '' GROUP BY source, w
+        ),
+        spectrum AS (
+            SELECT source, f AS m, count(*) AS vm
+            FROM tf GROUP BY source, f
+        )
+        SELECT source,
+               CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+               CAST(sum(vm) AS BIGINT) AS vocab,
+               round(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) * 1.0
+                     / sum(vm), 4) AS hapax_share,
+               round(sum(CASE WHEN m = 2 THEN vm ELSE 0 END) * 1.0
+                     / sum(vm), 4) AS dis_share,
+               round(10000.0 * (sum(m * m * vm) - sum(m * vm))
+                     / (sum(m * vm) * sum(m * vm)), 4) AS yules_k
+        FROM spectrum GROUP BY source ORDER BY source
+    """,
+    category="llm-text",
+)
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source:
+    K = 10⁴·(Σm²·Vₘ − N)/N² over the frequency-of-frequency spectrum
+    (Vₘ = #types occurring m times), plus hapax- and dis-legomena
+    shares — the repetitiveness fingerprint stylometry uses next to
+    q_burrows_delta (function-word profile) and the vocabulary lens
+    next to q_vocab_growth (Heaps) / q_good_turing (which consumes
+    the same spectrum for smoothing). K is length-insensitive, so
+    sources are comparable at different corpus sizes.
+
+    Token stream collapses to (source, token) grain in one combinable
+    pass, then to the count-of-counts spectrum (bounded by max term
+    frequency) — K is per-row algebra over spectrum cells. Integer-
+    exact throughout; the only floats are the final rounded ratios
+    (all > 0 by construction, no signed-zero exposure)."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = tok.filter(F.col("w") != "").groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    spectrum = tf.groupBy("source", "f").agg(F.count(F.lit(1)).alias("vm"))
+    m, vm = F.col("f"), F.col("vm")
+    return (
+        spectrum.groupBy("source")
+        .agg(
+            F.sum(m * vm).cast("bigint").alias("n_tokens"),
+            F.sum(vm).cast("bigint").alias("vocab"),
+            F.round(
+                F.sum(F.when(m == 1, vm).otherwise(0)) * 1.0 / F.sum(vm), 4
+            ).alias("hapax_share"),
+            F.round(
+                F.sum(F.when(m == 2, vm).otherwise(0)) * 1.0 / F.sum(vm), 4
+            ).alias("dis_share"),
+            F.round(
+                10000.0
+                * (F.sum(m * m * vm) - F.sum(m * vm))
+                / (F.sum(m * vm) * F.sum(m * vm)),
+                4,
+            ).alias("yules_k"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose corpus gate
+
+
+@register(
+    "q_code_detect",
+    oracle="""
+        WITH feats AS (
+            SELECT source,
+                   (length(text) - length(replace(text, ';', '')))
+                 + (length(text) - length(replace(text, '{', '')))
+                 + (length(text) - length(replace(text, '}', '')))
+                 + (length(text) - length(replace(text, '(', '')))
+                 + (length(text) - length(replace(text, ')', '')))
+                 + (length(text) - length(replace(text, '=', ''))) AS n_sym,
+                   length(text)
+                 - length(replace(text, chr(10) || '    ', '')) AS indent_raw,
+                   greatest(length(text), 1) AS n_chars
+            FROM documents
+        ),
+        f2 AS (
+            SELECT source,
+                   n_sym * 1.0 / n_chars AS sym_ratio,
+                   CASE WHEN n_sym * 1.0 / n_chars > 0.02
+                          OR indent_raw >= 25 THEN 1 ELSE 0 END AS is_code
+            FROM feats
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_code) AS BIGINT) AS n_flagged,
+               round(sum(is_code) * 1.0 / count(*), 4) + 0.0 AS flag_rate,
+               round(avg(sym_ratio), 6) + 0.0 AS avg_sym_ratio
+        FROM f2 GROUP BY source ORDER BY source
+    """,
+    category="llm-pipeline",
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose gate for corpus curation: per document, the
+    density of code-punctuation characters (;{}()=) and the count of
+    4-space-indented line starts; a doc is flagged code-like when
+    symbol density > 2% or ≥25 indented lines. Per source: flag rate
+    and mean symbol density — the language-agnostic screen a text-only
+    training mix runs before q_gopher_gates (which assumes prose), in
+    the same deterministic-gate family as q_doc_entropy_gate.
+
+    All features are replace()-based character counts (portable,
+    regex-free, identical on both engines) folded in ONE fact pass to
+    20 source rows; integer counts throughout, two rounded ratios at
+    the end. At 100 TB the scan dominates and the gate rides it —
+    no shuffle beyond the 20-row aggregate."""
+    t = F.col("text")
+    n_sym = sum(
+        F.length(t) - F.length(F.replace(t, F.lit(ch))) for ch in ";{}()="
+    )
+    indent_raw = F.length(t) - F.length(F.replace(t, F.concat(F.lit("\n"), F.lit("    "))))
+    feats = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (n_sym * 1.0 / F.greatest(F.length(t), F.lit(1))).alias("sym_ratio"),
+        indent_raw.alias("indent_raw"),
+    )
+    f2 = feats.select(
+        "source",
+        "sym_ratio",
+        F.when(
+            (F.col("sym_ratio") > 0.02) | (F.col("indent_raw") >= 25), 1
+        )
+        .otherwise(0)
+        .alias("is_code"),
+    )
+    return (
+        f2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_code").cast("bigint").alias("n_flagged"),
+            F.round(F.sum("is_code") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "flag_rate"
+            ),
+            F.round(F.avg("sym_ratio"), 6).alias("avg_sym_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -81,6 +81,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_rolling_origin_backtest": "day table (calendar-bounded)",
     "q_bass_diffusion_fit": "adoption-day table (calendar-bounded)",
     "q_logrank_test": "gap-hour table (calendar-bounded)",
+    "q_ljung_box": "day table (calendar-bounded)",
+    "q_durbin_watson": "day table (calendar-bounded)",
 }
 
 
@@ -116,7 +118,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 54, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 56, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

@@ -259,6 +259,14 @@ HEAVY = [
     "q_pr_curve",
     "q_kendall_w",
     "q_logrank_test",
+    "q_ljung_box",
+    "q_breusch_pagan",
+    "q_durbin_watson",
+    "q_bartlett_test",
+    "q_atkinson_index",
+    "q_hoover_index",
+    "q_yules_k",
+    "q_code_detect",
 ]
 
 #: per-table key columns to offset so replicas don't collide
