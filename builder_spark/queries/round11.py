@@ -769,3 +769,686 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 2: rank-based k-group inference, SPC capability,
+# sequential changepoint, epidemiological risk, PACF, rank-agreement,
+# readability, and ordered-trend testing
+
+from builder_spark.operators.partitioning import stitched_running  # noqa: E402
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=f"""
+        WITH s AS (
+            SELECT {_OC} AS cents, c.c_mktsegment AS seg
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        vs AS (SELECT cents, seg, count(*) AS n FROM s GROUP BY cents, seg),
+        v AS (SELECT cents, sum(n) AS tot FROM vs GROUP BY cents),
+        r AS (
+            SELECT cents, tot,
+                   sum(tot) OVER (ORDER BY cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_tot
+            FROM v
+        ),
+        ranked AS (
+            SELECT vs.seg, vs.n,
+                   (r.cum_tot - r.tot + 1) + (r.tot - 1) / 2.0 AS avg_rank
+            FROM vs JOIN r ON vs.cents = r.cents
+        ),
+        grp AS (
+            SELECT seg, sum(n) AS ng, sum(n * avg_rank) AS rg
+            FROM ranked GROUP BY seg
+        ),
+        ties AS (SELECT sum(tot * tot * tot - tot) AS tsum FROM v),
+        agg AS (
+            SELECT count(*) AS k, sum(ng) AS nt,
+                   sum(rg * rg / ng) AS sum_rg2, max(t.tsum) AS tsum
+            FROM grp, ties t
+        )
+        SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n_total,
+               round(12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0), 4)
+                   + 0.0 AS h_stat,
+               round((12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0))
+                     / (1 - tsum * 1.0 / (nt * nt * nt - nt)), 4)
+                   + 0.0 AS h_corrected,
+               CAST(CASE WHEN (12.0 / (nt * (nt + 1)) * sum_rg2
+                               - 3 * (nt + 1.0))
+                              / (1 - tsum * 1.0 / (nt * nt * nt - nt))
+                              > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_medians
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five market segments' order values
+    — the k-group generalization of q_mann_whitney_u (rank-based, no
+    normality) with the tie correction, tested against χ²₄ (9.49);
+    the nonparametric sibling of q_anova_f on the same design.
+
+    The mann-whitney scale shape extended to k groups: prices
+    collapse to (value, segment) grain, average ranks come from ONE
+    stitched running count over the VALUE order (never a per-row
+    global rank; exact .5-multiples), the candidate join back to
+    segment cells is value-grain × 5, and H is closed-form algebra
+    over 5 group rows + one tie scalar."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_OC).alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        "cents", F.col("c_mktsegment").alias("seg")
+    )
+    vs = s.groupBy("cents", "seg").agg(F.count(F.lit(1)).alias("n"))
+    v = vs.groupBy("cents").agg(F.sum("n").alias("tot"))
+    r = stitched_running(v, ["cents"], running={"cum_tot": "tot"})
+    avg_rank = (F.col("cum_tot") - F.col("tot") + 1) + (F.col("tot") - 1) / F.lit(2.0)
+    ranked = vs.join(r.select("cents", "tot", "cum_tot"), "cents").select(
+        "seg", "n", avg_rank.alias("avg_rank")
+    )
+    grp = ranked.groupBy("seg").agg(
+        F.sum("n").alias("ng"), F.sum(F.col("n") * F.col("avg_rank")).alias("rg")
+    )
+    ties = v.agg(
+        F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")).alias("tsum")
+    )
+    agg = grp.crossJoin(F.broadcast(ties)).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("nt"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("sum_rg2"),
+        F.max("tsum").alias("tsum"),
+    )
+    nt = F.col("nt")
+    h = 12.0 / (nt * (nt + 1)) * F.col("sum_rg2") - 3 * (nt + F.lit(1.0))
+    hc = h / (1 - F.col("tsum") * 1.0 / (nt * nt * nt - nt))
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        nt.cast("bigint").alias("n_total"),
+        F.round(h, 4).alias("h_stat"),
+        F.round(hc, 4).alias("h_corrected"),
+        F.when(hc > 9.4877, 1).otherwise(0).cast("int").alias(
+            "reject_equal_medians"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# process capability (Cp / Cpk)
+
+_CPK_USL = 60.0  # ship-latency upper spec limit, days
+_CPK_LSL = 0.0
+
+
+@register(
+    "q_cpk_process_capability",
+    oracle=f"""
+        WITH lat AS (
+            SELECT o.o_orderpriority AS priority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS days
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        g AS (
+            SELECT priority, count(*) AS n, avg(days) AS mu,
+                   sqrt((sum(days * days * 1.0)
+                         - count(*) * avg(days) * avg(days))
+                        / (count(*) - 1)) AS sd
+            FROM lat GROUP BY priority
+        )
+        SELECT priority, CAST(n AS BIGINT) AS n_lines,
+               round(mu, 4) AS mean_days,
+               round(sd, 4) AS sd_days,
+               round(({_CPK_USL} - {_CPK_LSL}) / (6 * sd), 4) AS cp,
+               round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sd), 4)
+                   + 0.0 AS cpk,
+               CAST(CASE WHEN least({_CPK_USL} - mu, mu - {_CPK_LSL})
+                              / (3 * sd) >= 1.33
+                    THEN 1 ELSE 0 END AS INT) AS capable
+        FROM g ORDER BY priority
+    """,
+    category="analytics",
+)
+def q_cpk_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices for ship latency per order priority
+    against a [0, 60]-day spec: Cp = (USL−LSL)/6σ (potential) and
+    Cpk = min(USL−μ, μ−LSL)/3σ (actual, centering-penalized), capable
+    at the industry 1.33 bar — the SPC capability lens next to
+    q_p_chart (control) and q_ship_latency_sla (SLA share); Cp vs Cpk
+    separates "too variable" from "off-center".
+
+    One combinable pass over integer day-diffs to 5 priority rows of
+    (n, Σd, Σd²); σ from the moment identity in one float tree, the
+    indices are per-row algebra. The fact scan's only shuffle is the
+    orderkey join."""
+    lat = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days"),
+        )
+    )
+    n = F.count(F.lit(1))
+    g = lat.groupBy("priority").agg(
+        n.alias("n"),
+        F.avg("days").alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("days") * F.col("days") * 1.0) - n * F.avg("days") * F.avg("days"))
+            / (n - 1)
+        ).alias("sd"),
+    )
+    cpk = F.least(_CPK_USL - F.col("mu"), F.col("mu") - _CPK_LSL) / (3 * F.col("sd"))
+    return g.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round("mu", 4).alias("mean_days"),
+        F.round("sd", 4).alias("sd_days"),
+        F.round((_CPK_USL - _CPK_LSL) / (6 * F.col("sd")), 4).alias("cp"),
+        F.round(cpk, 4).alias("cpk"),
+        F.when(cpk >= 1.33, 1).otherwise(0).cast("int").alias("capable"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential changepoint detector
+
+
+@register(
+    "q_page_hinkley",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        stats AS (
+            SELECT count(*) AS n,
+                   3 * sqrt((sum(rev * 1.0 * rev)
+                             - count(*) * avg(rev) * avg(rev))
+                            / (count(*) - 1)) AS lambda
+            FROM daily
+        ),
+        seq AS (
+            SELECT d, rev,
+                   sum(rev) OVER w * 1.0
+                     / row_number() OVER (ORDER BY d) AS cavg
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        mcum AS (
+            SELECT d,
+                   sum(rev - cavg) OVER (ORDER BY d ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+            FROM seq
+        ),
+        ph AS (
+            SELECT d,
+                   m - min(m) OVER (ORDER BY d ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_t
+            FROM mcum
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM stats) AS n_days,
+               CAST(sum(CASE WHEN ph_t > s.lambda THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarm_days,
+               min(CASE WHEN ph_t > s.lambda THEN d END) AS first_alarm_day,
+               round(max(ph_t) / s.lambda, 4) + 0.0 AS max_ph_ratio
+        FROM ph, stats s GROUP BY s.lambda
+    """,
+    category="analytics",
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential changepoint detector on daily revenue:
+    mₜ = Σᵢ≤ₜ(xᵢ − x̄ᵢ) (running-mean deviations), PHₜ = mₜ − min mᵢ,
+    alarm when PHₜ crosses λ = 3σ — the ONLINE drift detector next to
+    q_cusum_changepoint (known-target CUSUM) and q_binary_segmentation
+    (offline split): PH needs no target mean and is what a streaming
+    monitor runs per micro-batch.
+
+    Three cumulative windows over the calendar-bounded day table
+    (whitelisted), fed by ONE exact-cents fact pass; cumulative means
+    come from integer cumsum / row_number so both engines divide the
+    same exact values; λ broadcasts from a 1-row moment aggregate."""
+    daily = _daily_rev(spark, sf_dir)
+    n = F.count(F.lit(1))
+    # rev * 1.0 * rev: widen BEFORE squaring — cents² of a 10×-scale day
+    # overflows int64 (caught by the 10× smoke), and the double product
+    # is the same IEEE value on both engines
+    stats = daily.agg(
+        n.alias("n"),
+        (
+            3
+            * F.sqrt(
+                (F.sum(F.col("rev") * 1.0 * F.col("rev")) - n * F.avg("rev") * F.avg("rev"))
+                / (n - 1)
+            )
+        ).alias("lam"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "d",
+        "rev",
+        (F.sum("rev").over(w) * 1.0 / F.row_number().over(Window.orderBy("d"))).alias(
+            "cavg"
+        ),
+    )
+    mcum = seq.select("d", F.sum(F.col("rev") - F.col("cavg")).over(w).alias("m"))
+    ph = mcum.select("d", (F.col("m") - F.min("m").over(w)).alias("ph_t"))
+    return ph.crossJoin(F.broadcast(stats)).groupBy("lam").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("ph_t") > F.col("lam"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph_t") > F.col("lam"), F.col("d"))).alias(
+            "first_alarm_day"
+        ),
+        F.round(F.max("ph_t") / F.col("lam"), 4).alias("max_ph_ratio"),
+    ).drop("lam")
+
+
+# ---------------------------------------------------------------------------
+# relative risk (cohort 2x2)
+
+
+@register(
+    "q_relative_risk",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS exposed,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS outcome
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        cells AS (
+            SELECT CAST(sum(exposed * outcome) AS BIGINT) AS a,
+                   CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+                   CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+                   CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+            FROM u
+        ),
+        stat AS (
+            SELECT a, b, c, d,
+                   (a * 1.0 / (a + b)) / (c * 1.0 / (c + d)) AS rr_raw,
+                   exp(ln((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)))
+                       - 1.96 * sqrt(1.0 / a - 1.0 / (a + b)
+                                     + 1.0 / c - 1.0 / (c + d))) AS lo_raw,
+                   exp(ln((a * 1.0 / (a + b)) / (c * 1.0 / (c + d)))
+                       + 1.96 * sqrt(1.0 / a - 1.0 / (a + b)
+                                     + 1.0 / c - 1.0 / (c + d))) AS hi_raw
+            FROM cells WHERE a > 0 AND c > 0
+        )
+        SELECT a, b, c, d,
+               round(rr_raw, 4) AS rr,
+               round(lo_raw, 4) AS ci_lo,
+               round(hi_raw, 4) AS ci_hi,
+               CAST(CASE WHEN lo_raw > 1 OR hi_raw < 1
+                    THEN 1 ELSE 0 END AS INT) AS significant
+        FROM stat
+    """,
+    category="analytics",
+)
+def q_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort relative risk at user-day grain: does a day with an
+    'error' event change that user-day's probability of containing a
+    purchase? RR = P(purchase|error day)/P(purchase|error-free day)
+    with the Katz log CI exp(ln RR ± 1.96·SE), SE² = 1/a − 1/(a+b) +
+    1/c − 1/(c+d) — the cohort-study companion to q_odds_ratio
+    (case-control) and q_abtest_proportions (difference-scale): risk
+    RATIO is what incident dashboards quote. (User-level ever-flags
+    are degenerate on this dense fixture — every user has every type —
+    so the unit is the user-day, the grain an incident review uses.)
+
+    One combinable pass to user-day exposure/outcome flags, then a
+    single 2×2 cell aggregate; the ratio and CI are O(1) algebra.
+    Degenerate cells (a = 0 or c = 0) drop the row identically on
+    both engines rather than emitting ±inf."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "exposed"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "outcome"
+            ),
+        )
+    )
+    cells = u.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    rr = (a * 1.0 / (a + b)) / (c * 1.0 / (c + d))
+    se = F.sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))
+    lo = F.exp(F.log(rr) - 1.96 * se)
+    hi = F.exp(F.log(rr) + 1.96 * se)
+    return cells.filter((a > 0) & (c > 0)).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(rr, 4).alias("rr"),
+        F.round(lo, 4).alias("ci_lo"),
+        F.round(hi, 4).alias("ci_hi"),
+        F.when((lo > 1) | (hi < 1), 1).otherwise(0).cast("int").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation (Durbin-Levinson, lags 1-3)
+
+
+@register(
+    "q_pacf",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        m AS (SELECT count(*) AS n, avg(rev) AS mu FROM daily),
+        lagged AS (
+            SELECT rev,
+                   lag(rev, 1) OVER (ORDER BY d) AS l1,
+                   lag(rev, 2) OVER (ORDER BY d) AS l2,
+                   lag(rev, 3) OVER (ORDER BY d) AS l3
+            FROM daily
+        ),
+        acf AS (
+            SELECT m.n,
+                   sum(CASE WHEN l1 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l1 - m.mu) END)
+                     / sum((rev - m.mu) * (rev - m.mu)) AS r1,
+                   sum(CASE WHEN l2 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l2 - m.mu) END)
+                     / sum((rev - m.mu) * (rev - m.mu)) AS r2,
+                   sum(CASE WHEN l3 IS NULL THEN 0
+                            ELSE (rev - m.mu) * (l3 - m.mu) END)
+                     / sum((rev - m.mu) * (rev - m.mu)) AS r3
+            FROM lagged, m GROUP BY m.n
+        ),
+        dl AS (
+            SELECT n, r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS p22,
+                   r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS p21
+            FROM acf
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r1, 4) + 0.0 AS pacf1,
+               round(p22, 4) + 0.0 AS pacf2,
+               round((r3 - p21 * r2 - p22 * r1)
+                     / (1 - p21 * r1 - p22 * r2), 4) + 0.0 AS pacf3
+        FROM dl
+    """,
+    category="analytics",
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1–3 via the
+    Durbin–Levinson recursion (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    φ₃₃ from the order-2 prediction coefficients) — the AR-order
+    selection companion to q_autocorrelation (raw ACF) and
+    q_ljung_box (joint test): PACF cutting off at lag p is THE
+    signature that picks AR(p).
+
+    Same scale shape as q_ljung_box: exact-cents day table, ONE
+    whitelisted lag window for all three lags, 1-row mean broadcast,
+    then a single-row closed-form recursion — identical float trees
+    on both engines, rounded once with the signed-zero guard."""
+    daily = _daily_rev(spark, sf_dir)
+    m = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("rev").alias("mu"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, 4)]
+    )
+    den = F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu")))
+    acf = lagged.crossJoin(F.broadcast(m)).agg(
+        F.max("n").alias("n"),
+        *[
+            (
+                F.sum(
+                    F.when(F.col(f"l{k}").isNull(), 0.0).otherwise(
+                        (F.col("rev") - F.col("mu")) * (F.col(f"l{k}") - F.col("mu"))
+                    )
+                )
+                / den
+            ).alias(f"r{k}")
+            for k in range(1, 4)
+        ],
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    return acf.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(r1, 4).alias("pacf1"),
+        F.round(p22, 4).alias("pacf2"),
+        F.round(p33, 4).alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman footrule rank agreement
+
+
+@register(
+    "q_spearman_footrule",
+    oracle="""
+        WITH s AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source,
+                   row_number() OVER (ORDER BY n_docs DESC, source ASC) AS r1,
+                   row_number() OVER (ORDER BY chars DESC, source ASC) AS r2
+            FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule,
+               round(sum(abs(r1 - r2)) * 2.0
+                     / (count(*) * count(*)), 4) + 0.0 AS norm_footrule,
+               round(1 - sum(abs(r1 - r2)) * 2.0
+                         / (count(*) * count(*)), 4) AS agreement
+        FROM ranked
+    """,
+    category="analytics",
+)
+def q_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule distance between two source leaderboards —
+    rank by document count vs rank by total characters: F = Σ|r₁−r₂|,
+    normalized by its even-n maximum n²/2 — the L1 rank-agreement
+    member next to q_rank_correlation (L2/Spearman ρ), q_kendall_tau
+    (inversions), and q_borda_ranking (aggregation): footrule is the
+    metric Diaconis–Graham bounds tie to Kendall within factor 2.
+
+    One combinable pass to the 20-row source aggregate; both rank
+    windows run over that bounded grain (whitelisted) with
+    deterministic source tie-breaks; the distance is one aggregate."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+    ranked = s.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_docs").desc(), F.col("source").asc()))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.col("chars").desc(), F.col("source").asc()))
+        .alias("r2"),
+    )
+    n = F.count(F.lit(1))
+    fr = F.sum(F.abs(F.col("r1") - F.col("r2")))
+    return ranked.agg(
+        n.cast("bigint").alias("n_sources"),
+        fr.cast("bigint").alias("footrule"),
+        F.round(fr * 2.0 / (n * n), 4).alias("norm_footrule"),
+        F.round(1 - fr * 2.0 / (n * n), 4).alias("agreement"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coleman-Liau readability index
+
+
+@register(
+    "q_coleman_liau",
+    oracle="""
+        WITH f AS (
+            SELECT source,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS letters,
+                   len(string_split(text, ' ')) AS words,
+                   greatest((length(text) - length(replace(text, '.', '')))
+                          + (length(text) - length(replace(text, '!', '')))
+                          + (length(text) - length(replace(text, '?', ''))),
+                            1) AS sentences
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(100.0 * sum(letters) / sum(words), 2) AS l_per_100w,
+               round(100.0 * sum(sentences) / sum(words), 2) AS s_per_100w,
+               round(0.0588 * (100.0 * sum(letters) / sum(words))
+                     - 0.296 * (100.0 * sum(sentences) / sum(words))
+                     - 15.8, 4) + 0.0 AS cli
+        FROM f GROUP BY source ORDER BY source
+    """,
+    category="llm-text",
+)
+def q_coleman_liau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman–Liau readability index per source: CLI = 0.0588·L −
+    0.296·S − 15.8 with L = letters and S = sentences per 100 words —
+    the CHARACTER-based readability grade (no syllable counting, so
+    it is exactly computable cross-engine) next to q_readability's
+    Flesch variant; corpus curation uses the grade-level spread to
+    balance difficulty mixes.
+
+    One fact pass folds the three integer counts (regexp strip for
+    letters — DuckDB needs the explicit 'g' flag Spark applies by
+    default; replace()-diffs for terminators, floor-1 guarded) to 20
+    source rows; CLI is per-row algebra over exact integer sums."""
+    t = F.col("text")
+    sentences = F.greatest(
+        sum(F.length(t) - F.length(F.replace(t, F.lit(ch))) for ch in ".!?"),
+        F.lit(1),
+    )
+    f = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("letters"),
+        F.size(F.split("text", " ")).alias("words"),
+        sentences.alias("sentences"),
+    )
+    lw = 100.0 * F.sum("letters") / F.sum("words")
+    sw = 100.0 * F.sum("sentences") / F.sum("words")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(lw, 2).alias("l_per_100w"),
+            F.round(sw, 2).alias("s_per_100w"),
+            F.round(0.0588 * lw - 0.296 * sw - 15.8, 4).alias("cli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test
+
+
+@register(
+    "q_cochran_armitage",
+    oracle="""
+        WITH f AS (
+            SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS band,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS hit
+            FROM orders
+        ),
+        cells AS (
+            SELECT band, count(*) AS n, CAST(sum(hit) AS BIGINT) AS a
+            FROM f GROUP BY band
+        ),
+        agg AS (
+            SELECT sum(n) AS nt, sum(a) AS at_,
+                   sum(band * (a - n * (SELECT sum(a) * 1.0 / sum(n) FROM cells)))
+                       AS t_,
+                   sum(band * band * n) AS st2n,
+                   sum(band * n) AS stn,
+                   count(*) AS nbands
+            FROM cells
+        )
+        SELECT CAST(nbands AS BIGINT) AS n_bands,
+               CAST(nt AS BIGINT) AS n_total,
+               round(t_ / sqrt((at_ * 1.0 / nt) * (1 - at_ * 1.0 / nt)
+                               * (st2n - stn * stn * 1.0 / nt)), 4)
+                   + 0.0 AS z,
+               CAST(CASE WHEN abs(t_ / sqrt((at_ * 1.0 / nt)
+                                            * (1 - at_ * 1.0 / nt)
+                                            * (st2n - stn * stn * 1.0 / nt)))
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS reject_no_trend
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the urgent-order share move
+    MONOTONICALLY across the ten order-value bands? T = Σtᵢ(aᵢ−nᵢp̄)
+    with band index as score, Var = p̄(1−p̄)·[Σtᵢ²nᵢ − (Σtᵢnᵢ)²/N],
+    z = T/√Var — the ORDERED-category test q_chisq_independence
+    ignores (χ² sees any deviation; Cochran–Armitage spends its one
+    degree of freedom on the linear trend, the usual dose-response
+    question). Same banding as q_woe_iv.
+
+    One combinable fact pass to 10 band cells (integer counts); the
+    statistic is closed-form algebra with the 1-row overall rate."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)).alias(
+            "band"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("hit"),
+    )
+    cells = f.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").cast("bigint").alias("a")
+    )
+    rate = cells.agg((F.sum("a") * 1.0 / F.sum("n")).alias("pbar"))
+    agg = cells.crossJoin(F.broadcast(rate)).agg(
+        F.count(F.lit(1)).alias("nbands"),
+        F.sum("n").alias("nt"),
+        F.sum("a").alias("at_"),
+        F.sum(F.col("band") * (F.col("a") - F.col("n") * F.col("pbar"))).alias("t_"),
+        F.sum(F.col("band") * F.col("band") * F.col("n")).alias("st2n"),
+        F.sum(F.col("band") * F.col("n")).alias("stn"),
+    )
+    pbar = F.col("at_") * 1.0 / F.col("nt")
+    z = F.col("t_") / F.sqrt(
+        pbar * (1 - pbar) * (F.col("st2n") - F.col("stn") * F.col("stn") * 1.0 / F.col("nt"))
+    )
+    return agg.select(
+        F.col("nbands").cast("bigint").alias("n_bands"),
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "reject_no_trend"
+        ),
+    )

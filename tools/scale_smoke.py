@@ -267,6 +267,14 @@ HEAVY = [
     "q_hoover_index",
     "q_yules_k",
     "q_code_detect",
+    "q_kruskal_wallis",
+    "q_cpk_process_capability",
+    "q_page_hinkley",
+    "q_relative_risk",
+    "q_pacf",
+    "q_spearman_footrule",
+    "q_coleman_liau",
+    "q_cochran_armitage",
 ]
 
 #: per-table key columns to offset so replicas don't collide
