@@ -1452,3 +1452,754 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_no_trend"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 3: classifier effect sizes and MCC, norm-vs-angle ANN
+# diagnostics, curriculum staging, seasonal/trend strength, pricing
+# digit bias, temporal vocabulary drift, and LSH band occupancy
+
+
+@register(
+    "q_cohens_d",
+    oracle="""
+        WITH s AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS ga
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        g AS (
+            SELECT ga, count(*) AS n, avg(v) AS m,
+                   (sum(v * v) - count(*) * avg(v) * avg(v)) / (count(*) - 1)
+                       AS s2
+            FROM s GROUP BY ga
+        ),
+        w AS (
+            SELECT max(CASE WHEN ga = 1 THEN n END) AS n1,
+                   max(CASE WHEN ga = 0 THEN n END) AS n2,
+                   max(CASE WHEN ga = 1 THEN m END) AS m1,
+                   max(CASE WHEN ga = 0 THEN m END) AS m2,
+                   max(CASE WHEN ga = 1 THEN s2 END) AS s21,
+                   max(CASE WHEN ga = 0 THEN s2 END) AS s22
+            FROM g
+        ),
+        d AS (
+            SELECT n1, n2,
+                   (m1 - m2) / sqrt(((n1 - 1) * s21 + (n2 - 1) * s22)
+                                    / (n1 + n2 - 2)) AS d_raw
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               round(d_raw, 4) + 0.0 AS cohens_d,
+               round(d_raw * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4)
+                   + 0.0 AS hedges_g,
+               CASE WHEN abs(d_raw) < 0.2 THEN 'negligible'
+                    WHEN abs(d_raw) < 0.5 THEN 'small'
+                    WHEN abs(d_raw) < 0.8 THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM d
+    """,
+    category="analytics",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference between URGENT and LOW
+    priority order values (pooled-SD), with the Hedges' g small-sample
+    correction and the conventional magnitude label — the parametric
+    effect size that complements q_welch_ttest (which answers IS there
+    a difference; d answers HOW BIG) and the rank-based q_cliffs_delta.
+
+    One combinable conditional-moment pass to two group rows; d/g are
+    single-row algebra over identical float trees, rounded once with
+    the signed-zero guard."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("ga"),
+        )
+    )
+    n = F.count(F.lit(1))
+    g = s.groupBy("ga").agg(
+        n.alias("n"),
+        F.avg("v").alias("m"),
+        ((F.sum(F.col("v") * F.col("v")) - n * F.avg("v") * F.avg("v")) / (n - 1)).alias(
+            "s2"
+        ),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("ga") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("ga") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("ga") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("ga") == 0, F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("ga") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("ga") == 0, F.col("s2"))).alias("s22"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d_raw = (F.col("m1") - F.col("m2")) / F.sqrt(
+        ((n1 - 1) * F.col("s21") + (n2 - 1) * F.col("s22")) / (n1 + n2 - 2)
+    )
+    ad = F.abs(d_raw)
+    return w.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(d_raw, 4).alias("cohens_d"),
+        F.round(d_raw * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4).alias("hedges_g"),
+        F.when(ad < 0.2, "negligible")
+        .when(ad < 0.5, "small")
+        .when(ad < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient of a threshold classifier
+
+
+@register(
+    "q_mcc_threshold",
+    oracle="""
+        WITH thr AS (SELECT avg(value) AS t FROM events),
+        cells AS (
+            SELECT CAST(sum(CASE WHEN value >= thr.t
+                                  AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN value >= thr.t
+                                  AND event_type != 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN value < thr.t
+                                  AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn_,
+                   CAST(sum(CASE WHEN value < thr.t
+                                  AND event_type != 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM events, thr GROUP BY ALL
+        )
+        SELECT tp, fp, fn_ AS fn, tn,
+               round((tp * 1.0 * tn - fp * 1.0 * fn_)
+                     / sqrt((tp + fp) * 1.0 * (tp + fn_)
+                            * (tn + fp) * (tn + fn_)), 4) + 0.0 AS mcc,
+               round(2.0 * tp / (2 * tp + fp + fn_), 4) + 0.0 AS f1,
+               round((tp + tn) * 1.0 / (tp + fp + fn_ + tn), 4) AS accuracy
+        FROM cells
+        WHERE tp + fp > 0 AND tp + fn_ > 0 AND tn + fp > 0 AND tn + fn_ > 0
+    """,
+    category="analytics",
+)
+def q_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the naive value-threshold
+    purchase classifier (predict purchase when event value ≥ global
+    mean): MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) with
+    F1 and accuracy — the single-number classifier summary robust to
+    class imbalance that the eval family (q_auc_roc threshold-free,
+    q_pr_curve per-threshold, q_ece_calibration) reports alongside.
+
+    One fact pass with the 1-row threshold broadcast folds the 2×2;
+    the statistics are O(1) algebra with 1.0-widened products (counts
+    at 100 TB overflow int64 when multiplied raw). Degenerate margins
+    (any zero row/column sum) drop the row identically on both
+    engines."""
+    thr = load_table(spark, sf_dir, "events").agg(F.avg("value").alias("t"))
+    ev = load_table(spark, sf_dir, "events").select("value", "event_type")
+    pos = F.col("value") >= F.col("t")
+    lab = F.col("event_type") == "purchase"
+    cells = ev.crossJoin(F.broadcast(thr)).agg(
+        F.sum(F.when(pos & lab, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pos & ~lab, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pos & lab, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~pos & ~lab, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    mcc = (tp * 1.0 * tn - fp * 1.0 * fn) / F.sqrt(
+        (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    # per-factor positivity, NOT a product guard: the 4-way count product
+    # overflows int64 at scale (caught by the 10x smoke)
+    return cells.filter(
+        (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0)
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(mcc, 4).alias("mcc"),
+        F.round(2.0 * tp / (2 * tp + fp + fn), 4).alias("f1"),
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dot-product vs cosine argmax agreement (norm-bias diagnostic)
+
+
+@register(
+    "q_dot_vs_cosine",
+    oracle="""
+        WITH cen AS (
+            SELECT label, i AS dim,
+                   avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS c
+            FROM embeddings, unnest(range(0, 64)) t(i)
+            GROUP BY label, i
+        ),
+        cnorm AS (
+            SELECT label, sqrt(sum(c * c)) AS nrm FROM cen GROUP BY label
+        ),
+        dots AS (
+            SELECT e.vec_id, e.label AS true_label, cen.label AS cand,
+                   round(sum(CAST(e.embedding[CAST(cen.dim AS INT) + 1]
+                                  AS DOUBLE) * cen.c), 6) AS dot
+            FROM embeddings e CROSS JOIN cen
+            GROUP BY e.vec_id, e.label, cen.label
+        ),
+        scored AS (
+            SELECT d.vec_id, d.true_label, d.cand, d.dot,
+                   round(d.dot / n.nrm, 6) AS cosv
+            FROM dots d JOIN cnorm n ON d.cand = n.label
+        ),
+        ranked AS (
+            SELECT vec_id, true_label, cand,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cand ASC) AS rd,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosv DESC, cand ASC) AS rc
+            FROM scored
+        ),
+        pick AS (
+            SELECT vec_id, true_label,
+                   max(CASE WHEN rd = 1 THEN cand END) AS dot_pick,
+                   max(CASE WHEN rc = 1 THEN cand END) AS cos_pick
+            FROM ranked GROUP BY vec_id, true_label
+        )
+        SELECT true_label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN dot_pick = cos_pick THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_argmax,
+               CAST(sum(CASE WHEN dot_pick = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dot_correct,
+               CAST(sum(CASE WHEN cos_pick = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cos_correct
+        FROM pick GROUP BY true_label ORDER BY true_label
+    """,
+    category="llm-similarity",
+)
+def q_dot_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-bias diagnostic for maximum-inner-product vs cosine
+    retrieval: score every vector against all label centroids by raw
+    dot product AND by cosine (dot/centroid-norm — the vector's own
+    norm cancels in its argmax) and count where the two argmaxes
+    disagree, plus each metric's label accuracy. MIPS engines
+    (q_mips_maxdot) and cosine ANN (q_ann_lsh) silently diverge
+    exactly where this table shows disagreement — large-norm
+    centroids "steal" dot-product argmaxes.
+
+    Scale: centroids are a 25×64 broadcast; ONE pass over the
+    (vector × dim) explode folds per-candidate dots; argmaxes are
+    integer-compared on round-6 scores with candidate tie-breaks
+    (max_by tuple ordering ≡ the row_number pick, deterministic both
+    engines); output is label-grain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    )
+    cen = ex.groupBy(F.col("true_label").alias("label"), "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    cnorm = cen.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    dots = (
+        ex.join(F.broadcast(cen.withColumnRenamed("label", "cand")), "dim")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(F.round(F.sum(F.col("x").cast("double") * F.col("c")), 6).alias("dot"))
+    )
+    scored = dots.join(
+        F.broadcast(cnorm.withColumnRenamed("label", "cand")), "cand"
+    ).select(
+        "vec_id",
+        "true_label",
+        "cand",
+        "dot",
+        F.round(F.col("dot") / F.col("nrm"), 6).alias("cosv"),
+    )
+    wd = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cand").asc())
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cosv").desc(), F.col("cand").asc())
+    ranked = scored.select(
+        "vec_id",
+        "true_label",
+        "cand",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wc).alias("rc"),
+    )
+    pick = ranked.groupBy("vec_id", "true_label").agg(
+        F.max(F.when(F.col("rd") == 1, F.col("cand"))).alias("dot_pick"),
+        F.max(F.when(F.col("rc") == 1, F.col("cand"))).alias("cos_pick"),
+    )
+    return (
+        pick.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("dot_pick") == F.col("cos_pick"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_argmax"),
+            F.sum(F.when(F.col("dot_pick") == F.col("true_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dot_correct"),
+            F.sum(F.when(F.col("cos_pick") == F.col("true_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cos_correct"),
+        )
+        .orderBy("true_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum staging by exact length quartile
+
+
+@register(
+    "q_curriculum_stages",
+    oracle="""
+        WITH lg AS (
+            SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+        ),
+        r AS (
+            SELECT n_chars, cnt,
+                   sum(cnt) OVER (ORDER BY n_chars
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   (SELECT sum(cnt) FROM lg) AS tot
+            FROM lg
+        ),
+        stg AS (
+            SELECT n_chars,
+                   least(CAST(ceil(cum * 4.0 / tot) AS INT), 4) AS stage
+            FROM r
+        ),
+        docs AS (
+            SELECT s.stage, d.n_chars,
+                   len(string_split(d.text, ' ')) AS toks
+            FROM documents d JOIN stg s ON d.n_chars = s.n_chars
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(toks) AS BIGINT) AS tok_total,
+               round(avg(toks * 1.0), 2) AS avg_tokens
+        FROM docs GROUP BY stage ORDER BY stage
+    """,
+    category="llm-pipeline",
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: split the corpus into four EXACT length
+    quartiles (short→long as a difficulty proxy) and report each
+    stage's doc count, char range, and token budget — the stage
+    manifest a curriculum-learning schedule trains against (stage 1
+    first, 4 last). Exactness matters: approximate quantiles would
+    put boundary docs in different stages on different engines.
+
+    The quantile_normalize scale shape: docs collapse to LENGTH-VALUE
+    grain (bounded by distinct lengths), the quartile rank comes from
+    one stitched running count over that grain — never a per-doc
+    NTILE — and stages join back on the length value. Token counts
+    fold in the same pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.size(F.split("text", " ")).alias("toks")
+    )
+    lg = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    r = stitched_running(lg, ["n_chars"], running={"cum": "cnt"})
+    tot = lg.agg(F.sum("cnt").alias("tot"))
+    stg = r.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        F.least(F.ceil(F.col("cum") * 4.0 / F.col("tot")).cast("int"), F.lit(4)).alias(
+            "stage"
+        ),
+    )
+    docs = d.join(stg, "n_chars")
+    return (
+        docs.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("toks").cast("bigint").alias("tok_total"),
+            F.round(F.avg(F.col("toks") * 1.0), 2).alias("avg_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal / trend strength (STL-style variance decomposition)
+
+
+@register(
+    "q_seasonal_strength",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        ma AS (
+            SELECT d, rev,
+                   avg(rev * 1.0) OVER w AS trend,
+                   count(*) OVER w AS wn
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT d, rev, trend, rev - trend AS detr,
+                   (CAST(d AS DATE) - DATE '1970-01-01') % 7 AS wd
+            FROM ma WHERE wn = 7
+        ),
+        seas AS (SELECT wd, avg(detr) AS s FROM det GROUP BY wd),
+        parts AS (
+            SELECT det.d, det.detr, det.detr - seas.s AS rem,
+                   det.rev - seas.s AS deseason
+            FROM det JOIN seas ON det.wd = seas.wd
+        ),
+        v AS (
+            SELECT count(*) AS n,
+                   (sum(rem * rem) - count(*) * avg(rem) * avg(rem))
+                       / (count(*) - 1) AS vr,
+                   (sum(detr * detr) - count(*) * avg(detr) * avg(detr))
+                       / (count(*) - 1) AS vd,
+                   (sum(deseason * deseason)
+                    - count(*) * avg(deseason) * avg(deseason))
+                       / (count(*) - 1) AS vt
+            FROM parts
+        )
+        SELECT CAST(n AS BIGINT) AS n_days_used,
+               round(greatest(0.0, 1 - vr / vd), 4) + 0.0 AS seasonal_strength,
+               round(greatest(0.0, 1 - vr / vt), 4) + 0.0 AS trend_strength
+        FROM v
+    """,
+    category="analytics",
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style strength-of-components on daily revenue: with trend
+    T = centered 7-day MA, weekday seasonal S, remainder R,
+    Fs = max(0, 1 − Var R/Var(S+R)) and Ft = max(0, 1 − Var R/Var(T+R))
+    — the two numbers (Hyndman's feasts convention) that say whether a
+    series is worth seasonal modeling at all; the scalar summary of
+    q_seasonal_decompose's full table and the gate before
+    q_ratio_to_ma_seasonal / q_weekday_seasonality effort.
+
+    One whitelisted centered-MA window over the calendar-bounded day
+    table (full 7-day frames only, so both engines average identical
+    row sets), weekday means via groupBy, variances via one combinable
+    moment tree."""
+    daily = _daily_rev(spark, sf_dir)
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "rev",
+        F.avg(F.col("rev") * 1.0).over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = ma.filter(F.col("wn") == 7).select(
+        "d",
+        "rev",
+        (F.col("rev") - F.col("trend")).alias("detr"),
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias("wd"),
+    )
+    seas = det.groupBy("wd").agg(F.avg("detr").alias("s"))
+    parts = det.join(F.broadcast(seas), "wd").select(
+        "detr",
+        (F.col("detr") - F.col("s")).alias("rem"),
+        (F.col("rev") - F.col("s")).alias("deseason"),
+    )
+    n = F.count(F.lit(1))
+
+    def _var(c):
+        return (F.sum(F.col(c) * F.col(c)) - n * F.avg(c) * F.avg(c)) / (n - 1)
+
+    v = parts.agg(
+        n.alias("n"), _var("rem").alias("vr"), _var("detr").alias("vd"), _var("deseason").alias("vt")
+    )
+    return v.select(
+        F.col("n").cast("bigint").alias("n_days_used"),
+        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vd")), 4).alias(
+            "seasonal_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vt")), 4).alias(
+            "trend_strength"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# price-ending digit bias
+
+
+@register(
+    "q_price_digit_bias",
+    oracle=f"""
+        WITH c AS (
+            SELECT {_OC} % 100 AS ending FROM orders
+        ),
+        cells AS (SELECT ending, count(*) AS o FROM c GROUP BY ending),
+        agg AS (
+            SELECT sum(o) AS n, count(*) AS k,
+                   sum((o - (SELECT sum(o) FROM cells) / 100.0)
+                       * (o - (SELECT sum(o) FROM cells) / 100.0))
+                     / ((SELECT sum(o) FROM cells) / 100.0) AS chi,
+                   sum(CASE WHEN ending = 0 THEN o ELSE 0 END) AS n00,
+                   sum(CASE WHEN ending = 99 THEN o ELSE 0 END) AS n99
+            FROM cells
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST(k AS BIGINT) AS n_endings_seen,
+               round(chi + (100 - k) * (n / 100.0), 4) AS chi_sq,
+               CAST(CASE WHEN chi + (100 - k) * (n / 100.0) > 123.2252
+                    THEN 1 ELSE 0 END AS INT) AS reject_uniform,
+               round(n00 * 1.0 / n, 4) + 0.0 AS pct_ending_00,
+               round(n99 * 1.0 / n, 4) + 0.0 AS pct_ending_99
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_price_digit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending digit bias: χ² of the cents-ending distribution
+    (last two digits of the exact-cents total) against uniform over
+    the 100 endings, df = 99 (crit 123.23), plus the .00 and .99
+    psychological-pricing shares — the second-digit cousin of
+    q_benford (first digits) and the pricing-integrity screen a
+    marketplace audit runs (human-set prices cluster on round and
+    charm endings; generated ones don't).
+
+    One exact-integer fact pass to ≤100 ending cells; unseen endings
+    enter the χ² as their full expected mass via the (100−k)·E
+    correction term, computed identically on both engines."""
+    c = load_table(spark, sf_dir, "orders").select(
+        (F.expr(_OC) % 100).alias("ending")
+    )
+    cells = c.groupBy("ending").agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    agg = cells.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            (F.col("o") - F.col("n") / 100.0) * (F.col("o") - F.col("n") / 100.0)
+        ).alias("ssq"),
+        F.sum(F.when(F.col("ending") == 0, F.col("o")).otherwise(0)).alias("n00"),
+        F.sum(F.when(F.col("ending") == 99, F.col("o")).otherwise(0)).alias("n99"),
+    )
+    n, k = F.col("n"), F.col("k")
+    chi = F.col("ssq") / (n / 100.0) + (100 - k) * (n / 100.0)
+    return agg.select(
+        n.cast("bigint").alias("n_orders"),
+        k.cast("bigint").alias("n_endings_seen"),
+        F.round(chi, 4).alias("chi_sq"),
+        F.when(chi > 123.2252, 1).otherwise(0).cast("int").alias("reject_uniform"),
+        F.round(F.col("n00") * 1.0 / n, 4).alias("pct_ending_00"),
+        F.round(F.col("n99") * 1.0 / n, 4).alias("pct_ending_99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal vocabulary drift (even/odd doc halves)
+
+
+@register(
+    "q_vocab_drift_halves",
+    oracle="""
+        WITH tok AS (
+            SELECT source, doc_id % 2 AS half,
+                   unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents
+        ),
+        vw AS (
+            SELECT source, w,
+                   max(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+            FROM tok WHERE w != '' GROUP BY source, w
+        )
+        SELECT source,
+               CAST(sum(in_a) AS BIGINT) AS vocab_a,
+               CAST(sum(in_b) AS BIGINT) AS vocab_b,
+               round(sum(in_a * in_b) * 1.0 / count(*), 4) AS jaccard,
+               CASE WHEN sum(in_b) = 0 THEN NULL
+                    ELSE round(1 - sum(in_a * in_b) * 1.0 / sum(in_b), 4)
+                         + 0.0 END AS new_vocab_rate
+        FROM vw GROUP BY source ORDER BY source
+    """,
+    category="llm-text",
+)
+def q_vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between deterministic corpus halves (even vs
+    odd doc_id) per source: half-vocab sizes, Jaccard overlap, and the
+    new-vocab rate (share of half-B types unseen in half-A) — the
+    WITHIN-source temporal-drift screen next to q_source_vocab_overlap
+    (cross-source) and q_vocab_growth (Heaps curve): a spiking
+    new-vocab rate between crawl snapshots means the tokenizer/filters
+    need re-tuning before the next training mix.
+
+    Token stream collapses to (source, type) grain with two membership
+    flags in ONE combinable pass — Jaccard and the drift rate are
+    ratios of flag sums, no joins at all."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    vw = (
+        tok.filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(
+            F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    return (
+        vw.groupBy("source")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("vocab_a"),
+            F.sum("in_b").cast("bigint").alias("vocab_b"),
+            F.round(
+                F.sum(F.col("in_a") * F.col("in_b")) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("jaccard"),
+            F.when(
+                F.sum("in_b") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    1 - F.sum(F.col("in_a") * F.col("in_b")) * 1.0 / F.sum("in_b"),
+                    4,
+                )
+            )
+            .alias("new_vocab_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-bucket occupancy (capacity-planning diagnostic)
+
+from builder_spark.operators.dedup import (  # noqa: E402
+    CHARFOLD_MOD,
+    charfold_token_hp,
+    kgram_hashes_from_hp,
+)
+from builder_spark.queries.textops import _A, _B, _BANDS, _K, _P  # noqa: E402
+
+
+def _band_occupancy_oracle() -> str:
+    mins = ",\n                   ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_P}) AS s{i}" for i in range(_K)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN s{2 * b} * {_P} + s{2 * b + 1}" for b in range(_BANDS)
+    )
+    band_vals = ", ".join(str(b) for b in range(_BANDS))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]))) AS w
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(w)+1),
+                               i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+                       (a, b) -> (a*31 + b) % {CHARFOLD_MOD}) AS h
+            FROM tok
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM th GROUP BY doc_id
+        ),
+        bk AS (
+            SELECT doc_id, band, CASE band {band_case} END AS val
+            FROM sig CROSS JOIN (SELECT unnest([{band_vals}]) AS band)
+        ),
+        bucket AS (
+            SELECT band, val, count(*) AS c FROM bk GROUP BY band, val
+        )
+        SELECT band,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_buckets,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM bucket GROUP BY band ORDER BY band
+    """
+
+
+@register(
+    "q_band_occupancy",
+    oracle=_band_occupancy_oracle(),
+    category="llm-dedup",
+)
+def q_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy audit over the SAME deterministic
+    MinHash banding as q_minhash_banded: per band, how many buckets,
+    how many collide (≥2 docs), the largest bucket, and the implied
+    candidate-pair count Σc(c−1)/2 — the capacity-planning numbers
+    that decide whether a banded dedup join is safe at 100 TB (the
+    candidate join's cost IS Σc², and a single mega-bucket is shuffle
+    skew); q_minhash_calibration tunes precision, this tunes COST.
+
+    Plan: the signature stage is q_minhash_banded's (charfold token
+    hashes → 8 array-min permutations riding the scan), band-explode
+    to 4 rows/doc, then TWO combinable aggregates (bucket grain →
+    band grain). No pair join at all — the audit predicts its cost
+    without paying it."""
+    from builder_spark.operators.partitioning import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sig = (
+        spread(d.filter(F.size(toks) >= 3))
+        .select("doc_id", charfold_token_hp(toks).alias("_hp"))
+        .select("doc_id", kgram_hashes_from_hp(F.col("_hp"), 3).alias("_h"))
+        .select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_h"),
+                        # single-param lambda: F.transform builds the
+                        # expression eagerly, so the loop var binds now;
+                        # a 2-param lambda would receive (elem, index)
+                        lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P)),
+                    )
+                ).alias(f"s{i}")
+                for i in range(_K)
+            ],
+        )
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.col(f"s{2 * b}") * F.lit(_P) + F.col(f"s{2 * b + 1}")).alias("val"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bk = sig.select("doc_id", F.explode(bands).alias("bv")).select(
+        "doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    bucket = bk.groupBy("band", "val").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c")
+    return (
+        bucket.groupBy("band")
+        .agg(
+            F.sum(c).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(c >= 2, 1).otherwise(0)).cast("bigint").alias(
+                "n_multi_buckets"
+            ),
+            F.max(c).cast("bigint").alias("max_bucket"),
+            F.sum(c * (c - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )

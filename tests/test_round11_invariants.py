@@ -153,3 +153,83 @@ def test_cochran_armitage_shape(spark):
     r = REGISTRY["q_cochran_armitage"].fn(spark, SF_DIR).collect()[0]
     assert r["n_bands"] >= 2
     assert r["reject_no_trend"] == (1 if abs(r["z"]) > 1.96 else 0)
+
+
+def test_cohens_d_magnitude_label(spark):
+    r = REGISTRY["q_cohens_d"].fn(spark, SF_DIR).collect()[0]
+    a = abs(r["cohens_d"])
+    expect = (
+        "negligible" if a < 0.2 else
+        "small" if a < 0.5 else
+        "medium" if a < 0.8 else "large"
+    )
+    assert r["magnitude"] == expect
+    # Hedges' g shrinks toward zero, never past it
+    assert abs(r["hedges_g"]) <= a + 0.0001
+    assert (r["hedges_g"] >= 0) == (r["cohens_d"] >= 0) or r["cohens_d"] == 0
+
+
+def test_mcc_bounds(spark):
+    r = REGISTRY["q_mcc_threshold"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["mcc"] <= 1.0
+    assert 0.0 <= r["f1"] <= 1.0
+    assert 0.0 <= r["accuracy"] <= 1.0
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] > 0
+
+
+def test_dot_vs_cosine_accounting(spark):
+    rows = REGISTRY["q_dot_vs_cosine"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_same_argmax"] <= r["n"]
+        assert 0 <= r["n_dot_correct"] <= r["n"]
+        assert 0 <= r["n_cos_correct"] <= r["n"]
+
+
+def test_curriculum_stages_partition_corpus(spark):
+    rows = REGISTRY["q_curriculum_stages"].fn(spark, SF_DIR).collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    # stages partition the corpus and are length-ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+    total = sum(r["n_docs"] for r in rows)
+    docs = REGISTRY["q_curriculum_stages"]  # count independently
+    from builder_spark.catalog import load_table
+
+    assert total == load_table(spark, SF_DIR, "documents").count()
+
+
+def test_seasonal_strength_range(spark):
+    r = REGISTRY["q_seasonal_strength"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["seasonal_strength"] <= 1.0
+    assert 0.0 <= r["trend_strength"] <= 1.0
+    assert r["n_days_used"] > 7
+
+
+def test_price_digit_bias_shares(spark):
+    r = REGISTRY["q_price_digit_bias"].fn(spark, SF_DIR).collect()[0]
+    assert r["chi_sq"] >= 0
+    assert 1 <= r["n_endings_seen"] <= 100
+    assert 0.0 <= r["pct_ending_00"] <= 1.0
+    assert 0.0 <= r["pct_ending_99"] <= 1.0
+
+
+def test_vocab_drift_bounds(spark):
+    rows = REGISTRY["q_vocab_drift_halves"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        if r["new_vocab_rate"] is not None:
+            assert 0.0 <= r["new_vocab_rate"] <= 1.0
+
+
+def test_band_occupancy_accounting(spark):
+    rows = REGISTRY["q_band_occupancy"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4  # one row per band
+    n_docs = {r["n_docs"] for r in rows}
+    assert len(n_docs) == 1  # every band hashes every doc once
+    for r in rows:
+        assert r["n_multi_buckets"] <= r["n_buckets"] <= r["n_docs"]
+        assert r["max_bucket"] >= 1
+        # pairs bound: sum c(c-1)/2 <= C(max_bucket,2) * n_multi... loose
+        assert r["candidate_pairs"] >= 0

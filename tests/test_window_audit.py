@@ -86,6 +86,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_page_hinkley": "day table (calendar-bounded)",
     "q_pacf": "day table (calendar-bounded)",
     "q_spearman_footrule": "20 source rows (bounded aggregate)",
+    "q_seasonal_strength": "day table (calendar-bounded)",
 }
 
 
@@ -121,7 +122,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 59, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 60, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

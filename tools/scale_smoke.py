@@ -275,6 +275,14 @@ HEAVY = [
     "q_spearman_footrule",
     "q_coleman_liau",
     "q_cochran_armitage",
+    "q_cohens_d",
+    "q_mcc_threshold",
+    "q_dot_vs_cosine",
+    "q_curriculum_stages",
+    "q_seasonal_strength",
+    "q_price_digit_bias",
+    "q_vocab_drift_halves",
+    "q_band_occupancy",
 ]
 
 #: per-table key columns to offset so replicas don't collide
