@@ -2203,3 +2203,772 @@ def q_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 4: fairness/graph structure (Jain, modularity,
+# assortativity), step-down multiple testing, repeated-ngram gate,
+# growth accounting, decay fitting, and the IVF probe/recall sweep
+
+from builder_spark.registry import QUERIES  # noqa: E402
+
+
+@register(
+    "q_jains_fairness",
+    oracle="""
+        WITH u AS (
+            SELECT event_type, user_id, count(*) AS x
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(x * 1.0) * sum(x * 1.0)
+                     / (count(*) * sum(x * 1.0 * x)), 4) AS fairness,
+               CAST(max(x) AS BIGINT) AS max_per_user
+        FROM u GROUP BY event_type ORDER BY event_type
+    """,
+    category="analytics",
+)
+def q_jains_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index of per-user event load, by event type:
+    J = (Σx)²/(n·Σx²) ∈ (0,1] — 1 means perfectly even load, 1/n means
+    one user takes everything. The systems-engineering fairness lens
+    next to the economics family (Gini/Theil/Atkinson/Hoover): J is
+    what a rate-limiter or shard-balancer dashboard quotes, and its
+    reciprocal is the effective number of active users.
+
+    One combinable pass to (type, user) counts then 5 type rows;
+    products are 1.0-widened (x² sums overflow int64 at 100 TB user
+    counts). No windows, no joins."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    sx = F.sum(F.col("x") * 1.0)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                sx * sx / (F.count(F.lit(1)) * F.sum(F.col("x") * 1.0 * F.col("x"))),
+                4,
+            ).alias("fairness"),
+            F.max("x").cast("bigint").alias("max_per_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph modularity of the brand co-purchase graph
+
+
+@register(
+    "q_modularity",
+    oracle="""
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        eh AS (
+            SELECT a.p_brand AS u, b.p_brand AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+            HAVING count(*) >= 20
+        ),
+        comm AS (
+            SELECT u, v,
+                   substr(u, 7, 1) AS cu, substr(v, 7, 1) AS cv
+            FROM eh
+        ),
+        m AS (SELECT count(*) AS m FROM eh),
+        within AS (
+            SELECT cu AS c, count(*) AS e_in
+            FROM comm WHERE cu = cv GROUP BY cu
+        ),
+        deg AS (
+            SELECT c, sum(d) AS d FROM (
+                SELECT substr(u, 7, 1) AS c, count(*) AS d FROM comm GROUP BY u, substr(u, 7, 1)
+                UNION ALL
+                SELECT substr(v, 7, 1) AS c, count(*) AS d FROM comm GROUP BY v, substr(v, 7, 1)
+            ) GROUP BY c
+        ),
+        q AS (
+            SELECT d.c,
+                   coalesce(w.e_in, 0) * 1.0 / m.m
+                   - (d.d * 1.0 / (2 * m.m)) * (d.d * 1.0 / (2 * m.m)) AS qc
+            FROM deg d LEFT JOIN within w ON d.c = w.c CROSS JOIN m
+        )
+        SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               round(sum(qc), 4) + 0.0 AS modularity
+        FROM q
+    """,
+    category="analytics",
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand co-purchase graph under the
+    brand-family partition (leading digit of the brand number —
+    Brand#1/#10–19 together, etc.: an arbitrary but deterministic
+    ≤9-way split): Q = Σ_c [e_c/m − (d_c/2m)²], positive when a
+    family's brands co-sell together more than degree chance —
+    the community-QUALITY score next to q_clustering_coeff (local
+    density), q_triangle_count, and q_katz_centrality on the same
+    ≥20-co-order edge rule.
+
+    One distributed fact pass to the enum-bounded edge grid (≤25²),
+    then counting aggregates over ≤300 edges / 25 degree rows — the
+    closed form never touches fact grain again."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("v"))
+    eh = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 20)
+        .select("u", "v")
+    )
+    comm = eh.select(
+        "u",
+        "v",
+        F.substring("u", 7, 1).alias("cu"),
+        F.substring("v", 7, 1).alias("cv"),
+    )
+    m = comm.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        comm.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        comm.select(F.col("cu").alias("c"))
+        .unionAll(comm.select(F.col("cv").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    q = (
+        deg.join(within, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "c",
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("d") * 1.0 / (2 * F.col("m")))
+                * (F.col("d") * 1.0 / (2 * F.col("m")))
+            ).alias("qc"),
+            F.col("m"),
+        )
+    )
+    return q.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.round(F.sum("qc"), 4).alias("modularity"),
+    ).select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        "n_communities",
+        "modularity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+
+
+@register(
+    "q_assortativity",
+    oracle="""
+        WITH lp AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        eh AS (
+            SELECT a.p_brand AS u, b.p_brand AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+            HAVING count(*) >= 20
+        ),
+        dir_e AS (
+            SELECT u, v FROM eh UNION ALL SELECT v AS u, u AS v FROM eh
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM dir_e GROUP BY u),
+        pairs AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM dir_e e
+            JOIN deg du ON e.u = du.node
+            JOIN deg dv ON e.v = dv.node
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(dx * 1.0 * dy) - count(*) * avg(dx * 1.0) * avg(dy * 1.0)
+                       AS sxy,
+                   sum(dx * 1.0 * dx) - count(*) * avg(dx * 1.0) * avg(dx * 1.0)
+                       AS sxx,
+                   sum(dy * 1.0 * dy) - count(*) * avg(dy * 1.0) * avg(dy * 1.0)
+                       AS syy
+            FROM pairs
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               CASE WHEN sxx > 0 AND syy > 0
+                    THEN round(sxy / sqrt(sxx * syy), 4) + 0.0 END
+                   AS assortativity
+        FROM mom
+    """,
+    category="analytics",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the brand co-purchase graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — positive means hub brands co-sell with hubs (assortative
+    mixing), negative means hub-and-spoke. The MIXING-pattern lens
+    the graph family (q_degree_distribution marginal, q_modularity
+    community, q_clustering_coeff local) was missing; disassortativity
+    is what makes single-hub shuffle skew likely.
+
+    Enum-bounded edge grid (≤300 edges) from one fact pass; degrees
+    and the correlation are algebra over that grid. corr() folds the
+    same doubles on both engines; round(·,4) + signed-zero guard."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("v"))
+    eh = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 20)
+        .select("u", "v")
+    )
+    dir_e = eh.unionAll(eh.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = dir_e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        dir_e.join(F.broadcast(deg.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("d", "dx")
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+            ),
+            "v",
+        )
+    )
+    # moment-form correlation with a zero-variance guard: Spark's ANSI
+    # corr() RAISES DivideByZero on a constant-degree graph (caught at
+    # sf0.01) where DuckDB's returns NULL — NULL on both engines instead
+    n = F.count(F.lit(1))
+    dx, dy = F.col("dx") * 1.0, F.col("dy") * 1.0
+    mom = pairs.agg(
+        n.alias("n"),
+        (F.sum(dx * F.col("dy")) - n * F.avg(dx) * F.avg(dy)).alias("sxy"),
+        (F.sum(dx * F.col("dx")) - n * F.avg(dx) * F.avg(dx)).alias("sxx"),
+        (F.sum(dy * F.col("dy")) - n * F.avg(dy) * F.avg(dy)).alias("syy"),
+    )
+    return mom.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            (F.col("sxx") > 0) & (F.col("syy") > 0),
+            F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 4),
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holm / Bonferroni / BH multiple-testing comparison
+
+
+@register(
+    "q_holm_bonferroni",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS o
+            FROM events GROUP BY event_type, isodow(ts) - 1
+        ),
+        rows_m AS (SELECT event_type, sum(o) AS nr FROM cells GROUP BY event_type),
+        cols_m AS (SELECT dow, sum(o) AS nc FROM cells GROUP BY dow),
+        tot AS (SELECT sum(o) AS n FROM cells),
+        scored AS (
+            SELECT c.event_type, c.dow,
+                   exp(-((c.o - r.nr * cm.nc / t.n) * (c.o - r.nr * cm.nc / t.n)
+                   / (r.nr * cm.nc / t.n)) / 2) AS p
+            FROM cells c
+            JOIN rows_m r ON c.event_type = r.event_type
+            JOIN cols_m cm ON c.dow = cm.dow
+            CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT p,
+                   row_number() OVER (ORDER BY p, event_type, dow) AS i,
+                   count(*) OVER () AS m
+            FROM scored
+        ),
+        marks AS (
+            SELECT p, i, m,
+                   min(CASE WHEN p > 0.05 / (m - i + 1) THEN i END)
+                       OVER () AS first_fail,
+                   max(CASE WHEN p <= i * 0.05 / m THEN i END) OVER () AS bh_k
+            FROM ranked
+        )
+        SELECT CAST(max(m) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN p <= 0.05 / m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bonferroni,
+               CAST(sum(CASE WHEN i < coalesce(first_fail, m + 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_holm,
+               CAST(sum(CASE WHEN i <= coalesce(bh_k, 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bh,
+               round(min(p), 6) AS min_p
+        FROM marks
+    """,
+    category="analytics",
+)
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction shoot-out on the 35 event-type ×
+    weekday contingency tests (q_bh_fdr's cell family and pseudo-p
+    = exp(−χ²/2) upper bound): rejection counts under Bonferroni
+    (α/m), Holm step-down (α/(m−i+1) until the first failure), and
+    Benjamini–Hochberg — the power ordering n_bonf ≤ n_holm ≤ n_bh
+    is the textbook fact, and the spread tells an experimentation
+    platform how much the FWER→FDR switch buys on THIS data.
+
+    Facts collapse once to ≤35 cells; every window runs over that
+    constant grid (whitelisted); output is a single summary row."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", ((F.dayofweek("ts") + 5) % 7).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("nr"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("nc"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("nr") * F.col("nc") / F.col("n")
+    scored = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.exp(-((F.col("o") - e) * (F.col("o") - e) / e) / 2).alias("p"),
+        )
+    )
+    wi = Window.orderBy(F.col("p"), F.col("event_type"), F.col("dow"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = scored.select(
+        "p",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    marks = ranked.select(
+        "p",
+        "i",
+        "m",
+        F.min(F.when(F.col("p") > 0.05 / (F.col("m") - F.col("i") + 1), F.col("i")))
+        .over(wall)
+        .alias("first_fail"),
+        F.max(F.when(F.col("p") <= F.col("i") * 0.05 / F.col("m"), F.col("i")))
+        .over(wall)
+        .alias("bh_k"),
+    )
+    return marks.agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.sum(F.when(F.col("p") <= 0.05 / F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bonferroni"),
+        F.sum(
+            F.when(
+                F.col("i") < F.coalesce(F.col("first_fail"), F.col("m") + 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_holm"),
+        F.sum(
+            F.when(F.col("i") <= F.coalesce(F.col("bh_k"), F.lit(0)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bh"),
+        F.round(F.min("p"), 6).alias("min_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repeated-ngram generation-quality gate
+
+
+@register(
+    "q_repeat_ngram_gate",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2] || ' ' ||
+                            string_split(text, ' ')[i+3])) AS g
+            FROM documents
+        ),
+        reps AS (
+            SELECT doc_id, source, g, count(*) AS c
+            FROM grams GROUP BY doc_id, source, g
+        ),
+        per_doc AS (
+            SELECT doc_id, source, max(c) AS max_rep
+            FROM reps GROUP BY doc_id, source
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN max_rep >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               round(sum(CASE WHEN max_rep >= 3 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) + 0.0 AS flag_rate,
+               round(avg(max_rep * 1.0), 4) AS avg_max_rep
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    category="llm-pipeline",
+)
+def q_repeat_ngram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-4-gram gate: flag documents where any 4-word gram
+    occurs ≥3 times — the "no-repeat-ngram" degenerate-text screen
+    (looping generations, boilerplate stutter) that complements
+    q_repetition_ratio (bigram mass) and q_gopher_gates: max-repeat
+    is sharp where average repetition is diluted by document length.
+
+    Per-doc sliding 4-grams explode once, collapse to (doc, gram)
+    counts then doc grain then 20 source rows — all combinable
+    aggregates riding one scan; no joins, no windows."""
+    toks = F.split(F.col("text"), " ")
+    # filter BEFORE sequence: Spark's sequence(1, 0) descends ([1, 0])
+    # instead of being empty like DuckDB's range(1, 1) — sub-4-token
+    # docs drop identically on both engines (empty unnest = no row)
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 4)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+                )
+            ).alias("g"),
+        )
+    )
+    reps = grams.groupBy("doc_id", "source", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = reps.groupBy("doc_id", "source").agg(F.max("c").alias("max_rep"))
+    flagged = F.sum(F.when(F.col("max_rep") >= 3, 1).otherwise(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            flagged.cast("bigint").alias("n_flagged"),
+            F.round(flagged * 1.0 / F.count(F.lit(1)), 4).alias("flag_rate"),
+            F.round(F.avg(F.col("max_rep") * 1.0), 4).alias("avg_max_rep"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# growth accounting (new / retained / resurrected / churned)
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                   min(wk) OVER (PARTITION BY user_id) AS first_wk
+            FROM uw
+        ),
+        cls AS (
+            SELECT wk,
+                   sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS n_new,
+                   sum(CASE WHEN prev_wk = wk - INTERVAL 7 DAY
+                            THEN 1 ELSE 0 END) AS n_retained,
+                   sum(CASE WHEN wk != first_wk
+                             AND (prev_wk IS NULL
+                                  OR prev_wk != wk - INTERVAL 7 DAY)
+                            THEN 1 ELSE 0 END) AS n_resurrected,
+                   count(*) AS n_active
+            FROM seq GROUP BY wk
+        ),
+        acc AS (
+            SELECT wk,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(n_retained AS BIGINT) AS n_retained,
+                   CAST(n_resurrected AS BIGINT) AS n_resurrected,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(lag(n_active) OVER (ORDER BY wk) - n_retained
+                        AS BIGINT) AS n_churned
+            FROM cls
+        )
+        SELECT * FROM acc ORDER BY wk
+    """,
+    category="analytics",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user-week is exactly one
+    of NEW (first week ever), RETAINED (also active last week), or
+    RESURRECTED (returning after a gap); churned_w = active_{w−1} −
+    retained_w (users who didn't come back). The standard DAU/WAU
+    decomposition a growth team reads (q_new_vs_returning is the
+    2-way day version; q_dau_wau_mau the ratio) — growth is healthy
+    iff new + resurrected > churned.
+
+    Facts collapse to DISTINCT (user, week) grain once; the per-user
+    lag/min windows partition on user_id (unbounded grain); the one
+    remaining lag runs over the calendar-bounded week table
+    (whitelisted). Monday-start weeks on both engines."""
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wu).alias("prev_wk"),
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+    )
+    is_ret = F.col("prev_wk") == F.date_sub(F.col("wk"), 7)
+    cls = seq.groupBy("wk").agg(
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(is_ret, 1).otherwise(0)).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") != F.col("first_wk"))
+                & (F.col("prev_wk").isNull() | ~is_ret),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    ww = Window.orderBy("wk")
+    return (
+        cls.select(
+            "wk",
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            (F.lag("n_active").over(ww) - F.col("n_retained"))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("wk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exponential-decay half-life fit
+
+
+@register(
+    "q_decay_halflife",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(ts AS DATE) AS d, value FROM events
+        ),
+        maxd AS (SELECT max(d) AS dmax FROM base),
+        daily AS (
+            SELECT CAST(m.dmax - b.d AS BIGINT) AS age, avg(b.value) AS v
+            FROM base b, maxd m GROUP BY 1 HAVING avg(b.value) > 0
+        ),
+        mom AS (
+            SELECT count(*) AS n, avg(age * 1.0) AS mx, avg(ln(v)) AS my,
+                   sum(age * 1.0 * ln(v)) - count(*) * avg(age * 1.0) * avg(ln(v))
+                       AS sxy,
+                   sum(age * 1.0 * age) - count(*) * avg(age * 1.0) * avg(age * 1.0)
+                       AS sxx,
+                   sum(ln(v) * ln(v)) - count(*) * avg(ln(v)) * avg(ln(v)) AS syy
+            FROM daily
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(-(sxy / sxx), 6) + 0.0 AS lambda_per_day,
+               CASE WHEN sxy < 0
+                    THEN round(ln(2) / (-(sxy / sxx)), 2) END AS half_life_days,
+               round((sxy * sxy) / (sxx * syy), 4) + 0.0 AS r2
+        FROM mom
+    """,
+    category="analytics",
+)
+def q_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of mean event value against age (days
+    before the latest observation): log-linear OLS ln v̄(age) =
+    a − λ·age, reporting λ, the implied half-life ln2/λ (NULL when
+    the slope isn't a decay — defined identically on both engines),
+    and the fit R² — the engagement-decay estimator next to
+    q_recency_weighted_score (which ASSUMES a λ) and q_adstock_decay
+    (fixed retention grid): this one measures λ from data.
+
+    One pass to the calendar-bounded age-day table (integer ages,
+    positive-mean days only), one centered-moment aggregate, closed
+    form — no windows at all."""
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "value"
+    )
+    maxd = base.agg(F.max("d").alias("dmax"))
+    daily = (
+        base.crossJoin(F.broadcast(maxd))
+        .groupBy(F.datediff(F.col("dmax"), F.col("d")).cast("bigint").alias("age"))
+        .agg(F.avg("value").alias("v"))
+        .filter(F.col("v") > 0)
+    )
+    n = F.count(F.lit(1))
+    ax, ly = F.col("age") * 1.0, F.log("v")
+    mom = daily.agg(
+        n.alias("n"),
+        (F.sum(ax * ly) - n * F.avg(ax) * F.avg(ly)).alias("sxy"),
+        (F.sum(ax * F.col("age")) - n * F.avg(ax) * F.avg(ax)).alias("sxx"),
+        (F.sum(ly * ly) - n * F.avg(ly) * F.avg(ly)).alias("syy"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(-slope, 6).alias("lambda_per_day"),
+        F.when(F.col("sxy") < 0, F.round(F.log(F.lit(2.0)) / (-slope), 2)).alias(
+            "half_life_days"
+        ),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 4).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-count / recall sweep
+
+_PROBE_GRID = [1, 2, 4, 8]
+
+
+def _ivf_probe_oracle() -> str:
+    from builder_spark.queries.llmscale import _IVF_DOT, _IVF_NORM
+
+    def ivf_sql(p: int) -> str:
+        return f"""
+        SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {_IVF_DOT.format(a="p.q_emb", b="a.embedding")}
+                                / ({_IVF_NORM.format(v="p.q_emb")}
+                                   * {_IVF_NORM.format(v="a.embedding")}) DESC,
+                                a.vec_id ASC
+                   ) AS rnk
+            FROM (
+                SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.c_id
+                FROM embeddings q CROSS JOIN (
+                    SELECT vec_id AS c_id, embedding AS c_emb
+                    FROM embeddings ORDER BY vec_id ASC LIMIT 16
+                ) c
+                WHERE q.vec_id < 20
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {_IVF_DOT.format(a="q.embedding", b="c.c_emb")}
+                             / ({_IVF_NORM.format(v="q.embedding")}
+                                * {_IVF_NORM.format(v="c.c_emb")}) DESC,
+                             c.c_id ASC
+                ) <= {p}
+            ) p
+            JOIN (
+                SELECT e.vec_id, e.embedding, c.c_id
+                FROM embeddings e CROSS JOIN (
+                    SELECT vec_id AS c_id, embedding AS c_emb
+                    FROM embeddings ORDER BY vec_id ASC LIMIT 16
+                ) c
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_IVF_DOT.format(a="e.embedding", b="c.c_emb")}
+                             / ({_IVF_NORM.format(v="e.embedding")}
+                                * {_IVF_NORM.format(v="c.c_emb")}) DESC,
+                             c.c_id ASC
+                ) = 1
+            ) a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
+        ) ranked WHERE rnk <= 5
+        """
+
+    exact = QUERIES["q_cosine_topk"].oracle
+    blocks = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {p} AS probe_count,
+               CAST(count(e.q_id) AS BIGINT) AS n_exact_pairs,
+               CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+               round(count(a.vec_id) * 1.0 / count(e.q_id), 4)
+                   + 0.0 AS recall_at_5
+        FROM ({exact}) e
+        LEFT JOIN ({ivf_sql(p)}) a
+          ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        """
+        for p in _PROBE_GRID
+    )
+    return f"SELECT * FROM ({blocks}) ORDER BY probe_count"
+
+
+@register(
+    "q_ivf_probe_sweep",
+    oracle=_ivf_probe_oracle(),
+    category="llm-similarity",
+)
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-count/recall trade-off sweep: recall@5 of the
+    16-centroid inverted-file ANN (q_ann_ivf's deterministic design)
+    at 1/2/4/8 probed cells against the exact cosine top-5 — THE
+    tuning curve an ANN deployment reads before fixing n_probe:
+    candidate cost grows ~linearly in probes while recall saturates,
+    and this table shows exactly where. Completes the ANN capacity
+    family with q_band_occupancy (LSH cost) and q_ann_recall (one
+    operating point).
+
+    Each probe level reuses the ivf_topk operator (broadcast
+    centroid argmax riding the scan, equi-join on cell id); the audit
+    runs on a bounded query sample (20 here; a production sweep
+    samples queries, never the corpus). Recall joins are top-5 ×
+    top-5 per query."""
+    from builder_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(q, e, k=5).select(
+        "q_id", F.col("vec_id").alias("e_vid")
+    )
+    out = None
+    for p in _PROBE_GRID:
+        approx = ivf_topk(q, e, k=5, n_centroids=16, n_probe=p).select(
+            F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+        )
+        row = (
+            exact.join(
+                approx,
+                (F.col("q_id") == F.col("a_qid")) & (F.col("e_vid") == F.col("a_vid")),
+                "left",
+            )
+            .agg(
+                F.lit(p).alias("probe_count"),
+                F.count("q_id").cast("bigint").alias("n_exact_pairs"),
+                F.count("a_vid").cast("bigint").alias("n_hits"),
+                F.round(F.count("a_vid") * 1.0 / F.count("q_id"), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("probe_count")

@@ -233,3 +233,72 @@ def test_band_occupancy_accounting(spark):
         assert r["max_bucket"] >= 1
         # pairs bound: sum c(c-1)/2 <= C(max_bucket,2) * n_multi... loose
         assert r["candidate_pairs"] >= 0
+
+
+def test_jains_fairness_bounds(spark):
+    rows = REGISTRY["q_jains_fairness"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1.0 / r["n_users"] - 0.001 <= r["fairness"] <= 1.0001
+
+
+def test_modularity_bounds(spark):
+    r = REGISTRY["q_modularity"].fn(spark, SF_DIR).collect()[0]
+    assert -0.5 <= r["modularity"] <= 1.0
+    assert 1 <= r["n_communities"] <= 9  # leading digit of Brand#1..25
+    assert r["n_edges"] >= 1
+
+
+def test_assortativity_bounds(spark):
+    r = REGISTRY["q_assortativity"].fn(spark, SF_DIR).collect()[0]
+    if r["assortativity"] is not None:
+        assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] >= 0
+
+
+def test_holm_power_ordering(spark):
+    r = REGISTRY["q_holm_bonferroni"].fn(spark, SF_DIR).collect()[0]
+    # the textbook dominance: Bonferroni <= Holm <= BH rejections
+    assert r["n_bonferroni"] <= r["n_holm"] <= r["n_bh"] <= r["m"]
+    assert 0.0 <= r["min_p"] <= 1.0
+
+
+def test_repeat_ngram_gate_bounds(spark):
+    rows = REGISTRY["q_repeat_ngram_gate"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert r["avg_max_rep"] >= 1.0  # every doc's max repeat is >= 1
+
+
+def test_growth_accounting_identity(spark):
+    rows = REGISTRY["q_growth_accounting"].fn(spark, SF_DIR).collect()
+    assert rows
+    prev_active = None
+    for r in rows:  # ordered by week
+        # active = new + retained + resurrected, exactly
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if prev_active is None:
+            assert r["n_churned"] is None
+        else:
+            assert r["n_churned"] == prev_active - r["n_retained"]
+        prev_active = r["n_active"]
+
+
+def test_decay_halflife_consistency(spark):
+    r = REGISTRY["q_decay_halflife"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["r2"] <= 1.0001
+    if r["half_life_days"] is not None:
+        assert r["half_life_days"] > 0
+        assert r["lambda_per_day"] > 0
+
+
+def test_ivf_probe_sweep_monotone(spark):
+    rows = REGISTRY["q_ivf_probe_sweep"].fn(spark, SF_DIR).collect()
+    assert [r["probe_count"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall_at_5"] for r in rows]
+    # more probes can only add candidates -> recall is non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_hits"] <= r["n_exact_pairs"]

@@ -87,6 +87,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_pacf": "day table (calendar-bounded)",
     "q_spearman_footrule": "20 source rows (bounded aggregate)",
     "q_seasonal_strength": "day table (calendar-bounded)",
+    "q_holm_bonferroni": "35 contingency cells (event types x weekdays)",
+    "q_growth_accounting": "week table (calendar-bounded)",
 }
 
 
@@ -122,7 +124,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 60, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 62, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

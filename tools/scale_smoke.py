@@ -283,6 +283,14 @@ HEAVY = [
     "q_price_digit_bias",
     "q_vocab_drift_halves",
     "q_band_occupancy",
+    "q_jains_fairness",
+    "q_modularity",
+    "q_assortativity",
+    "q_holm_bonferroni",
+    "q_repeat_ngram_gate",
+    "q_growth_accounting",
+    "q_decay_halflife",
+    "q_ivf_probe_sweep",
 ]
 
 #: per-table key columns to offset so replicas don't collide
