@@ -2972,3 +2972,705 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("probe_count")
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 5: financial ratios, TwoNN intrinsic dimension,
+# binary-quantized retrieval, instrumental variables, Oaxaca-Blinder,
+# Palma ratio, Mood's median test, and Cohen's kappa
+
+
+@register(
+    "q_sharpe_sortino",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        ret AS (
+            SELECT ln(rev * 1.0 / lag(rev) OVER (ORDER BY d)) AS r
+            FROM daily QUALIFY lag(rev) OVER (ORDER BY d) IS NOT NULL
+        ),
+        mom AS (
+            SELECT count(*) AS n, avg(r) AS mu,
+                   sqrt((sum(r * r) - count(*) * avg(r) * avg(r))
+                        / (count(*) - 1)) AS sd,
+                   sqrt(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END)
+                        / count(*)) AS dd
+            FROM ret
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(mu, 6) + 0.0 AS mean_daily_return,
+               round(mu / sd * sqrt(365), 4) + 0.0 AS sharpe_annual,
+               CASE WHEN dd > 0
+                    THEN round(mu / dd * sqrt(365), 4) + 0.0 END
+                   AS sortino_annual
+        FROM mom
+    """,
+    category="analytics",
+)
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of daily revenue log
+    returns: mean/σ·√365 and mean/downside-deviation·√365 — the
+    risk-adjusted volatility summary next to q_var_cvar (tail loss),
+    q_max_drawdown (path risk), and q_bollinger_breach (band
+    breaches); Sortino's zero-floor downside deviation is why the two
+    diverge on skewed series (guarded NULL when no down days).
+
+    Exact-cents day table, ONE whitelisted lag window for returns,
+    one moment aggregate — identical float trees, rounded once."""
+    daily = _daily_rev(spark, sf_dir)
+    w = Window.orderBy("d")
+    ret = (
+        daily.select((F.col("rev") * 1.0).alias("rv"), F.lag("rev").over(w).alias("pv"))
+        .filter(F.col("pv").isNotNull())
+        .select(F.log(F.col("rv") / F.col("pv")).alias("r"))
+    )
+    n = F.count(F.lit(1))
+    mom = ret.agg(
+        n.alias("n"),
+        F.avg("r").alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("r") * F.col("r")) - n * F.avg("r") * F.avg("r")) / (n - 1)
+        ).alias("sd"),
+        F.sqrt(
+            F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)) / n
+        ).alias("dd"),
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("mu", 6).alias("mean_daily_return"),
+        F.round(F.col("mu") / F.col("sd") * F.sqrt(F.lit(365.0)), 4).alias(
+            "sharpe_annual"
+        ),
+        F.when(
+            F.col("dd") > 0,
+            F.round(F.col("mu") / F.col("dd") * F.sqrt(F.lit(365.0)), 4),
+        ).alias("sortino_annual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic dimension
+
+
+@register(
+    "q_intrinsic_dim",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 50
+        ),
+        d2 AS (
+            SELECT q.q_id, e.vec_id,
+                   round(list_sum(list_transform(range(1, 65),
+                       i -> (CAST(q.q_emb[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+                          * (CAST(q.q_emb[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))),
+                       4) AS dd
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id != q.q_id
+        ),
+        nn2 AS (
+            SELECT q_id, dd,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY dd ASC, vec_id ASC) AS rnk
+            FROM d2
+            QUALIFY rnk <= 2
+        ),
+        mu AS (
+            SELECT q_id,
+                   max(CASE WHEN rnk = 2 THEN dd END) AS dd2,
+                   max(CASE WHEN rnk = 1 THEN dd END) AS dd1
+            FROM nn2 GROUP BY q_id
+        ),
+        valid AS (
+            SELECT q_id, 0.5 * ln(dd2 / dd1) AS lnmu
+            FROM mu WHERE dd1 > 0 AND dd2 > dd1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(avg(lnmu), 6) AS mean_ln_mu,
+               round(count(*) / sum(lnmu), 2) AS intrinsic_dim
+        FROM valid
+    """,
+    category="llm-similarity",
+)
+def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017): for each sample point, μ = d₂/d₁ (second- to
+    first-NN distance); the MLE is d̂ = n/Σ ln μ — the number that
+    says how "thin" the 64-d vectors really are, which governs every
+    LSH/IVF/PQ design choice (q_dim_variance's PCA spectrum is the
+    linear cousin; TwoNN sees curved manifolds).
+
+    Audit-on-a-sample shape (brute_force_topk precedent): 50 query
+    rows against the corpus, squared distances round to 4dp BEFORE
+    ranking (summation-order-proof cross-engine ranks, the
+    centroid_classify discipline), ties and zero-distance dupes
+    excluded identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qx = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode("embedding").alias("dim", "qv"),
+    )
+    cx = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "cv")
+    )
+    d2 = (
+        cx.join(F.broadcast(qx), "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("qv").cast("double") - F.col("cv").cast("double"))
+                    * (F.col("qv").cast("double") - F.col("cv").cast("double"))
+                ),
+                4,
+            ).alias("dd")
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dd").asc(), F.col("vec_id").asc())
+    nn2 = d2.withColumn("rnk", F.row_number().over(wq)).filter(F.col("rnk") <= 2)
+    mu = nn2.groupBy("q_id").agg(
+        F.max(F.when(F.col("rnk") == 2, F.col("dd"))).alias("dd2"),
+        F.max(F.when(F.col("rnk") == 1, F.col("dd"))).alias("dd1"),
+    )
+    valid = mu.filter((F.col("dd1") > 0) & (F.col("dd2") > F.col("dd1"))).select(
+        (0.5 * F.log(F.col("dd2") / F.col("dd1"))).alias("lnmu")
+    )
+    return valid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("lnmu"), 6).alias("mean_ln_mu"),
+        F.round(F.count(F.lit(1)) / F.sum("lnmu"), 2).alias("intrinsic_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary (sign) quantization retrieval recall
+
+
+def _binary_quant_oracle() -> str:
+    exact = QUERIES["q_cosine_topk"].oracle
+    return f"""
+        WITH ham AS (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN (CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) >= 0)
+                                  != (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) >= 0)
+                                 THEN 1 ELSE 0 END)) AS h
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 20 AND e.vec_id != q.vec_id
+        ),
+        topb AS (
+            SELECT q_id, vec_id, h,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY h ASC, vec_id ASC) AS rnk
+            FROM ham QUALIFY rnk <= 5
+        )
+        SELECT CAST(count(e.q_id) AS BIGINT) AS n_exact_pairs,
+               CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+               round(count(a.vec_id) * 1.0 / count(e.q_id), 4)
+                   + 0.0 AS recall_at_5,
+               round(avg(a.h * 1.0), 4) AS avg_hamming_of_hits
+        FROM ({exact}) e
+        LEFT JOIN topb a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+    """
+
+
+@register(
+    "q_binary_quant_recall",
+    oracle=_binary_quant_oracle(),
+    category="llm-similarity",
+)
+def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of 1-bit (sign) quantization: rank candidates by Hamming
+    distance between 64-bit sign patterns and measure top-5 overlap
+    with exact cosine — the cheapest quantization on the
+    memory/recall curve next to q_vec_quantize (int8), q_ann_pq
+    (product codes), and q_scalar_quant_sweep: 64× compression, and
+    this number says what it costs in recall. Hamming ranks are
+    EXACT integers, so cross-engine ranking needs no rounding
+    discipline at all (vec_id tie-breaks).
+
+    20-query audit sample; the sign bits would be precomputed at
+    ingest in production (binary column + popcount-XOR), here the
+    dim-explode join folds them in one pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qx = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.posexplode("embedding").alias("dim", "qv")
+    )
+    cx = e.select("vec_id", F.posexplode("embedding").alias("dim", "cv"))
+    ham = (
+        cx.join(F.broadcast(qx), "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("qv").cast("double") >= 0)
+                    != (F.col("cv").cast("double") >= 0),
+                    1,
+                ).otherwise(0)
+            ).alias("h")
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("h").asc(), F.col("vec_id").asc())
+    topb = ham.withColumn("rnk", F.row_number().over(wq)).filter(F.col("rnk") <= 5)
+    from builder_spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5).select(
+        "q_id", F.col("vec_id").alias("e_vid")
+    )
+    joined = exact.join(
+        topb.select(F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid"), "h"),
+        (F.col("q_id") == F.col("a_qid")) & (F.col("e_vid") == F.col("a_vid")),
+        "left",
+    )
+    return joined.agg(
+        F.count("q_id").cast("bigint").alias("n_exact_pairs"),
+        F.count("a_vid").cast("bigint").alias("n_hits"),
+        F.round(F.count("a_vid") * 1.0 / F.count("q_id"), 4).alias("recall_at_5"),
+        F.round(F.avg(F.col("h") * 1.0), 4).alias("avg_hamming_of_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# instrumental variables (2SLS, single instrument)
+
+
+@register(
+    "q_iv_2sls",
+    oracle="""
+        WITH pts AS (
+            SELECT l_quantity AS z, l_discount AS x, l_extendedprice AS y
+            FROM lineitem
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(z * x) - count(*) * avg(z) * avg(x) AS szx,
+                   sum(z * y) - count(*) * avg(z) * avg(y) AS szy,
+                   sum(x * y) - count(*) * avg(x) * avg(y) AS sxy,
+                   sum(x * x) - count(*) * avg(x) * avg(x) AS sxx,
+                   sum(z * z) - count(*) * avg(z) * avg(z) AS szz
+            FROM pts
+        ),
+        fit AS (
+            SELECT n, sxy / sxx AS beta_ols, szy / szx AS beta_iv,
+                   (szx * szx) / (szz * sxx) AS r2_first
+            FROM mom
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(beta_ols, 6) + 0.0 AS beta_ols,
+               round(beta_iv, 6) + 0.0 AS beta_iv,
+               round(r2_first / (1 - r2_first) * (n - 2), 4) AS first_stage_f,
+               CAST(CASE WHEN r2_first / (1 - r2_first) * (n - 2) < 10
+                    THEN 1 ELSE 0 END AS INT) AS weak_instrument
+        FROM fit
+    """,
+    category="analytics",
+)
+def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (2SLS) slope with a single instrument:
+    β_IV = S_zy/S_zx (the Wald/ratio estimator) next to the OLS slope
+    it corrects, plus the first-stage F — the Staiger–Stock weak-
+    instrument screen (F < 10 flags an unusable instrument). The
+    causal-inference member the regression family was missing
+    (q_propensity_ipw reweights, q_diff_in_diff differences, IV
+    instruments); here quantity instruments discount→price purely as
+    the mechanical demonstration.
+
+    One combinable centered-moment pass; every estimator is 1-row
+    algebra over the same five moments, identical trees both
+    engines."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("z"),
+        F.col("l_discount").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    mom = pts.agg(
+        n.alias("n"),
+        (F.sum(F.col("z") * F.col("x")) - n * F.avg("z") * F.avg("x")).alias("szx"),
+        (F.sum(F.col("z") * F.col("y")) - n * F.avg("z") * F.avg("y")).alias("szy"),
+        (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
+        (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("z") * F.col("z")) - n * F.avg("z") * F.avg("z")).alias("szz"),
+    )
+    r2f = (F.col("szx") * F.col("szx")) / (F.col("szz") * F.col("sxx"))
+    f_stat = r2f / (1 - r2f) * (F.col("n") - 2)
+    return mom.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("beta_ols"),
+        F.round(F.col("szy") / F.col("szx"), 6).alias("beta_iv"),
+        F.round(f_stat, 4).alias("first_stage_f"),
+        F.when(f_stat < 10, 1).otherwise(0).cast("int").alias("weak_instrument"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oaxaca-Blinder gap decomposition
+
+
+@register(
+    "q_oaxaca_blinder",
+    oracle="""
+        WITH lc AS (
+            SELECT l_orderkey, count(*) AS nl FROM lineitem GROUP BY l_orderkey
+        ),
+        pts AS (
+            SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS grp,
+                   lc.nl * 1.0 AS x, o.o_totalprice AS y
+            FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey
+            WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        g AS (
+            SELECT grp, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                   (sum(x * y) - count(*) * avg(x) * avg(y))
+                   / (sum(x * x) - count(*) * avg(x) * avg(x)) AS b
+            FROM pts GROUP BY grp
+        ),
+        w AS (
+            SELECT max(CASE WHEN grp = 1 THEN mx END) AS mx1,
+                   max(CASE WHEN grp = 0 THEN mx END) AS mx0,
+                   max(CASE WHEN grp = 1 THEN my END) AS my1,
+                   max(CASE WHEN grp = 0 THEN my END) AS my0,
+                   max(CASE WHEN grp = 1 THEN b END) AS b1,
+                   max(CASE WHEN grp = 0 THEN b END) AS b0,
+                   max(CASE WHEN grp = 1 THEN n END) AS n1,
+                   max(CASE WHEN grp = 0 THEN n END) AS n0
+            FROM g
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n0 AS BIGINT) AS n_low,
+               round(my1 - my0, 4) + 0.0 AS total_gap,
+               round((mx1 - mx0) * b0, 4) + 0.0 AS endowment_effect,
+               round((my1 - my0) - (mx1 - mx0) * b0, 4)
+                   + 0.0 AS coefficient_effect,
+               round((my1 - my0) - (mx1 - mx0) * b0
+                     - ((my1 - my0) - (mx1 - mx0) * b0), 4)
+                   + 0.0 AS decomposition_gap
+        FROM w
+    """,
+    category="analytics",
+)
+def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blinder–Oaxaca two-fold decomposition of the URGENT-vs-LOW mean
+    order-value gap with basket size (line count) as the explanatory
+    covariate: endowment effect Δx̄·β_low (how much of the gap is
+    'urgent orders are just bigger baskets') vs the coefficient
+    effect (different pricing per line) — the gap-accounting standard
+    from labor economics, here auditing a business KPI gap; the
+    decomposition_gap column is the exact-identity self-audit (≡0,
+    signed-zero-guarded — the q_mediation_paths discipline).
+
+    One join to order-grain line counts, one conditional-moment pass
+    to two group rows, closed-form algebra."""
+    lc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(lc, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+            (F.col("nl") * 1.0).alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    g = pts.groupBy("grp").agg(
+        n.alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (
+            (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y"))
+            / (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x"))
+        ).alias("b"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == v, F.col(c))).alias(f"{c}{v}")
+            for c in ("mx", "my", "b", "n")
+            for v in (1, 0)
+        ]
+    )
+    gap = F.col("my1") - F.col("my0")
+    endow = (F.col("mx1") - F.col("mx0")) * F.col("b0")
+    coefe = gap - endow
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n0").cast("bigint").alias("n_low"),
+        F.round(gap, 4).alias("total_gap"),
+        F.round(endow, 4).alias("endowment_effect"),
+        F.round(coefe, 4).alias("coefficient_effect"),
+        F.round(gap - endow - coefe, 4).alias("decomposition_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Palma ratio (top-10% / bottom-40% spend share)
+
+
+@register(
+    "q_palma_ratio",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey, CAST(sum({_OC}) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rnk,
+                   count(*) OVER () AS n
+            FROM spend
+        ),
+        shares AS (
+            SELECT max(n) AS n,
+                   sum(cents) AS total,
+                   sum(CASE WHEN rnk <= CAST(floor(n * 0.4) AS BIGINT)
+                            THEN cents ELSE 0 END) AS bottom40,
+                   sum(CASE WHEN rnk > n - CAST(floor(n * 0.1) AS BIGINT)
+                            THEN cents ELSE 0 END) AS top10
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_cust,
+               round(bottom40 * 1.0 / total, 4) AS bottom40_share,
+               round(top10 * 1.0 / total, 4) AS top10_share,
+               round(top10 * 1.0 / bottom40, 4) AS palma
+        FROM shares
+    """,
+    category="analytics",
+)
+def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of customer spend: top-10% share over bottom-40%
+    share — the inequality headline number policy economists quote
+    INSTEAD of Gini (Gini is insensitive exactly where distributions
+    differ: the tails; the middle 50% is famously stable). Completes
+    the five-lens inequality family (Gini, Theil, Atkinson, Hoover,
+    Palma), all on the same customer-spend base.
+
+    Customer-grain exact-cents aggregate, ONE stitched global rank
+    (deterministic (cents, custkey) total order — never a
+    single-partition row_number), then a single conditional-sum
+    pass; cut ranks are exact integers on both engines."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(_OC)).cast("bigint").alias("cents"))
+    )
+    r = stitched_running(
+        spend, ["cents", "o_custkey"], rank_name="rnk", with_totals=True
+    )
+    # with_totals=True exposes the global row count as rnk_total
+    b_cut = F.floor(F.col("rnk_total") * 0.4).cast("bigint")
+    t_cut = F.col("rnk_total") - F.floor(F.col("rnk_total") * 0.1).cast("bigint")
+    shares = r.agg(
+        F.max("rnk_total").alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.when(F.col("rnk") <= b_cut, F.col("cents")).otherwise(0)).alias(
+            "bottom40"
+        ),
+        F.sum(F.when(F.col("rnk") > t_cut, F.col("cents")).otherwise(0)).alias("top10"),
+    )
+    return shares.select(
+        F.col("n").cast("bigint").alias("n_cust"),
+        F.round(F.col("bottom40") * 1.0 / F.col("total"), 4).alias("bottom40_share"),
+        F.round(F.col("top10") * 1.0 / F.col("total"), 4).alias("top10_share"),
+        F.round(F.col("top10") * 1.0 / F.col("bottom40"), 4).alias("palma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test
+
+
+@register(
+    "q_mood_median_test",
+    oracle=f"""
+        WITH x AS (
+            SELECT r.r_name AS region, {_OC.replace("o_totalprice", "o.o_totalprice")} AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        vg AS (SELECT cents, count(*) AS cnt FROM x GROUP BY cents),
+        cum AS (
+            SELECT cents,
+                   sum(cnt) OVER (ORDER BY cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   (SELECT sum(cnt) FROM vg) AS n
+            FROM vg
+        ),
+        med AS (SELECT min(cents) AS m FROM cum WHERE cum * 2 >= n),
+        cells AS (
+            SELECT region, count(*) AS ni,
+                   sum(CASE WHEN cents > (SELECT m FROM med)
+                            THEN 1 ELSE 0 END) AS ai
+            FROM x GROUP BY region
+        ),
+        tot AS (SELECT sum(ni) AS n, sum(ai) AS a FROM cells)
+        SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS k,
+               CAST(t.n AS BIGINT) AS n_total,
+               round(sum(
+                   (c.ai - c.ni * t.a * 1.0 / t.n)
+                   * (c.ai - c.ni * t.a * 1.0 / t.n)
+                   / (c.ni * t.a * 1.0 / t.n)
+                 + (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
+                   * (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
+                   / (c.ni * (t.n - t.a) * 1.0 / t.n)), 4) AS chi_sq,
+               CAST(CASE WHEN sum(
+                   (c.ai - c.ni * t.a * 1.0 / t.n)
+                   * (c.ai - c.ni * t.a * 1.0 / t.n)
+                   / (c.ni * t.a * 1.0 / t.n)
+                 + (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
+                   * (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
+                   / (c.ni * (t.n - t.a) * 1.0 / t.n)) > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_medians
+        FROM cells c, tot t GROUP BY t.n
+    """,
+    category="analytics",
+)
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five regions' order values: count
+    each region's orders above the GLOBAL median and χ²-test the k×2
+    above/below table against the pooled rate (df = k−1, crit 9.49) —
+    the blunt-but-robust location test next to q_kruskal_wallis (rank
+    sums; more power) and q_group_median_exact (the medians
+    themselves): Mood's only asks "above the line or not", so it
+    survives any monotone transform and wild outliers.
+
+    The global median comes from a stitched cumulative over the
+    VALUE grain (lower-median integer rule, exact on both engines),
+    broadcast back; cells collapse in the same fact pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_OC).alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nr = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("r_name").alias("region"))
+    )
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("region", "cents")
+    )
+    vg = x.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = stitched_running(vg, ["cents"], running={"cum": "cnt"})
+    tot_n = vg.agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot_n))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("cents").alias("m"))
+    )
+    cells = (
+        x.crossJoin(F.broadcast(med))
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum(F.when(F.col("cents") > F.col("m"), 1).otherwise(0)).alias("ai"),
+        )
+    )
+    tot = cells.agg(F.sum("ni").alias("n"), F.sum("ai").alias("a"))
+    ea = F.col("ni") * F.col("a") * 1.0 / F.col("n")
+    eb = F.col("ni") * (F.col("n") - F.col("a")) * 1.0 / F.col("n")
+    term = (F.col("ai") - ea) * (F.col("ai") - ea) / ea + (
+        F.col("ni") - F.col("ai") - eb
+    ) * (F.col("ni") - F.col("ai") - eb) / eb
+    agg = cells.crossJoin(F.broadcast(tot)).groupBy("n").agg(
+        F.count(F.lit(1)).alias("k"), F.sum(term).alias("chi")
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round("chi", 4).alias("chi_sq"),
+        F.when(F.col("chi") > 9.4877, 1).otherwise(0).cast("int").alias(
+            "reject_equal_medians"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two deterministic quality raters
+
+
+@register(
+    "q_cohen_kappa",
+    oracle="""
+        WITH m AS (
+            SELECT avg(n_chars * 1.0) AS mean_chars,
+                   avg(len(string_split(text, ' ')) * 1.0) AS mean_toks
+            FROM documents
+        ),
+        rated AS (
+            SELECT CASE WHEN d.n_chars >= m.mean_chars THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN len(string_split(d.text, ' ')) >= m.mean_toks
+                        THEN 1 ELSE 0 END AS rb
+            FROM documents d, m
+        ),
+        cells AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree,
+                   sum(ra) AS a1, sum(rb) AS b1
+            FROM rated
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               round(agree * 1.0 / n, 4) AS po,
+               round((a1 * 1.0 / n) * (b1 * 1.0 / n)
+                     + (1 - a1 * 1.0 / n) * (1 - b1 * 1.0 / n), 4) AS pe,
+               round((agree * 1.0 / n
+                      - ((a1 * 1.0 / n) * (b1 * 1.0 / n)
+                         + (1 - a1 * 1.0 / n) * (1 - b1 * 1.0 / n)))
+                     / (1 - ((a1 * 1.0 / n) * (b1 * 1.0 / n)
+                             + (1 - a1 * 1.0 / n) * (1 - b1 * 1.0 / n))), 4)
+                   + 0.0 AS kappa
+        FROM cells
+    """,
+    category="llm-pipeline",
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two deterministic document-quality
+    raters — the char-length gate (≥ corpus mean chars) and the
+    token-count gate (≥ corpus mean tokens): κ = (p_o − p_e)/(1 − p_e)
+    discounts the agreement both gates reach by chance. The TWO-rater
+    member next to q_fleiss_kappa (many raters); in a labeling
+    pipeline this is the number that says whether a cheap gate can
+    substitute for an expensive one.
+
+    One pass for the two corpus means (1-row broadcast), one pass for
+    the 2×2 agreement cells, closed-form κ — all combinable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.size(F.split("text", " ")).alias("toks")
+    )
+    m = d.agg(
+        F.avg(F.col("n_chars") * 1.0).alias("mean_chars"),
+        F.avg(F.col("toks") * 1.0).alias("mean_toks"),
+    )
+    rated = d.crossJoin(F.broadcast(m)).select(
+        F.when(F.col("n_chars") >= F.col("mean_chars"), 1).otherwise(0).alias("ra"),
+        F.when(F.col("toks") >= F.col("mean_toks"), 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("agree"),
+        F.sum("ra").alias("a1"),
+        F.sum("rb").alias("b1"),
+    )
+    n = F.col("n")
+    po = F.col("agree") * 1.0 / n
+    pa, pb = F.col("a1") * 1.0 / n, F.col("b1") * 1.0 / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return cells.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+    )

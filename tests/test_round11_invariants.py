@@ -302,3 +302,67 @@ def test_ivf_probe_sweep_monotone(spark):
     for r in rows:
         assert 0.0 <= r["recall_at_5"] <= 1.0
         assert r["n_hits"] <= r["n_exact_pairs"]
+
+
+def test_sharpe_sortino_relation(spark):
+    r = REGISTRY["q_sharpe_sortino"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_days"] > 10
+    if r["sortino_annual"] is not None and r["mean_daily_return"] > 0:
+        # downside dev <= full sd only counts down days, so sortino >= sharpe
+        assert r["sortino_annual"] >= r["sharpe_annual"] - 0.001
+
+
+def test_intrinsic_dim_positive(spark):
+    r = REGISTRY["q_intrinsic_dim"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_queries"] >= 1
+    assert r["mean_ln_mu"] > 0  # d2 > d1 strictly for counted queries
+    assert 0 < r["intrinsic_dim"] <= 64.5  # cannot exceed ambient dim (+slack)
+
+
+def test_binary_quant_recall_bounds(spark):
+    r = REGISTRY["q_binary_quant_recall"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["recall_at_5"] <= 1.0
+    assert r["n_hits"] <= r["n_exact_pairs"]
+    if r["n_hits"] > 0:
+        assert 0 <= r["avg_hamming_of_hits"] <= 64
+
+
+def test_iv_2sls_first_stage(spark):
+    r = REGISTRY["q_iv_2sls"].fn(spark, SF_DIR).collect()[0]
+    assert r["first_stage_f"] >= 0
+    assert r["weak_instrument"] == (1 if r["first_stage_f"] < 10 else 0)
+
+
+def test_oaxaca_decomposition_identity(spark):
+    r = REGISTRY["q_oaxaca_blinder"].fn(spark, SF_DIR).collect()[0]
+    # endowment + coefficient reconstruct the gap (to rounding)
+    assert r["total_gap"] == pytest.approx(
+        r["endowment_effect"] + r["coefficient_effect"], abs=0.001
+    )
+    assert r["decomposition_gap"] == 0.0
+
+
+def test_palma_share_accounting(spark):
+    r = REGISTRY["q_palma_ratio"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["bottom40_share"] <= 1.0
+    assert 0.0 <= r["top10_share"] <= 1.0
+    assert r["top10_share"] + r["bottom40_share"] <= 1.0001
+    assert r["palma"] == pytest.approx(
+        r["top10_share"] / r["bottom40_share"], rel=0.01
+    )
+
+
+def test_mood_median_shape(spark):
+    r = REGISTRY["q_mood_median_test"].fn(spark, SF_DIR).collect()[0]
+    assert r["k"] == 5
+    assert r["chi_sq"] >= 0
+    assert r["reject_equal_medians"] == (1 if r["chi_sq"] > 9.4877 else 0)
+
+
+def test_cohen_kappa_bounds(spark):
+    r = REGISTRY["q_cohen_kappa"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["po"] <= 1.0
+    assert 0.0 < r["pe"] < 1.0
+    assert -1.0 <= r["kappa"] <= 1.0
+    # kappa consistent with its own po/pe to rounding
+    assert r["kappa"] == pytest.approx((r["po"] - r["pe"]) / (1 - r["pe"]), abs=0.01)

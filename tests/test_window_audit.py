@@ -89,6 +89,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_seasonal_strength": "day table (calendar-bounded)",
     "q_holm_bonferroni": "35 contingency cells (event types x weekdays)",
     "q_growth_accounting": "week table (calendar-bounded)",
+    "q_sharpe_sortino": "day table (calendar-bounded)",
 }
 
 
@@ -124,7 +125,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 62, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 63, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

@@ -291,6 +291,14 @@ HEAVY = [
     "q_growth_accounting",
     "q_decay_halflife",
     "q_ivf_probe_sweep",
+    "q_sharpe_sortino",
+    "q_intrinsic_dim",
+    "q_binary_quant_recall",
+    "q_iv_2sls",
+    "q_oaxaca_blinder",
+    "q_palma_ratio",
+    "q_mood_median_test",
+    "q_cohen_kappa",
 ]
 
 #: per-table key columns to offset so replicas don't collide
