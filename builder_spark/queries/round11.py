@@ -87,6 +87,9 @@ _DAILY_REV_SQL = """
                    sum(CASE WHEN l5 IS NULL THEN 0
                             ELSE (rev - m.mu) * (l5 - m.mu) END) AS c5
             FROM lagged, m GROUP BY m.n
+        ),
+        safe AS (
+            SELECT n, nullif(den, 0) AS den, c1, c2, c3, c4, c5 FROM acf
         )
         SELECT CAST(n AS BIGINT) AS n_days,
                round(c1 / den, 4) + 0.0 AS acf1,
@@ -106,7 +109,7 @@ _DAILY_REV_SQL = """
                                     + (c4 / den) * (c4 / den) / (n - 4)
                                     + (c5 / den) * (c5 / den) / (n - 5)) > 11.0705
                     THEN 1 ELSE 0 END AS INT) AS reject_white_noise
-        FROM acf
+        FROM safe
     """,
     category="analytics",
 )
@@ -143,6 +146,9 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 6)
         ],
     )
+    # degenerate-input guard (ANSI Spark RAISES on /0 where DuckDB NULLs):
+    # an all-constant daily series zeroes the centered denominator
+    acf = acf.withColumn("den", F.when(F.col("den") != 0, F.col("den")))
     n = F.col("n")
     q = (
         n
@@ -179,7 +185,8 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pts
         ),
         coef AS (
-            SELECT n, mx, my, sxx, sxy / sxx AS b, my - (sxy / sxx) * mx AS a
+            SELECT n, mx, my, sxx, sxy / nullif(sxx, 0) AS b,
+                   my - (sxy / nullif(sxx, 0)) * mx AS a
             FROM mom
         ),
         aux AS (
@@ -203,8 +210,10 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM aux
         )
         SELECT CAST(n AS BIGINT) AS n,
-               round(n * (sxu_c * sxu_c) / (sxx * suu_c), 4) + 0.0 AS lm_stat,
-               CAST(CASE WHEN n * (sxu_c * sxu_c) / (sxx * suu_c) > 3.8415
+               round(n * (sxu_c * sxu_c) / nullif(sxx * suu_c, 0), 4)
+                   + 0.0 AS lm_stat,
+               CAST(CASE WHEN n * (sxu_c * sxu_c) / nullif(sxx * suu_c, 0)
+                              > 3.8415
                     THEN 1 ELSE 0 END AS INT) AS reject_homoscedastic
         FROM lm
     """,
@@ -234,12 +243,13 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")).alias("sxx"),
         (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
     )
+    sxx_nz = F.when(F.col("sxx") != 0, F.col("sxx"))  # ANSI /0 guard
     coef = mom.select(
         "n",
         "mx",
         "sxx",
-        (F.col("sxy") / F.col("sxx")).alias("b"),
-        (F.col("my") - (F.col("sxy") / F.col("sxx")) * F.col("mx")).alias("a"),
+        (F.col("sxy") / sxx_nz).alias("b"),
+        (F.col("my") - (F.col("sxy") / sxx_nz) * F.col("mx")).alias("a"),
     )
     e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
     aux = pts.crossJoin(F.broadcast(coef)).agg(
@@ -252,7 +262,8 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sxu_c = F.col("sxu_raw") - F.col("sx") * F.col("su") / F.col("n")
     suu_c = F.col("suu") - F.col("su") * F.col("su") / F.col("n")
-    lm = F.col("n") * (sxu_c * sxu_c) / (F.col("sxx") * suu_c)
+    lm_den = F.col("sxx") * suu_c
+    lm = F.col("n") * (sxu_c * sxu_c) / F.when(lm_den != 0, lm_den)
     return aux.select(
         F.col("n").cast("bigint").alias("n"),
         F.round(lm, 4).alias("lm_stat"),
@@ -292,13 +303,13 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT CAST(n AS BIGINT) FROM mom) AS n_days,
                round(sum(CASE WHEN ep IS NULL THEN 0
                               ELSE (e - ep) * (e - ep) END)
-                     / sum(e * e), 4) + 0.0 AS dw,
+                     / nullif(sum(e * e), 0), 4) + 0.0 AS dw,
                round(1 - sum(CASE WHEN ep IS NULL THEN 0
                                   ELSE (e - ep) * (e - ep) END)
-                         / sum(e * e) / 2, 4) + 0.0 AS rho_approx,
+                         / nullif(sum(e * e), 0) / 2, 4) + 0.0 AS rho_approx,
                CAST(CASE WHEN sum(CASE WHEN ep IS NULL THEN 0
                                        ELSE (e - ep) * (e - ep) END)
-                              / sum(e * e) < 1.5
+                              / nullif(sum(e * e), 0) < 1.5
                     THEN 1 ELSE 0 END AS INT) AS positive_autocorr
         FROM lagged
     """,
@@ -345,7 +356,8 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
         )
     )
-    den = F.sum(F.col("e") * F.col("e"))
+    _de = F.sum(F.col("e") * F.col("e"))
+    den = F.when(_de != 0, _de)  # ANSI /0 guard: perfect-fit residuals
     return lagged.agg(
         F.max("n").cast("bigint").alias("n_days"),
         F.round(num / den, 4).alias("dw"),
@@ -373,25 +385,28 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g AS (
             SELECT region, count(*) AS n,
-                   (sum(v * v) - count(*) * avg(v) * avg(v)) / (count(*) - 1)
-                       AS s2
+                   (sum(v * v) - count(*) * avg(v) * avg(v))
+                       / nullif(count(*) - 1, 0) AS s2
             FROM x GROUP BY region
         ),
         agg AS (
             SELECT count(*) AS k, sum(n) AS nt,
                    sum((n - 1) * s2) AS pooled_num,
-                   sum((n - 1) * ln(s2)) AS sum_ln,
-                   sum(1.0 / (n - 1)) AS sum_inv
+                   sum((n - 1) * ln(nullif(s2, 0))) AS sum_ln,
+                   sum(1.0 / nullif(n - 1, 0)) AS sum_inv
             FROM g
         )
         SELECT CAST(k AS BIGINT) AS k,
                CAST(nt AS BIGINT) AS n_total,
-               round(((nt - k) * ln(pooled_num / (nt - k)) - sum_ln)
-                     / (1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1))), 4)
+               round(((nt - k) * ln(pooled_num / nullif(nt - k, 0)) - sum_ln)
+                     / (1 + (sum_inv - 1.0 / nullif(nt - k, 0))
+                        / (3 * (k - 1))), 4)
                    + 0.0 AS t_stat,
                CAST(k - 1 AS INT) AS df,
-               CAST(CASE WHEN ((nt - k) * ln(pooled_num / (nt - k)) - sum_ln)
-                              / (1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1)))
+               CAST(CASE WHEN ((nt - k) * ln(pooled_num / nullif(nt - k, 0))
+                               - sum_ln)
+                              / (1 + (sum_inv - 1.0 / nullif(nt - k, 0))
+                                 / (3 * (k - 1)))
                               > 9.4877
                     THEN 1 ELSE 0 END AS INT) AS reject_equal_var
         FROM agg
@@ -427,23 +442,27 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("region", (F.col("cents").cast("double") / 100).alias("v"))
     )
+    nm1 = F.count(F.lit(1)) - 1
     g = x.groupBy("region").agg(
         F.count(F.lit(1)).alias("n"),
         (
             (F.sum(F.col("v") * F.col("v")) - F.count(F.lit(1)) * F.avg("v") * F.avg("v"))
-            / (F.count(F.lit(1)) - 1)
+            / F.when(nm1 != 0, nm1)
         ).alias("s2"),
     )
     agg = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("nt"),
         F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
-        F.sum((F.col("n") - 1) * F.log(F.col("s2"))).alias("sum_ln"),
-        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+        F.sum(
+            (F.col("n") - 1) * F.log(F.when(F.col("s2") != 0, F.col("s2")))
+        ).alias("sum_ln"),
+        F.sum(1.0 / F.when(F.col("n") != 1, F.col("n") - 1)).alias("sum_inv"),
     )
     k, nt = F.col("k"), F.col("nt")
-    t_stat = ((nt - k) * F.log(F.col("pooled_num") / (nt - k)) - F.col("sum_ln")) / (
-        1 + (F.col("sum_inv") - 1.0 / (nt - k)) / (3 * (k - 1))
+    ntk = F.when(nt != k, nt - k)  # ANSI /0 guard: one order per region
+    t_stat = ((nt - k) * F.log(F.col("pooled_num") / ntk) - F.col("sum_ln")) / (
+        1 + (F.col("sum_inv") - 1.0 / ntk) / (3 * (k - 1))
     )
     return agg.select(
         k.cast("bigint").alias("k"),
@@ -814,11 +833,12 @@ from builder_spark.operators.partitioning import stitched_running  # noqa: E402
                round(12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0), 4)
                    + 0.0 AS h_stat,
                round((12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0))
-                     / (1 - tsum * 1.0 / (nt * nt * nt - nt)), 4)
+                     / nullif(1 - tsum * 1.0 / (nt * nt * nt - nt), 0), 4)
                    + 0.0 AS h_corrected,
                CAST(CASE WHEN (12.0 / (nt * (nt + 1)) * sum_rg2
                                - 3 * (nt + 1.0))
-                              / (1 - tsum * 1.0 / (nt * nt * nt - nt))
+                              / nullif(1 - tsum * 1.0
+                                       / (nt * nt * nt - nt), 0)
                               > 9.4877
                     THEN 1 ELSE 0 END AS INT) AS reject_equal_medians
         FROM agg
@@ -865,7 +885,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = F.col("nt")
     h = 12.0 / (nt * (nt + 1)) * F.col("sum_rg2") - 3 * (nt + F.lit(1.0))
-    hc = h / (1 - F.col("tsum") * 1.0 / (nt * nt * nt - nt))
+    tie_den = 1 - F.col("tsum") * 1.0 / (nt * nt * nt - nt)
+    hc = h / F.when(tie_den != 0, tie_den)  # ANSI /0 guard: all-tied values
     return agg.select(
         F.col("k").cast("bigint").alias("k"),
         nt.cast("bigint").alias("n_total"),
@@ -903,11 +924,12 @@ _CPK_LSL = 0.0
         SELECT priority, CAST(n AS BIGINT) AS n_lines,
                round(mu, 4) AS mean_days,
                round(sd, 4) AS sd_days,
-               round(({_CPK_USL} - {_CPK_LSL}) / (6 * sd), 4) AS cp,
-               round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sd), 4)
+               round(({_CPK_USL} - {_CPK_LSL}) / nullif(6 * sd, 0), 4) AS cp,
+               round(least({_CPK_USL} - mu, mu - {_CPK_LSL})
+                     / nullif(3 * sd, 0), 4)
                    + 0.0 AS cpk,
                CAST(CASE WHEN least({_CPK_USL} - mu, mu - {_CPK_LSL})
-                              / (3 * sd) >= 1.33
+                              / nullif(3 * sd, 0) >= 1.33
                     THEN 1 ELSE 0 END AS INT) AS capable
         FROM g ORDER BY priority
     """,
@@ -950,13 +972,14 @@ def q_cpk_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n - 1)
         ).alias("sd"),
     )
-    cpk = F.least(_CPK_USL - F.col("mu"), F.col("mu") - _CPK_LSL) / (3 * F.col("sd"))
+    sd_nz = F.when(F.col("sd") != 0, F.col("sd"))  # ANSI /0 guard
+    cpk = F.least(_CPK_USL - F.col("mu"), F.col("mu") - _CPK_LSL) / (3 * sd_nz)
     return g.select(
         "priority",
         F.col("n").cast("bigint").alias("n_lines"),
         F.round("mu", 4).alias("mean_days"),
         F.round("sd", 4).alias("sd_days"),
-        F.round((_CPK_USL - _CPK_LSL) / (6 * F.col("sd")), 4).alias("cp"),
+        F.round((_CPK_USL - _CPK_LSL) / (6 * sd_nz), 4).alias("cp"),
         F.round(cpk, 4).alias("cpk"),
         F.when(cpk >= 1.33, 1).otherwise(0).cast("int").alias("capable"),
     ).orderBy("priority")
@@ -1001,7 +1024,7 @@ def q_cpk_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN ph_t > s.lambda THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_alarm_days,
                min(CASE WHEN ph_t > s.lambda THEN d END) AS first_alarm_day,
-               round(max(ph_t) / s.lambda, 4) + 0.0 AS max_ph_ratio
+               round(max(ph_t) / nullif(s.lambda, 0), 4) + 0.0 AS max_ph_ratio
         FROM ph, stats s GROUP BY s.lambda
     """,
     category="analytics",
@@ -1051,7 +1074,9 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("ph_t") > F.col("lam"), F.col("d"))).alias(
             "first_alarm_day"
         ),
-        F.round(F.max("ph_t") / F.col("lam"), 4).alias("max_ph_ratio"),
+        F.round(
+            F.max("ph_t") / F.when(F.col("lam") != 0, F.col("lam")), 4
+        ).alias("max_ph_ratio"),
     ).drop("lam")
 
 
@@ -1170,26 +1195,26 @@ def q_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT m.n,
                    sum(CASE WHEN l1 IS NULL THEN 0
                             ELSE (rev - m.mu) * (l1 - m.mu) END)
-                     / sum((rev - m.mu) * (rev - m.mu)) AS r1,
+                     / nullif(sum((rev - m.mu) * (rev - m.mu)), 0) AS r1,
                    sum(CASE WHEN l2 IS NULL THEN 0
                             ELSE (rev - m.mu) * (l2 - m.mu) END)
-                     / sum((rev - m.mu) * (rev - m.mu)) AS r2,
+                     / nullif(sum((rev - m.mu) * (rev - m.mu)), 0) AS r2,
                    sum(CASE WHEN l3 IS NULL THEN 0
                             ELSE (rev - m.mu) * (l3 - m.mu) END)
-                     / sum((rev - m.mu) * (rev - m.mu)) AS r3
+                     / nullif(sum((rev - m.mu) * (rev - m.mu)), 0) AS r3
             FROM lagged, m GROUP BY m.n
         ),
         dl AS (
             SELECT n, r1, r2, r3,
-                   (r2 - r1 * r1) / (1 - r1 * r1) AS p22,
-                   r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS p21
+                   (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS p22,
+                   r1 * (1 - (r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) AS p21
             FROM acf
         )
         SELECT CAST(n AS BIGINT) AS n_days,
                round(r1, 4) + 0.0 AS pacf1,
                round(p22, 4) + 0.0 AS pacf2,
                round((r3 - p21 * r2 - p22 * r1)
-                     / (1 - p21 * r1 - p22 * r2), 4) + 0.0 AS pacf3
+                     / nullif(1 - p21 * r1 - p22 * r2, 0), 4) + 0.0 AS pacf3
         FROM dl
     """,
     category="analytics",
@@ -1212,7 +1237,8 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, 4)]
     )
-    den = F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu")))
+    _d = F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu")))
+    den = F.when(_d != 0, _d)  # ANSI /0 guard: all-constant series
     acf = lagged.crossJoin(F.broadcast(m)).agg(
         F.max("n").alias("n"),
         *[
@@ -1228,9 +1254,11 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
-    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    d22 = 1 - r1 * r1
+    p22 = (r2 - r1 * r1) / F.when(d22 != 0, d22)
     p21 = r1 * (1 - p22)
-    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    d33 = 1 - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / F.when(d33 != 0, d33)
     return acf.select(
         F.col("n").cast("bigint").alias("n_days"),
         F.round(r1, 4).alias("pacf1"),
@@ -1399,12 +1427,14 @@ def q_coleman_liau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(nbands AS BIGINT) AS n_bands,
                CAST(nt AS BIGINT) AS n_total,
-               round(t_ / sqrt((at_ * 1.0 / nt) * (1 - at_ * 1.0 / nt)
-                               * (st2n - stn * stn * 1.0 / nt)), 4)
+               round(t_ / nullif(sqrt((at_ * 1.0 / nt)
+                                      * (1 - at_ * 1.0 / nt)
+                                      * (st2n - stn * stn * 1.0 / nt)), 0), 4)
                    + 0.0 AS z,
-               CAST(CASE WHEN abs(t_ / sqrt((at_ * 1.0 / nt)
+               CAST(CASE WHEN abs(t_ / nullif(sqrt((at_ * 1.0 / nt)
                                             * (1 - at_ * 1.0 / nt)
-                                            * (st2n - stn * stn * 1.0 / nt)))
+                                            * (st2n - stn * stn * 1.0
+                                               / nt)), 0))
                               > 1.96
                     THEN 1 ELSE 0 END AS INT) AS reject_no_trend
         FROM agg
@@ -1441,9 +1471,10 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("band") * F.col("n")).alias("stn"),
     )
     pbar = F.col("at_") * 1.0 / F.col("nt")
-    z = F.col("t_") / F.sqrt(
+    _zv = F.sqrt(
         pbar * (1 - pbar) * (F.col("st2n") - F.col("stn") * F.col("stn") * 1.0 / F.col("nt"))
     )
+    z = F.col("t_") / F.when(_zv != 0, _zv)  # ANSI /0 guard: all-hit or 1 band
     return agg.select(
         F.col("nbands").cast("bigint").alias("n_bands"),
         F.col("nt").cast("bigint").alias("n_total"),
@@ -1471,8 +1502,8 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g AS (
             SELECT ga, count(*) AS n, avg(v) AS m,
-                   (sum(v * v) - count(*) * avg(v) * avg(v)) / (count(*) - 1)
-                       AS s2
+                   (sum(v * v) - count(*) * avg(v) * avg(v))
+                       / nullif(count(*) - 1, 0) AS s2
             FROM s GROUP BY ga
         ),
         w AS (
@@ -1486,8 +1517,8 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         d AS (
             SELECT n1, n2,
-                   (m1 - m2) / sqrt(((n1 - 1) * s21 + (n2 - 1) * s22)
-                                    / (n1 + n2 - 2)) AS d_raw
+                   (m1 - m2) / nullif(sqrt(((n1 - 1) * s21 + (n2 - 1) * s22)
+                                           / (n1 + n2 - 2)), 0) AS d_raw
             FROM w
         )
         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -1524,9 +1555,10 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("ga").agg(
         n.alias("n"),
         F.avg("v").alias("m"),
-        ((F.sum(F.col("v") * F.col("v")) - n * F.avg("v") * F.avg("v")) / (n - 1)).alias(
-            "s2"
-        ),
+        (
+            (F.sum(F.col("v") * F.col("v")) - n * F.avg("v") * F.avg("v"))
+            / F.when(n != 1, n - 1)
+        ).alias("s2"),
     )
     w = g.agg(
         F.max(F.when(F.col("ga") == 1, F.col("n"))).alias("n1"),
@@ -1537,9 +1569,10 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("ga") == 0, F.col("s2"))).alias("s22"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
-    d_raw = (F.col("m1") - F.col("m2")) / F.sqrt(
+    _sp = F.sqrt(
         ((n1 - 1) * F.col("s21") + (n2 - 1) * F.col("s22")) / (n1 + n2 - 2)
     )
+    d_raw = (F.col("m1") - F.col("m2")) / F.when(_sp != 0, _sp)  # ANSI /0 guard
     ad = F.abs(d_raw)
     return w.select(
         n1.cast("bigint").alias("n1"),
@@ -1869,8 +1902,10 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM parts
         )
         SELECT CAST(n AS BIGINT) AS n_days_used,
-               round(greatest(0.0, 1 - vr / vd), 4) + 0.0 AS seasonal_strength,
-               round(greatest(0.0, 1 - vr / vt), 4) + 0.0 AS trend_strength
+               round(greatest(0.0, 1 - vr / nullif(vd, 0)), 4)
+                   + 0.0 AS seasonal_strength,
+               round(greatest(0.0, 1 - vr / nullif(vt, 0)), 4)
+                   + 0.0 AS trend_strength
         FROM v
     """,
     category="analytics",
@@ -1918,12 +1953,18 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.select(
         F.col("n").cast("bigint").alias("n_days_used"),
-        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vd")), 4).alias(
-            "seasonal_strength"
-        ),
-        F.round(F.greatest(F.lit(0.0), 1 - F.col("vr") / F.col("vt")), 4).alias(
-            "trend_strength"
-        ),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.col("vr") / F.when(F.col("vd") != 0, F.col("vd"))
+            ),
+            4,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.col("vr") / F.when(F.col("vt") != 0, F.col("vt"))
+            ),
+            4,
+        ).alias("trend_strength"),
     )
 
 
@@ -2297,8 +2338,9 @@ def q_jains_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT d.c,
-                   coalesce(w.e_in, 0) * 1.0 / m.m
-                   - (d.d * 1.0 / (2 * m.m)) * (d.d * 1.0 / (2 * m.m)) AS qc
+                   coalesce(w.e_in, 0) * 1.0 / nullif(m.m, 0)
+                   - (d.d * 1.0 / nullif(2 * m.m, 0))
+                     * (d.d * 1.0 / nullif(2 * m.m, 0)) AS qc
             FROM deg d LEFT JOIN within w ON d.c = w.c CROSS JOIN m
         )
         SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
@@ -2361,9 +2403,10 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c",
             (
-                F.coalesce(F.col("e_in"), F.lit(0)) * 1.0 / F.col("m")
-                - (F.col("d") * 1.0 / (2 * F.col("m")))
-                * (F.col("d") * 1.0 / (2 * F.col("m")))
+                F.coalesce(F.col("e_in"), F.lit(0)) * 1.0
+                / F.when(F.col("m") != 0, F.col("m"))
+                - (F.col("d") * 1.0 / F.when(F.col("m") != 0, 2 * F.col("m")))
+                * (F.col("d") * 1.0 / F.when(F.col("m") != 0, 2 * F.col("m")))
             ).alias("qc"),
             F.col("m"),
         )
@@ -2803,10 +2846,11 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily
         )
         SELECT CAST(n AS BIGINT) AS n_days,
-               round(-(sxy / sxx), 6) + 0.0 AS lambda_per_day,
+               round(-(sxy / nullif(sxx, 0)), 6) + 0.0 AS lambda_per_day,
                CASE WHEN sxy < 0
-                    THEN round(ln(2) / (-(sxy / sxx)), 2) END AS half_life_days,
-               round((sxy * sxy) / (sxx * syy), 4) + 0.0 AS r2
+                    THEN round(ln(2) / (-(sxy / nullif(sxx, 0))), 2)
+               END AS half_life_days,
+               round((sxy * sxy) / nullif(sxx * syy, 0), 4) + 0.0 AS r2
         FROM mom
     """,
     category="analytics",
@@ -2841,16 +2885,17 @@ def q_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(ax * F.col("age")) - n * F.avg(ax) * F.avg(ax)).alias("sxx"),
         (F.sum(ly * ly) - n * F.avg(ly) * F.avg(ly)).alias("syy"),
     )
-    slope = F.col("sxy") / F.col("sxx")
+    slope = F.col("sxy") / F.when(F.col("sxx") != 0, F.col("sxx"))  # ANSI guard
+    _r2den = F.when(
+        F.col("sxx") * F.col("syy") != 0, F.col("sxx") * F.col("syy")
+    )
     return mom.select(
         F.col("n").cast("bigint").alias("n_days"),
         F.round(-slope, 6).alias("lambda_per_day"),
         F.when(F.col("sxy") < 0, F.round(F.log(F.lit(2.0)) / (-slope), 2)).alias(
             "half_life_days"
         ),
-        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 4).alias(
-            "r2"
-        ),
+        F.round((F.col("sxy") * F.col("sxy")) / _r2den, 4).alias("r2"),
     )
 
 
@@ -2998,7 +3043,7 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(n AS BIGINT) AS n_days,
                round(mu, 6) + 0.0 AS mean_daily_return,
-               round(mu / sd * sqrt(365), 4) + 0.0 AS sharpe_annual,
+               round(mu / nullif(sd, 0) * sqrt(365), 4) + 0.0 AS sharpe_annual,
                CASE WHEN dd > 0
                     THEN round(mu / dd * sqrt(365), 4) + 0.0 END
                    AS sortino_annual
@@ -3037,9 +3082,10 @@ def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         F.col("n").cast("bigint").alias("n_days"),
         F.round("mu", 6).alias("mean_daily_return"),
-        F.round(F.col("mu") / F.col("sd") * F.sqrt(F.lit(365.0)), 4).alias(
-            "sharpe_annual"
-        ),
+        F.round(
+            F.col("mu") / F.when(F.col("sd") != 0, F.col("sd")) * F.sqrt(F.lit(365.0)),
+            4,
+        ).alias("sharpe_annual"),
         F.when(
             F.col("dd") > 0,
             F.round(F.col("mu") / F.col("dd") * F.sqrt(F.lit(365.0)), 4),
@@ -3254,15 +3300,17 @@ def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pts
         ),
         fit AS (
-            SELECT n, sxy / sxx AS beta_ols, szy / szx AS beta_iv,
-                   (szx * szx) / (szz * sxx) AS r2_first
+            SELECT n, sxy / nullif(sxx, 0) AS beta_ols,
+                   szy / nullif(szx, 0) AS beta_iv,
+                   (szx * szx) / nullif(szz * sxx, 0) AS r2_first
             FROM mom
         )
         SELECT CAST(n AS BIGINT) AS n,
                round(beta_ols, 6) + 0.0 AS beta_ols,
                round(beta_iv, 6) + 0.0 AS beta_iv,
-               round(r2_first / (1 - r2_first) * (n - 2), 4) AS first_stage_f,
-               CAST(CASE WHEN r2_first / (1 - r2_first) * (n - 2) < 10
+               round(r2_first / nullif(1 - r2_first, 0) * (n - 2), 4)
+                   AS first_stage_f,
+               CAST(CASE WHEN r2_first / nullif(1 - r2_first, 0) * (n - 2) < 10
                     THEN 1 ELSE 0 END AS INT) AS weak_instrument
         FROM fit
     """,
@@ -3295,12 +3343,18 @@ def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")).alias("sxx"),
         (F.sum(F.col("z") * F.col("z")) - n * F.avg("z") * F.avg("z")).alias("szz"),
     )
-    r2f = (F.col("szx") * F.col("szx")) / (F.col("szz") * F.col("sxx"))
-    f_stat = r2f / (1 - r2f) * (F.col("n") - 2)
+    _zx = F.when(F.col("szz") * F.col("sxx") != 0, F.col("szz") * F.col("sxx"))
+    r2f = (F.col("szx") * F.col("szx")) / _zx
+    _r2d = F.when(r2f != 1, 1 - r2f)  # ANSI /0 guards throughout
+    f_stat = r2f / _r2d * (F.col("n") - 2)
     return mom.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("sxy") / F.col("sxx"), 6).alias("beta_ols"),
-        F.round(F.col("szy") / F.col("szx"), 6).alias("beta_iv"),
+        F.round(
+            F.col("sxy") / F.when(F.col("sxx") != 0, F.col("sxx")), 6
+        ).alias("beta_ols"),
+        F.round(
+            F.col("szy") / F.when(F.col("szx") != 0, F.col("szx")), 6
+        ).alias("beta_iv"),
         F.round(f_stat, 4).alias("first_stage_f"),
         F.when(f_stat < 10, 1).otherwise(0).cast("int").alias("weak_instrument"),
     )
@@ -3326,7 +3380,7 @@ def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
         g AS (
             SELECT grp, count(*) AS n, avg(x) AS mx, avg(y) AS my,
                    (sum(x * y) - count(*) * avg(x) * avg(y))
-                   / (sum(x * x) - count(*) * avg(x) * avg(x)) AS b
+                   / nullif(sum(x * x) - count(*) * avg(x) * avg(x), 0) AS b
             FROM pts GROUP BY grp
         ),
         w AS (
@@ -3386,7 +3440,10 @@ def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("y").alias("my"),
         (
             (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y"))
-            / (F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x"))
+            / F.when(
+                F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x") != 0,
+                F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x"),
+            )
         ).alias("b"),
     )
     w = g.agg(
@@ -3438,7 +3495,7 @@ def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n AS BIGINT) AS n_cust,
                round(bottom40 * 1.0 / total, 4) AS bottom40_share,
                round(top10 * 1.0 / total, 4) AS top10_share,
-               round(top10 * 1.0 / bottom40, 4) AS palma
+               round(top10 * 1.0 / nullif(bottom40, 0), 4) AS palma
         FROM shares
     """,
     category="analytics",
@@ -3478,7 +3535,10 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_cust"),
         F.round(F.col("bottom40") * 1.0 / F.col("total"), 4).alias("bottom40_share"),
         F.round(F.col("top10") * 1.0 / F.col("total"), 4).alias("top10_share"),
-        F.round(F.col("top10") * 1.0 / F.col("bottom40"), 4).alias("palma"),
+        F.round(
+            F.col("top10") * 1.0 / F.when(F.col("bottom40") != 0, F.col("bottom40")),
+            4,
+        ).alias("palma"),
     )
 
 
@@ -3518,17 +3578,17 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(
                    (c.ai - c.ni * t.a * 1.0 / t.n)
                    * (c.ai - c.ni * t.a * 1.0 / t.n)
-                   / (c.ni * t.a * 1.0 / t.n)
+                   / nullif(c.ni * t.a * 1.0 / t.n, 0)
                  + (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
                    * (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
-                   / (c.ni * (t.n - t.a) * 1.0 / t.n)), 4) AS chi_sq,
+                   / nullif(c.ni * (t.n - t.a) * 1.0 / t.n, 0)), 4) AS chi_sq,
                CAST(CASE WHEN sum(
                    (c.ai - c.ni * t.a * 1.0 / t.n)
                    * (c.ai - c.ni * t.a * 1.0 / t.n)
-                   / (c.ni * t.a * 1.0 / t.n)
+                   / nullif(c.ni * t.a * 1.0 / t.n, 0)
                  + (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
                    * (c.ni - c.ai - c.ni * (t.n - t.a) * 1.0 / t.n)
-                   / (c.ni * (t.n - t.a) * 1.0 / t.n)) > 9.4877
+                   / nullif(c.ni * (t.n - t.a) * 1.0 / t.n, 0)) > 9.4877
                     THEN 1 ELSE 0 END AS INT) AS reject_equal_medians
         FROM cells c, tot t GROUP BY t.n
     """,
@@ -3580,8 +3640,10 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = cells.agg(F.sum("ni").alias("n"), F.sum("ai").alias("a"))
-    ea = F.col("ni") * F.col("a") * 1.0 / F.col("n")
-    eb = F.col("ni") * (F.col("n") - F.col("a")) * 1.0 / F.col("n")
+    _ea = F.col("ni") * F.col("a") * 1.0 / F.col("n")
+    _eb = F.col("ni") * (F.col("n") - F.col("a")) * 1.0 / F.col("n")
+    ea = F.when(_ea != 0, _ea)  # ANSI /0 guard: degenerate all-equal values
+    eb = F.when(_eb != 0, _eb)
     term = (F.col("ai") - ea) * (F.col("ai") - ea) / ea + (
         F.col("ni") - F.col("ai") - eb
     ) * (F.col("ni") - F.col("ai") - eb) / eb
