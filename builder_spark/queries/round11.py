@@ -293,8 +293,8 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         res AS (
             SELECT i.d,
-                   i.rev - (m.mr - (m.str_ / m.stt) * m.mt)
-                         - (m.str_ / m.stt) * i.t AS e
+                   i.rev - (m.mr - (m.str_ / nullif(m.stt, 0)) * m.mt)
+                         - (m.str_ / nullif(m.stt, 0)) * i.t AS e
             FROM idx i, mom m
         ),
         lagged AS (
@@ -343,7 +343,8 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(F.col("t") * F.col("t")) - n * F.avg("t") * F.avg("t")).alias("stt"),
     )
-    b = F.col("str_") / F.col("stt")
+    # guard: single-day series gives stt == 0 (ANSI /0)
+    b = F.col("str_") / F.when(F.col("stt") != 0, F.col("stt"))
     res = idx.crossJoin(F.broadcast(mom)).select(
         "d",
         "n",
@@ -657,7 +658,7 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(CASE WHEN m = 2 THEN vm ELSE 0 END) * 1.0
                      / sum(vm), 4) AS dis_share,
                round(10000.0 * (sum(m * m * vm) - sum(m * vm))
-                     / (sum(m * vm) * sum(m * vm)), 4) AS yules_k
+                     / (sum(m * vm) * 1.0 * sum(m * vm)), 4) AS yules_k
         FROM spectrum GROUP BY source ORDER BY source
     """,
     category="llm-text",
@@ -699,7 +700,7 @@ def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 10000.0
                 * (F.sum(m * m * vm) - F.sum(m * vm))
-                / (F.sum(m * vm) * F.sum(m * vm)),
+                / (F.sum(m * vm) * 1.0 * F.sum(m * vm)),
                 4,
             ).alias("yules_k"),
         )
@@ -833,12 +834,12 @@ from builder_spark.operators.partitioning import stitched_running  # noqa: E402
                round(12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0), 4)
                    + 0.0 AS h_stat,
                round((12.0 / (nt * (nt + 1)) * sum_rg2 - 3 * (nt + 1.0))
-                     / nullif(1 - tsum * 1.0 / (nt * nt * nt - nt), 0), 4)
+                     / nullif(1 - tsum * 1.0 / (nt * 1.0 * nt * nt - nt), 0), 4)
                    + 0.0 AS h_corrected,
                CAST(CASE WHEN (12.0 / (nt * (nt + 1)) * sum_rg2
                                - 3 * (nt + 1.0))
                               / nullif(1 - tsum * 1.0
-                                       / (nt * nt * nt - nt), 0)
+                                       / (nt * 1.0 * nt * nt - nt), 0)
                               > 9.4877
                     THEN 1 ELSE 0 END AS INT) AS reject_equal_medians
         FROM agg
@@ -885,7 +886,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = F.col("nt")
     h = 12.0 / (nt * (nt + 1)) * F.col("sum_rg2") - 3 * (nt + F.lit(1.0))
-    tie_den = 1 - F.col("tsum") * 1.0 / (nt * nt * nt - nt)
+    # widen before cubing: nt**3 overflows int64 (ANSI raise) past ~2.1M rows
+    tie_den = 1 - F.col("tsum") * 1.0 / (nt * 1.0 * nt * nt - nt)
     hc = h / F.when(tie_den != 0, tie_den)  # ANSI /0 guard: all-tied values
     return agg.select(
         F.col("k").cast("bigint").alias("k"),
@@ -2408,13 +2410,15 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.col("d") * 1.0 / F.when(F.col("m") != 0, 2 * F.col("m")))
                 * (F.col("d") * 1.0 / F.when(F.col("m") != 0, 2 * F.col("m")))
             ).alias("qc"),
-            F.col("m"),
         )
     )
-    return q.groupBy("m").agg(
+    # plain aggregate (not groupBy("m")): an edgeless corpus must still
+    # yield the oracle's 1 row (n_edges=0, n_communities=0, NULL Q)
+    qa = q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.round(F.sum("qc"), 4).alias("modularity"),
-    ).select(
+    )
+    return qa.crossJoin(F.broadcast(m)).select(
         F.col("m").cast("bigint").alias("n_edges"),
         "n_communities",
         "modularity",
@@ -3691,8 +3695,9 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                round((agree * 1.0 / n
                       - ((a1 * 1.0 / n) * (b1 * 1.0 / n)
                          + (1 - a1 * 1.0 / n) * (1 - b1 * 1.0 / n)))
-                     / (1 - ((a1 * 1.0 / n) * (b1 * 1.0 / n)
-                             + (1 - a1 * 1.0 / n) * (1 - b1 * 1.0 / n))), 4)
+                     / nullif(1 - ((a1 * 1.0 / n) * (b1 * 1.0 / n)
+                                   + (1 - a1 * 1.0 / n)
+                                     * (1 - b1 * 1.0 / n)), 0), 4)
                    + 0.0 AS kappa
         FROM cells
     """,
@@ -3734,5 +3739,6 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_docs"),
         F.round(po, 4).alias("po"),
         F.round(pe, 4).alias("pe"),
-        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+        # guard: trivially-agreeing raters give pe == 1 (ANSI /0)
+        F.round((po - pe) / F.when(1 - pe != 0, 1 - pe), 4).alias("kappa"),
     )

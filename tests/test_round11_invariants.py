@@ -193,7 +193,6 @@ def test_curriculum_stages_partition_corpus(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["max_chars"] <= b["min_chars"]
     total = sum(r["n_docs"] for r in rows)
-    docs = REGISTRY["q_curriculum_stages"]  # count independently
     from builder_spark.catalog import load_table
 
     assert total == load_table(spark, SF_DIR, "documents").count()
