@@ -216,6 +216,25 @@ def main() -> None:
                 "noop_action_sec": noop_action_sec,
                 "noop_warm_sec": noop_warm_sec,
                 "warmup_sec": warmup_sec,
+                # noop-relative load accounting (r11 verdict task 6: the
+                # 2x gate should never be argued against a moving host
+                # floor). Refs = the r11 idle-box re-baseline midpoints
+                # (SCALE.md round-11 quiet-host note): a loaded host
+                # shows up as host_*_load_x >> 1.0, and
+                # warm_median_total_minus_floors_sec is the per-query
+                # work with the per-action scheduling floor subtracted
+                # (n_queries * noop_warm) — the number that tracks PLAN
+                # cost, not machine mood.
+                "noop_refs_quiet_host": {
+                    "session_up_sec": 5.55,
+                    "noop_action_sec": 2.64,
+                    "noop_warm_sec": 0.12,
+                },
+                "host_startup_load_x": round(noop_action_sec / 2.64, 2),
+                "host_steady_load_x": round(noop_warm_sec / 0.12, 2),
+                "warm_median_total_minus_floors_sec": round(
+                    sum(warm_median.values()) - len(names) * noop_warm_sec, 3
+                ),
                 "sf": sf,
             }
         )

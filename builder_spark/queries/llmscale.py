@@ -25,6 +25,9 @@ from builder_spark.operators.multimodal import attach_binary, extract_payload_fe
 from builder_spark.operators.similarity import hyperplanes, lsh_bucketed_topk
 from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
+# composite oracles below splice llmdata-registered SQL (q_cosine_topk,
+# q_knn_label) at import time — the lazy registry needs the dep explicit
+import builder_spark.queries.llmdata  # noqa: E402,F401
 
 _SIMHASH_MAX_HAMMING = 3
 

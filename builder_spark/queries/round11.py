@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 from builder_spark.catalog import load_table
 from builder_spark.registry import register
+# q_ivf_probe_sweep / q_binary_quant_recall splice q_cosine_topk
+# (llmdata) SQL at import time — lazy registry needs the dep explicit
+import builder_spark.queries.llmdata  # noqa: E402,F401
 
 #: repo-standard exact-cents encoding (identical text on both engines)
 _OC = "CAST(round(o_totalprice * 100) AS BIGINT)"

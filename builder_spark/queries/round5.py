@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from builder_spark.catalog import load_table
 from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
+# _neardup_sweep_oracle splices q_minhash_banded (textops) SQL at
+# import time — the lazy registry needs the dep explicit
+import builder_spark.queries.textops  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # joins / top-k

@@ -33,6 +33,10 @@ from builder_spark.operators.dedup import (
 )
 from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
+# composite oracles splice q_cosine_topk (llmdata) and q_simhash
+# (llmscale) SQL at import time — lazy registry needs the deps explicit
+import builder_spark.queries.llmdata  # noqa: E402,F401
+import builder_spark.queries.llmscale  # noqa: E402,F401
 
 
 def _word_grams(text_col, n: int):

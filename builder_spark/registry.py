@@ -79,21 +79,78 @@ def _last_graded_ok_round() -> dict[str, int]:
     return last_ok
 
 
-def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: registration) and return
-    the registry, ordered never-graded / last-graded-failing first, then
-    green queries LEAST-recently-graded first. With the never-graded
-    backlog empty (every query green since r8), this makes the driver's
-    ~50-query window a rotation that re-verifies the longest-unchecked
-    verdicts each round instead of regrading the same insertion-order
-    prefix forever — r1-era greens get rechecked against later refactors.
-    Insertion order breaks ties, so the rotation is stable within a round
-    vintage.
-    """
-    import builder_spark.queries  # noqa: F401  (import triggers registration)
+class _LazyQuery:
+    """Query proxy that imports its defining module on first attribute
+    access. Keeps ``load_all()`` O(index) instead of O(35 modules) —
+    the bench touches ~19 queries, the driver touches all, and each
+    pays only for what it touches (r11 verdict: registry_import_sec
+    crept linearly with surface size under the eager import)."""
 
+    __slots__ = ("name", "module")
+
+    def __init__(self, name: str, module: str) -> None:
+        self.name = name
+        self.module = module
+
+    def _real(self) -> Query:
+        q = QUERIES.get(self.name)
+        if q is None:
+            import importlib
+
+            importlib.import_module(self.module)
+            q = QUERIES.get(self.name)
+            if q is None:
+                raise RuntimeError(
+                    f"stale builder_spark/_query_index.py: {self.name!r} not "
+                    f"registered by {self.module} — regenerate with "
+                    "tools/gen_registry_index.py"
+                )
+        return q
+
+    @property
+    def fn(self) -> QueryFn:
+        return self._real().fn
+
+    @property
+    def oracle(self) -> str | None:
+        return self._real().oracle
+
+    @property
+    def category(self) -> str:
+        return self._real().category
+
+
+def _ordered(entries: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Rotation order: never-graded / last-graded-failing first, then
+    green queries LEAST-recently-graded first; registration order breaks
+    ties. This makes the driver's ~50-query window a rotation that
+    re-verifies the longest-unchecked verdicts each round instead of
+    regrading the same insertion-order prefix forever."""
     last_ok = _last_graded_ok_round()
-    order = list(QUERIES)
-    pos = {n: i for i, n in enumerate(order)}
-    order.sort(key=lambda n: (last_ok.get(n, -1), pos[n]))
-    return {n: QUERIES[n] for n in order}
+    pos = {n: i for i, (n, _) in enumerate(entries)}
+    return sorted(entries, key=lambda e: (last_ok.get(e[0], -1), pos[e[0]]))
+
+
+def load_all() -> dict[str, Query]:
+    """Return the full graded registry in rotation order (see _ordered).
+
+    Fast path: resolve names through the GENERATED
+    ``builder_spark._query_index`` (kept fresh by
+    tests/test_registry_surface.py::test_registry_index_is_fresh) and
+    hand out lazy proxies — no query module is imported until one of
+    its queries is touched. Fallback (index missing): eager-import
+    everything, exactly the pre-r12 behavior."""
+    try:
+        from builder_spark._query_index import ENTRIES
+    except ImportError:
+        ENTRIES = None
+    if ENTRIES is not None:
+        return {
+            n: QUERIES.get(n) or _LazyQuery(n, mod)
+            for n, mod in _ordered(list(ENTRIES))
+        }
+    import builder_spark.queries
+
+    builder_spark.queries.load_modules()
+    entries = [(n, q.fn.__module__) for n, q in QUERIES.items()]
+    return {n: QUERIES[n] for n, _ in _ordered(entries)}

@@ -79,16 +79,74 @@ def test_rotation_failing_grade_evicts():
 
 
 def test_query_module_imports_are_loud():
-    """builder_spark.queries must not swallow ImportError: every module in the
-    package is imported unconditionally."""
+    """load_modules() must not swallow ImportError: every module in the
+    package is listed in MODULES and imported unconditionally when the
+    eager path runs (this test, gen tools, the differential suite)."""
     src = (ROOT / "builder_spark" / "queries" / "__init__.py").read_text()
     assert "except ImportError" not in src
-    # every .py module in the package is imported by the package __init__
+    # every .py module in the package is listed in the package __init__
     pkg = ROOT / "builder_spark" / "queries"
     for mod in pkg.glob("*.py"):
         if mod.name == "__init__.py":
             continue
-        assert mod.stem in src, f"queries/{mod.name} not imported by queries/__init__.py"
+        assert mod.stem in src, f"queries/{mod.name} not listed in queries/__init__.py"
+
+
+def test_registry_index_is_fresh():
+    """builder_spark/_query_index.py is generated; a query added/moved
+    without regenerating (python tools/gen_registry_index.py) would make
+    the lazy load_all() serve a stale surface — eager-load everything
+    and compare name order AND module attribution exactly. This is also
+    the loud-import gate for the lazy era: a broken query module raises
+    right here."""
+    import builder_spark.queries
+    from builder_spark._query_index import ENTRIES
+
+    builder_spark.queries.load_modules()
+    pairs = [(n, q.fn.__module__) for n, q in QUERIES.items()]
+    assert set(pairs) == set(ENTRIES), (
+        "stale builder_spark/_query_index.py — regenerate with "
+        f"tools/gen_registry_index.py; index-only: "
+        f"{sorted(set(ENTRIES) - set(pairs))}; registry-only: "
+        f"{sorted(set(pairs) - set(ENTRIES))}"
+    )
+    # Registration-ORDER check. QUERIES insertion order in this pytest
+    # process is polluted by whichever test imported a query module
+    # first, but within-module order always equals file order — so the
+    # canonical global order is the MODULES-order concatenation of the
+    # per-module subsequences. That is exactly what a fresh interpreter
+    # produces and what the index must pin (rotation-load-bearing).
+    per_mod: dict[str, list[str]] = {}
+    for n, m in pairs:
+        per_mod.setdefault(m, []).append(n)
+    canonical = tuple(
+        (n, m) for m in builder_spark.queries.MODULES for n in per_mod.get(m, [])
+    )
+    assert canonical == ENTRIES, (
+        "registration order drifted from builder_spark/_query_index.py — "
+        "regenerate with tools/gen_registry_index.py"
+    )
+
+
+def test_lazy_load_all_matches_eager_order():
+    """The index-backed lazy path and the eager fallback must produce the
+    same rotation order — registration order is rotation-load-bearing."""
+    import builder_spark.queries
+    from builder_spark import registry
+
+    lazy_order = list(load_all())
+    builder_spark.queries.load_modules()
+    # canonical registration order (QUERIES insertion order in THIS
+    # process is polluted by test-import history — reconstruct it from
+    # MODULES order × within-module order, as a fresh interpreter sees)
+    per_mod: dict[str, list[str]] = {}
+    for n, q in QUERIES.items():
+        per_mod.setdefault(q.fn.__module__, []).append(n)
+    entries = [
+        (n, m) for m in builder_spark.queries.MODULES for n in per_mod.get(m, [])
+    ]
+    eager_order = [n for n, _ in registry._ordered(entries)]
+    assert lazy_order == eager_order
 
 
 def test_all_registered_queries_have_category_fn():
