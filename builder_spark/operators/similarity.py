@@ -202,7 +202,13 @@ def blocked_topk_pandas(
             f"lsh_bucketed_topk for large-K ANN."
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # guard the empty query set: np.array([]) is 1-D and norm(axis=1)
+    # raises; a (0, 1) matrix keeps every downstream shape valid
+    q_mat = (
+        np.array([r[1] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))
+    )
     q_norm = np.linalg.norm(q_mat, axis=1)
     # q_block: slab height — K×B sim temporary stays ~40 MB at the
     # default 512 with B=10k Arrow batches; parameterized so tests can
@@ -210,6 +216,9 @@ def blocked_topk_pandas(
 
     def score(batches):
         for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"q_id": [], id_col: [], "_sim": []})
+                continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)

@@ -1010,13 +1010,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("ca_total").alias("na"),
         F.any_value("cb_total").alias("nb"),
     )
+    # /0 guards + coalesced counts: a one-sided or empty sample must
+    # match the oracle's scalar-subquery zeros (degenerate audit)
     gap = F.abs(
-        F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double")
+        F.col("ca") / F.when(F.col("na") != 0, F.col("na")).cast("double")
+        - F.col("cb") / F.when(F.col("nb") != 0, F.col("nb")).cast("double")
     )
     return per_v.agg(
         F.round(F.max(gap), 4).alias("ks_d"),
-        F.max("na").alias("n_a"),
-        F.max("nb").alias("n_b"),
+        F.coalesce(F.max("na"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max("nb"), F.lit(0)).alias("n_b"),
     )
 
 
@@ -1507,11 +1510,12 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(conv.alias("conv"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
     )
-    n = F.col("n").cast("double")
+    # ANSI /0 guard: empty cohort (n == 0) — every term NULLs like the oracle
+    n = F.when(F.col("n") != 0, F.col("n").cast("double"))
     p = F.col("k") / n
-    center = p + 1.9208 / F.col("n")
-    margin = 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * n * F.col("n")) * F.col("n"))
-    denom = 1 + 3.8416 / F.col("n")
+    center = p + 1.9208 / n
+    margin = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n * n) * n)
+    denom = 1 + 3.8416 / n
     return agg.select(
         "n",
         "k",
@@ -1541,6 +1545,7 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
         GROUP BY GROUPING SETS ((month, week, day), (month, week),
                                 (month), ())
+        HAVING count(*) > 0  -- Spark: no () row over empty input
     """,
     category="grouping",
 )

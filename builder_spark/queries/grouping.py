@@ -24,6 +24,10 @@ from builder_spark.registry import register
                count(*) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+        -- Spark emits NO grand-total row over empty input (0 rows
+        -- from every grouping set); encode that engine semantic so
+        -- degenerate slices agree — no-op whenever input has rows
+        HAVING count(*) > 0
     """,
     category="grouping",
 )
@@ -48,6 +52,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(o_totalprice), 4) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        HAVING count(*) > 0  -- Spark: no () row over empty input
     """,
     category="grouping",
 )
@@ -72,6 +77,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n, round(sum(l_quantity), 4) AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING count(*) > 0  -- Spark: no () row over empty input
     """,
     category="grouping",
 )

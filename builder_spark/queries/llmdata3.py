@@ -241,11 +241,13 @@ def q_reservoir_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch AS (
             SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 2 = 1
         )
+        -- count(CASE...) not sum(CASE...): counts must be 0 (not NULL)
+        -- over an empty batch, matching Spark's count() (degenerate audit)
         SELECT count(*) AS n_batch,
-               CAST(sum(CASE WHEN f IN (SELECT f FROM corpus)
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
-               CAST(sum(CASE WHEN f NOT IN (SELECT f FROM corpus)
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(count(CASE WHEN f IN (SELECT f FROM corpus)
+                          THEN 1 END) AS BIGINT) AS n_dup_vs_corpus,
+               CAST(count(CASE WHEN f NOT IN (SELECT f FROM corpus)
+                          THEN 1 END) AS BIGINT) AS n_new,
                CAST(count(DISTINCT CASE WHEN f NOT IN (SELECT f FROM corpus)
                           THEN f END) AS BIGINT) AS n_new_distinct
         FROM batch
@@ -371,8 +373,11 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cnt.source,
                CAST(any_value(tot.t) AS BIGINT) AS n_docs,
                count(*) AS n_langs,
+               -- + 0.0: monolingual source gives -sum(0) = -0.0 in DuckDB
+               -- (signed-zero trap 10, surfaced by the degenerate audit)
                round(-sum((cnt.c / CAST(tot.t AS DOUBLE))
-                          * ln(cnt.c / CAST(tot.t AS DOUBLE))), 4) AS lang_entropy
+                          * ln(cnt.c / CAST(tot.t AS DOUBLE))), 4) + 0.0
+                   AS lang_entropy
         FROM cnt JOIN tot ON tot.source = cnt.source
         GROUP BY cnt.source
     """,

@@ -1211,6 +1211,16 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     }
 
     def sorted_dists(df):
+        if not centroids:
+            # empty corpus: df has 0 rows — give ds a concrete struct
+            # type so element_at keeps resolving (never evaluated)
+            dists = F.array(
+                F.struct(
+                    F.lit(None).cast("long").alias("dist"),
+                    F.lit(None).cast("integer").alias("j"),
+                )
+            )
+            return df.withColumn("ds", dists)
         dists = F.array(
             *[
                 F.struct(
@@ -1338,7 +1348,10 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, assign, _c = _kmeans_fit(spark, sf_dir)
     scored = assign(q)
     a = F.col("dist")
-    b = F.element_at(F.col("ds"), 2)["dist"]
+    # try_: a 1-centroid (single-vector) fit has no second-nearest —
+    # NULL instead of the ANSI out-of-bounds raise; both engines'
+    # greatest() then ignore it and s degrades to 0
+    b = F.try_element_at(F.col("ds"), F.lit(2))["dist"]
     s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b).cast("double")
     )

@@ -430,8 +430,13 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(m3c / F.pow(m2c, 1.5), 4).alias("skewness"),
-        F.round(m4c / (m2c * m2c) - 3.0, 4).alias("excess_kurtosis"),
+        # ANSI /0 guards: a single-row group has zero central variance
+        F.round(m3c / F.when(F.pow(m2c, 1.5) != 0, F.pow(m2c, 1.5)), 4).alias(
+            "skewness"
+        ),
+        F.round(m4c / F.when(m2c * m2c != 0, m2c * m2c) - 3.0, 4).alias(
+            "excess_kurtosis"
+        ),
     )
 
 

@@ -1228,6 +1228,8 @@ _HOLT_BETA = 0.1
                    AS forecast_7d,
                round(avg(abs(y - fc)), 4) AS mae_one_step
         FROM err
+        -- empty series: match Spark's no-group applyInPandas (0 rows)
+        HAVING (SELECT count(*) FROM days) > 0
     """,
     category="analytics",
 )
@@ -1259,10 +1261,13 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["y"].tolist()
         n = len(y)
         if n < 2:
+            # single-day series: level is defined (l1 = y1), trend/
+            # forecast/MAE are SQL-NULL — exactly the oracle's output
             return pd.DataFrame(
-                {"n_days": [n], "level_end": [float("nan")],
-                 "trend_end": [float("nan")], "forecast_7d": [float("nan")],
-                 "mae_one_step": [float("nan")]}
+                {"n_days": [n],
+                 "level_end": [round(y[0], 4) if n else None],
+                 "trend_end": [None], "forecast_7d": [None],
+                 "mae_one_step": [None]}
             )
         l, b = y[0], y[1] - y[0]
         abs_err = []
@@ -1596,24 +1601,27 @@ def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1e-6),
             ).alias("sg2"),
         )
+    # materialize the fitted 1-row parameter vector ONCE: it feeds both
+    # the loglik scan and the output row, and without the checkpoint the
+    # whole EM lineage would be planned (and its shuffles paid) twice
+    params = params.localCheckpoint(eager=True)
     jf = pts.crossJoin(F.broadcast(params))
     mix = (1 - F.col("pi2")) * dens("mu1", "sg1") + F.col("pi2") * dens("mu2", "sg2")
+    # params ride the 1-row broadcast (NOT max() over jf): an empty
+    # corpus must still report the sigma floors like the oracle does
     ll = jf.agg(
         F.sum(F.log(mix / F.lit(_SQRT2PI))).alias("loglik"),
         F.count(F.lit(1)).alias("n"),
-        F.max("pi2").alias("pi2"),
-        F.max("mu1").alias("mu1"),
-        F.max("mu2").alias("mu2"),
-        F.max("sg1").alias("sg1"),
-        F.max("sg2").alias("sg2"),
-    )
+    ).crossJoin(F.broadcast(params))
     return ll.select(
         F.round("pi2", 4).alias("pi2"),
         F.round("mu1", 4).alias("mu1"),
         F.round("mu2", 4).alias("mu2"),
         F.round("sg1", 4).alias("sg1"),
         F.round("sg2", 4).alias("sg2"),
-        F.round(F.col("loglik") / F.col("n"), 4).alias("avg_loglik"),
+        F.round(
+            F.col("loglik") / F.when(F.col("n") != 0, F.col("n")), 4
+        ).alias("avg_loglik"),
     )
 
 
@@ -2453,8 +2461,23 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purchase conversions (p_full == 0) or all-zero removal effects
     # (rtot == 0) degrades to defined 0.0 outputs instead of raising
     # ZeroDivisionError — mirrored by the oracle's CASE guards.
+    # Row-existence mirrors the oracle too (degenerate audit): a channel
+    # row exists only when its removal chain still reaches START and the
+    # full chain has a START cell at all (the oracle's conv/eff joins
+    # drop variants whose grid is STARTless; empty corpus -> 0 rows).
+    def start_reachable(removed: str | None) -> bool:
+        return any(
+            s == "START" and (removed is None or (s != removed and t != removed))
+            for (s, t) in tx
+        )
+
+    present = (
+        [c for c in sorted(_CHANNELS) if start_reachable(c)]
+        if start_reachable(None)
+        else []
+    )
     removal = {
-        c: (1 - conv_prob(c) / p_full) if p_full > 0 else 0.0 for c in _CHANNELS
+        c: (1 - conv_prob(c) / p_full) if p_full > 0 else 0.0 for c in present
     }
     rtot = sum(removal.values())
     rows = [
@@ -2464,7 +2487,7 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(removal[c], 4) + 0.0,
             (round(removal[c] / rtot, 4) + 0.0) if rtot > 0 else 0.0,
         )
-        for c in sorted(_CHANNELS)
+        for c in present
     ]
     return spark.createDataFrame(
         rows, "channel string, conv_full double, removal_effect double, attribution double"
@@ -2708,9 +2731,10 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("k"),
         F.col("n_days").cast("bigint").alias("n_days"),
         F.round(
-            F.col("k") * 1.0 / (F.col("k") - 1) * (1 - F.col("vi_sum") / F.col("vt")),
+            F.col("k") * 1.0 / F.when(F.col("k") != 1, F.col("k") - 1)
+            * (1 - F.col("vi_sum") / F.when(F.col("vt") != 0, F.col("vt"))),
             4,
-        ).alias("alpha"),
+        ).alias("alpha"),  # ANSI /0 guards: single-item / single-day corpus
     )
 
 
@@ -2974,14 +2998,17 @@ _HUB_K = 3
             GROUP BY e.vec_id
         ),
         m AS (SELECT count(*) AS n, avg(k_occ) AS mu FROM indeg)
-        SELECT CAST(m.n AS BIGINT) AS n_vectors,
+        -- plain aggregate (no GROUP BY): an empty corpus must still
+        -- yield Spark's 1 all-NULL row, not 0 rows (degenerate audit)
+        SELECT CAST(max(m.n) AS BIGINT) AS n_vectors,
                CAST(max(k_occ) AS BIGINT) AS max_indegree,
-               round((sum(power(k_occ - m.mu, 3)) / m.n)
-                     / power(sum(power(k_occ - m.mu, 2)) / m.n, 1.5), 4)
+               round((sum(power(k_occ - m.mu, 3)) / max(m.n))
+                     / nullif(power(sum(power(k_occ - m.mu, 2)) / max(m.n),
+                              1.5), 0), 4)
                    AS indegree_skewness,
-               round(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) * 1.0 / m.n,
-                     4) AS pct_never_retrieved
-        FROM indeg, m GROUP BY m.n, m.mu
+               round(sum(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) * 1.0
+                     / max(m.n), 4) AS pct_never_retrieved
+        FROM indeg, m
     """,
     category="llm-similarity",
 )
@@ -3049,7 +3076,11 @@ def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k_occ").cast("bigint").alias("max_indegree"),
         F.round(
             (F.sum((F.col("k_occ") - F.col("mu")) ** 3) / F.max("n"))
-            / F.pow(F.sum((F.col("k_occ") - F.col("mu")) ** 2) / F.max("n"), 1.5),
+            / F.when(  # ANSI /0 guard: zero-variance indegree (1-row corpus)
+                F.pow(F.sum((F.col("k_occ") - F.col("mu")) ** 2) / F.max("n"), 1.5)
+                != 0,
+                F.pow(F.sum((F.col("k_occ") - F.col("mu")) ** 2) / F.max("n"), 1.5),
+            ),
             4,
         ).alias("indegree_skewness"),
         F.round(
@@ -3723,7 +3754,8 @@ def q_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
             F.max("s").alias("s"),
         )
-        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        _det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        det = F.when(_det != 0, _det)  # ANSI /0 guard: single-point fit
         h = ws.select(
             ((F.col("swy") * F.col("swxx") - F.col("swx") * F.col("swxy")) / det).alias("a"),
             ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / det).alias("b"),
@@ -3813,8 +3845,12 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("bad")).cast("bigint").alias("n_good"),
     )
     tot = cells.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
-    g_share = F.greatest(F.col("n_good") * 1.0 / F.col("tg"), F.lit(1e-9))
-    b_share = F.greatest(F.col("n_bad") * 1.0 / F.col("tb"), F.lit(1e-9))
+    # ANSI /0 guards (all-good / all-bad corpus); both engines' greatest()
+    # ignore the NULL and fall back to the 1e-9 floor
+    tg = F.when(F.col("tg") != 0, F.col("tg"))
+    tb = F.when(F.col("tb") != 0, F.col("tb"))
+    g_share = F.greatest(F.col("n_good") * 1.0 / tg, F.lit(1e-9))
+    b_share = F.greatest(F.col("n_bad") * 1.0 / tb, F.lit(1e-9))
     return (
         cells.crossJoin(F.broadcast(tot))
         .select(
@@ -3823,7 +3859,7 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bad",
             F.round(F.log(g_share / b_share), 4).alias("woe"),
             F.round(
-                (F.col("n_good") * 1.0 / F.col("tg") - F.col("n_bad") * 1.0 / F.col("tb"))
+                (F.col("n_good") * 1.0 / tg - F.col("n_bad") * 1.0 / tb)
                 * F.log(g_share / b_share),
                 6,
             ).alias("iv_part"),
@@ -4244,8 +4280,13 @@ def q_l2_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vl1", 4).alias("left_val_1"),
         F.round("vr1", 4).alias("right_val_1"),
         F.round("mse0", 2).alias("mse_baseline"),
-        F.round(F.col("mse1") / F.col("mse0"), 6).alias("mse_ratio_r1"),
-        F.round(F.col("mse2") / F.col("mse0"), 6).alias("mse_ratio_r2"),
+        # ANSI /0 guards: a constant-target corpus has mse0 == 0
+        F.round(F.col("mse1") / F.when(F.col("mse0") != 0, F.col("mse0")), 6).alias(
+            "mse_ratio_r1"
+        ),
+        F.round(F.col("mse2") / F.when(F.col("mse0") != 0, F.col("mse0")), 6).alias(
+            "mse_ratio_r2"
+        ),
     )
 
 
@@ -4317,7 +4358,9 @@ def q_adstock_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(F.corr("x", "y"), 4).alias("corr_raw"),
         F.round(F.corr("adstock", "y"), 4).alias("corr_adstock"),
-        F.round(F.avg("adstock") / F.avg("x"), 4).alias("carryover_multiplier"),
+        F.round(
+            F.avg("adstock") / F.when(F.avg("x") != 0, F.avg("x")), 4
+        ).alias("carryover_multiplier"),  # ANSI /0 guard: zero-click corpus
     )
 
 
@@ -4612,8 +4655,12 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         gaps AS (
+            -- gaps that floor to 0 whole seconds are excluded: ln t is
+            -- undefined there, and at sf0.1+ same-second event pairs
+            -- exist (DuckDB raises on ln(0); Spark would NULL-drop the
+            -- row from the x-sums but not sum(c) — divergent fits)
             SELECT (nxt - us) // 1000000 AS t FROM g
-            WHERE nxt IS NOT NULL AND nxt > us
+            WHERE nxt IS NOT NULL AND (nxt - us) // 1000000 > 0
         ),
         v AS (SELECT t, count(*) AS c FROM gaps GROUP BY t),
         r AS (
@@ -4667,9 +4714,11 @@ def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("us"),
         F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
     )
-    gaps = g.filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))).select(
+    # sub-second gaps floor to t=0 whole seconds where ln t is undefined
+    # (sf0.1 surfaces same-second event pairs) — excluded on BOTH engines
+    gaps = g.filter(F.col("nxt").isNotNull()).select(
         ((F.col("nxt") - F.col("us")) / F.lit(1000000)).cast("long").alias("t")
-    )
+    ).filter(F.col("t") > 0)
     v = gaps.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     from builder_spark.operators.partitioning import stitched_running
 
@@ -5658,13 +5707,14 @@ def q_self_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prev").isNotNull(), (F.col("us") - F.col("prev")) / 1e6)
         ).alias("mean_gap"),
     )
-    share = F.col("n_fast") * 1.0 / F.col("n_gaps")
-    null_p = 1 - F.exp(-300.0 / F.col("mean_gap"))
+    # ANSI /0 guards: a single-event corpus has no gaps (degenerate audit)
+    share = F.col("n_fast") * 1.0 / F.when(F.col("n_gaps") != 0, F.col("n_gaps"))
+    null_p = 1 - F.exp(-300.0 / F.when(F.col("mean_gap") != 0, F.col("mean_gap")))
     return agg.select(
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
         F.round(share, 4).alias("share_within_5min"),
         F.round(null_p, 4).alias("poisson_expected"),
-        F.round(share / null_p, 4).alias("excitation_ratio"),
+        F.round(share / F.when(null_p != 0, null_p), 4).alias("excitation_ratio"),
     )
 
 
@@ -5960,17 +6010,30 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n == k (msw denominator 0) and cancelling components zero the rho
     # denominator — nullif-style guards on BOTH engines so each degrades
     # to NULL identically instead of an engine-specific division quirk.
-    msb_den = F.max("k") - 1
-    msw_den = F.max("n_tot") - F.max("k")
-    comp = g.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_tot").alias("n_tot"),
-        F.max("k").alias("k"),
+    # n_tot/k/mbar ride the 1-row tot broadcast (NOT max() over the g
+    # join, which NULLs them on an empty corpus while the oracle's
+    # FROM tot scalar keeps k = 0) — degenerate audit. Materialized
+    # ONCE: both the ssb scan and the output row consume it, and
+    # without the checkpoint its lineage is planned (shuffles paid)
+    # twice.
+    tot = tot.localCheckpoint(eager=True)
+    sums = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2).alias("ssb_num"),
+        F.sum("ssw").alias("ssw_sum"),
+    )
+    comp = sums.crossJoin(F.broadcast(tot)).select(
+        F.col("n_tot"),
+        F.col("k"),
         (
-            F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2)
-            / F.when(msb_den != 0, msb_den)
+            F.col("ssb_num") / F.when(F.col("k") != 1, F.col("k") - 1)
         ).alias("msb"),
-        (F.sum("ssw") / F.when(msw_den != 0, msw_den)).alias("msw"),
-        (F.max("n_tot") * 1.0 / F.max("k")).alias("mbar"),
+        (
+            F.col("ssw_sum")
+            / F.when(
+                F.col("n_tot") != F.col("k"), F.col("n_tot") - F.col("k")
+            )
+        ).alias("msw"),
+        (F.col("n_tot") * 1.0 / F.when(F.col("k") != 0, F.col("k"))).alias("mbar"),
     )
     rho_den = F.col("msb") + (F.col("mbar") - 1) * F.col("msw")
     rho = (F.col("msb") - F.col("msw")) / F.when(rho_den != 0, rho_den)
@@ -6050,10 +6113,13 @@ def q_mediation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")).alias("sxy"),
         (F.sum(F.col("m") * F.col("y")) - n * F.avg("m") * F.avg("y")).alias("smy"),
     )
-    det = F.col("smm") * F.col("sxx") - F.col("sxm") ** 2
-    a = F.col("sxm") / F.col("sxx")
+    # ANSI /0 guards: a single-row fit has zero centered moments
+    _det = F.col("smm") * F.col("sxx") - F.col("sxm") ** 2
+    det = F.when(_det != 0, _det)
+    sxx = F.when(F.col("sxx") != 0, F.col("sxx"))
+    a = F.col("sxm") / sxx
     b = (F.col("smy") * F.col("sxx") - F.col("sxy") * F.col("sxm")) / det
-    c_total = F.col("sxy") / F.col("sxx")
+    c_total = F.col("sxy") / sxx
     c_prime = (F.col("sxy") * F.col("smm") - F.col("smy") * F.col("sxm")) / det
     return mom.select(
         F.col("n").cast("bigint").alias("n"),

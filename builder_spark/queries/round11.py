@@ -135,8 +135,9 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, 6)]
     )
-    acf = lagged.crossJoin(F.broadcast(m)).agg(
-        F.max("n").alias("n"),
+    # groupBy("n") (one group on any real input) mirrors the oracle's
+    # GROUP BY m.n: an empty series yields 0 rows on BOTH engines
+    acf = lagged.crossJoin(F.broadcast(m)).groupBy("n").agg(
         F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias(
             "den"
         ),
@@ -255,9 +256,9 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("my") - (F.col("sxy") / sxx_nz) * F.col("mx")).alias("a"),
     )
     e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
-    aux = pts.crossJoin(F.broadcast(coef)).agg(
-        F.max("n").alias("n"),
-        F.max("sxx").alias("sxx"),
+    # groupBy mirrors the oracle's GROUP BY c.n, c.sxx: an empty fact
+    # table yields 0 rows on BOTH engines (degenerate audit)
+    aux = pts.crossJoin(F.broadcast(coef)).groupBy("n", "sxx").agg(
         F.sum(e * e).alias("su"),
         F.sum(e * e * e * e).alias("suu"),
         F.sum(F.col("x") * e * e).alias("sxu_raw"),
@@ -363,7 +364,8 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     _de = F.sum(F.col("e") * F.col("e"))
     den = F.when(_de != 0, _de)  # ANSI /0 guard: perfect-fit residuals
     return lagged.agg(
-        F.max("n").cast("bigint").alias("n_days"),
+        # coalesce: empty series must match the oracle's scalar-subquery 0
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("n_days"),
         F.round(num / den, 4).alias("dw"),
         F.round(1 - num / den / 2, 4).alias("rho_approx"),
         F.when(num / den < 1.5, 1).otherwise(0).cast("int").alias(
@@ -1057,7 +1059,7 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             3
             * F.sqrt(
                 (F.sum(F.col("rev") * 1.0 * F.col("rev")) - n * F.avg("rev") * F.avg("rev"))
-                / (n - 1)
+                / F.when(n != 1, n - 1)  # ANSI /0 guard: single-day series
             )
         ).alias("lam"),
     )
@@ -1244,8 +1246,9 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _d = F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu")))
     den = F.when(_d != 0, _d)  # ANSI /0 guard: all-constant series
-    acf = lagged.crossJoin(F.broadcast(m)).agg(
-        F.max("n").alias("n"),
+    # groupBy("n") mirrors the oracle's grouped aggregate: an empty
+    # series yields 0 rows on BOTH engines (degenerate audit)
+    acf = lagged.crossJoin(F.broadcast(m)).groupBy("n").agg(
         *[
             (
                 F.sum(
@@ -3017,9 +3020,11 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(p).alias("probe_count"),
                 F.count("q_id").cast("bigint").alias("n_exact_pairs"),
                 F.count("a_vid").cast("bigint").alias("n_hits"),
-                F.round(F.count("a_vid") * 1.0 / F.count("q_id"), 4).alias(
-                    "recall_at_5"
-                ),
+                F.round(  # ANSI /0 guard: no exact pairs on empty sample
+                    F.count("a_vid") * 1.0
+                    / F.when(F.count("q_id") != 0, F.count("q_id")),
+                    4,
+                ).alias("recall_at_5"),
             )
         )
         out = row if out is None else out.unionAll(row)
@@ -3281,7 +3286,10 @@ def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.count("q_id").cast("bigint").alias("n_exact_pairs"),
         F.count("a_vid").cast("bigint").alias("n_hits"),
-        F.round(F.count("a_vid") * 1.0 / F.count("q_id"), 4).alias("recall_at_5"),
+        F.round(  # ANSI /0 guard: no exact pairs on empty sample
+            F.count("a_vid") * 1.0 / F.when(F.count("q_id") != 0, F.count("q_id")),
+            4,
+        ).alias("recall_at_5"),
         F.round(F.avg(F.col("h") * 1.0), 4).alias("avg_hamming_of_hits"),
     )
 

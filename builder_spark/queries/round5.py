@@ -1285,9 +1285,10 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, F.col("v")).otherwise(0)).alias("so"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("no"),
     )
-    diff = F.col("se") / F.col("ne").cast("double") - F.col("so") / F.col("no").cast(
-        "double"
-    )
+    # ANSI /0 guards: a 1-vector label has an empty even or odd half
+    _ne = F.col("ne").cast("double")
+    _no = F.col("no").cast("double")
+    diff = F.col("se") / F.when(_ne != 0, _ne) - F.col("so") / F.when(_no != 0, _no)
     return per_dim.groupBy("label").agg(
         F.any_value("ne").cast("bigint").alias("n_even"),
         F.any_value("no").cast("bigint").alias("n_odd"),

@@ -169,7 +169,10 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         F.round(
             (F.col("_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * 1.0 * F.col("n_neg")),
+            / F.when(  # ANSI /0 guard: single-class corpus
+                F.col("n_pos") * 1.0 * F.col("n_neg") != 0,
+                F.col("n_pos") * 1.0 * F.col("n_neg"),
+            ),
             4,
         ).alias("auc"),
     )

@@ -1374,8 +1374,15 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "n_sources",
         "n_exact_dups",
-        F.round(F.col("n_exact_dups") * 1.0 / F.col("n_docs"), 4).alias("dup_rate"),
-        F.round(F.col("n_tokens") * 1.0 / F.col("n_docs"), 4).alias("avg_doc_tokens"),
+        # ANSI /0 guards: empty corpus card
+        F.round(
+            F.col("n_exact_dups") * 1.0 / F.when(F.col("n_docs") != 0, F.col("n_docs")),
+            4,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("n_tokens") * 1.0 / F.when(F.col("n_docs") != 0, F.col("n_docs")),
+            4,
+        ).alias("avg_doc_tokens"),
     )
 
 
@@ -1472,12 +1479,17 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pivot_multi_agg",
     oracle="""
+        -- nullif(count, 0): Spark's pivot emits NULL (not 0) for a
+        -- (year, status) cell with no rows — mirror it (degenerate audit)
         SELECT year(o_orderdate) AS o_year,
-               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+               CAST(nullif(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                    AS BIGINT) AS F_n,
                round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F_total,
-               CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+               CAST(nullif(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                    AS BIGINT) AS O_n,
                round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O_total,
-               CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n,
+               CAST(nullif(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                    AS BIGINT) AS P_n,
                round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P_total
         FROM orders
         GROUP BY year(o_orderdate)
@@ -1854,6 +1866,8 @@ def q_vocab_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
                round((SELECT max(n) FROM coc) * tot.n_keys * 1.0 / tot.n_rows, 4)
                    AS skew_factor
         FROM tot
+        -- empty fact table: match Spark's grouped 0-row shape
+        WHERE tot.n_keys IS NOT NULL
     """,
     category="analytics",
 )

@@ -468,7 +468,8 @@ def q_multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2") / F.col("n")).alias("m2"),
         (F.col("sy") / F.col("n")).alias("my"),
     )
-    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    _det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    det = F.when(_det != 0, _det)  # ANSI /0 guard: single-point design
     b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
     b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
     return c.select(
@@ -633,8 +634,9 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         "t0",
         "t1",
-        (F.col("c0") / (F.col("t0") * 1.0)).alias("p"),
-        (F.col("c1") / (F.col("t1") * 1.0)).alias("q"),
+        # ANSI /0 guards: a one-source corpus has an empty other side
+        (F.col("c0") / F.when(F.col("t0") != 0, F.col("t0") * 1.0)).alias("p"),
+        (F.col("c1") / F.when(F.col("t1") != 0, F.col("t1") * 1.0)).alias("q"),
     )
     m = (F.col("p") + F.col("q")) / 2
     contrib = F.when(

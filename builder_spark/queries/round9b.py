@@ -163,14 +163,19 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     spo = F.sum(F.col("pre") * F.col("post"))
     soo = F.sum(F.col("post") * F.col("post"))
     cov = spo - sp * so / n
-    varp = spp - sp * sp / n
+    _varp = spp - sp * sp / n
+    varp = F.when(_varp != 0, _varp)  # ANSI /0 guard: constant pre-metric
     varo = soo - so * so / n
     return per_user.agg(
         n.cast("bigint").alias("n_users"),
         F.round(cov / varp, 4).alias("theta"),
         F.round(F.sqrt(varo / n), 4).alias("sd_post"),
         F.round(F.sqrt((varo - cov * cov / varp) / n), 4).alias("sd_adj"),
-        F.round(F.lit(100.0) * cov * cov / (varp * varo), 4).alias("var_reduction_pct"),
+        F.round(
+            F.lit(100.0) * cov * cov
+            / F.when(_varp * varo != 0, _varp * varo),
+            4,
+        ).alias("var_reduction_pct"),
     )
 
 

@@ -718,10 +718,13 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pairs GROUP BY label
         ),
         nl AS (SELECT label, count(*) AS n FROM u GROUP BY label)
+        -- LEFT JOIN + coalesce in the norm: a single-vector label has
+        -- no pairs (mean cos NULL) but a defined mean-vector norm —
+        -- matches Spark's pair-free component-sum form (degenerate audit)
         SELECT nl.label, CAST(nl.n AS BIGINT) AS n_vecs,
                round(p.sc / p.np, 4) AS mean_pairwise_cos,
-               round(sqrt(nl.n + p.sc) / nl.n, 4) AS norm_of_mean
-        FROM nl JOIN per_pair p ON nl.label = p.label
+               round(sqrt(nl.n + coalesce(p.sc, 0)) / nl.n, 4) AS norm_of_mean
+        FROM nl LEFT JOIN per_pair p ON nl.label = p.label
     """,
     category="llm-similarity",
 )
@@ -766,7 +769,9 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label.select(
         "label",
         "n_vecs",
-        F.round((F.col("ss") - n) / (n * (n - 1)), 4).alias("mean_pairwise_cos"),
+        F.round(  # ANSI /0 guard: single-vector label has no pairs
+            (F.col("ss") - n) / F.when(n != 1, n * (n - 1)), 4
+        ).alias("mean_pairwise_cos"),
         F.round(F.sqrt(F.col("ss")) / n, 4).alias("norm_of_mean"),
     )
 

@@ -384,7 +384,11 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sqrt(
                     F.col("chi2")
-                    / (F.col("n") * (F.least("r_levels", "c_levels") - F.lit(1)))
+                    / F.when(  # ANSI /0 guard: 1x1 contingency table
+                        F.col("n") * (F.least("r_levels", "c_levels") - F.lit(1))
+                        != 0,
+                        F.col("n") * (F.least("r_levels", "c_levels") - F.lit(1)),
+                    )
                 ),
                 4,
             ).alias("cramers_v"),
@@ -477,9 +481,14 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
             F.col("n_pos").cast("bigint").alias("n_pos"),
             F.round(F.col("n_pos") * 1.0 / F.col("n"), 4).alias("pos_rate"),
-            F.round(F.col("cum_pos") / F.col("tp"), 4).alias("cum_capture"),
+            # ANSI /0 guards: a no-positives corpus has tp == 0
             F.round(
-                (F.col("n_pos") * 1.0 / F.col("n")) / (F.col("tp") / F.col("tn")), 4
+                F.col("cum_pos") / F.when(F.col("tp") != 0, F.col("tp")), 4
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos") * 1.0 / F.col("n"))
+                / F.when(F.col("tp") != 0, F.col("tp") / F.col("tn")),
+                4,
             ).alias("lift"),
         )
     )
@@ -634,9 +643,13 @@ def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = per.crossJoin(F.broadcast(tot)).select(
         "n_name",
-        ((F.col("s") - F.col("s_i")) / ((F.col("n") - F.col("n_i")) * F.lit(100.0))).alias(
-            "theta"
-        ),
+        (  # ANSI /0 guard: leave-one-out of a single-group corpus
+            (F.col("s") - F.col("s_i"))
+            / F.when(
+                F.col("n") != F.col("n_i"),
+                (F.col("n") - F.col("n_i")) * F.lit(100.0),
+            )
+        ).alias("theta"),
     )
     bar = th.agg(F.avg("theta").alias("tb"))
     ss = (
@@ -648,10 +661,18 @@ def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ss))
         .select(
             F.col("g").cast("bigint").alias("g"),
-            F.round(F.col("s") / (F.col("n") * F.lit(100.0)), 4).alias("theta_full"),
+            # ANSI /0 guards: empty corpus (n == 0, g == 0)
+            F.round(
+                F.col("s") / F.when(F.col("n") != 0, F.col("n") * F.lit(100.0)), 4
+            ).alias("theta_full"),
             F.round(F.col("tb"), 4).alias("theta_jack_mean"),
             F.round(
-                F.sqrt((F.col("g") - F.lit(1.0)) / F.col("g") * F.col("ssq")), 4
+                F.sqrt(
+                    (F.col("g") - F.lit(1.0))
+                    / F.when(F.col("g") != 0, F.col("g"))
+                    * F.col("ssq")
+                ),
+                4,
             ).alias("se_jack"),
         )
     )

@@ -112,7 +112,8 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b_only",
         "n_neither",
         F.round(po, 4).alias("po"),
-        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+        # guard: trivially-agreeing raters give pe == 1 (ANSI /0)
+        F.round((po - pe) / F.when(1 - pe != 0, 1 - pe), 4).alias("kappa"),
     )
 
 
@@ -191,10 +192,10 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.crossJoin(F.broadcast(tot)).select(
         "k",
         F.col("nn").alias("n_total"),
-        F.round(
-            ((F.col("nn") - F.col("k")) * 1.0 / (F.col("k") - 1))
+        F.round(  # ANSI /0 guards: single group / zero within-group spread
+            ((F.col("nn") - F.col("k")) * 1.0 / F.when(F.col("k") != 1, F.col("k") - 1))
             * F.col("numer")
-            / F.col("denom"),
+            / F.when(F.col("denom") != 0, F.col("denom")),
             4,
         ).alias("w_stat"),
     )

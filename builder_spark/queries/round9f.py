@@ -580,9 +580,12 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_OC)).cast("bigint").alias("s"),
         F.sum(F.expr(f"{_OC} * {_OC}")).cast("bigint").alias("ss"),
     )
-    var = (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # ANSI /0 guards: a single-order group (n == 1) or zero mean (delta == 0)
+    var = (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / F.when(
+        F.col("n") != 1, F.col("n") - 1
+    )
     delta = 0.02 * F.col("s") / (F.col("n") * 1.0)
-    req = 2 * F.lit(7.848886) * var / (delta * delta)
+    req = 2 * F.lit(7.848886) * var / F.when(delta * delta != 0, delta * delta)
     return m.select(
         "grp",
         F.col("n").cast("bigint").alias("n_obs"),

@@ -759,7 +759,8 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = keyed.groupBy("grp").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss")
     )
-    sst = F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")
+    _sst = F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")
+    sst = F.when(_sst != 0, _sst)  # ANSI /0 guard: constant daily counts
     ssb = F.col("fit_part") - F.col("s") * 1.0 * F.col("s") / F.col("n")
     return tot.join(raw, "grp").select("grp", F.round(ssb / sst, 4).alias("strength"))
 

@@ -225,7 +225,11 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_pairs",
         F.round(
             1
-            - F.col("cand_pairs") * 2.0 / (F.col("n_records") * (F.col("n_records") - 1)),
+            - F.col("cand_pairs") * 2.0
+            / F.when(  # ANSI /0 guard: single-record corpus has no pairs
+                F.col("n_records") != 1,
+                F.col("n_records") * (F.col("n_records") - 1),
+            ),
             6,
         ).alias("reduction_ratio"),
         F.round(F.col("cand_pairs") * 1.0 / F.col("n_blocks"), 2).alias(

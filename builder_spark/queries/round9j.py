@@ -779,7 +779,11 @@ def q_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = board(1996).select(F.col("pk").alias("pk_b"), F.col("rk").alias("rk_b"))
     j = a.join(b, F.col("pk_a") == F.col("pk_b"), "full_outer")
     common = F.col("pk_a").isNotNull() & F.col("pk_b").isNotNull()
-    n_common = F.sum(F.when(common, 1).otherwise(0)).cast("bigint")
+    # coalesced counts: the oracle's count(*) FILTER is 0 (not NULL)
+    # over an empty join (degenerate audit)
+    n_common = F.coalesce(F.sum(F.when(common, 1).otherwise(0)), F.lit(0)).cast(
+        "bigint"
+    )
     return j.agg(
         n_common.alias("n_common"),
         F.round(
@@ -788,10 +792,10 @@ def q_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(F.when(common, F.abs(F.col("rk_a") - F.col("rk_b")))), 2
         ).alias("avg_rank_shift"),
-        F.sum(F.when(F.col("pk_a").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("pk_a").isNull(), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("n_entered"),
-        F.sum(F.when(F.col("pk_b").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("pk_b").isNull(), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("n_dropped"),
     )
@@ -926,10 +930,13 @@ def q_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.abs(F.col("v2_i")) == F.col("max_abs"), F.col("i")))
         .cast("int")
         .alias("top_dim"),
-        (
+        (  # ANSI /0 guards: zero covariance (single-vector corpus)
             F.sum(F.col("v2_i") * 1.0 * F.col("v1s_i"))
-            / F.sum(F.col("v1s_i") * 1.0 * F.col("v1s_i"))
-            / F.sum("c")
+            / F.when(
+                F.sum(F.col("v1s_i") * 1.0 * F.col("v1s_i")) != 0,
+                F.sum(F.col("v1s_i") * 1.0 * F.col("v1s_i")),
+            )
+            / F.when(F.sum("c") != 0, F.sum("c"))
         ).alias("share_raw"),
     )
     return out.crossJoin(F.broadcast(n_vecs)).select(

@@ -791,13 +791,13 @@ def _bloom_probe_sql(m: int) -> str:
             {" UNION ALL ".join(f'''
             SELECT {m} AS n_bits,
                    CAST(count(*) AS BIGINT) AS n_probes,
-                   CAST(sum(CASE WHEN {_bloom_probe_sql(m)}
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+                   CAST(coalesce(sum(CASE WHEN {_bloom_probe_sql(m)}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fp,
                    (SELECT CAST(count(*) AS BIGINT) FROM bits_{m}) AS bits_set
             FROM probes p''' for m in _BLOOM_BITS)}
         )
         SELECT CAST(n_bits AS INT) AS n_bits, n_probes, n_fp, bits_set,
-               round(n_fp * 1.0 / n_probes, 4) AS fpr,
+               round(n_fp * 1.0 / nullif(n_probes, 0), 4) AS fpr,
                round(bits_set * 1.0 / n_bits, 4) AS fill_ratio
         FROM sweep
     """,
@@ -869,13 +869,26 @@ def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_fp"),
     )
     fill = bits.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
-    return sweep.join(F.broadcast(fill), "m").select(
-        F.col("m").cast("int").alias("n_bits"),
-        "n_probes",
-        "n_fp",
-        "bits_set",
-        F.round(F.col("n_fp") * 1.0 / F.col("n_probes"), 4).alias("fpr"),
-        F.round(F.col("bits_set") * 1.0 / F.col("m"), 4).alias("fill_ratio"),
+    # literal m spine + left joins: the oracle's UNION ALL branches emit
+    # one zero-row per size even over an empty vocabulary (degenerate
+    # audit); on any real corpus every m matches and this is a no-op
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _BLOOM_BITS])).alias("m")
+    )
+    n_probes = F.coalesce("n_probes", F.lit(0)).cast("bigint")
+    n_fp = F.coalesce("n_fp", F.lit(0)).cast("bigint")
+    bits_set = F.coalesce("bits_set", F.lit(0)).cast("bigint")
+    return (
+        spine.join(sweep, "m", "left")
+        .join(F.broadcast(fill), "m", "left")
+        .select(
+            F.col("m").cast("int").alias("n_bits"),
+            n_probes.alias("n_probes"),
+            n_fp.alias("n_fp"),
+            bits_set.alias("bits_set"),
+            F.round(n_fp * 1.0 / F.when(n_probes != 0, n_probes), 4).alias("fpr"),
+            F.round(bits_set * 1.0 / F.col("m"), 4).alias("fill_ratio"),
+        )
     )
 
 

@@ -324,7 +324,9 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_tail = F.when(F.col("cnt") > F.col("qx"), 1).otherwise(0)
     y_tail = F.when(F.col("rev") > F.col("qy"), 1).otherwise(0)
     joint = F.when((F.col("cnt") > F.col("qx")) & (F.col("rev") > F.col("qy")), 1).otherwise(0)
-    return j.agg(
+    # groupBy the broadcast thresholds (one group on any real input)
+    # to mirror the oracle's GROUP BY n: empty series -> 0 rows both
+    return j.groupBy("qx", "qy").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum(x_tail).cast("bigint").alias("n_x_tail"),
         F.sum(y_tail).cast("bigint").alias("n_y_tail"),
@@ -332,7 +334,7 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(joint) * 1.0 / F.nullif(F.sum(y_tail), F.lit(0)), 4
         ).alias("lambda_upper"),
-    )
+    ).select("n_days", "n_x_tail", "n_y_tail", "n_joint", "lambda_upper")
 
 
 # ---------------------------------------------------------------------------

@@ -480,7 +480,9 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cal_coverage")
     )
     return (
-        q.select(F.col("n").alias("n_cal"), "qhat")
+        # coalesce: the oracle's count(*) is 0 (not NULL) on an empty
+        # calibration set (degenerate audit)
+        q.select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_cal"), "qhat")
         .crossJoin(F.broadcast(cov))
         .select(
             "n_cal",
@@ -682,8 +684,13 @@ def q_dup_mass_extrapolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h").cast("bigint").alias("uniq_full"),
     )
     j = half0.crossJoin(F.broadcast(full_c))
-    dr_half = (F.col("n_half") - F.col("uniq_half")) * 1.0 / F.col("n_half")
-    dr_full = (F.col("n_full") - F.col("uniq_full")) * 1.0 / F.col("n_full")
+    # ANSI /0 guards: empty corpus / empty sampled half
+    dr_half = (F.col("n_half") - F.col("uniq_half")) * 1.0 / F.when(
+        F.col("n_half") != 0, F.col("n_half")
+    )
+    dr_full = (F.col("n_full") - F.col("uniq_full")) * 1.0 / F.when(
+        F.col("n_full") != 0, F.col("n_full")
+    )
     return j.select(
         "n_half",
         "uniq_half",

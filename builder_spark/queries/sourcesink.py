@@ -281,10 +281,16 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(p, ignore_errors=True)
     li.repartition(64).write.mode("overwrite").parquet(frag)
     files_before = len(_glob.glob(os.path.join(frag, "*.parquet")))
-    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(tight)
+    # explicit schemas: a degenerate (0/1-row) input writes 0/1 part
+    # files — inference would fail on the empty dir, and the invariant
+    # below degrades to "already at most 4 files" when there was
+    # nothing to compact (files_before <= 4)
+    spark.read.schema(li.schema).parquet(frag).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(tight)
     files_after = len(_glob.glob(os.path.join(tight, "*.parquet")))
-    back = spark.read.parquet(tight)
-    compacted = files_after < files_before and 1 <= files_after <= 4
+    back = spark.read.schema(li.schema).parquet(tight)
+    compacted = files_after <= 4 and (files_after < files_before or files_before <= 4)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("bigint").alias("key_sum"),
@@ -389,10 +395,13 @@ def q_hive_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     path = scratch_dir("hive_part")
     shutil.rmtree(path, ignore_errors=True)
-    ev.select("event_id", "user_id", "value", "event_type").write.mode(
-        "overwrite"
-    ).partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    sel = ev.select("event_id", "user_id", "value", "event_type")
+    sel.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    # explicit read schema: an empty input writes no partition dirs and
+    # schema inference fails (UNABLE_TO_INFER_SCHEMA) — degenerate audit
+    back = spark.read.schema(sel.schema).parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),

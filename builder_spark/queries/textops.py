@@ -819,6 +819,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # driver-side scalar: iteration constant
+    # empty graph: nodes/edges have 0 rows so every plan below is empty
+    # regardless of the seed value — just avoid the Python 1/0
+    n_nodes = n_nodes or 1
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(_PR_ITERS):
@@ -1617,12 +1620,19 @@ def q_near_dup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_true",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_candidates").cast("double"), 4).alias(
-                "precision"
-            ),
-            F.round(F.col("n_hits") / F.col("n_true").cast("double"), 4).alias(
-                "recall"
-            ),
+            # ANSI /0 guards: dedup finds nothing on a 0/1-doc corpus
+            F.round(
+                F.col("n_hits")
+                / F.when(F.col("n_candidates") != 0, F.col("n_candidates")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits")
+                / F.when(F.col("n_true") != 0, F.col("n_true")).cast("double"),
+                4,
+            ).alias("recall"),
         )
     )
 

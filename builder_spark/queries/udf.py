@@ -175,7 +175,9 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("parquet_roundtrip")
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit read schema: an empty input writes zero part files and
+    # schema inference fails (UNABLE_TO_INFER_SCHEMA) — degenerate audit
+    back = spark.read.schema(o.schema).parquet(out)
     return (
         back.groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(

@@ -323,4 +323,13 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("q_stream_foreach_batch exceeded 600s under availableNow")
-    return spark.read.parquet(out).select("win_start", "event_type", "n", "total_value")
+    # explicit schema + pre-created dir: an empty source produces no
+    # micro-batch writes, and schema inference on the bare sink dir
+    # fails (UNABLE_TO_INFER_SCHEMA) — degenerate audit
+    os.makedirs(out, exist_ok=True)
+    sink_schema = agg.withColumn("win_date", F.to_date("win_start")).schema
+    return (
+        spark.read.schema(sink_schema)
+        .parquet(out)
+        .select("win_start", "event_type", "n", "total_value")
+    )
