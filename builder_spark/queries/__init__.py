@@ -72,6 +72,7 @@ MODULES: tuple[str, ...] = (
     "builder_spark.queries.round9o",
     "builder_spark.queries.round10",
     "builder_spark.queries.round11",
+    "builder_spark.queries.round12",
 )
 
 

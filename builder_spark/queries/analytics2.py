@@ -1230,7 +1230,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         final AS (
             SELECT k, status, price FROM merged WHERE rn = 1 AND op <> 'D'
         )
-        SELECT status, count(*) AS n, round(sum(price), 4) AS total
+        -- exact cents sum: the double total tops 1.2e10 at sf0.1 where
+        -- summation-order noise reaches the 4th decimal; prices are
+        -- 2-decimal money so the integer sum is exact on both engines
+        SELECT status, count(*) AS n,
+               round(CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 4) AS total
         FROM final GROUP BY status
     """,
     category="analytics",
@@ -1274,8 +1279,16 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
     )
+    # exact cents sum — at sf0.1 the double total (~1.2e10) is past the
+    # magnitude where summation order stays under round(,4); 2-decimal
+    # money sums exactly as int64 cents on both engines
     return final.groupBy("status").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("price") * 100).cast("bigint")).cast("double")
+            / 100.0,
+            4,
+        ).alias("total"),
     )
 
 
@@ -1753,7 +1766,10 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         v AS (
             SELECT CAST(dim AS INT) AS dim,
                    round(var_samp(x), 4) AS variance,
-                   round(avg(x), 4) AS mean
+                   -- + 0.0: a centered dimension's mean is noise around
+                   -- 0 and summation order can flip its sign (SURVEY
+                   -- trap 10 — −0.0 vs 0.0 surfaced at sf0.1)
+                   round(avg(x), 4) + 0.0 AS mean
             FROM u GROUP BY dim
         )
         SELECT dim, variance, mean,
@@ -1777,7 +1793,8 @@ def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = u.groupBy("dim").agg(
         F.round(F.var_samp("x"), 4).alias("variance"),
-        F.round(F.avg("x"), 4).alias("mean"),
+        # + 0.0: signed-zero discipline on a noise-around-0 mean
+        (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("mean"),
     )
     w = Window.orderBy(F.col("variance").desc(), F.col("dim").asc())
     return (

@@ -549,11 +549,17 @@ def q_percentile_rank_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         ),
         per_user AS (
+            -- EXACT integer moments, ONE division each: the engines'
+            -- internal avg/var_samp accumulation orders differ at ulp
+            -- level, which flips round(,4) for a user landing on a
+            -- boundary (surfaced at sf0.1); n*scc - sc*sc is exact
             SELECT user_id,
                    count(*) AS n_days,
-                   round(avg(c), 4) AS mean_daily,
-                   round(var_samp(c), 4) AS var_daily,
-                   round(var_samp(c) / avg(c), 4) AS fano
+                   round(sum(c) / (count(*) * 1.0), 4) AS mean_daily,
+                   round((count(*) * sum(c * c) - sum(c) * sum(c))
+                         / (count(*) * 1.0 * (count(*) - 1)), 4) AS var_daily,
+                   round((count(*) * sum(c * c) - sum(c) * sum(c))
+                         / ((count(*) - 1) * 1.0 * sum(c)), 4) AS fano
             FROM daily GROUP BY user_id
             HAVING count(*) >= 5
         )
@@ -566,19 +572,27 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user burstiness (Fano factor: variance/mean of daily event
     counts) — Poisson-like users sit near 1, bots and batch scripts
     blow past it; the standard traffic-shape screen. Two combinable
-    aggregates (user×day, then user); variance over exact integer
-    counts rounds once. User grain partitions freely."""
+    aggregates (user×day, then user). Moments are EXACT integer sums
+    with one division each (n·Σc² − (Σc)² form) — the engines' builtin
+    avg/var_samp accumulate in different orders, and at sf0.1 a user
+    landed within that ulp drift of a round(,4) boundary. User grain
+    partitions freely."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    sc = F.sum("c")
+    scc = F.sum(F.col("c") * F.col("c"))
     return (
         daily.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("c"), 4).alias("mean_daily"),
-            F.round(F.var_samp("c"), 4).alias("var_daily"),
-            F.round(F.var_samp("c") / F.avg("c"), 4).alias("fano"),
+            n.alias("n_days"),
+            F.round(sc / (n * 1.0), 4).alias("mean_daily"),
+            F.round((n * scc - sc * sc) / (n * 1.0 * (n - 1)), 4).alias(
+                "var_daily"
+            ),
+            F.round((n * scc - sc * sc) / ((n - 1) * 1.0 * sc), 4).alias("fano"),
         )
         .filter(F.col("n_days") >= 5)
     )

@@ -1,0 +1,1040 @@
+"""Round-12 surface growth: distribution diagnostics (Jarque–Bera
+normality, zero-inflation score), heteroscedastic inference (Welch's
+ANOVA), stratified contingency (Cochran–Mantel–Haenszel), unit-root /
+stationarity econometrics (Dickey–Fuller, KPSS, Lo–MacKinlay variance
+ratio), robust location (Hodges–Lehmann), and two LLM-corpus tools:
+Dunning log-likelihood keyness and adjacent-doc ROUGE overlap.
+
+Design rules (same as the rest of the graded surface):
+- integer-exact cores wherever possible (counts, cents via the
+  repo-standard ``CAST(round(x * 100) AS BIGINT)``); floats only
+  through one identical expression tree on both engines, then
+  ``round(·, 4)``;
+- SIGNED-ZERO discipline (SURVEY §2 trap 10): every rounded oracle
+  float that can be mathematically zero carries ``+ 0.0``;
+- every denominator guarded on BOTH engines (F.when / nullif) so the
+  0-row / 1-row degenerate fixtures return defined, equal output;
+- deterministic total orders under every window and top-k (round
+  before rank, unique-key tie-breaks); empty-partition frames only
+  over calendar-bounded aggregates, whitelisted with their grain in
+  tests/test_window_audit.py;
+- scale-shaped plans: facts collapse to day/term/stratum grain in ONE
+  combinable pass before any window or closed-form algebra; global
+  scalars travel as 1-row broadcast cross joins; candidate pairs come
+  from equi-joins (adjacent doc ids), never all-pairs fact grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+#: repo-standard exact-cents encoding (identical text on both engines)
+_OC = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+#: shared day-grain exact-cents revenue rollup (the round-11 helper,
+#: duplicated here so the lazy registry never imports round11 for it)
+_DAILY_REV_SQL = """
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev
+            FROM orders GROUP BY 1
+        )"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, rev) — exact-integer daily revenue cents."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.expr(_OC)).cast("bigint").alias("rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque–Bera normality test
+
+
+@register(
+    "q_jarque_bera",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderpriority AS grp, count(*) AS n,
+                   sum(ln(o_totalprice)) AS s1,
+                   sum(ln(o_totalprice) * ln(o_totalprice)) AS s2,
+                   sum(ln(o_totalprice) * ln(o_totalprice) * ln(o_totalprice)) AS s3,
+                   sum(ln(o_totalprice) * ln(o_totalprice) * ln(o_totalprice)
+                       * ln(o_totalprice)) AS s4
+            FROM orders GROUP BY o_orderpriority
+        ),
+        c AS (
+            SELECT grp, n, s1 / n AS mu,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                       + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                       + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM m
+        ),
+        g AS (
+            SELECT grp, n,
+                   m3 / nullif(sqrt(m2 * m2 * m2), 0) AS skw,
+                   m4 / nullif(m2 * m2, 0) - 3 AS kur
+            FROM c
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n_orders,
+               round(skw, 4) + 0.0 AS skewness,
+               round(kur, 4) + 0.0 AS ex_kurtosis,
+               round(n / 6.0 * (skw * skw + kur * kur / 4), 4) AS jb_stat,
+               CAST(CASE WHEN n / 6.0 * (skw * skw + kur * kur / 4) > 5.991465
+                    THEN 1 ELSE 0 END AS INT) AS reject_normal
+        FROM g
+    """,
+    category="analytics",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of log order value per priority:
+    JB = n/6·(g₁² + g₂²/4) against χ²₂ (5.9915), with the skewness and
+    excess-kurtosis inputs — the moment-based normality screen that
+    q_moments reports descriptively and q_anderson_darling answers for
+    the exponential family.
+
+    One combinable raw-moment pass (n, Σx…Σx⁴) to 5 priority rows;
+    central moments/JB are closed-form algebra on those rows, the
+    identical expression tree on both engines. Guards: a single-order
+    or constant group zeroes m2 (nullif/F.when on both); signed-zero
+    `+ 0.0` on skew/kurtosis (noise around 0 for symmetric data)."""
+    x = F.log(F.col("o_totalprice"))
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+            F.sum(x * x * x).alias("s3"),
+            F.sum(x * x * x * x).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    g = m.select(
+        "grp",
+        "n",
+        (m3 / F.when(F.sqrt(m2 * m2 * m2) != 0, F.sqrt(m2 * m2 * m2))).alias("skw"),
+        (m4 / F.when(m2 * m2 != 0, m2 * m2) - 3).alias("kur"),
+    )
+    jb = n / 6.0 * (F.col("skw") * F.col("skw") + F.col("kur") * F.col("kur") / 4)
+    return g.select(
+        "grp",
+        n.cast("bigint").alias("n_orders"),
+        F.round("skw", 4).alias("skewness"),
+        F.round("kur", 4).alias("ex_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.when(jb > 5.991465, 1).otherwise(0).cast("int").alias("reject_normal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroscedastic one-way ANOVA
+
+
+@register(
+    "q_welchs_anova",
+    oracle="""
+        WITH seg AS (
+            SELECT c.c_mktsegment AS seg, count(*) AS n,
+                   sum(o.o_totalprice) AS s,
+                   sum(o.o_totalprice * o.o_totalprice) AS ss
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        ),
+        v AS (
+            SELECT seg, n, s / n AS m,
+                   n / nullif((ss - s * s / n) / nullif(n - 1, 0), 0) AS w
+            FROM seg
+        ),
+        t AS (
+            SELECT count(*) AS k, sum(n) AS n_total,
+                   sum(w) AS bigw, sum(w * m) AS swm
+            FROM v
+        ),
+        parts AS (
+            SELECT t.k, t.n_total,
+                   sum(v.w * (v.m - t.swm / nullif(t.bigw, 0))
+                           * (v.m - t.swm / nullif(t.bigw, 0))) AS num,
+                   sum((1 - v.w / nullif(t.bigw, 0))
+                       * (1 - v.w / nullif(t.bigw, 0))
+                       / nullif(v.n - 1, 0)) AS lam
+            FROM v, t GROUP BY t.k, t.n_total
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n_total AS BIGINT) AS n_total,
+               round((num / nullif(k - 1, 0))
+                     / nullif(1 + 2.0 * (k - 2) / (k * k - 1.0) * lam, 0), 4)
+                   AS welch_f,
+               round((k * k - 1.0) / nullif(3.0 * lam, 0), 4) AS df2,
+               CAST(CASE WHEN (num / nullif(k - 1, 0))
+                              / nullif(1 + 2.0 * (k - 2) / (k * k - 1.0) * lam, 0)
+                              > 2.3719
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_means
+        FROM parts
+    """,
+    category="analytics",
+)
+def q_welchs_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across market segments —
+    the variance-unequal replacement for q_anova_f (which q_levene_test
+    says you need): precision weights w_g = n_g/s²_g, F* =
+    [Σw(m−m̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ] with Λ =
+    Σ(1−w/W)²/(n_g−1), plus the Welch–Satterthwaite df₂ = (k²−1)/(3Λ).
+    Critical value 2.3719 (F₄,∞ at 5%, k=5 segments).
+
+    One conditional-agg pass to 5 segment rows; the weighted closed
+    form runs on those rows with the 1-row totals cross-joined (GROUP
+    BY totals so an empty corpus yields 0 rows on BOTH engines). Every
+    denominator guarded: single-order groups (n=1), zero variance,
+    single group (k=1)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        )
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.when(
+        F.col("n") != 1, F.col("n") - 1
+    )
+    v = seg.select(
+        "seg",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        (F.col("n") / F.when(var != 0, var)).alias("w"),
+    )
+    t = v.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("w").alias("bigw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+    )
+    mw = F.col("swm") / F.when(F.col("bigw") != 0, F.col("bigw"))
+    parts = (
+        v.crossJoin(F.broadcast(t))
+        .groupBy("k", "n_total")
+        .agg(
+            F.sum(F.col("w") * (F.col("m") - mw) * (F.col("m") - mw)).alias("num"),
+            F.sum(
+                (1 - F.col("w") / F.when(F.col("bigw") != 0, F.col("bigw")))
+                * (1 - F.col("w") / F.when(F.col("bigw") != 0, F.col("bigw")))
+                / F.when(F.col("n") != 1, F.col("n") - 1)
+            ).alias("lam"),
+        )
+    )
+    k = F.col("k")
+    den = 1 + 2.0 * (k - 2) / (k * k - 1.0) * F.col("lam")
+    welch_f = (F.col("num") / F.when(k != 1, k - 1)) / F.when(den != 0, den)
+    return parts.select(
+        k.cast("bigint").alias("n_groups"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(welch_f, 4).alias("welch_f"),
+        F.round(
+            (k * k - 1.0)
+            / F.when(3.0 * F.col("lam") != 0, 3.0 * F.col("lam")),
+            4,
+        ).alias("df2"),
+        F.when(welch_f > 2.3719, 1).otherwise(0).cast("int").alias(
+            "reject_equal_means"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Mantel–Haenszel stratified 2x2 test
+
+
+@register(
+    "q_cmh_test",
+    oracle="""
+        WITH strata AS (
+            SELECT n.n_name,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                  AND o.o_totalprice > 150000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                   CAST(sum(CASE WHEN o.o_totalprice > 150000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        terms AS (
+            SELECT count(*) AS n_strata,
+                   sum(a - r1 * 1.0 * c1 / n) AS dev,
+                   sum(r1 * 1.0 * (n - r1) * c1 * (n - c1)
+                       / nullif(n * 1.0 * n * (n - 1), 0)) AS var_sum,
+                   sum((a * 1.0 * (n - r1 - c1 + a)) / n) AS s_ad,
+                   sum(((r1 - a) * 1.0 * (c1 - a)) / n) AS s_bc
+            FROM strata
+        )
+        SELECT CAST(n_strata AS BIGINT) AS n_strata,
+               round((abs(dev) - 0.5) * (abs(dev) - 0.5)
+                     / nullif(var_sum, 0), 4) AS cmh_chi2,
+               round(s_ad / nullif(s_bc, 0), 4) AS mh_odds_ratio,
+               CAST(CASE WHEN (abs(dev) - 0.5) * (abs(dev) - 0.5)
+                              / nullif(var_sum, 0) > 3.8415
+                    THEN 1 ELSE 0 END AS INT) AS reject_independence
+        FROM terms
+    """,
+    category="analytics",
+)
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of (high priority × high value)
+    association stratified by nation — the confounder-adjusted 2×2
+    test that q_odds_ratio (single table) and q_simpson_check (which
+    demonstrates WHY stratification matters) set up: continuity-
+    corrected χ²_CMH = (|Σ(a−E a)|−½)²/ΣVar(a) against χ²₁ (3.8415)
+    plus the Mantel–Haenszel pooled odds ratio Σ(ad/n)/Σ(bc/n).
+
+    One conditional-agg pass to 25 nation strata (exact int64 cells);
+    the test is a second 1-row aggregate over those. Overflow
+    discipline: every 3+-factor count product widens with `* 1.0`
+    before the third multiply (r1(n−r1)c1(n−c1) tops int64 past
+    ~sf3). Degenerate guards: single-row strata (n−1), empty
+    var_sum/bc sums (nullif / F.when on both engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    exposed = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    outcome = F.col("o_totalprice") > 150000
+    strata = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(exposed & outcome, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(exposed, 1).otherwise(0)).cast("bigint").alias("r1"),
+            F.sum(F.when(outcome, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    n, a, r1, c1 = F.col("n"), F.col("a"), F.col("r1"), F.col("c1")
+    var_term = (
+        r1 * 1.0 * (n - r1) * c1 * (n - c1)
+        / F.when(n * 1.0 * n * (n - 1) != 0, n * 1.0 * n * (n - 1))
+    )
+    terms = strata.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(a - r1 * 1.0 * c1 / n).alias("dev"),
+        F.sum(var_term).alias("var_sum"),
+        F.sum((a * 1.0 * (n - r1 - c1 + a)) / n).alias("s_ad"),
+        F.sum(((r1 - a) * 1.0 * (c1 - a)) / n).alias("s_bc"),
+    )
+    chi2 = (
+        (F.abs(F.col("dev")) - 0.5)
+        * (F.abs(F.col("dev")) - 0.5)
+        / F.when(F.col("var_sum") != 0, F.col("var_sum"))
+    )
+    return terms.select(
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.round(chi2, 4).alias("cmh_chi2"),
+        F.round(
+            F.col("s_ad") / F.when(F.col("s_bc") != 0, F.col("s_bc")), 4
+        ).alias("mh_odds_ratio"),
+        F.when(chi2 > 3.8415, 1).otherwise(0).cast("int").alias(
+            "reject_independence"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dickey–Fuller unit-root test (lag-0, with intercept)
+
+
+@register(
+    "q_adf_test",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        y AS (
+            SELECT ln(rev / 100.0) AS y,
+                   lag(ln(rev / 100.0)) OVER (ORDER BY d) AS x
+            FROM daily
+        ),
+        pts AS (SELECT x, y - x AS z FROM y WHERE x IS NOT NULL),
+        m AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(z) AS sz,
+                   sum(x * x) AS sxx, sum(x * z) AS sxz, sum(z * z) AS szz
+            FROM pts
+        ),
+        fit AS (
+            SELECT n,
+                   (sxz - sx * sz / nullif(n, 0))
+                       / nullif(sxx - sx * sx / nullif(n, 0), 0) AS beta,
+                   (szz - sz * sz / nullif(n, 0))
+                       - (sxz - sx * sz / nullif(n, 0))
+                         * ((sxz - sx * sz / nullif(n, 0))
+                            / nullif(sxx - sx * sx / nullif(n, 0), 0)) AS sse,
+                   sxx - sx * sx / nullif(n, 0) AS sxx_c
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs,
+               round(beta, 4) + 0.0 AS beta,
+               round(beta / nullif(sqrt((sse / nullif(n - 2, 0))
+                                        / nullif(sxx_c, 0)), 0), 4) + 0.0
+                   AS df_stat,
+               CAST(CASE WHEN beta / nullif(sqrt((sse / nullif(n - 2, 0))
+                                                 / nullif(sxx_c, 0)), 0) < -2.8621
+                    THEN 1 ELSE 0 END AS INT) AS unit_root_rejected
+        FROM fit
+    """,
+    category="analytics",
+)
+def q_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test on daily log revenue: regress
+    Δy_t on y_{{t−1}} (with intercept), DF statistic = β̂/se(β̂) against
+    the −2.8621 5% critical value — is the series mean-reverting or a
+    random walk? The question q_durbin_watson (residual serial
+    correlation) and q_kpss_test (the mirrored stationarity null)
+    bracket from either side.
+
+    One combinable fact pass to the calendar-bounded day table (exact
+    integer cents); one whitelisted ordered-window lag over that
+    table; the OLS closed form is a 1-row aggregate of five sufficient
+    statistics — the identical guarded expression tree on both
+    engines (n≤2, constant series ⇒ NULL, not raise)."""
+    daily = _daily_rev(spark, sf_dir)
+    yv = F.log(F.col("rev") / 100.0)
+    w = Window.orderBy("d")
+    y = daily.select(yv.alias("y"), F.lag(yv).over(w).alias("x"))
+    pts = y.filter(F.col("x").isNotNull()).select(
+        "x", (F.col("y") - F.col("x")).alias("z")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    n = F.col("n")
+    nn = F.when(n != 0, n)
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    sxz_c = F.col("sxz") - F.col("sx") * F.col("sz") / nn
+    szz_c = F.col("szz") - F.col("sz") * F.col("sz") / nn
+    beta = sxz_c / F.when(sxx_c != 0, sxx_c)
+    sse = szz_c - sxz_c * beta
+    se = F.sqrt((sse / F.when(n != 2, n - 2)) / F.when(sxx_c != 0, sxx_c))
+    df_stat = beta / F.when(se != 0, se)
+    return m.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(beta, 4).alias("beta"),
+        F.round(df_stat, 4).alias("df_stat"),
+        F.when(df_stat < -2.8621, 1).otherwise(0).cast("int").alias(
+            "unit_root_rejected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity test
+
+
+@register(
+    "q_kpss_test",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        m AS (SELECT count(*) AS n, avg(ln(rev / 100.0)) AS mu FROM daily),
+        e AS (
+            SELECT ln(rev / 100.0) - m.mu AS e,
+                   sum(ln(rev / 100.0) - m.mu)
+                       OVER (ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s
+            FROM daily, m
+        ),
+        agg AS (
+            SELECT count(*) AS n, sum(s * s) AS ssq, sum(e * e) AS see
+            FROM e
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(see / nullif(n * 1.0, 0), 4) AS sigma2,
+               round((ssq / nullif(n * 1.0 * n, 0))
+                     / nullif(see / nullif(n * 1.0, 0), 0), 4) AS kpss_stat,
+               CAST(CASE WHEN (ssq / nullif(n * 1.0 * n, 0))
+                              / nullif(see / nullif(n * 1.0, 0), 0) > 0.463
+                    THEN 1 ELSE 0 END AS INT) AS reject_stationary
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily log revenue (lag-0
+    long-run variance for determinism): η = Σ_t S_t²/(n²σ̂²) with
+    S_t the partial sums of demeaned values, against the 0.463 5%
+    critical value — the null-reversed complement of q_adf_test
+    (ADF null = unit root; KPSS null = stationary; agreement in
+    opposite directions is the textbook joint read).
+
+    Day-grain rollup (exact cents) → 1-row mean broadcast → ONE
+    whitelisted ordered-window cumulative sum over the calendar-
+    bounded day table → 1-row closed form. Constant series (σ̂²=0)
+    degrades to NULL identically on both engines."""
+    daily = _daily_rev(spark, sf_dir)
+    yv = F.log(F.col("rev") / 100.0)
+    m = daily.agg(F.count(F.lit(1)).alias("n0"), F.avg(yv).alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = daily.crossJoin(F.broadcast(m)).select(
+        (yv - F.col("mu")).alias("e"),
+        F.sum(yv - F.col("mu")).over(w).alias("s"),
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+    )
+    n = F.col("n")
+    sigma2 = F.col("see") / F.when(n * 1.0 != 0, n * 1.0)
+    stat = (F.col("ssq") / F.when(n * 1.0 * n != 0, n * 1.0 * n)) / F.when(
+        sigma2 != 0, sigma2
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(sigma2, 4).alias("sigma2"),
+        F.round(stat, 4).alias("kpss_stat"),
+        F.when(stat > 0.463, 1).otherwise(0).cast("int").alias("reject_stationary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo–MacKinlay variance-ratio test (q = 5)
+
+
+@register(
+    "q_variance_ratio",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        lags AS (
+            SELECT ln(rev / 100.0) AS y,
+                   lag(ln(rev / 100.0), 1) OVER (ORDER BY d) AS y1,
+                   lag(ln(rev / 100.0), 5) OVER (ORDER BY d) AS y5
+            FROM daily
+        ),
+        r AS (
+            SELECT count(y - y1) AS nr, avg(y - y1) AS mu,
+                   count(y - y5) AS nq
+            FROM lags
+        ),
+        s AS (
+            SELECT r.nr, r.nq, r.mu,
+                   sum(CASE WHEN l.y1 IS NULL THEN 0
+                            ELSE (l.y - l.y1 - r.mu) * (l.y - l.y1 - r.mu) END)
+                       AS ss1,
+                   sum(CASE WHEN l.y5 IS NULL THEN 0
+                            ELSE (l.y - l.y5 - 5 * r.mu) * (l.y - l.y5 - 5 * r.mu)
+                       END) AS ss5
+            FROM lags l, r GROUP BY r.nr, r.nq, r.mu
+        )
+        SELECT CAST(nr AS BIGINT) AS n_returns,
+               round(mu, 4) + 0.0 AS mean_return,
+               round((ss5 / nullif(nq * 1.0, 0))
+                     / nullif(5.0 * ss1 / nullif(nr * 1.0, 0), 0), 4)
+                   AS variance_ratio,
+               CAST(CASE WHEN (ss5 / nullif(nq * 1.0, 0))
+                              / nullif(5.0 * ss1 / nullif(nr * 1.0, 0), 0) > 1
+                    THEN 1 ELSE 0 END AS INT) AS momentum
+        FROM s
+    """,
+    category="analytics",
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio VR(5) on daily log-revenue returns:
+    Var of overlapping 5-day returns over 5× the 1-day return variance
+    — a random walk sits at 1, mean reversion below, momentum above.
+    The third leg of the unit-root triptych (q_adf_test regression
+    form, q_kpss_test partial-sum form, VR the direct variance form);
+    also pairs with q_hurst_exponent's R/S take.
+
+    One day-grain rollup; both horizons come from ONE whitelisted
+    ordered-window pass (lag 1 + lag 5); the ratio is a 1-row closed
+    form over centered sums (GROUP BY the 1-row moment keys so an
+    empty series yields 0 rows on both engines). Guards: short series
+    (nq=0) and constant series (ss1=0) degrade to NULL identically."""
+    daily = _daily_rev(spark, sf_dir)
+    yv = F.log(F.col("rev") / 100.0)
+    w = Window.orderBy("d")
+    lags = daily.select(
+        yv.alias("y"),
+        F.lag(yv, 1).over(w).alias("y1"),
+        F.lag(yv, 5).over(w).alias("y5"),
+    )
+    r = lags.agg(
+        F.count(F.col("y") - F.col("y1")).alias("nr"),
+        F.avg(F.col("y") - F.col("y1")).alias("mu"),
+        F.count(F.col("y") - F.col("y5")).alias("nq"),
+    )
+    s = (
+        lags.crossJoin(F.broadcast(r))
+        .groupBy("nr", "nq", "mu")
+        .agg(
+            F.sum(
+                F.when(F.col("y1").isNull(), 0.0).otherwise(
+                    (F.col("y") - F.col("y1") - F.col("mu"))
+                    * (F.col("y") - F.col("y1") - F.col("mu"))
+                )
+            ).alias("ss1"),
+            F.sum(
+                F.when(F.col("y5").isNull(), 0.0).otherwise(
+                    (F.col("y") - F.col("y5") - 5 * F.col("mu"))
+                    * (F.col("y") - F.col("y5") - 5 * F.col("mu"))
+                )
+            ).alias("ss5"),
+        )
+    )
+    var1 = 5.0 * F.col("ss1") / F.when(F.col("nr") * 1.0 != 0, F.col("nr") * 1.0)
+    vr = (
+        F.col("ss5") / F.when(F.col("nq") * 1.0 != 0, F.col("nq") * 1.0)
+    ) / F.when(var1 != 0, var1)
+    return s.select(
+        F.col("nr").cast("bigint").alias("n_returns"),
+        F.round("mu", 4).alias("mean_return"),
+        F.round(vr, 4).alias("variance_ratio"),
+        F.when(vr > 1, 1).otherwise(0).cast("int").alias("momentum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson zero-inflation screen
+
+
+@register(
+    "q_zero_inflation",
+    oracle="""
+        WITH span AS (
+            SELECT date_diff('day', CAST(min(ts) AS DATE),
+                             CAST(max(ts) AS DATE)) + 1 AS d
+            FROM events
+        ),
+        pu AS (
+            SELECT user_id, count(*) AS e,
+                   count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS act
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(max(s.d) AS BIGINT) AS span_days,
+               CAST(sum(s.d - p.act) AS BIGINT) AS zeros_obs,
+               round(sum(s.d * exp(-(p.e * 1.0 / s.d))), 4) AS zeros_expected,
+               round((sum(s.d - p.act) - sum(s.d * exp(-(p.e * 1.0 / s.d))))
+                     / nullif(sqrt(sum(s.d * exp(-(p.e * 1.0 / s.d))
+                                       * (1 - exp(-(p.e * 1.0 / s.d))))), 0), 4)
+                   + 0.0 AS z_score,
+               CAST(CASE WHEN (sum(s.d - p.act)
+                               - sum(s.d * exp(-(p.e * 1.0 / s.d))))
+                              / nullif(sqrt(sum(s.d * exp(-(p.e * 1.0 / s.d))
+                                                * (1 - exp(-(p.e * 1.0 / s.d))))),
+                                       0) > 1.6449
+                    THEN 1 ELSE 0 END AS INT) AS zero_inflated
+        FROM pu p, span s
+    """,
+    category="analytics",
+)
+def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation screen on per-user daily activity: under each
+    user's fitted Poisson rate λ_u = events/span, a day is silent with
+    probability e^{−λ_u}; compare the corpus-wide OBSERVED silent-day
+    count against Σ span·e^{−λ_u} with the binomial variance, z > 1.64
+    ⇒ more zeros than Poisson traffic explains (churn spells, bots
+    with schedules). The count-data companion to q_nb_overdispersion
+    (variance side) and q_fano_factor.
+
+    One combinable pass to user grain (events + distinct-day counts),
+    the global span as a 1-row broadcast, and a single closed-form
+    aggregate — exact integer zero-day counts, one identical float
+    tree. Guards: empty corpus (0 user rows → NULL stats, counts 0 on
+    both engines), V=0 (nullif/F.when)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    span = ev.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("d")
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("e"), F.countDistinct("day").alias("act")
+    )
+    p0 = F.exp(-(F.col("e") * 1.0 / F.col("d")))
+    z_obs = F.sum(F.col("d") - F.col("act"))
+    e_exp = F.sum(F.col("d") * p0)
+    v = F.sum(F.col("d") * p0 * (1 - p0))
+    z = (z_obs - e_exp) / F.when(F.sqrt(v) != 0, F.sqrt(v))
+    return (
+        pu.crossJoin(F.broadcast(span))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.max("d").cast("bigint").alias("span_days"),
+            z_obs.cast("bigint").alias("zeros_obs"),
+            F.round(e_exp, 4).alias("zeros_expected"),
+            F.round(z, 4).alias("z_score"),
+            F.when(z > 1.6449, 1).otherwise(0).cast("int").alias("zero_inflated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann robust location estimator
+
+
+@register(
+    "q_hodges_lehmann",
+    oracle=f"""
+        WITH {_DAILY_REV_SQL},
+        tot AS (SELECT count(*) AS nd FROM daily),
+        w AS (
+            SELECT (a.rev + b.rev) / 200.0 AS v, a.d AS da, b.d AS db
+            FROM daily a JOIN daily b ON a.d <= b.d
+        ),
+        wr AS (
+            SELECT v, row_number() OVER (ORDER BY v, da, db) AS rk FROM w
+        ),
+        dr AS (
+            SELECT rev / 100.0 AS v, row_number() OVER (ORDER BY rev, d) AS rk
+            FROM daily
+        ),
+        hl AS (
+            SELECT avg(wr.v) AS loc FROM wr, tot
+            WHERE wr.rk IN ((tot.nd * (tot.nd + 1) // 2 + 1) // 2,
+                            (tot.nd * (tot.nd + 1) // 2 + 2) // 2)
+        ),
+        dm AS (
+            SELECT avg(dr.v) AS med FROM dr, tot
+            WHERE dr.rk IN ((tot.nd + 1) // 2, (tot.nd + 2) // 2)
+        )
+        SELECT CAST(t.nd AS BIGINT) AS n_days,
+               CAST(t.nd * (t.nd + 1) // 2 AS BIGINT) AS n_walsh,
+               round(hl.loc, 4) AS hl_location,
+               round(dm.med, 4) AS daily_median
+        FROM tot t, hl, dm
+    """,
+    category="order-stats",
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann robust location of daily revenue — the exact
+    median of all n(n+1)/2 Walsh averages (yᵢ+yⱼ)/2, i ≤ j — the
+    estimator behind the Wilcoxon signed-rank CI (q_wilcoxon_signed_
+    rank, q_median_ci): 29% breakdown, near-Gaussian efficiency,
+    reported next to the plain daily median it robustifies.
+
+    Walsh averages live at day-PAIR grain (calendar-bounded²:
+    ~400 days → 80k pairs regardless of fact size), built by a
+    bounded self-join over the day rollup; both medians come from
+    exact integer-cents sums ranked with unique (v, da, db) total
+    order — bit-identical halves on both engines, no percentile
+    interpolation ambiguity. Empty series: 1 row of NULL medians
+    with nd = 0, identically."""
+    # materialize the (tiny, calendar-bounded) day rollup ONCE — four
+    # consumers (tot, both Walsh sides, the plain-median rank) would
+    # otherwise re-plan the fact scan four times
+    daily = _daily_rev(spark, sf_dir).localCheckpoint(eager=True)
+    tot = daily.agg(F.count(F.lit(1)).alias("nd"))
+    a, b = daily.alias("a"), daily.alias("b")
+    w = a.join(b, F.col("a.d") <= F.col("b.d")).select(
+        ((F.col("a.rev") + F.col("b.rev")) / 200.0).alias("v"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+    )
+    wr = w.select(
+        "v", F.row_number().over(Window.orderBy("v", "da", "db")).alias("rk")
+    )
+    dr = daily.select(
+        (F.col("rev") / 100.0).alias("v"),
+        F.row_number().over(Window.orderBy("rev", "d")).alias("rk"),
+    )
+    hl = (
+        wr.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("rk") == F.expr("(nd * (nd + 1) div 2 + 1) div 2"))
+            | (F.col("rk") == F.expr("(nd * (nd + 1) div 2 + 2) div 2"))
+        )
+        .agg(F.avg("v").alias("loc"))
+    )
+    dm = (
+        dr.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("rk") == F.expr("(nd + 1) div 2"))
+            | (F.col("rk") == F.expr("(nd + 2) div 2"))
+        )
+        .agg(F.avg("v").alias("med"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(dm))
+        .select(
+            F.col("nd").cast("bigint").alias("n_days"),
+            F.expr("nd * (nd + 1) div 2").cast("bigint").alias("n_walsh"),
+            F.round("loc", 4).alias("hl_location"),
+            F.round("med", 4).alias("daily_median"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood keyness (G²)
+
+
+@register(
+    "q_dunning_llr",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT w,
+                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM tok GROUP BY w
+        ),
+        tots AS (
+            SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM cnt
+        ),
+        g AS (
+            SELECT c.w, c.a, c.b,
+                   2 * (c.a * ln(c.a / ((c.a + c.b) * 1.0 * t.na / (t.na + t.nb)))
+                        + c.b * ln(c.b / ((c.a + c.b) * 1.0 * t.nb
+                                          / (t.na + t.nb)))) AS g2,
+                   CASE WHEN c.a * 1.0 * t.nb > c.b * 1.0 * t.na
+                        THEN 1 ELSE 0 END AS enriched
+            FROM cnt c, tots t
+            WHERE c.a >= 5 AND c.b >= 5
+        )
+        SELECT w AS term, a AS cnt_even, b AS cnt_odd,
+               round(g2, 4) + 0.0 AS g2,
+               CAST(enriched AS INT) AS enriched_even
+        FROM g
+        ORDER BY round(g2, 4) DESC, term ASC
+        LIMIT 20
+    """,
+    category="llm-text",
+)
+def q_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness: the 20 terms whose frequency
+    differs most between the even- and odd-doc_id halves of the corpus
+    by G² = 2·Σ O·ln(O/E) — the small-count-safe keyness statistic
+    (Dunning 1993) that q_log_odds_monroe regularizes Bayesianly and
+    q_pmi_bigrams ignores counts for. The self-split makes it a
+    corpus-homogeneity audit: high G² terms mark contamination or
+    duplication clumps.
+
+    Token stream collapses to vocab grain in ONE conditional-agg pass;
+    the 1-row side totals broadcast; top-20 via round-then-rank global
+    TakeOrdered (no window). min-count 5 on both sides keeps every ln
+    argument positive on both engines; G² ≥ 0 by Gibbs with the `+
+    0.0` signed-zero guard for the float dust below it. Count products
+    widen with `* 1.0` (a·N_b tops int64 past ~100 B tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    tots = cnt.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    a, b, na, nb = F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+    g2 = 2 * (
+        a * F.log(a / ((a + b) * 1.0 * na / (na + nb)))
+        + b * F.log(b / ((a + b) * 1.0 * nb / (na + nb)))
+    )
+    g = (
+        cnt.crossJoin(F.broadcast(tots))
+        .filter((a >= 5) & (b >= 5))
+        .select(
+            F.col("w").alias("term"),
+            a.alias("cnt_even"),
+            b.alias("cnt_odd"),
+            F.round(g2, 4).alias("g2"),
+            F.when(a * 1.0 * nb > b * 1.0 * na, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("enriched_even"),
+        )
+    )
+    return g.orderBy(F.col("g2").desc(), F.col("term").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# adjacent-doc ROUGE overlap
+
+
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(split(text, ' ')) > 1 THEN transform("
+    "sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1)))"
+    " ELSE array() END"
+)
+
+_BIGRAMS_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),"
+    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])"
+)
+
+
+@register(
+    "q_rouge_adjacent",
+    oracle=f"""
+        WITH tc AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ),
+        lens AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tc GROUP BY doc_id
+        ),
+        ov AS (
+            SELECT a.doc_id AS doc_a, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o1
+            FROM tc a JOIN tc b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+            GROUP BY a.doc_id
+        ),
+        bc AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS w FROM documents)
+            GROUP BY doc_id, w
+        ),
+        blens AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM bc GROUP BY doc_id
+        ),
+        bov AS (
+            SELECT a.doc_id AS doc_a, CAST(sum(least(a.c, b.c)) AS BIGINT) AS o2
+            FROM bc a JOIN bc b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+            GROUP BY a.doc_id
+        ),
+        pairs AS (
+            SELECT la.doc_id AS doc_a, lb.doc_id AS doc_b,
+                   la.len AS len_a, lb.len AS len_b,
+                   coalesce(ov.o1, 0) AS o1,
+                   coalesce(ba.len, 0) AS blen_a, coalesce(bb.len, 0) AS blen_b,
+                   coalesce(bov.o2, 0) AS o2
+            FROM lens la
+            JOIN lens lb ON lb.doc_id = la.doc_id + 1
+            LEFT JOIN ov ON ov.doc_a = la.doc_id
+            LEFT JOIN bov ON bov.doc_a = la.doc_id
+            LEFT JOIN blens ba ON ba.doc_id = la.doc_id
+            LEFT JOIN blens bb ON bb.doc_id = lb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(o1 AS BIGINT) AS overlap1,
+               round(2.0 * o1 / (len_a + len_b), 4) AS rouge1_f,
+               round(2.0 * o2 / nullif(blen_a + blen_b, 0), 4) AS rouge2_f
+        FROM pairs
+        ORDER BY round(2.0 * o1 / (len_a + len_b), 4) DESC, doc_a ASC
+        LIMIT 50
+    """,
+    category="llm-dedup",
+)
+def q_rouge_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F₁ between each doc and its doc_id successor —
+    the summarization-eval overlap metric turned near-dup audit: with
+    clipped counts, F₁ = 2·Σ min(c_a, c_b)/(len_a+len_b), so the whole
+    statistic is EXACT integer arithmetic (no float noise anywhere
+    before the single rounded division). Top-50 most-overlapping
+    adjacent pairs; complements q_ngram_jaccard (set-based) with the
+    multiplicity-aware ROUGE form.
+
+    Docs collapse to (doc, term, count) grain once per n-gram order;
+    candidate pairs come from the doc_id+1 EQUI-join (never all
+    pairs); bigram arrays guard the Spark sequence(1,0) descent with
+    an explicit size>1 CASE (SCALE.md round-11 trap). Single-token
+    docs have no bigrams: blen 0 ⇒ rouge2_f NULL on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lens = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("len"))
+    bc = (
+        d.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    blens = bc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("len"))
+
+    def overlap(grams: DataFrame, out: str) -> DataFrame:
+        a, b = grams.alias("a"), grams.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                & (F.col("b.w") == F.col("a.w")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"))
+            .agg(F.sum(F.least("a.c", "b.c")).cast("bigint").alias(out))
+        )
+
+    ov, bov = overlap(tc, "o1"), overlap(bc, "o2")
+    la, lb = lens.alias("la"), lens.alias("lb")
+    pairs = (
+        la.join(lb, F.col("lb.doc_id") == F.col("la.doc_id") + 1)
+        .join(ov, ov.doc_a == F.col("la.doc_id"), "left")
+        .join(bov.withColumnRenamed("doc_a", "bdoc_a"),
+              F.col("bdoc_a") == F.col("la.doc_id"), "left")
+        .join(blens.withColumnRenamed("doc_id", "ba_id")
+                   .withColumnRenamed("len", "blen_a"),
+              F.col("ba_id") == F.col("la.doc_id"), "left")
+        .join(blens.withColumnRenamed("doc_id", "bb_id")
+                   .withColumnRenamed("len", "blen_b"),
+              F.col("bb_id") == F.col("lb.doc_id"), "left")
+        .select(
+            F.col("la.doc_id").alias("doc_a"),
+            F.col("lb.doc_id").alias("doc_b"),
+            F.coalesce("o1", F.lit(0)).cast("bigint").alias("o1"),
+            (F.col("la.len") + F.col("lb.len")).alias("lsum"),
+            (F.coalesce("blen_a", F.lit(0)) + F.coalesce("blen_b", F.lit(0))).alias(
+                "bsum"
+            ),
+            F.coalesce("o2", F.lit(0)).cast("bigint").alias("o2"),
+        )
+    )
+    r1 = F.round(2.0 * F.col("o1") / F.col("lsum"), 4)
+    r2 = F.round(
+        2.0 * F.col("o2") / F.when(F.col("bsum") != 0, F.col("bsum")), 4
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.col("o1").alias("overlap1"),
+            r1.alias("rouge1_f"),
+            r2.alias("rouge2_f"),
+        )
+        .orderBy(F.col("rouge1_f").desc(), F.col("doc_a").asc())
+        .limit(50)
+    )

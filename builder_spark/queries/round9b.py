@@ -302,8 +302,12 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g.n_name,
                CAST(g.ng AS BIGINT) AS n_cust,
                round(g.xg / gl.x, 4) AS income_share,
-               round(g.slx / g.xg - ln(g.xg / g.ng), 4) AS theil_within,
-               round((g.xg / gl.x) * ln((g.xg / g.ng) / (gl.x / gl.n)), 4)
+               -- + 0.0: both terms are noise around 0 for a nation at
+               -- the global mean, and DuckDB round() preserves -0.0
+               -- where Spark's BigDecimal round cannot (SURVEY trap 10;
+               -- two -0.0 carriers surfaced at sf0.1)
+               round(g.slx / g.xg - ln(g.xg / g.ng), 4) + 0.0 AS theil_within,
+               round((g.xg / gl.x) * ln((g.xg / g.ng) / (gl.x / gl.n)), 4) + 0.0
                    AS between_term
         FROM grp g CROSS JOIN overall gl
     """,
@@ -435,14 +439,103 @@ def q_fifo_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # geo grid-bucketed nearest neighbour
 
 
-_LAT = "(((({key}) * 2654435761) % 4294967296) / 4294967296.0 * 120.0 - 60.0)"
-_LON = "((((({key}) + 7) * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0)"
-_HAV = (
-    "2.0 * 6371.0 * asin(sqrt("
-    "sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
-    " + cos(radians({lat1})) * cos(radians({lat2}))"
-    " * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)))"
-)
+# divisor as e0 DOUBLE literal: Spark parses a plain `4294967296.0` as
+# DECIMAL, making the whole coordinate decimal arithmetic truncated at
+# scale 6 while DuckDB computes doubles — inputs must be bit-identical
+# for the polynomial haversine below to match
+_LAT = "(((({key}) * 2654435761) % 4294967296) / 4294967296e0 * 120.0 - 60.0)"
+_LON = "((((({key}) + 7) * 2654435761) % 4294967296) / 4294967296e0 * 360.0 - 180.0)"
+
+
+def _horner(x: str, c0: float, coeffs: list[float]) -> str:
+    """``(c0 + u*(c1 + u*(...)))`` with u = x² — one fixed IEEE
+    operation order both engines must follow."""
+    u = f"(({x}) * ({x}))"
+    acc = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = f"({c!r} + {u} * {acc})"
+    return f"({c0!r} + {u} * {acc})"
+
+
+def _psin(x: str) -> str:
+    """Deterministic sin: degree-17 Taylor, |x| ≤ π (max abs error
+    ~2e-8 at π, full precision in the ≤0.06 rad range that survives
+    the 100 km filter). Pure +,*: bit-identical on Spark and DuckDB,
+    unlike libm sin (JVM vs C library last-ulp drift measured at
+    2e-9 RELATIVE on d — guaranteed round(,4) boundary collisions
+    as row counts grow)."""
+    body = _horner(
+        x,
+        1.0,
+        [
+            -0.16666666666666666,
+            0.008333333333333333,
+            -0.0001984126984126984,
+            2.7557319223985893e-06,
+            -2.505210838544172e-08,
+            1.6059043836821613e-10,
+            -7.647163731819816e-13,
+            2.8114572543455206e-15,
+        ],
+    )
+    return f"(({x}) * {body})"
+
+
+def _pcos(x: str) -> str:
+    """Deterministic cos: degree-12 Taylor, |x| ≤ 1.05 rad (lat ≤ 60°;
+    max abs error ~2e-11)."""
+    return _horner(
+        x,
+        1.0,
+        [
+            -0.5,
+            0.041666666666666664,
+            -0.001388888888888889,
+            2.48015873015873e-05,
+            -2.755731922398589e-07,
+            2.08767569878681e-09,
+        ],
+    )
+
+
+def _pasin(y: str) -> str:
+    """Deterministic asin for |y| ≤ 0.008 (the ≤100 km regime; error
+    ~1e-16 there). For far pairs it underestimates but stays ≥ y, so
+    12742·pasin(y) ≥ 12742·sin(0.5°) > 111 km — no far pair can sneak
+    under the radius filter."""
+    v = f"(({y}) * ({y}))"
+    return (
+        f"(({y}) * (1.0 + {v} * (0.16666666666666666"
+        f" + {v} * (0.075 + {v} * 0.044642857142857144))))"
+    )
+
+
+def _hav(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine with every transcendental replaced by the shared
+    polynomial — the whole expression is +,*,/,sqrt, so Spark and
+    DuckDB produce BIT-IDENTICAL doubles and round(d, 4) can never
+    disagree (libm trig differs between the JVM and DuckDB's C math
+    library; at sf0.1 a pair landed within that drift of a 4dp
+    boundary). 0.0087266… = π/360 (half-radians per degree),
+    0.0174532… = π/180, 12742 = 2R."""
+    sdlat = _psin(f"(({lat2}) - ({lat1})) * 0.008726646259971648")
+    sdlon = _psin(f"(({lon2}) - ({lon1})) * 0.008726646259971648")
+    clat1 = _pcos(f"({lat1}) * 0.017453292519943295")
+    clat2 = _pcos(f"({lat2}) * 0.017453292519943295")
+    a = f"({sdlat} * {sdlat} + {clat1} * {clat2} * {sdlon} * {sdlon})"
+    return f"(12742.0 * {_pasin(f'sqrt({a})')})"
+
+
+class _HavFmt:
+    """Adapter keeping the existing ``_HAV.format(lat1=…, …)`` call
+    sites while the template is now generated."""
+
+    @staticmethod
+    def format(*, lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+        return _hav(lat1, lon1, lat2, lon2)
+
+
+_HAV = _HavFmt()
 
 
 @register(
@@ -490,8 +583,12 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle brute-forces all pairs (fine at test scale); the Spark
     plan joins only the ~9 candidate cells per customer — candidate
     count scales with density, not table size, and the supplier side
-    (small dim ×9) broadcasts. Rank orders on round(d, 4) then
-    s_suppkey so trig last-ulp differences can't flip the argmin."""
+    (small dim ×9) broadcasts. The haversine is evaluated with shared
+    POLYNOMIAL sin/cos/asin (pure IEEE +,*,sqrt — see _hav) so both
+    engines produce bit-identical distances: libm trig drifts ~2e-9
+    relative between the JVM and DuckDB, which at sf0.1 row counts
+    lands pairs inside round(,4) boundaries. Rank still orders on
+    round(d, 4) then s_suppkey."""
     cust = load_table(spark, sf_dir, "customer").selectExpr(
         "c_custkey",
         f"{_LAT.format(key='c_custkey')} AS lat",

@@ -722,7 +722,10 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- no pairs (mean cos NULL) but a defined mean-vector norm —
         -- matches Spark's pair-free component-sum form (degenerate audit)
         SELECT nl.label, CAST(nl.n AS BIGINT) AS n_vecs,
-               round(p.sc / p.np, 4) AS mean_pairwise_cos,
+               -- + 0.0: a well-spread label's mean cos is noise around 0
+               -- and the engines' summation orders can land on opposite
+               -- signs of it (−0.0 vs 0.0 at sf0.1) — SURVEY trap 10
+               round(p.sc / p.np, 4) + 0.0 AS mean_pairwise_cos,
                round(sqrt(nl.n + coalesce(p.sc, 0)) / nl.n, 4) AS norm_of_mean
         FROM nl LEFT JOIN per_pair p ON nl.label = p.label
     """,
@@ -769,8 +772,10 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label.select(
         "label",
         "n_vecs",
-        F.round(  # ANSI /0 guard: single-vector label has no pairs
-            (F.col("ss") - n) / F.when(n != 1, n * (n - 1)), 4
+        (  # ANSI /0 guard: single-vector label has no pairs; + 0.0:
+            # the mean cos is noise around 0 — signed-zero discipline
+            F.round((F.col("ss") - n) / F.when(n != 1, n * (n - 1)), 4)
+            + F.lit(0.0)
         ).alias("mean_pairwise_cos"),
         F.round(F.sqrt(F.col("ss")) / n, 4).alias("norm_of_mean"),
     )

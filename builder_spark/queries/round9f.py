@@ -543,9 +543,12 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_power_analysis",
     oracle=f"""
         WITH m AS (
+            -- ss: exact (HUGEINT) sum, ONE deterministic cast to double
+            -- — Σcents² tops 7e19 at sf0.1, past int64 AND past double's
+            -- 2^53 exact range (a double SUM would diverge by order)
             SELECT o_orderpriority AS grp, count(*) AS n,
                    CAST(sum({_OC}) AS BIGINT) AS s,
-                   CAST(sum({_OC} * {_OC}) AS BIGINT) AS ss
+                   CAST(sum({_OC} * {_OC}) AS DOUBLE) AS ss
             FROM orders GROUP BY o_orderpriority
         )
         SELECT grp, CAST(n AS BIGINT) AS n_obs,
@@ -569,16 +572,23 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect a 2% effect at all? Pairs with q_welch_ttest (the test you
     run after) and q_smd_balance (the balance check).
 
-    One combinable aggregate: n, Σcents, Σcents² exact integers;
-    variance by the closed form; n_required one identical float
-    expression ceil'd on both engines; the feasible flag compares the
-    UN-rounded requirement so it cannot flip at the rounding edge."""
+    One combinable aggregate: n, Σcents exact int64; Σcents² summed
+    EXACTLY in wide decimal/HUGEINT (it tops 7e19 at sf0.1 — past both
+    int64 and double's 2^53 exact range) then cast once to double, the
+    same deterministic rounding on both engines; variance by the closed
+    form; n_required one identical float expression ceil'd on both
+    engines; the feasible flag compares the UN-rounded requirement so
+    it cannot flip at the rounding edge."""
     m = load_table(spark, sf_dir, "orders").groupBy(
         F.col("o_orderpriority").alias("grp")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr(_OC)).cast("bigint").alias("s"),
-        F.sum(F.expr(f"{_OC} * {_OC}")).cast("bigint").alias("ss"),
+        # exact decimal(38,0) sum, ONE deterministic cast to double —
+        # Σcents² tops 7e19 at sf0.1 (> int64, > double's 2^53 exactness)
+        F.sum(F.expr(f"CAST({_OC} AS DECIMAL(19,0)) * {_OC}"))
+        .cast("double")
+        .alias("ss"),
     )
     # ANSI /0 guards: a single-order group (n == 1) or zero mean (delta == 0)
     var = (F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / F.when(

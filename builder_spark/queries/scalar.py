@@ -226,7 +226,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                len(embedding) AS dim,
-               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+               -- + 0.0: a tiny-negative first component rounds to -0.0 in
+               -- DuckDB but +0.0 in Spark (SURVEY trap 10, sf0.1 carrier)
+               round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
                round(CAST(embedding[2] AS DOUBLE), 4) AS mid_val_1,
                round(CAST(embedding[3] AS DOUBLE), 4) AS mid_val_2,
                round(CAST(embedding[4] AS DOUBLE), 4) AS mid_val_3,
@@ -259,7 +261,8 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_hof",
     oracle="""
         SELECT vec_id,
-               round(CAST(embedding[1] AS DOUBLE) * 2, 4) AS doubled_1,
+               -- + 0.0: signed-zero discipline (SURVEY trap 10, sf0.1 carrier)
+               round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS doubled_1,
                round(CAST(embedding[2] AS DOUBLE) * 2, 4) AS doubled_2,
                round(CAST(embedding[3] AS DOUBLE) * 2, 4) AS doubled_3,
                round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm,

@@ -90,6 +90,10 @@ BOUNDED_FRAME_WHITELIST = {
     "q_holm_bonferroni": "35 contingency cells (event types x weekdays)",
     "q_growth_accounting": "week table (calendar-bounded)",
     "q_sharpe_sortino": "day table (calendar-bounded)",
+    "q_adf_test": "day table (calendar-bounded)",
+    "q_kpss_test": "day table (calendar-bounded)",
+    "q_variance_ratio": "day table (calendar-bounded)",
+    "q_hodges_lehmann": "day-pair Walsh table (calendar-bounded squared)",
 }
 
 
@@ -125,7 +129,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 63, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 67, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

@@ -299,6 +299,19 @@ HEAVY = [
     "q_palma_ratio",
     "q_mood_median_test",
     "q_cohen_kappa",
+    # round-12 additions: the unit-root day-series trio, day-pair Walsh
+    # self-join, token-grain keyness + adjacent-pair ROUGE joins, the
+    # per-user zero-day screen, and the stratified CMH rollup
+    "q_jarque_bera",
+    "q_welchs_anova",
+    "q_cmh_test",
+    "q_adf_test",
+    "q_kpss_test",
+    "q_variance_ratio",
+    "q_zero_inflation",
+    "q_hodges_lehmann",
+    "q_dunning_llr",
+    "q_rouge_adjacent",
 ]
 
 #: per-table key columns to offset so replicas don't collide
