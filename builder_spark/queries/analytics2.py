@@ -143,8 +143,11 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_yoy_growth",
     oracle="""
         WITH yearly AS (
+            -- exact cents sum: 1.3e9 cells at sf0.1 (q_salted_join
+            -- class), and the yoy ratio inherits the determinism
             SELECT o_orderpriority, year(o_orderdate) AS yr,
-                   sum(o_totalprice) AS rev
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS rev
             FROM orders
             GROUP BY 1, 2
         )
@@ -167,7 +170,12 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     yearly = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").alias("yr")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(  # exact cents sum (1.3e9 cells at sf0.1)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0
+        ).alias("rev")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
     return yearly.select(
         "o_orderpriority",

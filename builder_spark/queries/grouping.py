@@ -49,7 +49,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, o_orderpriority,
                GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderpriority) AS g_pri,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS total
+               -- exact cents sum: the grand-total cell tops 3.7e10 at
+               -- sf0.1 (q_salted_join class: double order flips 4th dp)
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderpriority)
         HAVING count(*) > 0  -- Spark: no () row over empty input
@@ -66,7 +68,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("c_mktsegment").cast("bigint").alias("g_seg"),
         F.grouping("o_orderpriority").cast("bigint").alias("g_pri"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(  # exact cents sum (grand-total cell: 3.7e10 at sf0.1)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0, 4
+        ).alias("total"),
     )
 
 

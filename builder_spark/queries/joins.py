@@ -38,7 +38,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_multi",
     oracle="""
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        -- exact 1e-4-unit sum (q_salted_join class: 1.5e9 cells at sf0.1)
+        SELECT n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -65,10 +66,13 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+        .agg(  # exact 1e-4-unit sum (q_salted_join class)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))
+                              * 10000).cast("decimal(25,0)")).cast("double")
+                / 10000.0, 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -459,9 +463,15 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_salted_join",
     oracle="""
+        -- EXACT 1e-4-unit integer sum: the revenue tops 6e9 at sf0.1,
+        -- where double summation order reaches the 4th decimal (the
+        -- q_cdc_upsert class — this one flipped BETWEEN sf0.1 runs);
+        -- price*(1-disc) is exact at 4 decimals so the int sum is exact
         SELECT o_orderpriority,
                count(*) AS n_lineitems,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+               round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                         * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 4) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -493,11 +503,16 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         (F.col("l_orderkey") == F.col("o_orderkey")) & (li["_salt"] == o["_salt"]),
     )
+    # exact 1e-4-unit integer sum (decimal-widened for sf100 headroom):
+    # salting must be invisible, and at sf0.1 magnitudes a double sum's
+    # re-bucketed order is NOT absorbed by round(,4) — it flipped a
+    # digit between two sf0.1 runs of the full differential sweep
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000
+    ).cast("decimal(19,0)")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lineitems"),
-        F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        ),
+        F.round(F.sum(rev_units).cast("double") / 10000.0, 4).alias("revenue"),
     )
 
 
@@ -506,7 +521,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS revenue
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS revenue  -- exact cents (8.5e8)
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         WHERE c_acctbal > 9000
@@ -560,6 +575,9 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(  # exact cents sum (8.5e8 magnitude at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("revenue"),
         )
     )

@@ -276,7 +276,7 @@ _KNUTH = 2654435761  # 2^32 / φ — multiplicative hash constant
     oracle=f"""
         SELECT o_orderstatus,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS sampled_revenue
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sampled_revenue  -- exact cents: 1.3e9
         FROM orders
         WHERE (CAST(o_orderkey AS HUGEINT) * {_KNUTH}) % 4294967296 % 100 < 10
         GROUP BY o_orderstatus
@@ -298,7 +298,10 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("sampled_revenue"),
+            F.round(  # exact cents sum (1.3e9 magnitude at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("sampled_revenue"),
         )
     )
 

@@ -151,9 +151,19 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_returnflag,
             l_linestatus,
             round(sum(l_quantity), 4) AS sum_qty,
-            round(sum(l_extendedprice), 4) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+            -- EXACT fixed-point sums: the price aggregates top 5e9 at
+            -- sf0.1, where double summation order reaches the rounded
+            -- 4th decimal (the q_salted_join class — flips BETWEEN
+            -- runs). price = 2 decimals, *(1-disc) = 4, *(1+tax) = 6;
+            -- HUGEINT/decimal sums are exact, ONE cast back to double.
+            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0, 4) AS sum_base_price,
+            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS DOUBLE)
+                  / 10000.0, 4) AS sum_disc_price,
+            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * (1 + l_tax) * 1000000) AS BIGINT))
+                       AS DOUBLE) / 1000000.0, 4) AS sum_charge,
             round(avg(l_quantity), 4) AS avg_qty,
             round(avg(l_extendedprice), 4) AS avg_price,
             round(avg(l_discount), 4) AS avg_disc,
@@ -166,15 +176,25 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (the flagship query). Hash agg with
     map-side combine; only |groups| rows cross the shuffle — scales to
-    any fact-table size."""
+    any fact-table size. Price sums run in EXACT fixed point (cents /
+    1e-4 / 1e-6 units, decimal-widened) because at sf0.1+ magnitudes a
+    double sum's partition order is no longer absorbed by round(,4)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+
+    def fx(expr, scale: int):
+        return F.round(
+            F.sum(F.round(expr * scale).cast("decimal(25,0)")).cast("double")
+            / float(scale),
+            4,
+        )
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-        F.round(F.sum(charge), 4).alias("sum_charge"),
+        fx(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+        fx(disc_price, 10000).alias("sum_disc_price"),
+        fx(charge, 1000000).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),

@@ -25,9 +25,10 @@ from builder_spark.registry import register
     "q_pivot",
     oracle="""
         SELECT year(o_orderdate) AS o_year,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+               -- exact cents sums (2e9-magnitude cells at sf0.1)
+               round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS F,
+               round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS O,
+               round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS P
         FROM orders
         GROUP BY year(o_orderdate)
     """,
@@ -42,7 +43,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 4))
+        .agg(  # exact cents sum (2e9-magnitude cells at sf0.1)
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            )
+        )
     )
 
 
@@ -51,7 +57,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
             SELECT year(o_orderdate) AS o_year,
-                   round(sum(o_totalprice), 4) AS total_price,
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_price,  -- exact cents
                    round(avg(o_totalprice), 4) AS avg_price,
                    CAST(count(*) AS DOUBLE) AS n_orders
             FROM orders GROUP BY year(o_orderdate)
@@ -69,7 +75,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.round(  # exact cents sum (2e9-magnitude cells at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("total_price"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
             F.count(F.lit(1)).cast("double").alias("n_orders"),
         )

@@ -2498,6 +2498,18 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q1 (pricing summary report) — completes the 22-query suite
 
 
+def _fx1(expr, scale: int):
+    """EXACT fixed-point price sum (q_agg_group's discipline): round
+    to the expression's exact decimal grid, sum as wide decimal, ONE
+    deterministic cast back to double — 5e9-magnitude double sums flip
+    the rounded 4th decimal with partition order at sf0.1+."""
+    return F.round(
+        F.sum(F.round(expr * scale).cast("decimal(25,0)")).cast("double")
+        / float(scale),
+        4,
+    )
+
+
 @register(
     "q_tpch_q1",
     oracle="""
@@ -2505,10 +2517,17 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_returnflag,
             l_linestatus,
             round(sum(l_quantity), 4) AS sum_qty,
-            round(sum(l_extendedprice), 4) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
-                AS sum_charge,
+            -- EXACT fixed-point price sums (q_agg_group's discipline):
+            -- 5e9-magnitude double sums flip the rounded 4th decimal
+            -- with partition order at sf0.1+
+            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0, 4) AS sum_base_price,
+            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS DOUBLE)
+                  / 10000.0, 4) AS sum_disc_price,
+            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * (1 + l_tax) * 1000000) AS BIGINT))
+                       AS DOUBLE) / 1000000.0, 4) AS sum_charge,
             round(avg(l_quantity), 4) AS avg_qty,
             round(avg(l_extendedprice), 4) AS avg_price,
             round(avg(l_discount), 4) AS avg_disc,
@@ -2544,9 +2563,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            _fx1(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            _fx1(disc_price, 10000).alias("sum_disc_price"),
+            _fx1(disc_price * (1 + F.col("l_tax")), 1000000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

@@ -1038,3 +1038,691 @@ def q_rouge_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rouge1_f").desc(), F.col("doc_a").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe robust variance homogeneity
+
+
+@register(
+    "q_brown_forsythe",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority AS grp,
+                   quantile_cont(o_totalprice, 0.5) AS med
+            FROM orders GROUP BY o_orderpriority
+        ),
+        z AS (
+            SELECT o.o_orderpriority AS grp,
+                   abs(o.o_totalprice - m.med) AS z
+            FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+        ),
+        g AS (
+            SELECT grp, count(*) AS n, sum(z) AS sz, sum(z * z) AS szz
+            FROM z GROUP BY grp
+        ),
+        t AS (
+            SELECT count(*) AS k, sum(n) AS n_tot,
+                   sum(sz) / sum(n) AS zbar
+            FROM g
+        ),
+        parts AS (
+            -- GROUP BY the totals so an empty corpus yields 0 rows on
+            -- BOTH engines (g × t cross join is empty when g is)
+            SELECT t.k, t.n_tot,
+                   sum(g.n * (g.sz / g.n - t.zbar)
+                           * (g.sz / g.n - t.zbar)) AS num,
+                   sum(g.szz - g.sz * g.sz / g.n) AS den
+            FROM g, t GROUP BY t.k, t.n_tot
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n_tot AS BIGINT) AS n_total,
+               round(((n_tot - k) * 1.0 / nullif(k - 1, 0))
+                     * (num / nullif(den, 0)), 4) AS bf_stat,
+               CAST(CASE WHEN ((n_tot - k) * 1.0 / nullif(k - 1, 0))
+                              * (num / nullif(den, 0)) > 2.3719
+                    THEN 1 ELSE 0 END AS INT) AS reject_homogeneity
+        FROM parts
+    """,
+    category="analytics",
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across order
+    priorities — Levene's W on MEDIAN-centered deviations z = |x−x̃_g|
+    (q_levene_test is the mean-centered variant; the median form is
+    the robust one recommended for skewed data like prices).
+
+    Per-group medians come from the stitched rank-selection quantile
+    (no buffering percentile, the q_group_median_exact path) and join
+    back as a 5-row broadcast; the z moments are ONE combinable pass;
+    W is closed-form algebra on 5 group rows (the oracle's scalar
+    subqueries = Spark's 1-row broadcast totals). Guards: k=1 and
+    zero within-group spread degrade to NULL identically."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    med = quantile_cont_stitched(o, "o_totalprice", {"med": 0.5}, ["grp"]).select(
+        "grp", "med"
+    )
+    z = o.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("o_totalprice") - F.col("med")).alias("z")
+    )
+    # materialize the 5-row moment table ONCE: the grand mean z̄ must be
+    # aggregated separately (nested aggregates are illegal), and without
+    # the checkpoint the quantile+join lineage would be planned twice
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    ).localCheckpoint(eager=True)
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        (F.sum("sz") / F.sum("n")).alias("zbar"),
+    )
+    k = F.col("k")
+    parts = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "n_tot")
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("sz") / F.col("n") - F.col("zbar"))
+                * (F.col("sz") / F.col("n") - F.col("zbar"))
+            ).alias("num"),
+            F.sum(
+                F.col("szz") - F.col("sz") * F.col("sz") / F.col("n")
+            ).alias("den"),
+        )
+    )
+    w = (
+        (F.col("n_tot") - k) * 1.0 / F.when(k != 1, k - 1)
+    ) * (F.col("num") / F.when(F.col("den") != 0, F.col("den")))
+    return parts.select(
+        k.cast("bigint").alias("n_groups"),
+        F.col("n_tot").cast("bigint").alias("n_total"),
+        F.round(w, 4).alias("bf_stat"),
+        F.when(w > 2.3719, 1).otherwise(0).cast("int").alias("reject_homogeneity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test
+
+
+@register(
+    "q_tost_equivalence",
+    oracle="""
+        WITH m AS (
+            SELECT c.c_mktsegment AS seg, count(*) AS n,
+                   sum(o.o_totalprice) AS s,
+                   sum(o.o_totalprice * o.o_totalprice) AS ss
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c.c_mktsegment
+        ),
+        w AS (
+            SELECT max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+                   max(CASE WHEN seg = 'BUILDING' THEN s END) AS s1,
+                   max(CASE WHEN seg = 'BUILDING' THEN ss END) AS ss1,
+                   max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+                   max(CASE WHEN seg = 'MACHINERY' THEN s END) AS s2,
+                   max(CASE WHEN seg = 'MACHINERY' THEN ss END) AS ss2,
+                   sum(s) / sum(n) AS grand
+            FROM m
+        ),
+        t AS (
+            SELECT n1, n2,
+                   s1 / n1 - s2 / n2 AS diff,
+                   0.02 * grand AS delta,
+                   sqrt(((ss1 - s1 * s1 / n1) / nullif(n1 - 1, 0)) / n1
+                        + ((ss2 - s2 * s2 / n2) / nullif(n2 - 1, 0)) / n2) AS se
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               round(diff, 4) + 0.0 AS mean_diff,
+               round(delta, 4) AS delta,
+               round((diff + delta) / nullif(se, 0), 4) + 0.0 AS t_lower,
+               round((diff - delta) / nullif(se, 0), 4) + 0.0 AS t_upper,
+               CAST(CASE WHEN (diff + delta) / nullif(se, 0) > 1.6449
+                          AND (diff - delta) / nullif(se, 0) < -1.6449
+                    THEN 1 ELSE 0 END AS INT) AS equivalent
+        FROM t
+    """,
+    category="analytics",
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence of mean order value,
+    BUILDING vs MACHINERY, margin δ = 2% of the pooled mean: both
+    t = (Δ±δ)/se_Welch must clear ±z₀.₀₅ (1.6449) to DECLARE the
+    segments equivalent — the opposite question from q_welch_ttest's
+    difference test, and the one A/B platforms actually need for
+    "no regression" launches (q_abtest_proportions' missing mirror).
+
+    One conditional-agg pass to 2 segment rows pivoted into a single
+    row (max-CASE, the q_welch_ttest idiom); the TOST pair is the
+    identical guarded closed form on both engines. A missing segment
+    or single-order segment degrades to NULL; the flag compares the
+    UN-rounded statistics."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        )
+    )
+
+    def side(tag: str, col: str):
+        return F.max(F.when(F.col("seg") == tag, F.col(col)))
+
+    w = m.agg(
+        side("BUILDING", "n").alias("n1"),
+        side("BUILDING", "s").alias("s1"),
+        side("BUILDING", "ss").alias("ss1"),
+        side("MACHINERY", "n").alias("n2"),
+        side("MACHINERY", "s").alias("s2"),
+        side("MACHINERY", "ss").alias("ss2"),
+        (F.sum("s") / F.sum("n")).alias("grand"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("s1") / n1 - F.col("s2") / n2
+    delta = 0.02 * F.col("grand")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / F.when(n1 != 1, n1 - 1)
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / n2) / F.when(n2 != 1, n2 - 1)
+    se = F.sqrt(v1 / n1 + v2 / n2)
+    t_lo = (diff + delta) / F.when(se != 0, se)
+    t_up = (diff - delta) / F.when(se != 0, se)
+    return w.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(delta, 4).alias("delta"),
+        F.round(t_lo, 4).alias("t_lower"),
+        F.round(t_up, 4).alias("t_upper"),
+        F.when((t_lo > 1.6449) & (t_up < -1.6449), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("equivalent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-cohort Poisson rate test
+
+
+@register(
+    "q_poisson_etest",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id % 2 AS cohort, count(*) AS e
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+                   CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+                   CAST(sum(CASE WHEN cohort = 0 THEN e ELSE 0 END) AS BIGINT) AS x1,
+                   CAST(sum(CASE WHEN cohort = 1 THEN e ELSE 0 END) AS BIGINT) AS x2
+            FROM pu
+        )
+        SELECT u1, u2, x1, x2,
+               round(x1 * 1.0 / nullif(u1, 0), 4) AS rate1,
+               round(x2 * 1.0 / nullif(u2, 0), 4) AS rate2,
+               round((x1 * 1.0 / nullif(u1, 0) - x2 * 1.0 / nullif(u2, 0))
+                     / nullif(sqrt(x1 * 1.0 / nullif(u1 * 1.0 * u1, 0)
+                                   + x2 * 1.0 / nullif(u2 * 1.0 * u2, 0)), 0), 4)
+                   + 0.0 AS z_stat,
+               CAST(CASE WHEN abs((x1 * 1.0 / nullif(u1, 0)
+                                   - x2 * 1.0 / nullif(u2, 0))
+                                  / nullif(sqrt(x1 * 1.0 / nullif(u1 * 1.0 * u1, 0)
+                                                + x2 * 1.0
+                                                  / nullif(u2 * 1.0 * u2, 0)), 0))
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_rates
+        FROM c
+    """,
+    category="analytics",
+)
+def q_poisson_etest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort Poisson rate comparison (Wald z on per-user event
+    rates, cohorts = user_id parity): z = (λ̂₁−λ̂₂)/√(X₁/u₁² + X₂/u₂²)
+    — the count-data analogue of q_abtest_proportions (binomial) and
+    the hypothesis-test companion to q_srm_check's ratio audit. A
+    parity split should NEVER reject: a significant z flags
+    instrumentation bias, the same logic as q_sample_bias_check.
+
+    One pass to user grain, one conditional aggregate to a single
+    4-integer row (exact int64), the closed form on that row with
+    every denominator guarded and count products widened `* 1.0`
+    (u² tops int64 past ~3e9 users)."""
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("e"))
+        .select((F.col("user_id") % 2).alias("cohort"), "e")
+    )
+    c = pu.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("bigint").alias("u1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("bigint").alias("u2"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    u1, u2, x1, x2 = F.col("u1"), F.col("u2"), F.col("x1"), F.col("x2")
+    r1 = x1 * 1.0 / F.when(u1 != 0, u1)
+    r2 = x2 * 1.0 / F.when(u2 != 0, u2)
+    se = F.sqrt(
+        x1 * 1.0 / F.when(u1 * 1.0 * u1 != 0, u1 * 1.0 * u1)
+        + x2 * 1.0 / F.when(u2 * 1.0 * u2 != 0, u2 * 1.0 * u2)
+    )
+    z = (r1 - r2) / F.when(se != 0, se)
+    return c.select(
+        "u1",
+        "u2",
+        "x1",
+        "x2",
+        F.round(r1, 4).alias("rate1"),
+        F.round(r2, 4).alias("rate2"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "reject_equal_rates"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Cramér–von Mises test
+
+
+@register(
+    "q_cvm_test",
+    oracle="""
+        WITH x AS (
+            SELECT o_totalprice AS price, o_orderkey AS okey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS samp
+            FROM orders
+        ),
+        rk AS (
+            SELECT samp,
+                   row_number() OVER (ORDER BY price, okey) AS r,
+                   row_number() OVER (PARTITION BY samp
+                                      ORDER BY price, okey) AS i
+            FROM x
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN samp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN samp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                   sum(CASE WHEN samp = 1
+                            THEN (r - i) * 1.0 * (r - i) ELSE 0 END) AS sa,
+                   sum(CASE WHEN samp = 0
+                            THEN (r - i) * 1.0 * (r - i) ELSE 0 END) AS sb
+            FROM rk
+        )
+        SELECT n AS n_urgent, m AS n_other,
+               round((n * sa + m * sb)
+                     / nullif(n * 1.0 * m * (n + m), 0)
+                     - (4.0 * m * n - 1) / nullif(6.0 * (n + m), 0), 4)
+                   AS cvm_t,
+               CAST(CASE WHEN (n * sa + m * sb)
+                              / nullif(n * 1.0 * m * (n + m), 0)
+                              - (4.0 * m * n - 1) / nullif(6.0 * (n + m), 0)
+                              > 0.4614
+                    THEN 1 ELSE 0 END AS INT) AS reject_same_dist
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test (urgent/high priority order
+    values vs the rest): T = [nΣ_A(r−i)² + mΣ_B(s−j)²]/(nm·N) −
+    (4mn−1)/(6N) over pooled vs within-sample ranks — the INTEGRAL
+    distribution-difference test next to q_ks_test's supremum form
+    (CvM weights the whole CDF gap, KS only its peak) and
+    q_mann_whitney_u's location form. Critical 0.4614 (5%).
+
+    Both rank columns come from the STITCHED machinery at fact grain
+    (one global total order, one per-sample restart via
+    partition_cols — no single-partition window anywhere); ranks are
+    exact integers on a (price, orderkey) total order, so the only
+    float work is the final closed form. (r−i)² sums as widened
+    doubles (the exact int sum would pass 2^53); noise ~1e-9 on an
+    O(1) statistic. Guards: one-sample-empty (nm=0) degrades NULL."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("samp"),
+    )
+    d1 = stitched_running(x, ["price", "okey"], rank_name="r")
+    d2 = stitched_running(
+        d1, ["price", "okey"], rank_name="i", partition_cols=["samp"]
+    )
+    diff2 = (F.col("r") - F.col("i")) * 1.0 * (F.col("r") - F.col("i"))
+    agg = d2.agg(
+        F.sum(F.when(F.col("samp") == 1, 1).otherwise(0)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("samp") == 0, 1).otherwise(0)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("samp") == 1, diff2).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(F.col("samp") == 0, diff2).otherwise(0.0)).alias("sb"),
+    )
+    n, m = F.col("n"), F.col("m")
+    nm = n * 1.0 * m * (n + m)
+    t = (n * F.col("sa") + m * F.col("sb")) / F.when(nm != 0, nm) - (
+        4.0 * m * n - 1
+    ) / F.when(6.0 * (n + m) != 0, 6.0 * (n + m))
+    return agg.select(
+        n.alias("n_urgent"),
+        m.alias("n_other"),
+        F.round(t, 4).alias("cvm_t"),
+        F.when(t > 0.4614, 1).otherwise(0).cast("int").alias("reject_same_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X̄–S control chart summary
+
+
+@register(
+    "q_xbar_s_chart",
+    oracle="""
+        WITH day AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+                   sum(o_totalprice) AS s,
+                   sum(o_totalprice * o_totalprice) AS ss
+            FROM orders GROUP BY 1
+            HAVING count(*) >= 2
+        ),
+        pool AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   sum(s) / sum(n) AS cl,
+                   sqrt(sum(ss - s * s / n) / nullif(sum(n - 1), 0)) AS sig
+            FROM day
+        )
+        SELECT p.n_days,
+               round(p.cl, 4) AS grand_mean,
+               round(p.sig, 4) AS sigma_hat,
+               CAST(sum(CASE WHEN abs(d.s / d.n - p.cl)
+                                  > 3 * p.sig / sqrt(d.n) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xbar_breaches,
+               CAST(sum(CASE WHEN sqrt((d.ss - d.s * d.s / d.n) / (d.n - 1))
+                                  > p.sig * (4.0 * (d.n - 1) / (4 * d.n - 3)
+                                             + 3 * sqrt(1 - (4.0 * (d.n - 1)
+                                                             / (4 * d.n - 3))
+                                                            * (4.0 * (d.n - 1)
+                                                               / (4 * d.n - 3))))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_breaches
+        FROM day d, pool p
+        GROUP BY p.n_days, p.cl, p.sig
+    """,
+    category="analytics",
+)
+def q_xbar_s_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X̄–S control chart over daily order-value subgroups (variable
+    subgroup size, c₄ ≈ 4(n−1)/(4n−3) bias correction): pooled σ̂ from
+    within-day sums of squares, per-day 3σ/√n limits on the mean and
+    the c₄-corrected upper limit on the subgroup SD, reporting the
+    out-of-control day counts — the continuous-variable SPC chart
+    next to q_p_chart (proportions) and q_cpk_process_capability
+    (capability vs specs).
+
+    One combinable pass to the calendar-bounded day table (n, Σx, Σx²
+    per day); the pooled constants are a 1-row aggregate re-joined by
+    GROUP BY (empty corpus ⇒ 0 rows on BOTH engines); breach flags
+    compare identical unrounded expression trees. Days with n=1 are
+    excluded on both engines (no within-day SD)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    pool = day.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("s") / F.sum("n")).alias("cl"),
+        F.sqrt(
+            F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / F.when(F.sum(F.col("n") - 1) != 0, F.sum(F.col("n") - 1))
+        ).alias("sig"),
+    )
+    c4 = 4.0 * (F.col("n") - 1) / (4 * F.col("n") - 3)
+    day_sd = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    xbar_breach = F.when(
+        F.abs(F.col("s") / F.col("n") - F.col("cl"))
+        > 3 * F.col("sig") / F.sqrt(F.col("n")),
+        1,
+    ).otherwise(0)
+    s_breach = F.when(
+        day_sd > F.col("sig") * (c4 + 3 * F.sqrt(1 - c4 * c4)), 1
+    ).otherwise(0)
+    return (
+        day.crossJoin(F.broadcast(pool))
+        .groupBy("n_days", "cl", "sig")
+        .agg(
+            F.sum(xbar_breach).cast("bigint").alias("xbar_breaches"),
+            F.sum(s_breach).cast("bigint").alias("s_breaches"),
+        )
+        .select(
+            "n_days",
+            F.round("cl", 4).alias("grand_mean"),
+            F.round("sig", 4).alias("sigma_hat"),
+            "xbar_breaches",
+            "s_breaches",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# normal tolerance interval (Howe / Wilson–Hilferty)
+
+
+@register(
+    "q_tolerance_interval",
+    oracle="""
+        WITH m AS (
+            SELECT c.c_mktsegment AS seg, count(*) AS n,
+                   sum(ln(o.o_totalprice)) AS s,
+                   sum(ln(o.o_totalprice) * ln(o.o_totalprice)) AS ss
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        ),
+        f AS (
+            SELECT seg, n, s / n AS mu,
+                   sqrt((ss - s * s / n) / nullif(n - 1, 0)) AS sd,
+                   (n - 1) * (1 - 2.0 / (9 * (n - 1))
+                              - 1.644854 * sqrt(2.0 / (9 * (n - 1))))
+                   * (1 - 2.0 / (9 * (n - 1))
+                      - 1.644854 * sqrt(2.0 / (9 * (n - 1))))
+                   * (1 - 2.0 / (9 * (n - 1))
+                      - 1.644854 * sqrt(2.0 / (9 * (n - 1)))) AS chi2_lo
+            FROM m WHERE n >= 2
+        )
+        SELECT seg, CAST(n AS BIGINT) AS n_orders,
+               round(mu, 4) AS mean_log,
+               round(sd, 4) AS sd_log,
+               round(1.959964 * sqrt((n - 1) * (1.0 + 1.0 / n)
+                                     / nullif(chi2_lo, 0)), 4) AS k_factor,
+               round(mu - 1.959964 * sqrt((n - 1) * (1.0 + 1.0 / n)
+                                          / nullif(chi2_lo, 0)) * sd, 4) AS lo,
+               round(mu + 1.959964 * sqrt((n - 1) * (1.0 + 1.0 / n)
+                                          / nullif(chi2_lo, 0)) * sd, 4) AS hi
+        FROM f
+    """,
+    category="analytics",
+)
+def q_tolerance_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided normal TOLERANCE interval (95% coverage at 95%
+    confidence) of log order value per segment — Howe's k-factor with
+    the Wilson–Hilferty closed-form χ² quantile, so the whole interval
+    is pure arithmetic: k = z₀.₉₇₅·√(ν(1+1/n)/χ²_{ν,0.05}). A
+    tolerance interval bounds the POPULATION share (95% of orders),
+    which q_conformal_interval bounds empirically and a confidence
+    interval (q_wilson_interval) does not bound at all — the three
+    interval kinds the reference's reporting stack keeps distinct.
+
+    One raw-moment pass to 5 segment rows; the k-factor algebra is
+    the identical expression tree on both engines; n=1 segments are
+    excluded identically (no SD)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = F.log("o_totalprice")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s"),
+            F.sum(x * x).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    mu = F.col("s") / n
+    sd = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / n) / F.when(n != 1, n - 1)
+    )
+    wh = 1 - 2.0 / (9 * (n - 1)) - 1.644854 * F.sqrt(2.0 / (9 * (n - 1)))
+    chi2_lo = (n - 1) * wh * wh * wh
+    k = 1.959964 * F.sqrt(
+        (n - 1) * (1.0 + 1.0 / n) / F.when(chi2_lo != 0, chi2_lo)
+    )
+    return m.select(
+        "seg",
+        n.cast("bigint").alias("n_orders"),
+        F.round(mu, 4).alias("mean_log"),
+        F.round(sd, 4).alias("sd_log"),
+        F.round(k, 4).alias("k_factor"),
+        F.round(mu - k * sd, 4).alias("lo"),
+        F.round(mu + k * sd, 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# paired t-test (nation revenue, first vs second half of the date range)
+
+
+@register(
+    "q_paired_ttest",
+    oracle="""
+        WITH dn AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS day_n,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        mid AS (SELECT (min(day_n) + max(day_n)) // 2 AS md FROM dn),
+        halves AS (
+            SELECT n.n_name,
+                   CAST(sum(CASE WHEN d.day_n < m.md THEN d.cents ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN d.day_n >= m.md THEN d.cents ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM dn d
+            JOIN customer c ON d.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            CROSS JOIN mid m
+            GROUP BY n.n_name
+        ),
+        diffs AS (
+            SELECT CASE WHEN c1 > 0 AND c2 > 0
+                        THEN ln(c2 * 1.0 / c1) END AS dv
+            FROM halves
+        ),
+        t AS (
+            SELECT count(dv) AS np, sum(dv) AS sd1, sum(dv * dv) AS sd2
+            FROM diffs
+        )
+        SELECT CAST(np AS BIGINT) AS n_pairs,
+               round(sd1 / nullif(np, 0), 4) + 0.0 AS mean_log_ratio,
+               round((sd1 / nullif(np, 0))
+                     / nullif(sqrt(((sd2 - sd1 * sd1 / np)
+                                    / nullif(np - 1, 0)) / np), 0), 4)
+                   + 0.0 AS t_stat,
+               CAST(CASE WHEN abs((sd1 / nullif(np, 0))
+                                  / nullif(sqrt(((sd2 - sd1 * sd1 / np)
+                                                 / nullif(np - 1, 0)) / np), 0))
+                              > 2.0639
+                    THEN 1 ELSE 0 END AS INT) AS reject_no_change
+        FROM t
+    """,
+    category="analytics",
+)
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-nation revenue, first vs second half of
+    the date range (pairing on nation removes cross-nation size
+    variance — the within-subject design q_welch_ttest's independent
+    form wastes): d = ln(rev₂/rev₁), t = d̄/(s_d/√25) against t₂₄
+    (2.0639). Complements q_diff_in_diff (two-factor) and q_cuped
+    (covariate adjustment) in the experiment-analysis family.
+
+    Date midpoint = integer day-number arithmetic (no timezone
+    surface); revenue halves are exact int64 cents per nation from
+    ONE conditional pass with the 1-row midpoint broadcast; the
+    t closed form runs on 25 log-ratios. Nations missing a half are
+    excluded identically (c1,c2 > 0); zero-variance diffs degrade
+    NULL on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "day_n"
+        ),
+        F.expr(_OC).alias("cents"),
+    )
+    mid = o.agg(F.expr("(min(day_n) + max(day_n)) div 2").alias("md"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    halves = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .crossJoin(F.broadcast(mid))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("day_n") < F.col("md"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("day_n") >= F.col("md"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    dv = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0),
+        F.log(F.col("c2") * 1.0 / F.col("c1")),
+    )
+    t = halves.select(dv.alias("dv")).agg(
+        F.count("dv").alias("np"),
+        F.sum("dv").alias("sd1"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sd2"),
+    )
+    np_, sd1, sd2 = F.col("np"), F.col("sd1"), F.col("sd2")
+    mean_d = sd1 / F.when(np_ != 0, np_)
+    se = F.sqrt(
+        ((sd2 - sd1 * sd1 / np_) / F.when(np_ != 1, np_ - 1)) / np_
+    )
+    tstat = mean_d / F.when(se != 0, se)
+    return t.select(
+        np_.cast("bigint").alias("n_pairs"),
+        F.round(mean_d, 4).alias("mean_log_ratio"),
+        F.round(tstat, 4).alias("t_stat"),
+        F.when(F.abs(tstat) > 2.0639, 1).otherwise(0).cast("int").alias(
+            "reject_no_change"
+        ),
+    )

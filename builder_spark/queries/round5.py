@@ -806,7 +806,13 @@ def q_event_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_div_null,
-               round(sum(o_totalprice / nullif(o_orderkey % 3, 0)), 4) AS sum_div,
+               -- exact 1e-3-unit sum: price/1 and price/2 are exact at 3
+               -- decimals, and the 2e10 double sum flips the rounded 4th
+               -- decimal with partition order (q_salted_join class)
+               round(CAST(sum(CAST(round(o_totalprice
+                                         / nullif(o_orderkey % 3, 0)
+                                         * 1000) AS BIGINT)) AS DOUBLE)
+                     / 1000.0, 4) AS sum_div,
                CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INT) IS NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
                CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
@@ -829,9 +835,17 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_div_null"),
-        F.round(F.sum(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)), 4).alias(
-            "sum_div"
-        ),
+        F.round(  # exact 1e-3-unit sum (price/1 and price/2 are exact
+            # at 3 decimals; the raw 2e10 double sum flips the 4th dp)
+            F.sum(
+                F.round(
+                    F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)
+                    * 1000
+                ).cast("decimal(25,0)")
+            ).cast("double")
+            / 1000.0,
+            4,
+        ).alias("sum_div"),
         F.sum(F.when(F.col("o_orderpriority").try_cast("int").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_cast_null"),
@@ -901,7 +915,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ym,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(any_value(mid_month) AS DATE) AS mid_month,
-               round(sum(o_totalprice), 4) AS revenue
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS revenue  -- exact cents (5.6e8)
         FROM f GROUP BY ym
     """,
     category="scalar/date",
@@ -924,7 +938,10 @@ def q_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("ym").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.any_value("mid_month").alias("mid_month"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.round(  # exact cents sum (5.6e8 magnitude at sf0.1)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0, 4
+        ).alias("revenue"),
     )
 
 

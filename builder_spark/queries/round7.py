@@ -1484,13 +1484,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT year(o_orderdate) AS o_year,
                CAST(nullif(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
                     AS BIGINT) AS F_n,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F_total,
+               round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS F_total,
                CAST(nullif(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
                     AS BIGINT) AS O_n,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O_total,
+               round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS O_total,
                CAST(nullif(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
                     AS BIGINT) AS P_n,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P_total
+               round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0, 4) AS P_total
         FROM orders
         GROUP BY year(o_orderdate)
     """,
@@ -1509,7 +1509,10 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(  # exact cents sum (2e9-magnitude cells at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("total"),
         )
     )
 

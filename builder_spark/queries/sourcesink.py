@@ -36,7 +36,7 @@ from builder_spark.sources import (
         SELECT o_orderstatus,
                count(*) AS n,
                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
-               round(sum(o_totalprice), 4) AS total
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total  -- exact cents: 1.3e10 cells
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -59,7 +59,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_custkey").alias("custkey_sum"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(  # exact cents sum (1.3e10-magnitude cells at sf0.1)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0, 4
+        ).alias("total"),
     )
 
 
@@ -128,7 +131,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o.o_totalprice), 4) AS total
+               round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total  -- exact cents: 7.7e9 cells
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
@@ -155,7 +158,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(  # exact cents sum (7.7e9-magnitude cells at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("total"),
         )
     )
 
@@ -249,7 +255,7 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
-               round(sum(l_extendedprice), 4) AS price_sum,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS price_sum,  -- exact cents: 3.2e9
                TRUE AS layout_compacted
         FROM lineitem
         WHERE l_orderkey % 10 = 0
@@ -294,7 +300,10 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("bigint").alias("key_sum"),
-        F.round(F.sum("l_extendedprice"), 4).alias("price_sum"),
+        F.round(  # exact cents sum (3.2e9 magnitude at sf0.1)
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0, 4
+        ).alias("price_sum"),
         F.lit(compacted).alias("layout_compacted"),
     )
 
@@ -415,7 +424,7 @@ def q_hive_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                              THEN o_orderpriority END, '(absent)') AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS total_price
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_price  -- exact cents: 7.5e9
         FROM orders GROUP BY 1
     """,
     category="source-sink",
@@ -448,5 +457,8 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_orderpriority"), F.lit("(absent)")).alias("priority")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.round(  # exact cents sum (7.5e9-magnitude cells at sf0.1)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("double") / 100.0, 4
+        ).alias("total_price"),
     )

@@ -103,7 +103,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q6",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        -- exact 1e-4-unit sum (price*disc = 4 decimals): 2e8+ magnitude
+        -- where double partition order can flip the rounded 4th decimal
+        SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -125,7 +127,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.02, 0.04))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+        .agg(  # exact 1e-4-unit sum (q_salted_join class)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount")
+                              * 10000).cast("decimal(25,0)")).cast("double")
+                / 10000.0, 4
+            ).alias("revenue")
+        )
     )
 
 
@@ -294,7 +302,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q19",
     oracle="""
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        -- exact 1e-4-unit sum (q_salted_join class: 4e8 at sf0.1)
+        SELECT round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 1 AND 21)
@@ -329,7 +338,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(  # exact 1e-4-unit sum (q_salted_join class)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))
+                              * 10000).cast("decimal(25,0)")).cast("double")
+                / 10000.0, 4
+            ).alias("revenue")
+        )
     )
 
 

@@ -159,7 +159,7 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT year(o_orderdate) AS o_year,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total  -- exact cents (5.9e9)
         FROM orders
         GROUP BY year(o_orderdate)
     """,
@@ -182,7 +182,10 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(  # exact cents sum (5.9e9 magnitude at sf0.1)
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                .cast("double") / 100.0, 4
+            ).alias("total"),
         )
     )
 

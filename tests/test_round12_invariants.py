@@ -28,6 +28,13 @@ NEW = [
     "q_hodges_lehmann",
     "q_dunning_llr",
     "q_rouge_adjacent",
+    "q_brown_forsythe",
+    "q_tost_equivalence",
+    "q_poisson_etest",
+    "q_cvm_test",
+    "q_xbar_s_chart",
+    "q_tolerance_interval",
+    "q_paired_ttest",
 ]
 
 
@@ -55,6 +62,13 @@ def test_round12_registers_behind_backlog():
         ("q_hodges_lehmann", 5),  # checkpointed day table + 2 rank windows
         ("q_dunning_llr", 3),     # vocab rollup + 1-row totals + TakeOrdered
         ("q_rouge_adjacent", 14), # 2 gram grains x (counts + self-join + lens)
+        ("q_brown_forsythe", 6),  # stitched quantile + checkpointed 5-row moments
+        ("q_tost_equivalence", 2),# join + 2-segment rollup pivoted to 1 row
+        ("q_poisson_etest", 2),   # user rollup + 1-row aggregate
+        ("q_cvm_test", 10),       # two stitched rank passes at fact grain
+        ("q_xbar_s_chart", 4),    # day rollup reprinted for the pooled row
+        ("q_tolerance_interval", 2),  # join + 5-segment moment rollup
+        ("q_paired_ttest", 4),    # join + nation halves + 1-row midpoint
     ],
 )
 def test_round12_shuffle_budget(spark, name, max_exchanges):
@@ -146,3 +160,47 @@ def test_rouge_adjacent_bounds(spark):
         # ROUGE-2 clipped overlap can never beat ROUGE-1's
         if r["rouge2_f"] is not None and r["rouge1_f"] == 0.0:
             assert r["rouge2_f"] == 0.0
+
+
+def test_cvm_bounds(spark):
+    r = REGISTRY["q_cvm_test"].fn(spark, SF_DIR).collect()[0]
+    # T is bounded below by -(something small); the location-free
+    # statistic of two samples from the SAME price distribution sits
+    # near its null mean 1/6 + tiny
+    assert r["n_urgent"] + r["n_other"] > 0
+    assert r["cvm_t"] > -1.0
+
+
+def test_xbar_s_chart_counts(spark):
+    r = REGISTRY["q_xbar_s_chart"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= r["xbar_breaches"] <= r["n_days"]
+    assert 0 <= r["s_breaches"] <= r["n_days"]
+    assert r["sigma_hat"] > 0
+
+
+def test_tolerance_interval_contains_mean(spark):
+    for r in REGISTRY["q_tolerance_interval"].fn(spark, SF_DIR).collect():
+        assert r["lo"] < r["mean_log"] < r["hi"]
+        assert r["k_factor"] > 1.959964  # tolerance k exceeds the z quantile
+
+
+def test_paired_ttest_pairs(spark):
+    r = REGISTRY["q_paired_ttest"].fn(spark, SF_DIR).collect()[0]
+    assert 0 < r["n_pairs"] <= 25
+
+
+def test_brown_forsythe_vs_levene(spark):
+    """Median- and mean-centered Levene ask the same question; on this
+    corpus both must at least agree the statistic is finite and
+    non-negative."""
+    bf = REGISTRY["q_brown_forsythe"].fn(spark, SF_DIR).collect()[0]
+    assert bf["bf_stat"] >= 0
+    assert bf["n_groups"] == 5
+
+
+def test_tost_and_etest_defined(spark):
+    tost = REGISTRY["q_tost_equivalence"].fn(spark, SF_DIR).collect()[0]
+    assert tost["t_lower"] is not None and tost["t_upper"] is not None
+    assert tost["t_lower"] > tost["t_upper"]  # +delta side always larger
+    et = REGISTRY["q_poisson_etest"].fn(spark, SF_DIR).collect()[0]
+    assert et["u1"] + et["u2"] > 0

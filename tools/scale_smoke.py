@@ -312,6 +312,13 @@ HEAVY = [
     "q_hodges_lehmann",
     "q_dunning_llr",
     "q_rouge_adjacent",
+    "q_brown_forsythe",
+    "q_tost_equivalence",
+    "q_poisson_etest",
+    "q_cvm_test",
+    "q_xbar_s_chart",
+    "q_tolerance_interval",
+    "q_paired_ttest",
 ]
 
 #: per-table key columns to offset so replicas don't collide
