@@ -172,7 +172,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", F.year("o_orderdate").alias("yr")
     ).agg(  # exact cents sum (1.3e9 cells at sf0.1)
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0
         ).alias("rev")
     )

@@ -69,7 +69,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("bigint").alias("g_pri"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(  # exact cents sum (grand-total cell: 3.7e10 at sf0.1)
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0, 4
         ).alias("total"),
     )

@@ -70,7 +70,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.round(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))
-                              * 10000).cast("decimal(25,0)")).cast("double")
+                              * 10000).cast("bigint")).cast("double")
                 / 10000.0, 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -509,7 +509,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digit between two sf0.1 runs of the full differential sweep
     rev_units = F.round(
         F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000
-    ).cast("decimal(19,0)")
+    ).cast("bigint")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lineitems"),
         F.round(F.sum(rev_units).cast("double") / 10000.0, 4).alias("revenue"),
@@ -576,7 +576,7 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(  # exact cents sum (8.5e8 magnitude at sf0.1)
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             ).alias("revenue"),
         )

@@ -299,7 +299,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(  # exact cents sum (1.3e9 magnitude at sf0.1)
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             ).alias("sampled_revenue"),
         )

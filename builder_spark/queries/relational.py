@@ -184,9 +184,11 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (1 + F.col("l_tax"))
 
     def fx(expr, scale: int):
+        # int64 sums to scale 1e4 (exact past sf100: 6e18 < 2^63);
+        # the 1e-6-unit charge sum needs the wide decimal
+        t = "bigint" if scale <= 10000 else "decimal(25,0)"
         return F.round(
-            F.sum(F.round(expr * scale).cast("decimal(25,0)")).cast("double")
-            / float(scale),
+            F.sum(F.round(expr * scale).cast(t)).cast("double") / float(scale),
             4,
         )
 

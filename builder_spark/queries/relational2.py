@@ -45,7 +45,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(  # exact cents sum (2e9-magnitude cells at sf0.1)
             F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             )
         )
@@ -76,7 +76,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(  # exact cents sum (2e9-magnitude cells at sf0.1)
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             ).alias("total_price"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),

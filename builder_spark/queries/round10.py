@@ -2503,10 +2503,9 @@ def _fx1(expr, scale: int):
     to the expression's exact decimal grid, sum as wide decimal, ONE
     deterministic cast back to double — 5e9-magnitude double sums flip
     the rounded 4th decimal with partition order at sf0.1+."""
+    t = "bigint" if scale <= 10000 else "decimal(25,0)"
     return F.round(
-        F.sum(F.round(expr * scale).cast("decimal(25,0)")).cast("double")
-        / float(scale),
-        4,
+        F.sum(F.round(expr * scale).cast(t)).cast("double") / float(scale), 4
     )
 
 

@@ -841,7 +841,7 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)
                     * 1000
-                ).cast("decimal(25,0)")
+                ).cast("bigint")
             ).cast("double")
             / 1000.0,
             4,
@@ -939,7 +939,7 @@ def q_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.any_value("mid_month").alias("mid_month"),
         F.round(  # exact cents sum (5.6e8 magnitude at sf0.1)
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0, 4
         ).alias("revenue"),
     )

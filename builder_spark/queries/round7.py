@@ -1510,7 +1510,7 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(  # exact cents sum (2e9-magnitude cells at sf0.1)
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             ).alias("total"),
         )

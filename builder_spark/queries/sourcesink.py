@@ -60,7 +60,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_custkey").alias("custkey_sum"),
         F.round(  # exact cents sum (1.3e10-magnitude cells at sf0.1)
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0, 4
         ).alias("total"),
     )
@@ -159,7 +159,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(  # exact cents sum (7.7e9-magnitude cells at sf0.1)
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                 .cast("double") / 100.0, 4
             ).alias("total"),
         )
@@ -301,7 +301,7 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("bigint").alias("key_sum"),
         F.round(  # exact cents sum (3.2e9 magnitude at sf0.1)
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
             .cast("double") / 100.0, 4
         ).alias("price_sum"),
         F.lit(compacted).alias("layout_compacted"),
@@ -458,7 +458,7 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(  # exact cents sum (7.5e9-magnitude cells at sf0.1)
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0, 4
         ).alias("total_price"),
     )

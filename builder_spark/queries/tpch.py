@@ -130,7 +130,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(  # exact 1e-4-unit sum (q_salted_join class)
             F.round(
                 F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount")
-                              * 10000).cast("decimal(25,0)")).cast("double")
+                              * 10000).cast("bigint")).cast("double")
                 / 10000.0, 4
             ).alias("revenue")
         )
@@ -342,7 +342,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.round(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))
-                              * 10000).cast("decimal(25,0)")).cast("double")
+                              * 10000).cast("bigint")).cast("double")
                 / 10000.0, 4
             ).alias("revenue")
         )
