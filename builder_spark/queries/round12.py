@@ -1726,3 +1726,687 @@ def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_no_change"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# method-comparison trio: Bland–Altman, Lin's CCC, Deming regression
+# (two length "measurements" per document: chars/5 heuristic vs
+#  whitespace token count — the classic chars-per-token calibration)
+
+_X_CHARS5 = "length(text) / 5.0"
+_Y_WSTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+
+
+@register(
+    "q_bland_altman",
+    oracle=f"""
+        WITH d AS (
+            SELECT {_X_CHARS5} AS x, {_Y_WSTOK} AS y FROM documents
+        ),
+        m AS (
+            SELECT count(*) AS n, avg(x - y) AS md,
+                   sqrt((sum((x - y) * (x - y))
+                         - sum(x - y) * sum(x - y) / count(*))
+                        / nullif(count(*) - 1, 0)) AS sd
+            FROM d
+        )
+        SELECT CAST(m.n AS BIGINT) AS n_docs,
+               round(m.md, 4) + 0.0 AS bias,
+               round(m.sd, 4) AS sd_diff,
+               round(m.md - 1.96 * m.sd, 4) + 0.0 AS loa_lo,
+               round(m.md + 1.96 * m.sd, 4) + 0.0 AS loa_hi,
+               round(sum(CASE WHEN d.x - d.y < m.md - 1.96 * m.sd
+                               OR d.x - d.y > m.md + 1.96 * m.sd
+                         THEN 1 ELSE 0 END) * 1.0 / m.n, 4) AS pct_outside
+        FROM d, m
+        GROUP BY m.n, m.md, m.sd
+    """,
+    category="llm-text",
+)
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland–Altman agreement analysis between the chars/5 token-count
+    heuristic and the true whitespace token count: bias (mean
+    difference), limits of agreement ±1.96·SD, and the share of
+    documents falling outside them — the method-comparison readout
+    that correlation (which q_lin_ccc penalizes properly and plain
+    Pearson does not) famously cannot provide.
+
+    One moment pass to a 1-row stats table, then one counting pass
+    with those stats broadcast (GROUP BY the stats so an empty corpus
+    yields 0 rows on BOTH engines). The outside-count compares raw
+    differences against identically-derived limits — drift ~1e-12 vs
+    an O(100) spread."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.length("text") / 5.0).alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    diff = F.col("x") - F.col("y")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(diff).alias("md"),
+        F.sqrt(
+            (F.sum(diff * diff) - F.sum(diff) * F.sum(diff) / F.count(F.lit(1)))
+            / F.when(F.count(F.lit(1)) != 1, F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    lo = F.col("md") - 1.96 * F.col("sd")
+    hi = F.col("md") + 1.96 * F.col("sd")
+    return (
+        d.crossJoin(F.broadcast(m))
+        .groupBy("n", "md", "sd")
+        .agg(
+            F.round(
+                F.sum(F.when((diff < lo) | (diff > hi), 1).otherwise(0))
+                * 1.0
+                / F.col("n"),
+                4,
+            ).alias("pct_outside")
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("md", 4).alias("bias"),
+            F.round("sd", 4).alias("sd_diff"),
+            F.round(lo, 4).alias("loa_lo"),
+            F.round(hi, 4).alias("loa_hi"),
+            "pct_outside",
+        )
+    )
+
+
+@register(
+    "q_lin_ccc",
+    oracle=f"""
+        WITH d AS (
+            SELECT {_X_CHARS5} AS x, {_Y_WSTOK} AS y FROM documents
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM d
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               round((sxy - sx * sy / n)
+                     / nullif(sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                              0), 4) + 0.0 AS pearson_r,
+               round(2 * (sxy - sx * sy / n)
+                     / nullif((sxx - sx * sx / n) + (syy - sy * sy / n)
+                              + n * (sx / n - sy / n) * (sx / n - sy / n),
+                              0), 4) + 0.0 AS lin_ccc,
+               round((sx / n - sy / n), 4) + 0.0 AS location_shift
+        FROM m
+    """,
+    category="llm-text",
+)
+def q_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the chars/5
+    heuristic and true whitespace token counts — Pearson r measures
+    LINEAR association; CCC additionally penalizes the location and
+    scale shifts that make a biased proxy useless as a drop-in
+    (ρ_c = 2s_xy / (s_x² + s_y² + (x̄−ȳ)²)). Reported next to r so the
+    gap IS the calibration error q_bland_altman localizes.
+
+    One combinable moment pass, 1-row closed form, identical guarded
+    expression trees; degenerate constant columns give NULL on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.length("text") / 5.0).alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    dm = F.col("sx") / n - F.col("sy") / n
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(
+            cxy / F.when(F.sqrt(cxx * cyy) != 0, F.sqrt(cxx * cyy)), 4
+        ).alias("pearson_r"),
+        F.round(
+            2 * cxy / F.when(cxx + cyy + n * dm * dm != 0, cxx + cyy + n * dm * dm),
+            4,
+        ).alias("lin_ccc"),
+        F.round(dm, 4).alias("location_shift"),
+    )
+
+
+@register(
+    "q_deming_regression",
+    oracle=f"""
+        WITH d AS (
+            SELECT {_X_CHARS5} AS x, {_Y_WSTOK} AS y FROM documents
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM d
+        ),
+        c AS (
+            SELECT n,
+                   sxy - sx * sy / n AS cxy,
+                   sxx - sx * sx / n AS cxx,
+                   syy - sy * sy / n AS cyy,
+                   sx / n AS mx, sy / n AS my
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4 * cxy * cxy))
+                     / nullif(2 * cxy, 0), 4) + 0.0 AS deming_slope,
+               round(my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                            + 4 * cxy * cxy))
+                          / nullif(2 * cxy, 0) * mx, 4) + 0.0
+                   AS deming_intercept,
+               round(cxy / nullif(cxx, 0), 4) + 0.0 AS ols_slope
+        FROM c
+    """,
+    category="llm-text",
+)
+def q_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-variables, λ=1) regression of whitespace
+    token count on the chars/5 heuristic — when BOTH measurements
+    carry error, OLS attenuates the slope toward zero; Deming's
+    closed form β = (s_yy−s_xx+√((s_yy−s_xx)²+4s_xy²))/(2s_xy) is the
+    orthogonal fit. OLS slope reported alongside: the gap between the
+    two IS the attenuation bias. Completes the regression family
+    (q_regression OLS, q_theil_sen robust, q_huber_irls M-estimate,
+    q_iv_2sls instrumental).
+
+    One combinable moment pass, 1-row closed form, identical guarded
+    expression trees; a degenerate uncorrelated corpus (s_xy = 0)
+    gives NULL identically."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.length("text") / 5.0).alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    slope = (
+        cyy - cxx + F.sqrt((cyy - cxx) * (cyy - cxx) + 4 * cxy * cxy)
+    ) / F.when(2 * cxy != 0, 2 * cxy)
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(slope, 4).alias("deming_slope"),
+        F.round(my - slope * mx, 4).alias("deming_intercept"),
+        F.round(cxy / F.when(cxx != 0, cxx), 4).alias("ols_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Breslow–Day homogeneity of odds ratios (the CMH companion)
+
+
+@register(
+    "q_breslow_day",
+    oracle="""
+        WITH strata AS (
+            SELECT r.r_name,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                  AND o.o_totalprice > 150000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                   CAST(sum(CASE WHEN o.o_totalprice > 150000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+            JOIN region r ON nt.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        ),
+        psi AS (
+            SELECT sum((a * 1.0 * (n - r1 - c1 + a)) / n)
+                   / nullif(sum(((r1 - a) * 1.0 * (c1 - a)) / n), 0) AS p
+            FROM strata
+        ),
+        ex AS (
+            SELECT s.n, s.a, s.r1, s.c1, p.p,
+                   CASE WHEN abs(1 - p.p) < 1e-12
+                        THEN s.r1 * 1.0 * s.c1 / s.n
+                        ELSE (
+                          CASE WHEN (-((s.n - s.r1 - s.c1) + p.p * (s.r1 + s.c1))
+                                     + sqrt(((s.n - s.r1 - s.c1)
+                                             + p.p * (s.r1 + s.c1))
+                                            * ((s.n - s.r1 - s.c1)
+                                               + p.p * (s.r1 + s.c1))
+                                            + 4 * (1 - p.p) * p.p
+                                              * s.r1 * 1.0 * s.c1))
+                                   / (2 * (1 - p.p))
+                                   BETWEEN greatest(0, s.r1 + s.c1 - s.n)
+                                       AND least(s.r1, s.c1)
+                               THEN (-((s.n - s.r1 - s.c1) + p.p * (s.r1 + s.c1))
+                                     + sqrt(((s.n - s.r1 - s.c1)
+                                             + p.p * (s.r1 + s.c1))
+                                            * ((s.n - s.r1 - s.c1)
+                                               + p.p * (s.r1 + s.c1))
+                                            + 4 * (1 - p.p) * p.p
+                                              * s.r1 * 1.0 * s.c1))
+                                    / (2 * (1 - p.p))
+                               ELSE (-((s.n - s.r1 - s.c1) + p.p * (s.r1 + s.c1))
+                                     - sqrt(((s.n - s.r1 - s.c1)
+                                             + p.p * (s.r1 + s.c1))
+                                            * ((s.n - s.r1 - s.c1)
+                                               + p.p * (s.r1 + s.c1))
+                                            + 4 * (1 - p.p) * p.p
+                                              * s.r1 * 1.0 * s.c1))
+                                    / (2 * (1 - p.p))
+                          END)
+                   END AS e
+            FROM strata s, psi p
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               round(max(p), 4) AS mh_odds_ratio,
+               round(sum((a - e) * (a - e)
+                         / nullif(1.0 / (1.0 / nullif(e, 0)
+                                   + 1.0 / nullif(r1 - e, 0)
+                                   + 1.0 / nullif(c1 - e, 0)
+                                   + 1.0 / nullif(n - r1 - c1 + e, 0)), 0)),
+                     4) AS bd_chi2,
+               CAST(CASE WHEN sum((a - e) * (a - e)
+                              / nullif(1.0 / (1.0 / nullif(e, 0)
+                                        + 1.0 / nullif(r1 - e, 0)
+                                        + 1.0 / nullif(c1 - e, 0)
+                                        + 1.0 / nullif(n - r1 - c1 + e, 0)), 0))
+                              > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS reject_homogeneous_or
+        FROM ex
+    """,
+    category="analytics",
+)
+def q_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow–Day test that the (priority × high-value) odds ratio is
+    HOMOGENEOUS across the five regions — the precondition q_cmh_test
+    quietly assumes when it pools: per stratum, the expected cell
+    count under the common MH odds ratio ψ solves the quadratic
+    E²(1−ψ) + E(n−r1−c1+ψ(r1+c1)) − ψ·r1·c1 = 0 (root selected inside
+    the hypergeometric support — the identical branch on both engines
+    since ψ is the same double), and BD = Σ(a−E)²/V(E) vs χ²₄.
+
+    One conditional-agg pass to 5 region strata (exact int64 cells);
+    ψ is a 1-row aggregate cross-joined back; the quadratic and
+    variance are pure arithmetic. ψ=1 (A=0) falls back to the
+    independence expectation; degenerate strata (empty margins) NULL
+    their variance identically via nullif/F.when."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    exposed = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    outcome = F.col("o_totalprice") > 150000
+    strata = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(rg), nt.n_regionkey == rg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(exposed & outcome, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(exposed, 1).otherwise(0)).cast("bigint").alias("r1"),
+            F.sum(F.when(outcome, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    n, a, r1, c1 = F.col("n"), F.col("a"), F.col("r1"), F.col("c1")
+    psi = strata.agg(
+        (
+            F.sum((a * 1.0 * (n - r1 - c1 + a)) / n)
+            / F.when(
+                F.sum(((r1 - a) * 1.0 * (c1 - a)) / n) != 0,
+                F.sum(((r1 - a) * 1.0 * (c1 - a)) / n),
+            )
+        ).alias("p")
+    )
+    p = F.col("p")
+    bq = (n - r1 - c1) + p * (r1 + c1)
+    disc = F.sqrt(bq * bq + 4 * (1 - p) * p * r1 * 1.0 * c1)
+    e_plus = (-bq + disc) / (2 * (1 - p))
+    e_minus = (-bq - disc) / (2 * (1 - p))
+    lo_b = F.greatest(F.lit(0).cast("bigint"), r1 + c1 - n)
+    hi_b = F.least(r1, c1)
+    e = F.when(F.abs(1 - p) < 1e-12, r1 * 1.0 * c1 / n).otherwise(
+        F.when(e_plus.between(lo_b, hi_b), e_plus).otherwise(e_minus)
+    )
+    ex = strata.crossJoin(F.broadcast(psi)).select(
+        "n", "a", "r1", "c1", "p", e.alias("e")
+    )
+    ev = F.col("e")
+    vinv = (
+        1.0 / F.when(ev != 0, ev)
+        + 1.0 / F.when(r1 - ev != 0, r1 - ev)
+        + 1.0 / F.when(c1 - ev != 0, c1 - ev)
+        + 1.0 / F.when(n - r1 - c1 + ev != 0, n - r1 - c1 + ev)
+    )
+    v = 1.0 / F.when(vinv != 0, vinv)
+    bd = F.sum((a - ev) * (a - ev) / F.when(v != 0, v))
+    return ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.round(F.max("p"), 4).alias("mh_odds_ratio"),
+        F.round(bd, 4).alias("bd_chi2"),
+        F.when(bd > 9.4877, 1).otherwise(0).cast("int").alias(
+            "reject_homogeneous_or"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation-count tuning sweep
+
+
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime), Carter–Wegman modulus
+_MH_PERMS = [(2654435761 + 2 * i, 40503 * i + 17) for i in range(16)]
+
+_CF_TOK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(t) + 1), "
+    "i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+    "(acc, b) -> (acc * 31 + b) % 33554432)"
+)
+
+
+@register(
+    "q_minhash_perm_sweep",
+    oracle=f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(list_distinct(string_split(text, ' ')),
+                                  t -> {_CF_TOK}) AS h,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        sigs AS (
+            SELECT doc_id, toks,
+                   {", ".join(
+                       f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MH_P})) AS m{i}"
+                       for i, (a, b) in enumerate(_MH_PERMS))}
+            FROM hs
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a,
+                   len(list_intersect(a.toks, b.toks)) * 1.0
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS exact_j,
+                   {", ".join(
+                       "(" + " + ".join(
+                           f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+                           for i in range(p)) + f") * 1.0 / {p} AS est{p}"
+                       for p in (4, 8, 16))}
+            FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+        )
+        SELECT CAST(n_perms AS INT) AS n_perms,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(rmse, 4) AS rmse,
+               round(mean_err, 4) + 0.0 AS mean_err,
+               round(mean_abs_err, 4) AS mean_abs_err
+        FROM (
+            {" UNION ALL ".join(f'''
+            SELECT {p} AS n_perms, count(*) AS n_pairs,
+                   sqrt(avg((est{p} - exact_j) * (est{p} - exact_j))) AS rmse,
+                   avg(est{p} - exact_j) AS mean_err,
+                   avg(abs(est{p} - exact_j)) AS mean_abs_err
+            FROM pairs''' for p in (4, 8, 16))}
+        )
+    """,
+    category="llm-dedup",
+)
+def q_minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash permutation-count tuning curve: Jaccard-estimate error
+    (RMSE / bias / MAE vs the EXACT token-set Jaccard) at 4, 8 and 16
+    Carter–Wegman permutations over doc_id-adjacent pairs — the
+    how-many-perms-do-I-need answer that q_minhash_calibration gives
+    for the production k=8 only, as a sweep (the sketch cousin of
+    q_ivf_probe_sweep / q_cms_width_sweep / q_bloom_fpr_sweep).
+
+    Token hashes fold ONCE per doc into a projected column (no-CSE-in-
+    lambda discipline, operators/dedup.py); each permutation is O(1)
+    arithmetic over that array; signatures are 16 ints per doc; pairs
+    come from the doc_id+1 equi-join. Everything before the final
+    3-row error aggregate is exact integer arithmetic, and the
+    estimates/Jaccards are exact rationals — both engines agree
+    bit-for-bit until the rounded error summary."""
+    from builder_spark.operators.dedup import charfold_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hs = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.transform(
+            toks,
+            lambda t: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(33554432)),
+            ),
+        ).alias("h"),
+    )
+    def perm_min(a: int, b: int):
+        # closure factory, not default-arg capture: pyspark binds the
+        # lambda by its PARAMETER COUNT, so extra defaulted params
+        # would make it a 3-arg HOF lambda
+        return F.array_min(
+            F.transform("h", lambda x: F.pmod(x * a + b, F.lit(_MH_P)))
+        )
+
+    sigs = hs.select(
+        "doc_id",
+        "toks",
+        *[perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(_MH_PERMS)],
+    )
+    a_s, b_s = sigs.alias("a"), sigs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    ests = {
+        p: sum(
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(p)
+        )
+        * 1.0
+        / p
+        for p in (4, 8, 16)
+    }
+    pairs = a_s.join(b_s, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        (inter * 1.0 / union).alias("exact_j"),
+        *[ests[p].alias(f"est{p}") for p in (4, 8, 16)],
+    )
+    outs = []
+    for p in (4, 8, 16):
+        err = F.col(f"est{p}") - F.col("exact_j")
+        outs.append(
+            pairs.agg(
+                F.lit(p).cast("int").alias("n_perms"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+                F.round(F.avg(err), 4).alias("mean_err"),
+                F.round(F.avg(F.abs(err)), 4).alias("mean_abs_err"),
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fisher exact test at scale (shared closed-form log-factorial)
+
+#: ln(x!) for x = 0..9 — exact literals (math.lgamma(x+1))
+_LNFACT_SMALL = [
+    0.0,
+    0.0,
+    0.693147180559945,
+    1.7917594692280554,
+    3.178053830347945,
+    4.787491742782047,
+    6.579251212010102,
+    8.525161361065415,
+    10.604602902745249,
+    12.801827480081467,
+]
+
+
+def _lnfact_sql(x: str) -> str:
+    """ln(x!) as a pure-arithmetic SQL expression — exact literals for
+    x ≤ 9, Stirling's series on z = x+1 beyond (abs error < 3e-11 at
+    x = 10, shrinking as z⁻⁷). Both engines evaluate the identical
+    formula, so no lgamma()-availability or libm-parity problem."""
+    small = " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in enumerate(_LNFACT_SMALL)
+    )
+    z = f"(({x}) + 1.0)"
+    stirling = (
+        f"(({z} - 0.5) * ln({z}) - {z} + 0.9189385332046727"
+        f" + 1.0 / (12.0 * {z}) - 1.0 / (360.0 * {z} * {z} * {z})"
+        f" + 1.0 / (1260.0 * {z} * {z} * {z} * {z} * {z}))"
+    )
+    return f"(CASE WHEN ({x}) <= 9 THEN CASE ({x}) {small} END ELSE {stirling} END)"
+
+
+def _lnfact_col(x):
+    """Spark twin of :func:`_lnfact_sql` — same branches, same
+    literals, same operation order."""
+    expr = None
+    for i, v in enumerate(_LNFACT_SMALL):
+        cond = x == i
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    z = x + 1.0
+    stirling = (
+        (z - 0.5) * F.log(z)
+        - z
+        + 0.9189385332046727
+        + 1.0 / (12.0 * z)
+        - 1.0 / (360.0 * z * z * z)
+        + 1.0 / (1260.0 * z * z * z * z * z)
+    )
+    return F.when(x <= 9, expr).otherwise(stirling)
+
+
+@register(
+    "q_fisher_exact",
+    oracle=f"""
+        WITH strata AS (
+            SELECT n.n_name,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN c.c_custkey % 2 = 0 AND c.c_acctbal > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN c.c_custkey % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                   CAST(sum(CASE WHEN c.c_acctbal > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        terms AS (
+            SELECT n_name, n, a, r1, c1, unnest(range(a, least(r1, c1) + 1)) AS k
+            FROM strata
+        ),
+        pmf AS (
+            SELECT n_name, n, a, r1, c1,
+                   exp({_lnfact_sql('r1')} - {_lnfact_sql('k')}
+                       - {_lnfact_sql('r1 - k')}
+                       + {_lnfact_sql('n - r1')} - {_lnfact_sql('c1 - k')}
+                       - {_lnfact_sql('n - r1 - c1 + k')}
+                       - {_lnfact_sql('n')} + {_lnfact_sql('c1')}
+                       + {_lnfact_sql('n - c1')}) AS p
+            FROM terms
+        )
+        SELECT n_name, CAST(max(n) AS BIGINT) AS n_cust,
+               max(a) AS a_obs,
+               round(max(r1) * 1.0 * max(c1) / max(n), 4) AS expected_a,
+               round(sum(p), 4) AS p_upper,
+               CAST(CASE WHEN sum(p) < 0.05 THEN 1 ELSE 0 END AS INT)
+                   AS significant
+        FROM pmf GROUP BY n_name
+    """,
+    category="analytics",
+)
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test PER NATION (one-sided upper tail) of
+    customer-key parity × positive account balance — the exact
+    small-sample test q_chisq_independence approximates and q_cmh_test
+    pools: P(X ≥ a) = Σ_{{k=a}}^{{min(r1,c1)}} hypergeometric pmf(k). A
+    parity split should never be significant; a low p flags fixture
+    bias (the q_poisson_etest self-audit logic, exact-test edition).
+
+    THE SCALE TRICK: no factorial table and no driver-side math — the
+    log-pmf is nine ln(x!) evaluations through a shared closed form
+    (exact literals to 9!, Stirling beyond, abs error < 3e-11 — see
+    _lnfact_sql), so the tail sum is one EXPLODE of the per-stratum
+    support range [a, min(r1,c1)] (linear in customers, an equi-grain
+    flatMap — never quadratic) and one combinable aggregate. Identical
+    arithmetic both engines; exp/ln ulp noise is ~1e-11 on an O(1)
+    p-value, absorbed by round(,4)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    exposed = F.col("c_custkey") % 2 == 0
+    outcome = F.col("c_acctbal") > 0
+    strata = (
+        cust.join(F.broadcast(nt), cust.c_nationkey == nt.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(exposed & outcome, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(exposed, 1).otherwise(0)).cast("bigint").alias("r1"),
+            F.sum(F.when(outcome, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    terms = strata.select(
+        "n_name",
+        "n",
+        "a",
+        "r1",
+        "c1",
+        F.explode(F.sequence(F.col("a"), F.least("r1", "c1"))).alias("k"),
+    )
+    n, a, r1, c1, k = (F.col(c) for c in ("n", "a", "r1", "c1", "k"))
+    lnpmf = (
+        _lnfact_col(r1)
+        - _lnfact_col(k)
+        - _lnfact_col(r1 - k)
+        + _lnfact_col(n - r1)
+        - _lnfact_col(c1 - k)
+        - _lnfact_col(n - r1 - c1 + k)
+        - _lnfact_col(n)
+        + _lnfact_col(c1)
+        + _lnfact_col(n - c1)
+    )
+    pmf = terms.select("n_name", "n", "a", "r1", "c1", F.exp(lnpmf).alias("p"))
+    psum = F.sum("p")
+    return pmf.groupBy("n_name").agg(
+        F.max("n").cast("bigint").alias("n_cust"),
+        F.max("a").alias("a_obs"),
+        F.round(F.max("r1") * 1.0 * F.max("c1") / F.max("n"), 4).alias(
+            "expected_a"
+        ),
+        F.round(psum, 4).alias("p_upper"),
+        F.when(psum < 0.05, 1).otherwise(0).cast("int").alias("significant"),
+    )

@@ -736,13 +736,21 @@ def test_stitched_running_releases_cache(spark):
     from builder_spark.operators.partitioning import stitched_running
 
     spark.catalog.clearCache()
+    # baseline, not zero: round-12 queries legitimately localCheckpoint
+    # tiny parameter/day tables (gmm, design-effect, hodges, brown-
+    # forsythe), and the ContextCleaner releases those on GC time —
+    # earlier suite tests may leave residue. The invariant under test
+    # is that the STITCH adds no pinned storage of its own.
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     df = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", (F.col("o_orderkey") % 7).alias("v")
     )
     out = stitched_running(df, ["o_orderkey"], running={"rv": "v"}, rank_name="rn")
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
     out.count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
 
 
 def test_stitched_running_reexecution_is_stable(spark):

@@ -35,6 +35,12 @@ NEW = [
     "q_xbar_s_chart",
     "q_tolerance_interval",
     "q_paired_ttest",
+    "q_bland_altman",
+    "q_lin_ccc",
+    "q_deming_regression",
+    "q_breslow_day",
+    "q_minhash_perm_sweep",
+    "q_fisher_exact",
 ]
 
 
@@ -69,6 +75,12 @@ def test_round12_registers_behind_backlog():
         ("q_xbar_s_chart", 4),    # day rollup reprinted for the pooled row
         ("q_tolerance_interval", 2),  # join + 5-segment moment rollup
         ("q_paired_ttest", 4),    # join + nation halves + 1-row midpoint
+        ("q_bland_altman", 4),    # doc moments reprinted for the count pass
+        ("q_lin_ccc", 1),         # one combinable moment pass
+        ("q_deming_regression", 1),  # one combinable moment pass
+        ("q_breslow_day", 4),     # strata rollup reprinted for the 1-row psi
+        ("q_minhash_perm_sweep", 7),  # sig rollup x2 sides + 3 error aggs
+        ("q_fisher_exact", 2),    # strata rollup + support explode + agg
     ],
 )
 def test_round12_shuffle_budget(spark, name, max_exchanges):
@@ -204,3 +216,47 @@ def test_tost_and_etest_defined(spark):
     assert tost["t_lower"] > tost["t_upper"]  # +delta side always larger
     et = REGISTRY["q_poisson_etest"].fn(spark, SF_DIR).collect()[0]
     assert et["u1"] + et["u2"] > 0
+
+
+def test_agreement_trio_consistency(spark):
+    """Three views of the same (chars/5, tokens) pairing must agree on
+    n and tell one story: CCC <= |r| (CCC is penalized Pearson), and
+    the Deming slope is further from 0 than OLS (attenuation)."""
+    ba = REGISTRY["q_bland_altman"].fn(spark, SF_DIR).collect()[0]
+    cc = REGISTRY["q_lin_ccc"].fn(spark, SF_DIR).collect()[0]
+    dm = REGISTRY["q_deming_regression"].fn(spark, SF_DIR).collect()[0]
+    assert ba["n_docs"] == cc["n_docs"] == dm["n_docs"]
+    assert abs(cc["lin_ccc"]) <= abs(cc["pearson_r"]) + 1e-9
+    assert 0.0 <= ba["pct_outside"] <= 1.0
+    if dm["ols_slope"] is not None and dm["deming_slope"] is not None:
+        assert abs(dm["deming_slope"]) >= abs(dm["ols_slope"]) - 1e-9
+
+
+def test_breslow_day_bounds(spark):
+    r = REGISTRY["q_breslow_day"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_strata"] == 5
+    assert r["bd_chi2"] >= 0
+    assert r["mh_odds_ratio"] > 0
+
+
+def test_minhash_perm_sweep_monotone(spark):
+    """More permutations -> estimator variance shrinks: RMSE at 16
+    perms must not exceed RMSE at 4 perms (law of large numbers over
+    indicator averages)."""
+    rows = {r["n_perms"]: r for r in
+            REGISTRY["q_minhash_perm_sweep"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {4, 8, 16}
+    assert rows[16]["rmse"] <= rows[4]["rmse"] + 1e-9
+    for r in rows.values():
+        assert 0.0 <= r["mean_abs_err"] <= 1.0
+
+
+def test_fisher_exact_is_probability(spark):
+    rows = REGISTRY["q_fisher_exact"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_upper"] <= 1.0 + 1e-6
+        # upper-tail p at the observed a: when a is below expectation,
+        # the tail covers most of the mass
+        if r["a_obs"] <= r["expected_a"]:
+            assert r["p_upper"] > 0.4

@@ -319,6 +319,12 @@ HEAVY = [
     "q_xbar_s_chart",
     "q_tolerance_interval",
     "q_paired_ttest",
+    "q_bland_altman",
+    "q_lin_ccc",
+    "q_deming_regression",
+    "q_breslow_day",
+    "q_minhash_perm_sweep",
+    "q_fisher_exact",
 ]
 
 #: per-table key columns to offset so replicas don't collide
