@@ -2410,3 +2410,417 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(psum, 4).alias("p_upper"),
         F.when(psum < 0.05, 1).otherwise(0).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ansari–Bradley rank dispersion test
+
+
+@register(
+    "q_ansari_bradley",
+    oracle="""
+        WITH x AS (
+            SELECT o_totalprice AS price, o_orderkey AS okey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS samp
+            FROM orders
+        ),
+        rk AS (
+            SELECT samp,
+                   row_number() OVER (ORDER BY price, okey) AS r,
+                   count(*) OVER () AS nn
+            FROM x
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN samp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN samp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                   CAST(max(nn) AS BIGINT) AS nn,
+                   CAST(sum(CASE WHEN samp = 1
+                            THEN least(r, nn + 1 - r) ELSE 0 END) AS BIGINT) AS ab
+            FROM rk
+        ),
+        f AS (
+            SELECT n, m, nn, ab,
+                   CASE WHEN nn % 2 = 0 THEN n * 1.0 * (nn + 2) / 4
+                        ELSE n * 1.0 * (nn + 1) * (nn + 1) / (4.0 * nn) END AS mu,
+                   CASE WHEN nn % 2 = 0
+                        THEN m * 1.0 * n * (nn + 2) * (nn - 2)
+                             / (48.0 * (nn - 1))
+                        ELSE m * 1.0 * n * (nn + 1)
+                             * (3 + nn * 1.0 * nn) / (48.0 * nn * nn) END AS v
+            FROM agg
+        )
+        SELECT n AS n_urgent, m AS n_other,
+               ab AS ab_statistic,
+               round((ab - mu) / nullif(sqrt(v), 0), 4) + 0.0 AS z_stat,
+               CAST(CASE WHEN abs((ab - mu) / nullif(sqrt(v), 0)) > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal_dispersion
+        FROM f
+    """,
+    category="analytics",
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley rank test of equal DISPERSION (urgent/high
+    priority order values vs the rest): scores a_r = min(r, N+1−r)
+    concentrate small values at both extremes, so Σ_A a_r compares
+    spreads where q_mann_whitney_u compares locations and q_cvm_test
+    whole distributions — completing the rank-test triptych. Exact
+    even/odd-N moment formulas, normal z against ±1.96.
+
+    The pooled rank comes from ONE stitched pass at fact grain
+    (with_totals exposes N — no count(*) window); the a-scores and
+    moments are exact integer arithmetic with `* 1.0` widening before
+    the 4-factor count products (mn(N+2)(N−2) tops int64 past ~sf1)."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("samp"),
+    )
+    rk = stitched_running(x, ["price", "okey"], rank_name="r", with_totals=True)
+    nn_c = F.col("r_total")
+    score = F.least(F.col("r"), nn_c + 1 - F.col("r"))
+    agg = rk.agg(
+        F.sum(F.when(F.col("samp") == 1, 1).otherwise(0)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("samp") == 0, 1).otherwise(0)).cast("bigint").alias("m"),
+        F.max(nn_c).cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("samp") == 1, score).otherwise(0))
+        .cast("bigint")
+        .alias("ab"),
+    )
+    n, m, nn, ab = (F.col(c) for c in ("n", "m", "nn", "ab"))
+    mu = F.when(nn % 2 == 0, n * 1.0 * (nn + 2) / 4).otherwise(
+        n * 1.0 * (nn + 1) * (nn + 1) / (4.0 * nn)
+    )
+    v = F.when(
+        nn % 2 == 0,
+        m * 1.0 * n * (nn + 2) * (nn - 2) / (48.0 * (nn - 1)),
+    ).otherwise(
+        m * 1.0 * n * (nn + 1) * (3 + nn * 1.0 * nn) / (48.0 * nn * nn)
+    )
+    z = (ab - mu) / F.when(F.sqrt(v) != 0, F.sqrt(v))
+    return agg.select(
+        n.alias("n_urgent"),
+        m.alias("n_other"),
+        ab.alias("ab_statistic"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "reject_equal_dispersion"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact sign test (paired halves, binomial tail via shared lnfact)
+
+
+@register(
+    "q_sign_test",
+    oracle=f"""
+        WITH dn AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS day_n,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        mid AS (SELECT (min(day_n) + max(day_n)) // 2 AS md FROM dn),
+        halves AS (
+            SELECT n.n_name,
+                   CAST(sum(CASE WHEN d.day_n < m.md THEN d.cents ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN d.day_n >= m.md THEN d.cents ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM dn d
+            JOIN customer c ON d.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            CROSS JOIN mid m
+            GROUP BY n.n_name
+        ),
+        counts AS (
+            SELECT CAST(sum(CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos,
+                   CAST(sum(CASE WHEN c2 < c1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS neg
+            FROM halves
+        ),
+        terms AS (
+            SELECT pos, neg, pos + neg AS np,
+                   unnest(range(0, least(pos, neg) + 1)) AS k
+            FROM counts
+        ),
+        p AS (
+            SELECT pos, neg, np,
+                   sum(exp({_lnfact_sql('np')}
+                           - {_lnfact_sql('k')}
+                           - {_lnfact_sql('np - k')}
+                           - np * 0.6931471805599453)) AS tail
+            FROM terms GROUP BY pos, neg, np
+        )
+        SELECT CAST(np AS BIGINT) AS n_pairs, pos AS n_pos, neg AS n_neg,
+               round(least(2 * tail, 1.0), 4) AS p_value,
+               CAST(CASE WHEN least(2 * tail, 1.0) < 0.05 THEN 1 ELSE 0 END
+                    AS INT) AS reject_no_change
+        FROM p
+    """,
+    category="analytics",
+)
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sided sign test on the per-nation revenue halves
+    (q_paired_ttest's pairing, assumption-free edition): S = wins of
+    half 2 over half 1; p = 2·Σ_{k≤min(S,n−S)} C(n,k)/2ⁿ — the
+    binomial tail computed EXACTLY through the same shared closed-form
+    ln(x!) as q_fisher_exact (ln C(n,k) − n·ln2, ≤13 exp terms), so
+    there is no normal approximation anywhere and no library CDF.
+
+    Halves are exact int64 cents (sign comparisons exact); the tail
+    explode is ≤ n/2+1 rows; both engines evaluate the identical
+    arithmetic. Ties (c1 = c2) drop from n per the classic test."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "day_n"
+        ),
+        F.expr(_OC).alias("cents"),
+    )
+    mid = o.agg(F.expr("(min(day_n) + max(day_n)) div 2").alias("md"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    halves = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .crossJoin(F.broadcast(mid))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("day_n") < F.col("md"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("day_n") >= F.col("md"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    counts = halves.agg(
+        F.sum(F.when(F.col("c2") > F.col("c1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("c2") < F.col("c1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    terms = counts.select(
+        "pos",
+        "neg",
+        (F.col("pos") + F.col("neg")).alias("np"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.least("pos", "neg"))
+        ).alias("k"),
+    )
+    np_, k = F.col("np"), F.col("k")
+    ln2 = 0.6931471805599453
+    term = F.exp(
+        _lnfact_col(np_) - _lnfact_col(k) - _lnfact_col(np_ - k) - np_ * ln2
+    )
+    p = terms.groupBy("pos", "neg").agg(
+        F.max("np").alias("np"), F.sum(term).alias("tail")
+    )
+    pval = F.least(2 * F.col("tail"), F.lit(1.0))
+    return p.select(
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("pos").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.round(pval, 4).alias("p_value"),
+        F.when(pval < 0.05, 1).otherwise(0).cast("int").alias("reject_no_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-sample KS uniformity test (day-of-month)
+
+
+@register(
+    "q_ks_uniform",
+    oracle="""
+        WITH d AS (
+            SELECT day(CAST(o_orderdate AS DATE)) AS dom
+            FROM orders WHERE day(CAST(o_orderdate AS DATE)) <= 28
+        ),
+        cells AS (SELECT dom, count(*) AS c FROM d GROUP BY dom),
+        cum AS (
+            SELECT dom, c,
+                   sum(c) OVER (ORDER BY dom
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cc,
+                   sum(c) OVER () AS n
+            FROM cells
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_orders,
+               round(max(greatest(abs(cc * 1.0 / n - dom / 28.0),
+                                  abs(cc * 1.0 / n - (dom - 1) / 28.0))), 4)
+                   AS d_stat,
+               round(1.36 / sqrt(max(n)), 4) AS d_critical,
+               CAST(CASE WHEN max(greatest(abs(cc * 1.0 / n - dom / 28.0),
+                                           abs(cc * 1.0 / n
+                                               - (dom - 1) / 28.0)))
+                              > 1.36 / sqrt(max(n))
+                    THEN 1 ELSE 0 END AS INT) AS reject_uniform
+        FROM cum
+    """,
+    category="analytics",
+)
+def q_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov test of order-date
+    day-of-month uniformity (days 1–28, so month length can't bias
+    it): D = max over days of the two-sided gap between the empirical
+    CDF and k/28, against the 1.36/√n 5% critical value — the
+    one-sample counterpart of q_ks_test (two-sample) and the CDF-sup
+    cousin of q_benford / q_price_digit_bias's χ² digit tests; a
+    synthetic fixture's date generator should never reject.
+
+    One combinable pass to 28 day cells; the cumulative CDF is a
+    whitelisted 28-row bounded window; counts are exact integers so
+    every gap is ONE exact division per side — bit-identical, no
+    float discipline needed beyond the final round."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.dayofmonth(F.col("o_orderdate").cast("date")).alias("dom")
+    ).filter(F.col("dom") <= 28)
+    cells = d.groupBy("dom").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("dom").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "dom",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    gap = F.greatest(
+        F.abs(F.col("cc") * 1.0 / F.col("n") - F.col("dom") / 28.0),
+        F.abs(F.col("cc") * 1.0 / F.col("n") - (F.col("dom") - 1) / 28.0),
+    )
+    dstat = F.max(gap)
+    crit = 1.36 / F.sqrt(F.max("n"))
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.round(dstat, 4).alias("d_stat"),
+        F.round(crit, 4).alias("d_critical"),
+        F.when(dstat > crit, 1).otherwise(0).cast("int").alias("reject_uniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Storey q-values (adaptive FDR) on the BH cell battery
+
+
+@register(
+    "q_storey_qvalues",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS o
+            FROM events GROUP BY event_type, isodow(ts) - 1
+        ),
+        rows_m AS (SELECT event_type, sum(o) AS nr FROM cells GROUP BY event_type),
+        cols_m AS (SELECT dow, sum(o) AS nc FROM cells GROUP BY dow),
+        tot AS (SELECT sum(o) AS n FROM cells),
+        scored AS (
+            SELECT c.event_type, c.dow,
+                   exp(-((c.o - r.nr * cm.nc / t.n) * (c.o - r.nr * cm.nc / t.n)
+                   / (r.nr * cm.nc / t.n)) / 2) AS p
+            FROM cells c
+            JOIN rows_m r ON c.event_type = r.event_type
+            JOIN cols_m cm ON c.dow = cm.dow
+            CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY p, event_type, dow) AS i,
+                   count(*) OVER () AS m,
+                   sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) OVER () AS n_big
+            FROM scored
+        ),
+        pies AS (
+            SELECT *, least(1.0, n_big / (m * 0.5)) AS pi0 FROM ranked
+        ),
+        qv AS (
+            SELECT *,
+                   min(pi0 * m * p / i) OVER (ORDER BY i DESC
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS q
+            FROM pies
+        )
+        SELECT event_type, CAST(dow AS INT) AS dow,
+               CAST(i AS BIGINT) AS rank_i,
+               round(pi0, 4) AS pi0,
+               round(q, 4) AS q_value,
+               CAST(CASE WHEN q < 0.05 THEN 1 ELSE 0 END AS INT) AS rejected
+        FROM qv
+    """,
+    category="analytics",
+)
+def q_storey_qvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey ADAPTIVE FDR q-values over the same 35 (event type ×
+    weekday) cell battery q_bh_fdr and q_holm_bonferroni grade — the
+    third multiple-testing correction, with the piece BH lacks: the
+    null fraction π̂₀ = #{p>λ}/(m(1−λ)) at λ=½ estimated FROM the
+    battery, and q_i = min_{j≥i} π̂₀·m·p_j/j (the descending-rank
+    cumulative min). Same deliberately synthetic monotone pseudo-p as
+    BH (exp(−χ²/2)) so all three corrections stay row-comparable.
+
+    Same exactness story as q_bh_fdr: integer cells make every p one
+    identical expression tree; all three windows run over the bounded
+    35-row battery (whitelisted)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.weekday("ts").alias("dow")
+    )
+    # materialize the 35-cell battery ONCE — four consumers (margins,
+    # total, the scored join) would otherwise re-plan the fact scan
+    cells = (
+        ev.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("nr"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("nc"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("nr") * F.col("nc") / F.col("n")
+    scored = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.exp(-((F.col("o") - e) * (F.col("o") - e) / e) / 2).alias("p"),
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        scored.withColumn(
+            "i", F.row_number().over(Window.orderBy("p", "event_type", "dow"))
+        )
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "n_big",
+            F.sum(F.when(F.col("p") > 0.5, 1).otherwise(0)).over(w_all),
+        )
+    )
+    pi0 = F.least(F.lit(1.0), F.col("n_big") / (F.col("m") * 0.5))
+    w_desc = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    qv = ranked.withColumn("pi0", pi0).withColumn(
+        "q", F.min(F.col("pi0") * F.col("m") * F.col("p") / F.col("i")).over(w_desc)
+    )
+    return qv.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("i").cast("bigint").alias("rank_i"),
+        F.round("pi0", 4).alias("pi0"),
+        F.round("q", 4).alias("q_value"),
+        F.when(F.col("q") < 0.05, 1).otherwise(0).cast("int").alias("rejected"),
+    )

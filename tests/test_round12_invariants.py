@@ -41,6 +41,10 @@ NEW = [
     "q_breslow_day",
     "q_minhash_perm_sweep",
     "q_fisher_exact",
+    "q_ansari_bradley",
+    "q_sign_test",
+    "q_ks_uniform",
+    "q_storey_qvalues",
 ]
 
 
@@ -81,6 +85,10 @@ def test_round12_registers_behind_backlog():
         ("q_breslow_day", 4),     # strata rollup reprinted for the 1-row psi
         ("q_minhash_perm_sweep", 7),  # sig rollup x2 sides + 3 error aggs
         ("q_fisher_exact", 2),    # strata rollup + support explode + agg
+        ("q_ansari_bradley", 6),  # one stitched rank pass + 1-row agg
+        ("q_sign_test", 5),       # join + nation halves + tail explode
+        ("q_ks_uniform", 2),      # 28-cell rollup + bounded CDF window
+        ("q_storey_qvalues", 4),  # 35-cell battery + bounded rank windows
     ],
 )
 def test_round12_shuffle_budget(spark, name, max_exchanges):
@@ -260,3 +268,43 @@ def test_fisher_exact_is_probability(spark):
         # the tail covers most of the mass
         if r["a_obs"] <= r["expected_a"]:
             assert r["p_upper"] > 0.4
+
+
+def test_sign_test_vs_paired_ttest(spark):
+    """Same pairing, two tests: the exact sign test and the paired t
+    must agree on the pair count and produce a valid probability."""
+    st = REGISTRY["q_sign_test"].fn(spark, SF_DIR).collect()[0]
+    tt = REGISTRY["q_paired_ttest"].fn(spark, SF_DIR).collect()[0]
+    assert st["n_pos"] + st["n_neg"] <= 25
+    assert st["n_pairs"] == st["n_pos"] + st["n_neg"]
+    assert 0.0 <= st["p_value"] <= 1.0
+    assert tt["n_pairs"] >= st["n_pairs"]  # ties drop from the sign test only
+
+
+def test_ks_uniform_bounds(spark):
+    r = REGISTRY["q_ks_uniform"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["d_stat"] <= 1.0
+    assert r["d_critical"] > 0
+
+
+def test_ansari_bradley_statistic_range(spark):
+    r = REGISTRY["q_ansari_bradley"].fn(spark, SF_DIR).collect()[0]
+    nn = r["n_urgent"] + r["n_other"]
+    # each a-score is in [1, ceil(nn/2)]
+    assert r["n_urgent"] <= r["ab_statistic"] <= r["n_urgent"] * ((nn + 1) // 2)
+
+
+def test_storey_vs_bh_consistency(spark):
+    """Storey with pi0 <= 1 can only reject MORE than BH at the same
+    alpha; both run on the identical battery so rank sets must align."""
+    bh = {(r["event_type"], r["dow"]): r
+          for r in REGISTRY["q_bh_fdr"].fn(spark, SF_DIR).collect()}
+    st = {(r["event_type"], r["dow"]): r
+          for r in REGISTRY["q_storey_qvalues"].fn(spark, SF_DIR).collect()}
+    assert set(bh) == set(st)
+    for key, b in bh.items():
+        s_ = st[key]
+        assert s_["rank_i"] == b["rank_i"]
+        assert 0.0 <= s_["pi0"] <= 1.0
+        if b["rejected"] == 1:
+            assert s_["q_value"] <= 0.05 + 1e-9

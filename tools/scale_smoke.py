@@ -325,6 +325,10 @@ HEAVY = [
     "q_breslow_day",
     "q_minhash_perm_sweep",
     "q_fisher_exact",
+    "q_ansari_bradley",
+    "q_sign_test",
+    "q_ks_uniform",
+    "q_storey_qvalues",
 ]
 
 #: per-table key columns to offset so replicas don't collide
