@@ -2824,3 +2824,250 @@ def q_storey_qvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q", 4).alias("q_value"),
         F.when(F.col("q") < 0.05, 1).otherwise(0).cast("int").alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-token prefix cache-reuse mass
+
+
+@register(
+    "q_prefix_cache_mass",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS tl
+            FROM documents
+        ),
+        total AS (SELECT CAST(sum(tl) AS BIGINT) AS total_tokens FROM toks),
+        lv AS (
+            SELECT k, md5(array_to_string(t[1:k], ' ')) AS pfx
+            FROM toks, (VALUES (4), (8), (16)) v(k)
+            WHERE tl >= k
+        ),
+        grp AS (
+            SELECT k, pfx, CAST(count(*) AS BIGINT) AS c
+            FROM lv GROUP BY k, pfx
+        )
+        SELECT CAST(g.k AS INT) AS k,
+               CAST(sum(g.c) AS BIGINT) AS n_docs_eligible,
+               CAST(count(*) AS BIGINT) AS n_prefix_groups,
+               CAST(sum(CASE WHEN g.c >= 2 THEN g.c ELSE 0 END) AS BIGINT)
+                   AS docs_sharing,
+               CAST(sum((g.c - 1) * g.k) AS BIGINT) AS reusable_tokens,
+               round(sum((g.c - 1) * g.k) * 1.0
+                     / nullif(max(t.total_tokens), 0), 4) AS cache_savings_pct
+        FROM grp g CROSS JOIN total t
+        GROUP BY g.k
+    """,
+    category="llm-pipeline",
+)
+def q_prefix_cache_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV prefix-cache reuse estimate: at k ∈ {4, 8, 16} leading
+    tokens, how many documents share an exact token prefix, and what
+    fraction of the corpus' total tokens a shared-prefix cache would
+    never recompute (Σ per group (size−1)·k over total tokens) — the
+    serving-side number behind prefix caching, and a template-
+    contamination signal at the token grain that q_boilerplate_prefix
+    (80-char normalized prefixes per source) reads at the char grain.
+
+    Documents never move: each contributes three md5 prefix keys (one
+    row per eligible k — a bounded 3× explode, not a token explode);
+    groups are key-grain aggregates; the savings ratio divides two
+    exact int64 token counts. Scale-free md5 keys shuffle uniformly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("tl"),
+    )
+    total = toks.agg(F.sum("tl").cast("bigint").alias("total_tokens"))
+    lv = (
+        toks.select(
+            "tl",
+            F.explode(F.array(*[F.lit(k) for k in (4, 8, 16)])).alias("k"),
+            "t",
+        )
+        .filter(F.col("tl") >= F.col("k"))
+        .select(
+            "k",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, F.col("k")))).alias(
+                "pfx"
+            ),
+        )
+    )
+    grp = lv.groupBy("k", "pfx").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        grp.crossJoin(F.broadcast(total))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs_eligible"),
+            F.count(F.lit(1)).cast("bigint").alias("n_prefix_groups"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_sharing"),
+            F.sum((F.col("c") - 1) * F.col("k")).cast("bigint").alias(
+                "reusable_tokens"
+            ),
+            F.round(
+                F.sum((F.col("c") - 1) * F.col("k"))
+                * 1.0
+                / F.when(F.max("total_tokens") != 0, F.max("total_tokens")),
+                4,
+            ).alias("cache_savings_pct"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_docs_eligible",
+            "n_prefix_groups",
+            "docs_sharing",
+            "reusable_tokens",
+            "cache_savings_pct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quadratic-weighted Cohen's kappa on ordinal quality quartiles
+
+
+@register(
+    "q_weighted_kappa",
+    oracle="""
+        WITH d AS (
+            SELECT length(text) * 1.0 AS x,
+                   len(string_split(text, ' ')) * 1.0 AS y
+            FROM documents
+        ),
+        qx AS (
+            SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS q2,
+                   quantile_cont(x, 0.75) AS q3
+            FROM d
+        ),
+        qy AS (
+            SELECT quantile_cont(y, 0.25) AS q1, quantile_cont(y, 0.5) AS q2,
+                   quantile_cont(y, 0.75) AS q3
+            FROM d
+        ),
+        graded AS (
+            SELECT CASE WHEN d.x <= qx.q1 THEN 0 WHEN d.x <= qx.q2 THEN 1
+                        WHEN d.x <= qx.q3 THEN 2 ELSE 3 END AS rx,
+                   CASE WHEN d.y <= qy.q1 THEN 0 WHEN d.y <= qy.q2 THEN 1
+                        WHEN d.y <= qy.q3 THEN 2 ELSE 3 END AS ry
+            FROM d, qx, qy
+        ),
+        cells AS (
+            SELECT rx, ry, CAST(count(*) AS BIGINT) AS o
+            FROM graded GROUP BY rx, ry
+        ),
+        m AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN rx = ry THEN o ELSE 0 END) AS BIGINT)
+                       AS agree,
+                   sum((rx - ry) * (rx - ry) * o) AS wo
+            FROM cells
+        ),
+        margins AS (
+            SELECT r.rx, c.ry, r.nr, c.nc
+            FROM (SELECT rx, sum(o) AS nr FROM cells GROUP BY rx) r
+            CROSS JOIN (SELECT ry, sum(o) AS nc FROM cells GROUP BY ry) c
+        ),
+        we AS (
+            SELECT sum((mg.rx - mg.ry) * (mg.rx - mg.ry)
+                       * mg.nr * 1.0 * mg.nc) AS wexp
+            FROM margins mg
+        )
+        SELECT m.n AS n_docs,
+               round(m.agree * 1.0 / m.n, 4) AS agreement_rate,
+               round(1 - m.wo * m.n
+                         / nullif(we.wexp, 0), 4) + 0.0 AS kappa_weighted
+        FROM m, we
+    """,
+    category="llm-pipeline",
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADRATIC-weighted Cohen's κ between two ordinal document
+    quality raters — char-length quartile vs token-count quartile
+    (exact interpolated quartile boundaries, both raters graded
+    0–3): κ_w = 1 − ΣwO/ΣwE with w = (i−j)², so near-misses cost
+    little and opposite-corner disagreements dominate — the ordinal
+    upgrade of q_cohen_kappa (binary gates) and q_fleiss_kappa
+    (multi-rater nominal).
+
+    Quartile boundaries come from the stitched exact quantile
+    (identical interpolation on both engines); graded docs collapse to
+    a ≤16-cell confusion matrix in one pass (checkpointed once for its
+    three consumers); κ_w is closed-form algebra over the cells and
+    their margin cross product. A single-quartile degenerate corpus
+    (ΣwE = 0) yields NULL identically."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.length("text") * 1.0).alias("x"),
+        (F.size(F.split("text", " ")) * 1.0).alias("y"),
+    )
+    qx = quantile_cont_stitched(d, "x", {"q1": 0.25, "q2": 0.5, "q3": 0.75}).select(
+        F.col("q1").alias("xq1"), F.col("q2").alias("xq2"), F.col("q3").alias("xq3")
+    )
+    qy = quantile_cont_stitched(d, "y", {"q1": 0.25, "q2": 0.5, "q3": 0.75}).select(
+        F.col("q1").alias("yq1"), F.col("q2").alias("yq2"), F.col("q3").alias("yq3")
+    )
+
+    def grade(v, q1, q2, q3):
+        return (
+            F.when(v <= F.col(q1), 0)
+            .when(v <= F.col(q2), 1)
+            .when(v <= F.col(q3), 2)
+            .otherwise(3)
+        )
+
+    graded = (
+        d.crossJoin(F.broadcast(qx))
+        .crossJoin(F.broadcast(qy))
+        .select(
+            grade(F.col("x"), "xq1", "xq2", "xq3").alias("rx"),
+            grade(F.col("y"), "yq1", "yq2", "yq3").alias("ry"),
+        )
+    )
+    # ≤16-cell confusion matrix, materialized once for its 3 consumers
+    cells = (
+        graded.groupBy("rx", "ry")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    m = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rx") == F.col("ry"), F.col("o")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")) * F.col("o"))
+        .alias("wo"),
+    )
+    rowm = cells.groupBy("rx").agg(F.sum("o").alias("nr"))
+    colm = cells.groupBy("ry").agg(F.sum("o").alias("nc"))
+    we = (
+        rowm.crossJoin(colm)
+        .agg(
+            F.sum(
+                (F.col("rx") - F.col("ry"))
+                * (F.col("rx") - F.col("ry"))
+                * F.col("nr")
+                * 1.0
+                * F.col("nc")
+            ).alias("wexp")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(we))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(F.col("agree") * 1.0 / F.col("n"), 4).alias("agreement_rate"),
+            (
+                F.round(
+                    1
+                    - F.col("wo") * F.col("n")
+                    / F.when(F.col("wexp") != 0, F.col("wexp")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("kappa_weighted"),
+        )
+    )

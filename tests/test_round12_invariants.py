@@ -45,6 +45,8 @@ NEW = [
     "q_sign_test",
     "q_ks_uniform",
     "q_storey_qvalues",
+    "q_prefix_cache_mass",
+    "q_weighted_kappa",
 ]
 
 
@@ -89,6 +91,8 @@ def test_round12_registers_behind_backlog():
         ("q_sign_test", 5),       # join + nation halves + tail explode
         ("q_ks_uniform", 2),      # 28-cell rollup + bounded CDF window
         ("q_storey_qvalues", 4),  # 35-cell battery + bounded rank windows
+        ("q_prefix_cache_mass", 4),  # key-grain groups + 1-row total
+        ("q_weighted_kappa", 14),    # 2 stitched quantile passes + cell algebra
     ],
 )
 def test_round12_shuffle_budget(spark, name, max_exchanges):
@@ -308,3 +312,24 @@ def test_storey_vs_bh_consistency(spark):
         assert 0.0 <= s_["pi0"] <= 1.0
         if b["rejected"] == 1:
             assert s_["q_value"] <= 0.05 + 1e-9
+
+
+def test_prefix_cache_mass_monotone(spark):
+    """Longer prefixes can only be shared by FEWER docs, and the
+    savings share stays a valid fraction."""
+    rows = {r["k"]: r for r in
+            REGISTRY["q_prefix_cache_mass"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {4, 8, 16}
+    assert rows[4]["docs_sharing"] >= rows[8]["docs_sharing"] >= rows[16]["docs_sharing"]
+    for r in rows.values():
+        assert 0.0 <= r["cache_savings_pct"] <= 1.0
+        assert r["docs_sharing"] <= r["n_docs_eligible"]
+
+
+def test_weighted_kappa_bounds(spark):
+    r = REGISTRY["q_weighted_kappa"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["kappa_weighted"] <= 1.0
+    assert 0.0 <= r["agreement_rate"] <= 1.0
+    # chars and tokens are strongly related: the two raters must agree
+    # far beyond chance on quartiles
+    assert r["kappa_weighted"] > 0.3

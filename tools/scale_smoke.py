@@ -329,6 +329,8 @@ HEAVY = [
     "q_sign_test",
     "q_ks_uniform",
     "q_storey_qvalues",
+    "q_prefix_cache_mass",
+    "q_weighted_kappa",
 ]
 
 #: per-table key columns to offset so replicas don't collide
