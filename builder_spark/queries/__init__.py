@@ -73,6 +73,7 @@ MODULES: tuple[str, ...] = (
     "builder_spark.queries.round10",
     "builder_spark.queries.round11",
     "builder_spark.queries.round12",
+    "builder_spark.queries.round12b",
 )
 
 

@@ -1,0 +1,2256 @@
+"""Round-12b surface growth: ordinal-association and inter-rater
+machinery — Jonckheere–Terpstra ordered trend, the concordance trio
+(Goodman–Kruskal γ / Somers' D / Kendall τ-b from one cell table),
+chance-corrected agreement beyond κ (Krippendorff's α, Gwet's AC1),
+Bowker's symmetry test (the k×k McNemar), and Page's trend test (the
+ordered-alternative Friedman).
+
+Design rules (same as the rest of the graded surface):
+- integer-exact cores wherever possible (counts, cents); floats only
+  through one identical expression tree on both engines, then
+  ``round(·, 4)``;
+- SIGNED-ZERO discipline (SURVEY §2 trap 10): every rounded oracle
+  float that can be mathematically zero carries ``+ 0.0`` on BOTH
+  engines;
+- every denominator guarded on BOTH engines (F.when / nullif) so the
+  0-row / 1-row degenerate fixtures return defined, equal output;
+- widen-before-multiply (``* 1.0 *``) on every int64 product that a
+  1000× corpus could overflow (the r11 ADVICE class);
+- scale-shaped plans: facts collapse to value/cell/stratum grain in
+  ONE combinable pass; global ranks come from the STITCHED machinery
+  (never a single-partition window over fact grain); pair algebra
+  runs on ≤400-row broadcast cell tables, never fact-grain pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from builder_spark.catalog import load_table
+from builder_spark.registry import register
+
+#: priority ordinal 1..5 — '1-URGENT' … '5-LOW' carry their own rank
+_PRIO_ORD_SQL = "CAST(substr(o_orderpriority, 1, 1) AS INT)"
+
+
+def _prio_ord() -> F.Column:
+    """Spark twin of :data:`_PRIO_ORD_SQL`."""
+    return F.substring("o_orderpriority", 1, 1).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere–Terpstra ordered-alternative trend test
+
+
+@register(
+    "q_jonckheere_terpstra",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_totalprice AS price,
+                   sum(CASE WHEN {_PRIO_ORD_SQL} = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN {_PRIO_ORD_SQL} = 2 THEN 1 ELSE 0 END) AS c2,
+                   sum(CASE WHEN {_PRIO_ORD_SQL} = 3 THEN 1 ELSE 0 END) AS c3,
+                   sum(CASE WHEN {_PRIO_ORD_SQL} = 4 THEN 1 ELSE 0 END) AS c4,
+                   sum(CASE WHEN {_PRIO_ORD_SQL} = 5 THEN 1 ELSE 0 END) AS c5
+            FROM orders GROUP BY 1
+        ),
+        st AS (
+            SELECT *,
+                   sum(c1) OVER w AS s1, sum(c2) OVER w AS s2,
+                   sum(c3) OVER w AS s3, sum(c4) OVER w AS s4
+            FROM cells
+            WINDOW w AS (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+                   CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c4) AS BIGINT) AS n4,
+                   CAST(sum(c5) AS BIGINT) AS n5,
+                   sum(c2 * 1.0 * (s1 - c1) + 0.5 * c2 * c1
+                       + c3 * 1.0 * ((s1 - c1) + (s2 - c2))
+                       + 0.5 * c3 * (c1 + c2)
+                       + c4 * 1.0 * ((s1 - c1) + (s2 - c2) + (s3 - c3))
+                       + 0.5 * c4 * (c1 + c2 + c3)
+                       + c5 * 1.0 * ((s1 - c1) + (s2 - c2) + (s3 - c3)
+                                     + (s4 - c4))
+                       + 0.5 * c5 * (c1 + c2 + c3 + c4)) AS jt
+            FROM st
+        ),
+        z AS (
+            SELECT n1 + n2 + n3 + n4 + n5 AS n, jt,
+                   ((n1 + n2 + n3 + n4 + n5) * 1.0 * (n1 + n2 + n3 + n4 + n5)
+                    - (n1 * 1.0 * n1 + n2 * 1.0 * n2 + n3 * 1.0 * n3
+                       + n4 * 1.0 * n4 + n5 * 1.0 * n5)) / 4 AS e,
+                   ((n1 + n2 + n3 + n4 + n5) * 1.0 * (n1 + n2 + n3 + n4 + n5)
+                        * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+                    - (n1 * 1.0 * n1 * (2 * n1 + 3) + n2 * 1.0 * n2 * (2 * n2 + 3)
+                       + n3 * 1.0 * n3 * (2 * n3 + 3)
+                       + n4 * 1.0 * n4 * (2 * n4 + 3)
+                       + n5 * 1.0 * n5 * (2 * n5 + 3))) / 72 AS v
+            FROM agg
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(jt, 4) AS jt_stat,
+               round((jt - e) / nullif(sqrt(CASE WHEN v > 0 THEN v END), 0), 4)
+                   + 0.0 AS jt_z,
+               CAST(CASE WHEN (jt - e)
+                              / nullif(sqrt(CASE WHEN v > 0 THEN v END), 0)
+                              > 1.6449
+                    THEN 1 ELSE 0 END AS INT) AS trend_detected
+        FROM z
+    """,
+    category="analytics",
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED location trend of order
+    value across the five priority classes: JT = Σ_{i<j} U_ij (pairwise
+    Mann–Whitney counts between every lower and higher priority, ties
+    at half weight), z-scored with the tie-uncorrected null moments
+    E = (N² − Σnᵢ²)/4, V = [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 against the
+    one-sided 1.6449. The ordered-alternative upgrade of
+    q_kruskal_wallis (any-difference) and the group analogue of
+    q_mann_kendall (time trend) / q_cochran_armitage (proportions).
+
+    Facts collapse to PRICE grain with five per-priority counts in one
+    combinable pass; the five cumulative counts come from ONE stitched
+    running pass over that grain (no single-partition window), and all
+    ten pairwise U's reduce to a per-value closed form over the prefix
+    sums — O(distinct values), never the O(n²) pair join. Products
+    widen ``* 1.0 *`` before multiply (the r11 ADVICE overflow class);
+    every term is an exact integer below 2^53 at graded scales, so the
+    double sums are order-independent. Degenerate guards: V ≤ 0
+    (single group / single row) yields NULL z on both engines."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    g = _prio_ord()
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("price"))
+        .agg(
+            *[
+                F.sum(F.when(g == k, 1).otherwise(0)).alias(f"c{k}")
+                for k in range(1, 6)
+            ]
+        )
+    )
+    st = stitched_running(
+        cells, ["price"], running={f"s{k}": f"c{k}" for k in range(1, 5)}
+    )
+    term = None
+    for j in range(2, 6):
+        cj = F.col(f"c{j}")
+        lt = None
+        tie = None
+        for i in range(1, j):
+            li = F.col(f"s{i}") - F.col(f"c{i}")
+            lt = li if lt is None else lt + li
+            tie = F.col(f"c{i}") if tie is None else tie + F.col(f"c{i}")
+        t = cj * 1.0 * lt + 0.5 * cj * tie
+        term = t if term is None else term + t
+    agg = st.agg(
+        *[F.sum(f"c{k}").cast("bigint").alias(f"n{k}") for k in range(1, 6)],
+        F.sum(term).alias("jt"),
+    )
+    ns = [F.col(f"n{k}") for k in range(1, 6)]
+    n = ns[0] + ns[1] + ns[2] + ns[3] + ns[4]
+    e = (n * 1.0 * n - sum(nk * 1.0 * nk for nk in ns)) / 4
+    v = (
+        n * 1.0 * n * (2 * n + 3)
+        - sum(nk * 1.0 * nk * (2 * nk + 3) for nk in ns)
+    ) / 72
+    sd = F.sqrt(F.when(v > 0, v))
+    z = (F.col("jt") - e) / F.when(sd != 0, sd)
+    return agg.select(
+        n.cast("bigint").alias("n_orders"),
+        F.round(F.col("jt"), 4).alias("jt_stat"),
+        (F.round(z, 4) + F.lit(0.0)).alias("jt_z"),
+        F.when(z > 1.6449, 1).otherwise(0).cast("int").alias("trend_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Goodman–Kruskal gamma / Somers' D / Kendall tau-b
+
+
+@register(
+    "q_somers_gamma",
+    oracle=f"""
+        WITH d AS (
+            SELECT {_PRIO_ORD_SQL} AS px, o_totalprice * 1.0 AS v
+            FROM orders
+        ),
+        q AS (
+            SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+                   quantile_cont(v, 0.75) AS q3
+            FROM d
+        ),
+        cells AS (
+            SELECT px,
+                   CASE WHEN d.v <= q.q1 THEN 0 WHEN d.v <= q.q2 THEN 1
+                        WHEN d.v <= q.q3 THEN 2 ELSE 3 END AS py,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM d, q GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT sum(CASE WHEN b.px > a.px AND b.py > a.py
+                            THEN a.o * 1.0 * b.o ELSE 0 END) AS c,
+                   sum(CASE WHEN b.px > a.px AND b.py < a.py
+                            THEN a.o * 1.0 * b.o ELSE 0 END) AS dd
+            FROM cells a, cells b
+        ),
+        marg AS (
+            SELECT sum(o) * 1.0 * (sum(o) - 1) / 2 AS n0,
+                   CAST(sum(o) AS BIGINT) AS n,
+                   (SELECT sum(nx * 1.0 * (nx - 1) / 2)
+                    FROM (SELECT sum(o) AS nx FROM cells GROUP BY px)) AS tx,
+                   (SELECT sum(ny * 1.0 * (ny - 1) / 2)
+                    FROM (SELECT sum(o) AS ny FROM cells GROUP BY py)) AS ty
+            FROM cells
+        )
+        SELECT m.n AS n_orders,
+               round(p.c, 4) AS concordant,
+               round(p.dd, 4) AS discordant,
+               round((p.c - p.dd) / nullif(p.c + p.dd, 0), 4) + 0.0 AS gk_gamma,
+               round((p.c - p.dd) / nullif(m.n0 - m.tx, 0), 4) + 0.0
+                   AS somers_d_yx,
+               round((p.c - p.dd)
+                     / nullif(sqrt(CASE WHEN (m.n0 - m.tx) * (m.n0 - m.ty) > 0
+                                        THEN (m.n0 - m.tx) * (m.n0 - m.ty)
+                                   END), 0), 4) + 0.0 AS kendall_tau_b
+        FROM pairs p, marg m
+    """,
+    category="analytics",
+)
+def q_somers_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concordance trio over one ordinal×ordinal cell table —
+    priority class (1-URGENT…5-LOW carries its own rank) against order
+    value QUARTILE: Goodman–Kruskal γ = (C−D)/(C+D) (ties dropped),
+    Somers' D_{{Y|X}} = (C−D)/(n₀−T_x) (asymmetric, ties on the
+    dependent Y penalized), Kendall τ-b = (C−D)/√((n₀−T_x)(n₀−T_y))
+    (both margins penalized) — the three classical orderings of the
+    same concordant/discordant counts, next to q_kendall_tau (pairwise
+    numeric) and q_rank_correlation (Spearman).
+
+    Quartile boundaries come from the stitched exact quantile
+    (identical interpolation to DuckDB ``quantile_cont``); facts
+    collapse to a ≤20-cell contingency table; C and D are a 400-row
+    BROADCAST self cross-join of those cells — never the O(n²)
+    fact-grain pair join. All pair counts are exact-integer-valued
+    doubles below 2^53 at graded scales (widened ``* 1.0 *`` for the
+    1000× case); margins reuse the same cells. Degenerate guards:
+    single-cell corpora zero every denominator → NULL on both."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    d = load_table(spark, sf_dir, "orders").select(
+        _prio_ord().alias("px"), (F.col("o_totalprice") * 1.0).alias("v")
+    )
+    q = quantile_cont_stitched(
+        d, "v", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+    ).select("q1", "q2", "q3")
+    cells = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "px",
+            F.when(F.col("v") <= F.col("q1"), 0)
+            .when(F.col("v") <= F.col("q2"), 1)
+            .when(F.col("v") <= F.col("q3"), 2)
+            .otherwise(3)
+            .alias("py"),
+        )
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("px").alias("apx"), F.col("py").alias("apy"), F.col("o").alias("ao")
+    )
+    pairs = a.crossJoin(F.broadcast(cells)).agg(
+        F.sum(
+            F.when(
+                (F.col("px") > F.col("apx")) & (F.col("py") > F.col("apy")),
+                F.col("ao") * 1.0 * F.col("o"),
+            ).otherwise(0.0)
+        ).alias("c"),
+        F.sum(
+            F.when(
+                (F.col("px") > F.col("apx")) & (F.col("py") < F.col("apy")),
+                F.col("ao") * 1.0 * F.col("o"),
+            ).otherwise(0.0)
+        ).alias("dd"),
+    )
+    tx = (
+        cells.groupBy("px")
+        .agg(F.sum("o").alias("nx"))
+        .agg(F.sum(F.col("nx") * 1.0 * (F.col("nx") - 1) / 2).alias("tx"))
+    )
+    ty = (
+        cells.groupBy("py")
+        .agg(F.sum("o").alias("ny"))
+        .agg(F.sum(F.col("ny") * 1.0 * (F.col("ny") - 1) / 2).alias("ty"))
+    )
+    tot = cells.agg(
+        (F.sum("o") * 1.0 * (F.sum("o") - 1) / 2).alias("n0"),
+        F.sum("o").cast("bigint").alias("n"),
+    )
+    cd = F.col("c") - F.col("dd")
+    tbden = (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(F.col("c"), 4).alias("concordant"),
+            F.round(F.col("dd"), 4).alias("discordant"),
+            (
+                F.round(cd / F.when(F.col("c") + F.col("dd") != 0,
+                                    F.col("c") + F.col("dd")), 4)
+                + F.lit(0.0)
+            ).alias("gk_gamma"),
+            (
+                F.round(
+                    cd
+                    / F.when(
+                        F.col("n0") - F.col("tx") != 0, F.col("n0") - F.col("tx")
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("somers_d_yx"),
+            (
+                F.round(
+                    cd / F.when(F.sqrt(F.when(tbden > 0, tbden)) != 0,
+                                F.sqrt(F.when(tbden > 0, tbden))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha + Gwet's AC1 (vs Cohen's kappa)
+
+
+@register(
+    "q_krippendorff_ac1",
+    oracle="""
+        WITH m AS (
+            SELECT avg(n_chars * 1.0) AS mean_chars,
+                   avg(len(string_split(text, ' ')) * 1.0) AS mean_toks
+            FROM documents
+        ),
+        rated AS (
+            SELECT CASE WHEN d.n_chars >= m.mean_chars THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN len(string_split(d.text, ' ')) >= m.mean_toks
+                        THEN 1 ELSE 0 END AS rb
+            FROM documents d, m
+        ),
+        cells AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00
+            FROM rated
+        ),
+        s AS (
+            SELECT n, n11, n10, n01, n00,
+                   (n11 + n00) * 1.0 / nullif(n, 0) AS po,
+                   ((n11 + n10) * 1.0 / nullif(n, 0)
+                    + (n11 + n01) * 1.0 / nullif(n, 0)) / 2 AS pi1,
+                   2.0 * n00 + n01 + n10 AS m0,
+                   2.0 * n11 + n01 + n10 AS m1
+            FROM cells
+        )
+        SELECT n AS n_docs,
+               round(po, 4) AS po,
+               round(1 - (2.0 * n - 1) * (n01 + n10)
+                         / nullif(m0 * m1, 0), 4) + 0.0 AS krippendorff_alpha,
+               round((po - 2 * pi1 * (1 - pi1))
+                     / nullif(1 - 2 * pi1 * (1 - pi1), 0), 4) + 0.0 AS gwet_ac1,
+               round((po - (((n11 + n10) * 1.0 / nullif(n, 0))
+                            * ((n11 + n01) * 1.0 / nullif(n, 0))
+                            + (1 - (n11 + n10) * 1.0 / nullif(n, 0))
+                              * (1 - (n11 + n01) * 1.0 / nullif(n, 0))))
+                     / nullif(1 - (((n11 + n10) * 1.0 / nullif(n, 0))
+                                   * ((n11 + n01) * 1.0 / nullif(n, 0))
+                                   + (1 - (n11 + n10) * 1.0 / nullif(n, 0))
+                                     * (1 - (n11 + n01) * 1.0
+                                        / nullif(n, 0))), 0), 4)
+                   + 0.0 AS cohen_kappa
+        FROM s
+    """,
+    category="llm-pipeline",
+)
+def q_krippendorff_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α and Gwet's AC1 beside Cohen's κ for the SAME
+    two binary document-quality raters as q_cohen_kappa (char-length ≥
+    corpus mean, token-count ≥ corpus mean): α corrects chance from
+    the pooled value distribution (2-rater binary closed form
+    1 − (2n−1)(n₀₁+n₁₀)/(m₀·m₁) over the coincidence margins), AC1
+    from the propensity π of a random rater saying 1 (pₑ = 2π(1−π),
+    robust to the prevalence paradox that deflates κ on skewed gates).
+    The three-way disagreement of these coefficients IS the deliverable
+    — it tells a labeling pipeline whether a low κ means a bad gate or
+    just an unbalanced corpus.
+
+    One 1-row broadcast for the gate means, one combinable pass to the
+    four agreement cells, closed-form algebra — identical trees on
+    both engines, all three denominators guarded (a constant-rating
+    corpus nulls α/AC1/κ rather than raising)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.size(F.split("text", " ")).alias("toks")
+    )
+    m = d.agg(
+        F.avg(F.col("n_chars") * 1.0).alias("mean_chars"),
+        F.avg(F.col("toks") * 1.0).alias("mean_toks"),
+    )
+    rated = d.crossJoin(F.broadcast(m)).select(
+        F.when(F.col("n_chars") >= F.col("mean_chars"), 1).otherwise(0).alias("ra"),
+        F.when(F.col("toks") >= F.col("mean_toks"), 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    nn = F.when(n != 0, n)
+    po = (F.col("n11") + F.col("n00")) * 1.0 / nn
+    pa1 = (F.col("n11") + F.col("n10")) * 1.0 / nn
+    pb1 = (F.col("n11") + F.col("n01")) * 1.0 / nn
+    pi1 = (pa1 + pb1) / 2
+    m0 = 2.0 * F.col("n00") + F.col("n01") + F.col("n10")
+    m1 = 2.0 * F.col("n11") + F.col("n01") + F.col("n10")
+    pe_g = 2 * pi1 * (1 - pi1)
+    pe_k = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    return cells.select(
+        n.alias("n_docs"),
+        F.round(po, 4).alias("po"),
+        (
+            F.round(
+                1
+                - (2.0 * n - 1)
+                * (F.col("n01") + F.col("n10"))
+                / F.when(m0 * m1 != 0, m0 * m1),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("krippendorff_alpha"),
+        (
+            F.round((po - pe_g) / F.when(1 - pe_g != 0, 1 - pe_g), 4) + F.lit(0.0)
+        ).alias("gwet_ac1"),
+        (
+            F.round((po - pe_k) / F.when(1 - pe_k != 0, 1 - pe_k), 4) + F.lit(0.0)
+        ).alias("cohen_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bowker's symmetry test (k×k McNemar)
+
+
+@register(
+    "q_bowker_symmetry",
+    oracle="""
+        WITH h1 AS (
+            SELECT o_custkey AS ck,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) * 1.0 AS s
+            FROM orders WHERE o_orderdate < DATE '1995-06-17' GROUP BY 1
+        ),
+        h2 AS (
+            SELECT o_custkey AS ck,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) * 1.0 AS s
+            FROM orders WHERE o_orderdate >= DATE '1995-06-17' GROUP BY 1
+        ),
+        q1 AS (
+            SELECT quantile_cont(s, 0.25) AS a, quantile_cont(s, 0.5) AS b,
+                   quantile_cont(s, 0.75) AS c
+            FROM h1 WHERE ck IN (SELECT ck FROM h2)
+        ),
+        q2 AS (
+            SELECT quantile_cont(s, 0.25) AS a, quantile_cont(s, 0.5) AS b,
+                   quantile_cont(s, 0.75) AS c
+            FROM h2 WHERE ck IN (SELECT ck FROM h1)
+        ),
+        graded AS (
+            SELECT CASE WHEN h1.s <= q1.a THEN 0 WHEN h1.s <= q1.b THEN 1
+                        WHEN h1.s <= q1.c THEN 2 ELSE 3 END AS g1,
+                   CASE WHEN h2.s <= q2.a THEN 0 WHEN h2.s <= q2.b THEN 1
+                        WHEN h2.s <= q2.c THEN 2 ELSE 3 END AS g2
+            FROM h1 JOIN h2 USING (ck), q1, q2
+        ),
+        cells AS (
+            SELECT g1, g2, CAST(count(*) AS BIGINT) AS o
+            FROM graded GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT i.i AS g1, j.j AS g2
+            FROM (SELECT unnest([0, 1, 2, 3]) AS i) i,
+                 (SELECT unnest([0, 1, 2, 3]) AS j) j
+        ),
+        dense AS (
+            SELECT grid.g1, grid.g2, coalesce(cells.o, 0) AS o
+            FROM grid LEFT JOIN cells USING (g1, g2)
+        ),
+        pairterms AS (
+            SELECT a.o AS nij, b.o AS nji
+            FROM dense a JOIN dense b ON a.g1 = b.g2 AND a.g2 = b.g1
+            WHERE a.g1 < a.g2
+        ),
+        agg AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM graded) AS n,
+                   sum(CASE WHEN nij + nji > 0
+                            THEN (nij - nji) * 1.0 * (nij - nji) / (nij + nji)
+                       END) AS bowker,
+                   CAST(sum(CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df_used
+            FROM pairterms
+        )
+        SELECT n AS n_customers,
+               round(bowker, 4) + 0.0 AS bowker_chi2,
+               df_used,
+               CAST(CASE WHEN bowker > CASE df_used
+                              WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915
+                              WHEN 3 THEN 7.8147 WHEN 4 THEN 9.4877
+                              WHEN 5 THEN 11.0705 WHEN 6 THEN 12.5916
+                              ELSE NULL END
+                    THEN 1 ELSE 0 END AS INT) AS asymmetric
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test — the k×k generalization of
+    q_mcnemar_test — on customer spend-quartile transitions between
+    the first and second half of the order history (split at
+    1995-06-17, per-period quartiles): χ² = Σ_{i<j}(n_ij−n_ji)²/(n_ij+
+    n_ji) asks whether customers migrate UP the quartile ladder as
+    often as DOWN — the significance test behind q_decile_migration's
+    descriptive matrix. df = pairs with traffic; fixed χ² criticals by
+    df (3.84…12.59).
+
+    Two combinable half-period rollups to customer grain (exact
+    cents), per-period quartile boundaries from the stitched exact
+    quantile over the joined-customer spine, one ≤16-cell transition
+    matrix densified against a literal 4×4 grid (so zero-traffic pairs
+    exist on both engines), and the pair algebra runs on 6 broadcast
+    rows. Zero-traffic pairs are SKIPPED identically (NULL term, sum
+    ignores); an empty or one-sided corpus degrades to NULL χ²."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-06-17").cast("date")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+
+    def half(pred) -> DataFrame:
+        return (
+            o.filter(pred)
+            .groupBy(F.col("o_custkey").alias("ck"))
+            .agg((F.sum(cents).cast("bigint") * 1.0).alias("s"))
+        )
+
+    h1 = half(F.col("o_orderdate") < cut)
+    h2 = half(F.col("o_orderdate") >= cut)
+    both = h1.select("ck", F.col("s").alias("s1")).join(
+        h2.select("ck", F.col("s").alias("s2")), "ck"
+    )
+    q1 = quantile_cont_stitched(both, "s1", {"a": 0.25, "b": 0.5, "c": 0.75}).select(
+        F.col("a").alias("a1"), F.col("b").alias("b1"), F.col("c").alias("c1")
+    )
+    q2 = quantile_cont_stitched(both, "s2", {"a": 0.25, "b": 0.5, "c": 0.75}).select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("c").alias("c2")
+    )
+
+    def grade(v, a, b, c):
+        return (
+            F.when(v <= F.col(a), 0)
+            .when(v <= F.col(b), 1)
+            .when(v <= F.col(c), 2)
+            .otherwise(3)
+        )
+
+    cells = (
+        both.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q2))
+        .select(
+            grade(F.col("s1"), "a1", "b1", "c1").alias("g1"),
+            grade(F.col("s2"), "a2", "b2", "c2").alias("g2"),
+        )
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4)], "g1 int, g2 int"
+    )
+    dense = (
+        grid.join(F.broadcast(cells), ["g1", "g2"], "left")
+        .select("g1", "g2", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        dense.select(
+            F.col("g1").alias("ai"), F.col("g2").alias("aj"), F.col("o").alias("nij")
+        )
+        .join(
+            dense.select(
+                F.col("g2").alias("ai"),
+                F.col("g1").alias("aj"),
+                F.col("o").alias("nji"),
+            ),
+            ["ai", "aj"],
+        )
+        .filter(F.col("ai") < F.col("aj"))
+    )
+    tot = F.col("nij") + F.col("nji")
+    n_cust = dense.agg(F.sum("o").cast("bigint").alias("n"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(tot > 0, (F.col("nij") - F.col("nji")) * 1.0
+                   * (F.col("nij") - F.col("nji")) / tot)
+        ).alias("bowker"),
+        F.sum(F.when(tot > 0, 1).otherwise(0)).cast("bigint").alias("df_used"),
+    )
+    crit = (
+        F.when(F.col("df_used") == 1, 3.8415)
+        .when(F.col("df_used") == 2, 5.9915)
+        .when(F.col("df_used") == 3, 7.8147)
+        .when(F.col("df_used") == 4, 9.4877)
+        .when(F.col("df_used") == 5, 11.0705)
+        .when(F.col("df_used") == 6, 12.5916)
+    )
+    return agg.crossJoin(F.broadcast(n_cust)).select(
+        F.col("n").alias("n_customers"),
+        (F.round(F.col("bowker"), 4) + F.lit(0.0)).alias("bowker_chi2"),
+        F.col("df_used"),
+        F.when(F.col("bowker") > crit, 1).otherwise(0).cast("int").alias(
+            "asymmetric"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test (ordered-alternative Friedman)
+
+
+@register(
+    "q_page_trend",
+    oracle=f"""
+        WITH cell AS (
+            SELECT c.c_nationkey AS nk, {_PRIO_ORD_SQL} AS prio,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        full_blocks AS (
+            SELECT nk FROM cell GROUP BY nk HAVING count(*) = 5
+        ),
+        kept AS (
+            SELECT cell.nk, prio, s * 1.0 / n AS avg_v
+            FROM cell JOIN full_blocks USING (nk)
+        ),
+        ranked AS (
+            SELECT a.nk, a.prio,
+                   1 + sum(CASE WHEN b.avg_v < a.avg_v
+                                OR (b.avg_v = a.avg_v AND b.prio < a.prio)
+                           THEN 1 ELSE 0 END) AS rk
+            FROM kept a JOIN kept b ON a.nk = b.nk
+            GROUP BY a.nk, a.prio
+        ),
+        agg AS (
+            SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b,
+                   CAST(sum(prio * rk) AS BIGINT) AS l
+            FROM ranked
+        )
+        SELECT b AS n_blocks, l AS page_l,
+               round((l - 45.0 * b)
+                     / nullif(5 * sqrt(CASE WHEN b > 0 THEN b * 1.0 END), 0), 4)
+                   + 0.0 AS page_z,
+               CAST(CASE WHEN abs((l - 45.0 * b)
+                              / nullif(5 * sqrt(CASE WHEN b > 0
+                                                THEN b * 1.0 END), 0))
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS trend_detected
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test — the ORDERED-alternative Friedman — on mean
+    order value across the five priority classes within 25 nation
+    blocks: rank the five treatment means inside each complete block,
+    L = Σ_blocks Σ_j j·r_j, z = (L − bk(k+1)²/4)/√(bk²(k+1)²(k−1)/144)
+    (k=5 ⇒ E=45b, V=25b). Where q_friedman_test asks "do priorities
+    differ at all", Page asks "do they move MONOTONICALLY with the
+    priority order" — strictly more powerful when the alternative is
+    ordered.
+
+    One join + combinable rollup to the 125-cell (nation, priority)
+    grain with exact integer cents; incomplete blocks are EXCLUDED on
+    both engines (Page requires complete blocks); within-block ranks
+    come from a ≤625-row broadcast self-join comparison on the
+    identical (avg, priority) total order — no window at all. The
+    exact-cents sums make the avg comparison deterministic across
+    engines. Degenerate guard: b = 0 (no complete block) nulls z."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nk")
+    )
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nk", _prio_ord().alias("prio"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+        )
+    )
+    full_blocks = cell.groupBy("nk").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") == 5
+    ).select("nk")
+    kept = (
+        cell.join(F.broadcast(full_blocks), "nk")
+        .select("nk", "prio", (F.col("s") * 1.0 / F.col("n")).alias("avg_v"))
+        .localCheckpoint(eager=True)
+    )
+    b_side = kept.select(
+        F.col("nk"),
+        F.col("prio").alias("bprio"),
+        F.col("avg_v").alias("bavg"),
+    )
+    ranked = (
+        kept.join(F.broadcast(b_side), "nk")
+        .groupBy("nk", "prio")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("bavg") < F.col("avg_v"))
+                        | (
+                            (F.col("bavg") == F.col("avg_v"))
+                            & (F.col("bprio") < F.col("prio"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rk")
+        )
+    )
+    agg = ranked.agg(
+        F.countDistinct("nk").cast("bigint").alias("b"),
+        F.sum(F.col("prio") * F.col("rk")).cast("bigint").alias("l"),
+    )
+    bb = F.col("b")
+    sd = 5 * F.sqrt(F.when(bb > 0, bb * 1.0))
+    z = (F.col("l") - 45.0 * bb) / F.when(sd != 0, sd)
+    return agg.select(
+        bb.alias("n_blocks"),
+        F.col("l").alias("page_l"),
+        (F.round(z, 4) + F.lit(0.0)).alias("page_z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "trend_detected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log loss (cross-entropy) of the deterministic quality score
+
+
+@register(
+    "q_log_loss",
+    oracle="""
+        WITH scored AS (
+            SELECT source, (n_chars * 7 + doc_id) % 997 AS mc,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        grain AS (
+            SELECT source, mc,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS y1
+            FROM scored GROUP BY 1, 2
+        ),
+        per_src AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(y1) AS BIGINT) AS n1,
+                   -sum(y1 * ln((mc + 0.5) / 997.0)
+                        + (n - y1) * ln(1 - (mc + 0.5) / 997.0)) AS nll
+            FROM grain GROUP BY 1
+        )
+        SELECT source, n AS n_docs,
+               round(n1 * 1.0 / nullif(n, 0), 4) AS base_rate,
+               round(nll / nullif(n, 0), 4) AS log_loss,
+               round(-(n1 * 1.0 / nullif(n, 0))
+                         * ln(nullif(n1 * 1.0 / nullif(n, 0), 0))
+                     - (1 - n1 * 1.0 / nullif(n, 0))
+                         * ln(nullif(1 - n1 * 1.0 / nullif(n, 0), 0)), 4)
+                   + 0.0 AS base_entropy,
+               round(1 - (nll / nullif(n, 0))
+                         / nullif(-(n1 * 1.0 / nullif(n, 0))
+                                      * ln(nullif(n1 * 1.0 / nullif(n, 0), 0))
+                                  - (1 - n1 * 1.0 / nullif(n, 0))
+                                      * ln(nullif(1 - n1 * 1.0
+                                                  / nullif(n, 0), 0)), 0), 4)
+                   + 0.0 AS skill_score
+        FROM per_src
+        ORDER BY source
+    """,
+    category="llm-pipeline",
+)
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log loss (cross-entropy) of the deterministic
+    synthetic classifier score from q_ece_calibration (p = (mc+½)/997,
+    the half-step keeping ln() off 0 and 1; label = lang='en'), next
+    to the base-rate entropy and the skill score 1 − LL/H(base) — the
+    PROPER-scoring-rule companion of q_brier_decomposition (quadratic)
+    and q_ece_calibration (reliability): log loss punishes confident
+    misses hardest, so it is the gate number for a filter whose scores
+    feed downstream thresholds.
+
+    Facts collapse to (source, score) grain FIRST — mc has only 997
+    values, so each ln() is multiplied by an exact integer count and
+    the outer sum runs over ≤997 terms per source (the accumulation-
+    order discipline from q_jarque_bera). Guards: a pure or empty
+    source nulls the entropy/skill instead of ln(0)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        ((F.col("n_chars") * 7 + F.col("doc_id")) % 997).alias("mc"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grain = d.groupBy("source", "mc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("y1"),
+    )
+    p = (F.col("mc") + 0.5) / 997.0
+    per_src = grain.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("y1").cast("bigint").alias("n1"),
+        (-F.sum(F.col("y1") * F.log(p) + (F.col("n") - F.col("y1")) * F.log(1 - p))).alias(
+            "nll"
+        ),
+    )
+    n = F.col("n")
+    nn = F.when(n != 0, n)
+    r = F.col("n1") * 1.0 / nn
+    h = -r * F.log(F.when(r != 0, r)) - (1 - r) * F.log(F.when(1 - r != 0, 1 - r))
+    ll = F.col("nll") / nn
+    return per_src.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(r, 4).alias("base_rate"),
+        F.round(ll, 4).alias("log_loss"),
+        (F.round(h, 4) + F.lit(0.0)).alias("base_entropy"),
+        (F.round(1 - ll / F.when(h != 0, h), 4) + F.lit(0.0)).alias("skill_score"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Hosmer–Lemeshow calibration test
+
+
+@register(
+    "q_hosmer_lemeshow",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, (n_chars * 7 + doc_id) % 997 AS mc,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        ranked AS (
+            SELECT mc, y,
+                   row_number() OVER (ORDER BY mc, doc_id) AS r,
+                   count(*) OVER () AS n
+            FROM scored
+        ),
+        per_dec AS (
+            SELECT CAST(((r - 1) * 10) // n AS INT) AS decile,
+                   CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(y) AS BIGINT) AS o1,
+                   (sum(mc) + 0.5 * count(*)) / 997.0 AS e1
+            FROM ranked GROUP BY 1
+        ),
+        hl AS (
+            SELECT sum((o1 - e1) * (o1 - e1)
+                       / nullif(e1 * (1 - e1 / nb), 0)) AS chi2,
+                   CAST(count(*) AS BIGINT) AS g
+            FROM per_dec
+        )
+        SELECT d.decile, d.nb AS n_docs,
+               round(d.o1 * 1.0 / nullif(d.nb, 0), 4) AS obs_rate,
+               round(d.e1 / nullif(d.nb, 0), 4) AS exp_rate,
+               round(hl.chi2, 4) + 0.0 AS hl_chi2,
+               CAST(CASE WHEN hl.chi2 > 15.5073 AND hl.g = 10
+                    THEN 1 ELSE 0 END AS INT) AS miscalibrated
+        FROM per_dec d, hl
+        ORDER BY d.decile
+    """,
+    category="llm-pipeline",
+)
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-calibration on the q_ece_calibration
+    score (p = (mc+½)/997): ten EQUAL-FREQUENCY deciles by score rank,
+    χ² = Σ (O₁−E₁)²/(E₁(1−E₁/n_b)) against χ²₈ (15.5073). Where
+    q_ece_calibration averages |acc−conf| over equal-WIDTH bins, HL
+    variance-weights the gaps and yields an actual test decision.
+
+    The decile assignment comes from the STITCHED global rank over the
+    (score, doc_id) total order (with_totals supplies N in the same
+    pass — no second scan, no single-partition window); per-decile
+    O₁/E₁ reduce to exact integer sums, so both engines build every
+    float through one division tree. Degenerate guard: empty corpus ⇒
+    0 rows; tiny corpora grade against df=8 only when all 10 deciles
+    exist."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("n_chars") * 7 + F.col("doc_id")) % 997).alias("mc"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ranked = stitched_running(d, ["mc", "doc_id"], rank_name="r", with_totals=True)
+    per_dec = (
+        ranked.select(
+            F.expr("CAST(((r - 1) * 10) div r_total AS INT)").alias("decile"),
+            "mc",
+            "y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum("y").cast("bigint").alias("o1"),
+            ((F.sum("mc") + 0.5 * F.count(F.lit(1))) / 997.0).alias("e1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    den = F.col("e1") * (1 - F.col("e1") / F.col("nb"))
+    hl = per_dec.agg(
+        F.sum(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.when(den != 0, den)
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(hl))
+        .select(
+            "decile",
+            F.col("nb").alias("n_docs"),
+            F.round(F.col("o1") * 1.0 / F.when(F.col("nb") != 0, F.col("nb")), 4).alias(
+                "obs_rate"
+            ),
+            F.round(F.col("e1") / F.when(F.col("nb") != 0, F.col("nb")), 4).alias(
+                "exp_rate"
+            ),
+            (F.round(F.col("chi2"), 4) + F.lit(0.0)).alias("hl_chi2"),
+            F.when((F.col("chi2") > 15.5073) & (F.col("g") == 10), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("miscalibrated"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Youden's J and diagnostic likelihood ratios over a threshold sweep
+
+
+@register(
+    "q_youden_lr",
+    oracle="""
+        WITH scored AS (
+            SELECT (n_chars * 7 + doc_id) % 997 AS mc,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        grid AS (SELECT unnest([199, 399, 599, 799]) AS thr),
+        cells AS (
+            SELECT g.thr,
+                   CAST(sum(CASE WHEN mc >= g.thr AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN mc >= g.thr AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN mc < g.thr AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN mc < g.thr AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tn
+            FROM scored, grid g GROUP BY 1
+        )
+        SELECT thr,
+               round(tp * 1.0 / nullif(tp + fn, 0), 4) AS sensitivity,
+               round(tn * 1.0 / nullif(tn + fp, 0), 4) AS specificity,
+               round(tp * 1.0 / nullif(tp + fn, 0)
+                     + tn * 1.0 / nullif(tn + fp, 0) - 1, 4) + 0.0 AS youden_j,
+               round((tp * 1.0 / nullif(tp + fn, 0))
+                     / nullif(1 - tn * 1.0 / nullif(tn + fp, 0), 0), 4)
+                   AS lr_positive,
+               round((1 - tp * 1.0 / nullif(tp + fn, 0))
+                     / nullif(tn * 1.0 / nullif(tn + fp, 0), 0), 4)
+                   + 0.0 AS lr_negative,
+               round((tp * 1.0 / nullif(tp + fn, 0)
+                      + tn * 1.0 / nullif(tn + fp, 0)) / 2, 4) AS balanced_acc
+        FROM cells
+        ORDER BY thr
+    """,
+    category="llm-pipeline",
+)
+def q_youden_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J and the diagnostic likelihood ratios (LR+, LR−) for
+    the q_ece_calibration score across a fixed threshold grid —
+    J = sens+spec−1 picks the cutpoint, LR+ = sens/(1−spec) and
+    LR− = (1−sens)/spec say how much one gate decision should shift
+    the odds (the numbers q_mcc_threshold's MCC sweep and q_auc_roc's
+    ranking view don't expose).
+
+    One fact pass against a 4-row broadcast threshold grid to exact
+    integer confusion cells; every rate is one division of integers.
+    Guards: label-pure corpora null the affected ratios (nullif /
+    F.when on both engines); perfect specificity nulls LR+."""
+    d = load_table(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") * 7 + F.col("doc_id")) % 997).alias("mc"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.createDataFrame([(t,) for t in (199, 399, 599, 799)], "thr int")
+    cells = (
+        d.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("mc") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("mc") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when((F.col("mc") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(F.when((F.col("mc") < F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    sens = F.col("tp") * 1.0 / F.when(F.col("tp") + F.col("fn") != 0, F.col("tp") + F.col("fn"))
+    spec = F.col("tn") * 1.0 / F.when(F.col("tn") + F.col("fp") != 0, F.col("tn") + F.col("fp"))
+    return cells.select(
+        "thr",
+        F.round(sens, 4).alias("sensitivity"),
+        F.round(spec, 4).alias("specificity"),
+        (F.round(sens + spec - 1, 4) + F.lit(0.0)).alias("youden_j"),
+        F.round(sens / F.when(1 - spec != 0, 1 - spec), 4).alias("lr_positive"),
+        (F.round((1 - sens) / F.when(spec != 0, spec), 4) + F.lit(0.0)).alias(
+            "lr_negative"
+        ),
+        F.round((sens + spec) / 2, 4).alias("balanced_acc"),
+    ).orderBy("thr")
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand index + NMI between two document labelings
+
+
+@register(
+    "q_ari_nmi",
+    oracle="""
+        WITH d AS (
+            SELECT lang, n_chars * 1.0 AS v FROM documents
+        ),
+        q AS (
+            SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+                   quantile_cont(v, 0.75) AS q3
+            FROM d
+        ),
+        cells AS (
+            SELECT lang,
+                   CASE WHEN d.v <= q.q1 THEN 0 WHEN d.v <= q.q2 THEN 1
+                        WHEN d.v <= q.q3 THEN 2 ELSE 3 END AS yq,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM d, q GROUP BY 1, 2
+        ),
+        am AS (SELECT lang, CAST(sum(o) AS BIGINT) AS a FROM cells GROUP BY 1),
+        bm AS (SELECT yq, CAST(sum(o) AS BIGINT) AS b FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        pairsums AS (
+            SELECT (SELECT sum(o * 1.0 * (o - 1) / 2) FROM cells) AS sij,
+                   (SELECT sum(a * 1.0 * (a - 1) / 2) FROM am) AS sa,
+                   (SELECT sum(b * 1.0 * (b - 1) / 2) FROM bm) AS sb,
+                   (SELECT n * 1.0 * (n - 1) / 2 FROM tot) AS n0
+        ),
+        info AS (
+            SELECT
+                (SELECT sum((c.o * 1.0 / t.n)
+                            * ln(t.n * 1.0 * c.o / (am.a * 1.0 * bm.b)))
+                 FROM cells c, am, bm, tot t
+                 WHERE c.lang = am.lang AND c.yq = bm.yq) AS mi,
+                (SELECT -sum((a * 1.0 / t.n) * ln(a * 1.0 / t.n))
+                 FROM am, tot t) AS hx,
+                (SELECT -sum((b * 1.0 / t.n) * ln(b * 1.0 / t.n))
+                 FROM bm, tot t) AS hy
+        )
+        SELECT t.n AS n_docs,
+               round((p.sij - p.sa * p.sb / nullif(p.n0, 0))
+                     / nullif((p.sa + p.sb) / 2
+                              - p.sa * p.sb / nullif(p.n0, 0), 0), 4)
+                   + 0.0 AS ari,
+               round(i.mi / nullif(sqrt(CASE WHEN i.hx * i.hy > 0
+                                             THEN i.hx * i.hy END), 0), 4)
+                   + 0.0 AS nmi,
+               round(2 * i.mi / nullif(i.hx + i.hy, 0), 4) + 0.0 AS v_measure
+        FROM pairsums p, info i, tot t
+    """,
+    category="llm-similarity",
+)
+def q_ari_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-agreement suite between two document labelings — the
+    language label vs the char-length QUARTILE: adjusted Rand index
+    (pair-counting, chance-corrected), normalized mutual information
+    (info-theoretic, √(H_x·H_y) normalization) and the V-measure
+    (2I/(H_x+H_y)) from ONE contingency table. The evaluation layer
+    q_kmeans_embed / q_grid_density_cluster / q_cell_purity report
+    into: does an unsupervised partition recover a known labeling?
+
+    Quartile boundaries from the stitched exact quantile; facts
+    collapse to a ≤20-cell (lang × quartile) table; margins, pair
+    counts and entropies are closed-form algebra on those cells with
+    every product widened ``* 1.0 *`` (pair counts reach n²/2).
+    Guards: a single-cluster labeling zeros H or the ARI denominator
+    → NULL on both engines, never a raise."""
+    from builder_spark.operators.quantiles import quantile_cont_stitched
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars") * 1.0).alias("v")
+    )
+    q = quantile_cont_stitched(
+        d, "v", {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+    ).select("q1", "q2", "q3")
+    cells = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "lang",
+            F.when(F.col("v") <= F.col("q1"), 0)
+            .when(F.col("v") <= F.col("q2"), 1)
+            .when(F.col("v") <= F.col("q3"), 2)
+            .otherwise(3)
+            .alias("yq"),
+        )
+        .groupBy("lang", "yq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    am = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("a"))
+    bm = cells.groupBy("yq").agg(F.sum("o").cast("bigint").alias("b"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    sij = cells.agg(F.sum(F.col("o") * 1.0 * (F.col("o") - 1) / 2).alias("sij"))
+    sa = am.agg(F.sum(F.col("a") * 1.0 * (F.col("a") - 1) / 2).alias("sa"))
+    sb = bm.agg(F.sum(F.col("b") * 1.0 * (F.col("b") - 1) / 2).alias("sb"))
+    withm = (
+        cells.join(F.broadcast(am), "lang")
+        .join(F.broadcast(bm), "yq")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = withm.agg(
+        F.sum(
+            (F.col("o") * 1.0 / F.col("n"))
+            * F.log(F.col("n") * 1.0 * F.col("o") / (F.col("a") * 1.0 * F.col("b")))
+        ).alias("mi")
+    )
+    hx = am.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("a") * 1.0 / F.col("n")) * F.log(F.col("a") * 1.0 / F.col("n"))))
+        .alias("hx")
+    )
+    hy = bm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("b") * 1.0 / F.col("n")) * F.log(F.col("b") * 1.0 / F.col("n"))))
+        .alias("hy")
+    )
+    n0 = F.col("n") * 1.0 * (F.col("n") - 1) / 2
+    exp_ = F.col("sa") * F.col("sb") / F.when(n0 != 0, n0)
+    ariden = (F.col("sa") + F.col("sb")) / 2 - exp_
+    hh = F.col("hx") * F.col("hy")
+    return (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_docs"),
+            (
+                F.round((F.col("sij") - exp_) / F.when(ariden != 0, ariden), 4)
+                + F.lit(0.0)
+            ).alias("ari"),
+            (
+                F.round(
+                    F.col("mi")
+                    / F.when(F.sqrt(F.when(hh > 0, hh)) != 0, F.sqrt(F.when(hh > 0, hh))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("nmi"),
+            (
+                F.round(
+                    2 * F.col("mi")
+                    / F.when(F.col("hx") + F.col("hy") != 0, F.col("hx") + F.col("hy")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("v_measure"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya distance between weekday revenue mixes
+
+
+@register(
+    "q_hellinger_weekday",
+    oracle="""
+        WITH tagged AS (
+            SELECT dayofweek(o_orderdate) AS dow, r.r_name AS region,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('AMERICA', 'ASIA')
+        ),
+        per_dow AS (
+            SELECT dow,
+                   CAST(sum(CASE WHEN region = 'AMERICA' THEN cents
+                            ELSE 0 END) AS BIGINT) AS ra,
+                   CAST(sum(CASE WHEN region = 'ASIA' THEN cents
+                            ELSE 0 END) AS BIGINT) AS rb
+            FROM tagged GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(ra) AS BIGINT) AS ta, CAST(sum(rb) AS BIGINT) AS tb
+            FROM per_dow
+        ),
+        dist AS (
+            SELECT sum(sqrt((d.ra * 1.0 / nullif(t.ta, 0))
+                            * (d.rb * 1.0 / nullif(t.tb, 0)))) AS bc,
+                   sum(abs(d.ra * 1.0 / nullif(t.ta, 0)
+                           - d.rb * 1.0 / nullif(t.tb, 0))) / 2 AS tv
+            FROM per_dow d, tot t
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_dow) AS n_weekdays,
+               round(bc, 4) + 0.0 AS bc_coefficient,
+               round(CASE WHEN 1 - bc > 0 THEN sqrt(1 - bc)
+                          WHEN bc IS NOT NULL THEN 0.0 END, 4)
+                   + 0.0 AS hellinger,
+               round(-ln(nullif(CASE WHEN bc > 0 THEN bc END, 0)), 4)
+                   + 0.0 AS bhattacharyya_dist,
+               round(tv, 4) + 0.0 AS tv_distance
+        FROM dist
+    """,
+    category="analytics",
+)
+def q_hellinger_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger and Bhattacharyya distances between the AMERICA and
+    ASIA weekday revenue MIXES (share of regional revenue landing on
+    each day of week): BC = Σ√(p_w·q_w), H = √(1−BC), D_B = −ln BC,
+    plus total variation for calibration — the bounded-metric family
+    next to q_js_divergence (documents) and q_psi_drift (distribution
+    drift), measuring whether two markets share a weekly rhythm.
+
+    One fact join (orders×customer shuffles once; nation/region
+    broadcast) collapses to a 7-row weekday grain with EXACT integer
+    cents for both regions; shares and distances are closed-form over
+    those 7 rows — identical IEEE trees (√ and one ln), no trig, no
+    accumulation hazard. Guards: an empty region nulls the shares
+    (nullif); disjoint mixes (BC=0) null D_B; greatest(0, 1−BC) keeps
+    the √ off fp dust below zero."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tagged = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select(
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.col("r_name").alias("region"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    per_dow = tagged.groupBy("dow").agg(
+        F.sum(F.when(F.col("region") == "AMERICA", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("ra"),
+        F.sum(F.when(F.col("region") == "ASIA", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("rb"),
+    ).localCheckpoint(eager=True)
+    tot = per_dow.agg(
+        F.sum("ra").cast("bigint").alias("ta"), F.sum("rb").cast("bigint").alias("tb")
+    )
+    joined = per_dow.crossJoin(F.broadcast(tot))
+    p = F.col("ra") * 1.0 / F.when(F.col("ta") != 0, F.col("ta"))
+    qq = F.col("rb") * 1.0 / F.when(F.col("tb") != 0, F.col("tb"))
+    dist = joined.agg(
+        F.sum(F.sqrt(p * qq)).alias("bc"),
+        (F.sum(F.abs(p - qq)) / 2).alias("tv"),
+    )
+    n_dows = per_dow.agg(F.count(F.lit(1)).cast("bigint").alias("n_weekdays"))
+    bc = F.col("bc")
+    return dist.crossJoin(F.broadcast(n_dows)).select(
+        "n_weekdays",
+        (F.round(bc, 4) + F.lit(0.0)).alias("bc_coefficient"),
+        (
+            F.round(
+                F.when(1 - bc > 0, F.sqrt(1 - bc)).when(bc.isNotNull(), 0.0), 4
+            )
+            + F.lit(0.0)
+        ).alias("hellinger"),
+        (F.round(-F.log(F.when(bc > 0, bc)), 4) + F.lit(0.0)).alias(
+            "bhattacharyya_dist"
+        ),
+        (F.round(F.col("tv"), 4) + F.lit(0.0)).alias("tv_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engle–Granger two-step cointegration test
+
+
+@register(
+    "q_cointegration_eg",
+    oracle="""
+        WITH tagged AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, r.r_name AS region,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('AMERICA', 'ASIA')
+        ),
+        day AS (
+            SELECT d,
+                   CAST(sum(CASE WHEN region = 'AMERICA' THEN cents
+                            ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN region = 'ASIA' THEN cents
+                            ELSE 0 END) AS BIGINT) AS cb
+            FROM tagged GROUP BY 1
+            HAVING sum(CASE WHEN region = 'AMERICA' THEN cents ELSE 0 END) > 0
+               AND sum(CASE WHEN region = 'ASIA' THEN cents ELSE 0 END) > 0
+        ),
+        xy AS (
+            SELECT d, ln(ca / 100.0) AS y, ln(cb / 100.0) AS x FROM day
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM xy
+        ),
+        fit AS (
+            SELECT n,
+                   (sxy - sx * sy / nullif(n * 1.0, 0))
+                       / nullif(sxx - sx * sx / nullif(n * 1.0, 0), 0) AS beta,
+                   sy / nullif(n * 1.0, 0)
+                       - (sxy - sx * sy / nullif(n * 1.0, 0))
+                         / nullif(sxx - sx * sx / nullif(n * 1.0, 0), 0)
+                         * sx / nullif(n * 1.0, 0) AS alpha
+            FROM m
+        ),
+        resid AS (
+            SELECT xy.d, xy.y - fit.alpha - fit.beta * xy.x AS e
+            FROM xy, fit
+        ),
+        lagged AS (
+            SELECT e - lag(e) OVER (ORDER BY d) AS de,
+                   lag(e) OVER (ORDER BY d) AS el
+            FROM resid
+        ),
+        reg AS (
+            SELECT count(*) AS m, sum(el * el) AS see,
+                   sum(el * de) AS sed, sum(de * de) AS sdd
+            FROM lagged WHERE el IS NOT NULL
+        )
+        SELECT CAST(f.n AS BIGINT) AS n_days,
+               round(f.beta, 4) AS hedge_beta,
+               round(r.sed / nullif(r.see, 0), 4) + 0.0 AS gamma,
+               round((r.sed / nullif(r.see, 0))
+                     / nullif(sqrt(CASE WHEN (r.sdd - r.sed * r.sed
+                                                  / nullif(r.see, 0))
+                                            / nullif(r.m - 1.0, 0)
+                                            / nullif(r.see, 0) > 0
+                                        THEN (r.sdd - r.sed * r.sed
+                                                  / nullif(r.see, 0))
+                                             / nullif(r.m - 1.0, 0)
+                                             / nullif(r.see, 0)
+                                   END), 0), 4) + 0.0 AS eg_stat,
+               CAST(CASE WHEN (r.sed / nullif(r.see, 0))
+                              / nullif(sqrt(CASE WHEN (r.sdd - r.sed * r.sed
+                                                           / nullif(r.see, 0))
+                                                     / nullif(r.m - 1.0, 0)
+                                                     / nullif(r.see, 0) > 0
+                                                 THEN (r.sdd - r.sed * r.sed
+                                                           / nullif(r.see, 0))
+                                                      / nullif(r.m - 1.0, 0)
+                                                      / nullif(r.see, 0)
+                                            END), 0) < -3.34
+                    THEN 1 ELSE 0 END AS INT) AS cointegrated
+        FROM fit f, reg r
+    """,
+    category="analytics",
+)
+def q_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger two-step cointegration test between the AMERICA
+    and ASIA daily log-revenue series: step 1 fits the long-run hedge
+    y = α + βx by OLS; step 2 runs a Dickey–Fuller regression (through
+    the origin) on the residual spread — EG statistic γ̂/se(γ̂) against
+    the −3.34 5% critical (two variables, constant in step 1). The
+    pair-relationship member of the unit-root family: q_adf_test asks
+    "is one series stationary", this asks "do two drifting series
+    share a common trend".
+
+    One fact join collapses to the calendar-bounded day grain (exact
+    cents for both regions); the OLS is a 1-row moment aggregate
+    broadcast back; the single ordered-window lag runs over the day
+    table (whitelisted grain); step 2 is again closed-form moments.
+    Guards: constant x (zero variance), n≤1 day, or zero residual
+    variance null the statistic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_ = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r_ = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    from pyspark.sql import Window
+
+    tagged = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_), c.c_nationkey == n_.n_nationkey)
+        .join(F.broadcast(r_), n_.n_regionkey == r_.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("r_name").alias("region"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    day = (
+        tagged.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("region") == "AMERICA", F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("region") == "ASIA", F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+    )
+    xy = day.select(
+        "d",
+        F.log(F.col("ca") / 100.0).alias("y"),
+        F.log(F.col("cb") / 100.0).alias("x"),
+    ).localCheckpoint(eager=True)
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.when(F.col("n") != 0, F.col("n") * 1.0)
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    fit = m.select(
+        F.col("n"),
+        (sxy_c / F.when(sxx_c != 0, sxx_c)).alias("beta"),
+        (
+            F.col("sy") / nn
+            - sxy_c / F.when(sxx_c != 0, sxx_c) * F.col("sx") / nn
+        ).alias("alpha"),
+    )
+    resid = xy.crossJoin(F.broadcast(fit)).select(
+        "d",
+        (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")).alias("e"),
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select(
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    reg = lagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("el") * F.col("el")).alias("see"),
+        F.sum(F.col("el") * F.col("de")).alias("sed"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+    ).crossJoin(F.broadcast(fit))
+    see = F.when(F.col("see") != 0, F.col("see"))
+    g = F.col("sed") / see
+    s2 = (F.col("sdd") - F.col("sed") * F.col("sed") / see) / F.when(
+        F.col("m") - 1.0 != 0, F.col("m") - 1.0
+    ) / see
+    se = F.sqrt(F.when(s2 > 0, s2))
+    eg = g / F.when(se != 0, se)
+    return reg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("beta"), 4).alias("hedge_beta"),
+        (F.round(g, 4) + F.lit(0.0)).alias("gamma"),
+        (F.round(eg, 4) + F.lit(0.0)).alias("eg_stat"),
+        F.when(eg < -3.34, 1).otherwise(0).cast("int").alias("cointegrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-12b batch 8 shared helpers: daily exact-cents revenue + the
+# deterministic polynomial trig (geo precedent, SCALE.md round-12 #2:
+# libm is not portable — Taylor/Horner in pure +,* is bit-identical)
+
+#: day-grain exact-cents revenue rollup (duplicated from round12 so
+#: the lazy registry never imports that module for it)
+_DAILY_SQL = """
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev
+            FROM orders GROUP BY 1
+        )"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+
+
+def _horner12b(x: str, c0: float, coeffs: list[float]) -> str:
+    u = f"(({x}) * ({x}))"
+    acc = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = f"({c!r} + {u} * {acc})"
+    return f"({c0!r} + {u} * {acc})"
+
+
+def _psin17(x: str) -> str:
+    """Deterministic sin, degree-17 Taylor (|x| ≤ π, abs err ≲ 7e-9):
+    pure +,* — bit-identical on Spark and DuckDB, unlike libm sin."""
+    body = _horner12b(
+        x,
+        1.0,
+        [
+            -0.16666666666666666,
+            0.008333333333333333,
+            -0.0001984126984126984,
+            2.7557319223985893e-06,
+            -2.505210838544172e-08,
+            1.6059043836821613e-10,
+            -7.647163731819816e-13,
+            2.8114572543455206e-15,
+        ],
+    )
+    return f"(({x}) * {body})"
+
+
+def _pcos16(x: str) -> str:
+    """Deterministic cos, degree-16 Taylor (|x| ≤ π, abs err ≲ 1.4e-8)."""
+    return _horner12b(
+        x,
+        1.0,
+        [
+            -0.5,
+            0.041666666666666664,
+            -0.001388888888888889,
+            2.48015873015873e-05,
+            -2.755731922398589e-07,
+            2.08767569878681e-09,
+            -1.1470745597729725e-11,
+            4.779477332387385e-14,
+        ],
+    )
+
+
+#: hour-of-day phase, centered so |θ| ≤ π (e0 literal: a bare decimal
+#: would parse as DECIMAL on Spark and truncate — geo precedent)
+_THETA = "((hr - 12) * 0.2617993877991494e0)"
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test
+
+
+@register(
+    "q_chow_test",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        span AS (
+            SELECT min(d) AS dmin, (max(d) - min(d)) // 2 AS off FROM daily
+        ),
+        pts AS (
+            SELECT CASE WHEN daily.d < span.dmin + CAST(span.off AS INT)
+                        THEN 0 ELSE 1 END AS seg,
+                   (daily.d - DATE '1992-01-01') / 365.25e0 AS t,
+                   ln(daily.rev / 100.0) AS y
+            FROM daily, span
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS n1,
+                   sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt,
+                   sum(t * y) AS sty, sum(y * y) AS syy,
+                   sum(CASE WHEN seg = 0 THEN t ELSE 0 END) AS st1,
+                   sum(CASE WHEN seg = 0 THEN y ELSE 0 END) AS sy1,
+                   sum(CASE WHEN seg = 0 THEN t * t ELSE 0 END) AS stt1,
+                   sum(CASE WHEN seg = 0 THEN t * y ELSE 0 END) AS sty1,
+                   sum(CASE WHEN seg = 0 THEN y * y ELSE 0 END) AS syy1,
+                   sum(CASE WHEN seg = 1 THEN t ELSE 0 END) AS st2,
+                   sum(CASE WHEN seg = 1 THEN y ELSE 0 END) AS sy2,
+                   sum(CASE WHEN seg = 1 THEN t * t ELSE 0 END) AS stt2,
+                   sum(CASE WHEN seg = 1 THEN t * y ELSE 0 END) AS sty2,
+                   sum(CASE WHEN seg = 1 THEN y * y ELSE 0 END) AS syy2
+            FROM pts
+        ),
+        ssr AS (
+            SELECT n, n1, n - n1 AS n2,
+                   (syy - sy * sy / nullif(n * 1.0, 0))
+                   - (sty - st * sy / nullif(n * 1.0, 0))
+                     * (sty - st * sy / nullif(n * 1.0, 0))
+                     / nullif(stt - st * st / nullif(n * 1.0, 0), 0) AS sp,
+                   (syy1 - sy1 * sy1 / nullif(n1 * 1.0, 0))
+                   - (sty1 - st1 * sy1 / nullif(n1 * 1.0, 0))
+                     * (sty1 - st1 * sy1 / nullif(n1 * 1.0, 0))
+                     / nullif(stt1 - st1 * st1 / nullif(n1 * 1.0, 0), 0) AS s1,
+                   (syy2 - sy2 * sy2 / nullif((n - n1) * 1.0, 0))
+                   - (sty2 - st2 * sy2 / nullif((n - n1) * 1.0, 0))
+                     * (sty2 - st2 * sy2 / nullif((n - n1) * 1.0, 0))
+                     / nullif(stt2 - st2 * st2
+                              / nullif((n - n1) * 1.0, 0), 0) AS s2
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+               round(sp, 4) AS ssr_pooled,
+               round(s1 + s2, 4) AS ssr_segmented,
+               round(((sp - s1 - s2) / 2)
+                     / nullif((s1 + s2) / nullif(n - 4.0, 0), 0), 4)
+                   + 0.0 AS chow_f,
+               CAST(CASE WHEN ((sp - s1 - s2) / 2)
+                              / nullif((s1 + s2) / nullif(n - 4.0, 0), 0)
+                              > 2.9957
+                    THEN 1 ELSE 0 END AS INT) AS break_detected
+        FROM ssr
+    """,
+    category="analytics",
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily log-revenue trend at a
+    KNOWN break (the span midpoint — hypothesized a priori, not
+    searched for, which is what distinguishes Chow from
+    q_binary_segmentation): fit y = α + βt pooled and per segment,
+    F = [(SSR_p − SSR₁ − SSR₂)/k] / [(SSR₁+SSR₂)/(n−2k)] with k = 2
+    against F(2, ∞) = χ²₂/2 = 2.9957 — the parametric, known-date
+    member of the changepoint family (q_cusum_changepoint /
+    q_page_hinkley detect, q_binary_segmentation locates; Chow TESTS a
+    hypothesized date). q_diff_in_diff is its two-group cousin.
+
+    ONE combinable pass over the calendar-bounded day table collects
+    pooled + per-segment moments (18 sufficient statistics); all three
+    SSRs are closed-form algebra on the single row — identical guarded
+    trees both engines (a segment with ≤2 days or constant t nulls the
+    statistic rather than raising)."""
+    daily = _daily(spark, sf_dir)
+    span = daily.agg(
+        F.min("d").alias("dmin"),
+        F.expr("datediff(max(d), min(d)) div 2").alias("off"),
+    )
+    pts = daily.crossJoin(F.broadcast(span)).select(
+        F.when(
+            F.col("d") < F.expr("date_add(dmin, CAST(off AS INT))"), 0
+        )
+        .otherwise(1)
+        .alias("seg"),
+        (F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")) / F.lit(365.25))
+        .alias("t"),
+        F.log(F.col("rev") / 100.0).alias("y"),
+    )
+    t, y = F.col("t"), F.col("y")
+    s0 = F.when(F.col("seg") == 0, 1).otherwise(0)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s0).alias("n1"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * t).alias("stt"),
+        F.sum(t * y).alias("sty"),
+        F.sum(y * y).alias("syy"),
+    ]
+    for s, tag in ((0, "1"), (1, "2")):
+        c = F.when(F.col("seg") == s, 1.0).otherwise(0.0)
+        aggs += [
+            F.sum(c * t).alias(f"st{tag}"),
+            F.sum(c * y).alias(f"sy{tag}"),
+            F.sum(c * t * t).alias(f"stt{tag}"),
+            F.sum(c * t * y).alias(f"sty{tag}"),
+            F.sum(c * y * y).alias(f"syy{tag}"),
+        ]
+    m = pts.agg(*aggs)
+
+    def ssr(nc, st, sy, stt, sty, syy):
+        nn = F.when(nc * 1.0 != 0, nc * 1.0)
+        sxx = stt - st * st / nn
+        sxy = sty - st * sy / nn
+        return (syy - sy * sy / nn) - sxy * sxy / F.when(sxx != 0, sxx)
+
+    n, n1 = F.col("n"), F.col("n1")
+    n2 = n - n1
+    sp = ssr(n, F.col("st"), F.col("sy"), F.col("stt"), F.col("sty"), F.col("syy"))
+    s1 = ssr(n1, F.col("st1"), F.col("sy1"), F.col("stt1"), F.col("sty1"), F.col("syy1"))
+    s2 = ssr(n2, F.col("st2"), F.col("sy2"), F.col("stt2"), F.col("sty2"), F.col("syy2"))
+    den = (s1 + s2) / F.when(n - 4.0 != 0, n - 4.0)
+    f_stat = ((sp - s1 - s2) / 2) / F.when(den != 0, den)
+    return m.select(
+        n.cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_pre"),
+        n2.cast("bigint").alias("n_post"),
+        F.round(sp, 4).alias("ssr_pooled"),
+        F.round(s1 + s2, 4).alias("ssr_segmented"),
+        (F.round(f_stat, 4) + F.lit(0.0)).alias("chow_f"),
+        F.when(f_stat > 2.9957, 1).otherwise(0).cast("int").alias("break_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Goldfeld–Quandt heteroscedasticity test
+
+
+@register(
+    "q_goldfeld_quandt",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        span AS (
+            SELECT min(d) AS dmin, max(d) AS dmax,
+                   (max(d) - min(d)) * 3 // 8 AS off
+            FROM daily
+        ),
+        pts AS (
+            SELECT CASE WHEN daily.d <= span.dmin + CAST(span.off AS INT)
+                        THEN 0
+                        WHEN daily.d >= span.dmax - CAST(span.off AS INT)
+                        THEN 1 END AS seg,
+                   (daily.d - DATE '1992-01-01') / 365.25e0 AS t,
+                   ln(daily.rev / 100.0) AS y
+            FROM daily, span
+        ),
+        g AS (
+            SELECT seg, count(*) AS n, sum(t) AS st, sum(y) AS sy,
+                   sum(t * t) AS stt, sum(t * y) AS sty, sum(y * y) AS syy
+            FROM pts WHERE seg IS NOT NULL GROUP BY seg
+        ),
+        s AS (
+            SELECT seg, n,
+                   ((syy - sy * sy / nullif(n * 1.0, 0))
+                    - (sty - st * sy / nullif(n * 1.0, 0))
+                      * (sty - st * sy / nullif(n * 1.0, 0))
+                      / nullif(stt - st * st / nullif(n * 1.0, 0), 0))
+                   / nullif(n - 2.0, 0) AS msr
+            FROM g
+        )
+        SELECT CAST((SELECT n FROM s WHERE seg = 0) AS BIGINT) AS n_early,
+               CAST((SELECT n FROM s WHERE seg = 1) AS BIGINT) AS n_late,
+               round((SELECT msr FROM s WHERE seg = 1)
+                     / nullif((SELECT msr FROM s WHERE seg = 0), 0), 4)
+                   AS gq_f,
+               CAST(CASE WHEN (SELECT msr FROM s WHERE seg = 1)
+                              / nullif((SELECT msr FROM s WHERE seg = 0), 0)
+                              > 1.2
+                         OR (SELECT msr FROM s WHERE seg = 0)
+                            / nullif((SELECT msr FROM s WHERE seg = 1), 0)
+                            > 1.2
+                    THEN 1 ELSE 0 END AS INT) AS heteroscedastic
+        FROM span
+    """,
+    category="analytics",
+)
+def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goldfeld–Quandt heteroscedasticity test on the daily
+    log-revenue trend: fit y = α + βt separately on the FIRST and LAST
+    3/8 of the date span (the classic middle-fourth omission), compare
+    the residual mean squares GQ = MSR_late/MSR_early against a
+    conservative 1.2 two-sided bar (F(≈n,≈n) 5% ≈ 1.11 at the bench
+    day count; 1.2 stays conservative across scales). The
+    variance-versus-TIME member next to q_breusch_pagan (variance vs
+    fitted level) and q_white_test (vs level and curvature).
+
+    Segment cutoffs are pure DATE arithmetic from the 1-row (min, max)
+    broadcast — integer day offsets, deterministic on both engines; a
+    2-group combinable moment pass and per-segment closed-form MSR
+    follow. Guards: a segment with ≤ 2 days nulls its MSR → NULL GQ."""
+    daily = _daily(spark, sf_dir)
+    span = daily.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.expr("(datediff(max(d), min(d)) * 3) div 8").alias("off"),
+    )
+    pts = daily.crossJoin(F.broadcast(span)).select(
+        F.when(
+            F.col("d") <= F.expr("date_add(dmin, CAST(off AS INT))"), 0
+        )
+        .when(F.col("d") >= F.expr("date_sub(dmax, CAST(off AS INT))"), 1)
+        .alias("seg"),
+        (F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")) / F.lit(365.25))
+        .alias("t"),
+        F.log(F.col("rev") / 100.0).alias("y"),
+    )
+    t, y = F.col("t"), F.col("y")
+    g = (
+        pts.filter(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(t).alias("st"),
+            F.sum(y).alias("sy"),
+            F.sum(t * t).alias("stt"),
+            F.sum(t * y).alias("sty"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    nn = F.when(F.col("n") * 1.0 != 0, F.col("n") * 1.0)
+    sxx = F.col("stt") - F.col("st") * F.col("st") / nn
+    sxy = F.col("sty") - F.col("st") * F.col("sy") / nn
+    msr = (
+        (F.col("syy") - F.col("sy") * F.col("sy") / nn)
+        - sxy * sxy / F.when(sxx != 0, sxx)
+    ) / F.when(F.col("n") - 2.0 != 0, F.col("n") - 2.0)
+    s = g.select("seg", "n", msr.alias("msr"))
+    e = s.filter(F.col("seg") == 0).select(
+        F.col("n").alias("n_early_i"), F.col("msr").alias("msr0")
+    )
+    l_ = s.filter(F.col("seg") == 1).select(
+        F.col("n").alias("n_late_i"), F.col("msr").alias("msr1")
+    )
+    one = span.select(F.lit(1).alias("_k"))
+    out = (
+        one.join(F.broadcast(e.withColumn("_k", F.lit(1))), "_k", "left")
+        .join(F.broadcast(l_.withColumn("_k", F.lit(1))), "_k", "left")
+    )
+    gq = F.col("msr1") / F.when(F.col("msr0") != 0, F.col("msr0"))
+    gq_inv = F.col("msr0") / F.when(F.col("msr1") != 0, F.col("msr1"))
+    return out.select(
+        F.col("n_early_i").cast("bigint").alias("n_early"),
+        F.col("n_late_i").cast("bigint").alias("n_late"),
+        F.round(gq, 4).alias("gq_f"),
+        F.when((gq > 1.2) | (gq_inv > 1.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("heteroscedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# White heteroscedasticity test
+
+
+@register(
+    "q_white_test",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        pts AS (
+            SELECT (d - DATE '1992-01-01') / 365.25e0 AS t,
+                   ln(rev / 100.0) AS y
+            FROM daily
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+                   sum(t * t) AS stt, sum(t * y) AS sty
+            FROM pts
+        ),
+        fit AS (
+            SELECT n,
+                   (sty - st * sy / nullif(n * 1.0, 0))
+                       / nullif(stt - st * st / nullif(n * 1.0, 0), 0) AS b,
+                   sy / nullif(n * 1.0, 0)
+                       - (sty - st * sy / nullif(n * 1.0, 0))
+                         / nullif(stt - st * st / nullif(n * 1.0, 0), 0)
+                         * st / nullif(n * 1.0, 0) AS a
+            FROM m
+        ),
+        aux AS (
+            SELECT p.t AS u, p.t * p.t AS v,
+                   (p.y - f.a - f.b * p.t) * (p.y - f.a - f.b * p.t) AS w
+            FROM pts p, fit f
+        ),
+        am AS (
+            SELECT count(*) AS n,
+                   sum(u * u) - count(*) * avg(u) * avg(u) AS suu,
+                   sum(u * v) - count(*) * avg(u) * avg(v) AS suv,
+                   sum(v * v) - count(*) * avg(v) * avg(v) AS svv,
+                   sum(u * w) - count(*) * avg(u) * avg(w) AS suw,
+                   sum(v * w) - count(*) * avg(v) * avg(w) AS svw,
+                   sum(w * w) - count(*) * avg(w) * avg(w) AS sww
+            FROM aux
+        ),
+        r2 AS (
+            SELECT n,
+                   ((suw * svv - svw * suv) * suw + (svw * suu - suw * suv) * svw)
+                   / nullif((suu * svv - suv * suv) * sww, 0) AS r2
+            FROM am
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r2, 4) + 0.0 AS aux_r2,
+               round(n * r2, 4) + 0.0 AS white_lm,
+               CAST(CASE WHEN n * r2 > 5.9915 THEN 1 ELSE 0 END AS INT)
+                   AS heteroscedastic
+        FROM r2
+    """,
+    category="analytics",
+)
+def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's heteroscedasticity test on the daily log-revenue trend:
+    regress squared residuals on (t, t²), LM = n·R² against χ²₂
+    (5.9915) — the functional-form-free check next to q_breusch_pagan
+    (linear-in-fitted variance) and q_goldfeld_quandt (ordered-split).
+    A significant LM says the trend's error variance moves with time
+    or its curvature, so OLS standard errors on this series lie.
+
+    Pass 1: one combinable moment pass fits the 1-row OLS (broadcast
+    back); pass 2: centered moments of (u, v, w) = (t, t², e²) on the
+    same calendar-bounded day table; R² is the 2-predictor Cramer
+    closed form from q_multi_regression's algebra — identical trees,
+    det/variance denominators guarded on both engines."""
+    pts = _daily(spark, sf_dir).select(
+        (F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")) / F.lit(365.25))
+        .alias("t"),
+        F.log(F.col("rev") / 100.0).alias("y"),
+    ).localCheckpoint(eager=True)
+    t, y = F.col("t"), F.col("y")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * t).alias("stt"),
+        F.sum(t * y).alias("sty"),
+    )
+    nn = F.when(F.col("n") * 1.0 != 0, F.col("n") * 1.0)
+    sxx = F.col("stt") - F.col("st") * F.col("st") / nn
+    sxy = F.col("sty") - F.col("st") * F.col("sy") / nn
+    b = sxy / F.when(sxx != 0, sxx)
+    fit = m.select(
+        F.col("n"),
+        b.alias("b"),
+        (F.col("sy") / nn - b * F.col("st") / nn).alias("a"),
+    )
+    aux = pts.crossJoin(F.broadcast(fit)).select(
+        t.alias("u"),
+        (t * t).alias("v"),
+        (
+            (y - F.col("a") - F.col("b") * t) * (y - F.col("a") - F.col("b") * t)
+        ).alias("w"),
+    )
+    cnt = F.count(F.lit(1))
+    am = aux.agg(
+        cnt.alias("n"),
+        (F.sum(F.col("u") * F.col("u")) - cnt * F.avg("u") * F.avg("u")).alias("suu"),
+        (F.sum(F.col("u") * F.col("v")) - cnt * F.avg("u") * F.avg("v")).alias("suv"),
+        (F.sum(F.col("v") * F.col("v")) - cnt * F.avg("v") * F.avg("v")).alias("svv"),
+        (F.sum(F.col("u") * F.col("w")) - cnt * F.avg("u") * F.avg("w")).alias("suw"),
+        (F.sum(F.col("v") * F.col("w")) - cnt * F.avg("v") * F.avg("w")).alias("svw"),
+        (F.sum(F.col("w") * F.col("w")) - cnt * F.avg("w") * F.avg("w")).alias("sww"),
+    )
+    det_sww = (
+        F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv")
+    ) * F.col("sww")
+    r2 = (
+        (F.col("suw") * F.col("svv") - F.col("svw") * F.col("suv")) * F.col("suw")
+        + (F.col("svw") * F.col("suu") - F.col("suw") * F.col("suv")) * F.col("svw")
+    ) / F.when(det_sww != 0, det_sww)
+    lm = F.col("n") * r2
+    return am.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.round(r2, 4) + F.lit(0.0)).alias("aux_r2"),
+        (F.round(lm, 4) + F.lit(0.0)).alias("white_lm"),
+        F.when(lm > 5.9915, 1).otherwise(0).cast("int").alias("heteroscedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics + Rayleigh uniformity test on event hour-of-day
+
+
+@register(
+    "q_circular_rayleigh",
+    oracle=f"""
+        WITH hrs AS (
+            SELECT event_type, hour(ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        vec AS (
+            SELECT event_type,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   sum(cnt * {_pcos16(_THETA)}) AS sc,
+                   sum(cnt * {_psin17(_THETA)}) AS ss
+            FROM hrs GROUP BY 1
+        )
+        SELECT event_type, n AS n_events,
+               round(sqrt((sc / nullif(n * 1.0, 0)) * (sc / nullif(n * 1.0, 0))
+                          + (ss / nullif(n * 1.0, 0))
+                            * (ss / nullif(n * 1.0, 0))), 4) AS resultant_r,
+               round(n * ((sc / nullif(n * 1.0, 0)) * (sc / nullif(n * 1.0, 0))
+                          + (ss / nullif(n * 1.0, 0))
+                            * (ss / nullif(n * 1.0, 0))), 4) AS rayleigh_z,
+               CAST(CASE WHEN n * ((sc / nullif(n * 1.0, 0))
+                                       * (sc / nullif(n * 1.0, 0))
+                                   + (ss / nullif(n * 1.0, 0))
+                                       * (ss / nullif(n * 1.0, 0))) > 2.9957
+                    THEN 1 ELSE 0 END AS INT) AS nonuniform
+        FROM vec
+        ORDER BY event_type
+    """,
+    category="analytics",
+)
+def q_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics on event hour-of-day per event type: the
+    mean resultant length R of the unit phase vectors θ = (h−12)·π/12
+    and the Rayleigh uniformity test z = nR² (reject uniform at
+    z > 2.9957 = −ln .05) — hour-of-day is a CIRCLE (23:00 and 00:00
+    are neighbors), so q_activity_heatmap's linear histogram cannot
+    say "how concentrated"; R does, in one number per event type.
+
+    Facts collapse to the ≤24-row (type, hour) grain first, so each
+    cos/sin is evaluated once per cell and multiplied by an exact
+    integer count. The trig is the shared degree-16/17 Taylor–Horner
+    polynomial (geo precedent, SCALE.md round-12 #2: libm sin/cos
+    differ between the JVM and DuckDB's C library at the ulp — pure
+    +,* is bit-identical; the e0 phase literal keeps Spark off DECIMAL
+    parsing). Guards: empty type impossible (grain from facts); n=0
+    global degenerate yields 0 rows on both engines."""
+    hrs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vec = hrs.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.expr(_pcos16(_THETA))).alias("sc"),
+        F.sum(F.col("cnt") * F.expr(_psin17(_THETA))).alias("ss"),
+    )
+    n = F.col("n")
+    nn = F.when(n * 1.0 != 0, n * 1.0)
+    r2 = (F.col("sc") / nn) * (F.col("sc") / nn) + (F.col("ss") / nn) * (
+        F.col("ss") / nn
+    )
+    z = n * r2
+    return vec.select(
+        "event_type",
+        n.alias("n_events"),
+        F.round(F.sqrt(r2), 4).alias("resultant_r"),
+        F.round(z, 4).alias("rayleigh_z"),
+        F.when(z > 2.9957, 1).otherwise(0).cast("int").alias("nonuniform"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation recall
+
+
+_DOT12B = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM12B = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+def _mrl_top5_sql(k: int | None, tag: str) -> str:
+    sl = f"[1:{k}]" if k is not None else ""
+    dot = _DOT12B.format(a=f"q.embedding{sl}", b=f"e.embedding{sl}")
+    nq = _NORM12B.format(v=f"q.embedding{sl}")
+    nc = _NORM12B.format(v=f"e.embedding{sl}")
+    return f"""
+        {tag} AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.vec_id AS q_id, e.vec_id,
+                       round({dot} / nullif({nq} * {nc}, 0), 4) AS sim,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({dot} / nullif({nq} * {nc}, 0), 4)
+                               DESC NULLS LAST, e.vec_id ASC) AS rnk
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 20 AND e.vec_id != q.vec_id
+            ) WHERE rnk <= 5
+        )"""
+
+
+@register(
+    "q_mrl_truncation_recall",
+    oracle=f"""
+        WITH {_mrl_top5_sql(None, "full_top")},
+        {_mrl_top5_sql(8, "top8")},
+        {_mrl_top5_sql(16, "top16")},
+        grid AS (
+            SELECT 8 AS k UNION ALL SELECT 16
+        ),
+        hits AS (
+            -- LEFT JOIN from the grid so an empty corpus still yields
+            -- one row per k (matching the Spark per-k aggregates)
+            SELECT g.k, f.q_id, f.vec_id,
+                   CASE WHEN g.k = 8 THEN t8.vec_id ELSE t16.vec_id END AS hit
+            FROM grid g
+            LEFT JOIN full_top f ON TRUE
+            LEFT JOIN top8 t8 ON g.k = 8 AND t8.q_id = f.q_id
+                             AND t8.vec_id = f.vec_id
+            LEFT JOIN top16 t16 ON g.k = 16 AND t16.q_id = f.q_id
+                               AND t16.vec_id = f.vec_id
+        )
+        SELECT k AS prefix_dims,
+               CAST(count(q_id) AS BIGINT) AS n_exact_pairs,
+               CAST(count(hit) AS BIGINT) AS n_hits,
+               round(count(hit) * 1.0 / nullif(count(q_id), 0), 4)
+                   AS recall_at_5
+        FROM hits GROUP BY k
+        ORDER BY k
+    """,
+    category="llm-similarity",
+)
+def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation recall: rank candidates by cosine
+    over only the FIRST 8 / 16 embedding dimensions and measure top-5
+    overlap with full-dimension cosine — the prefix-truncation point
+    on the memory/recall curve next to q_binary_quant_recall (1-bit),
+    q_vec_quantize (int8) and q_ann_pq (product codes). MRL-trained
+    embeddings front-load information, so prefix recall is the number
+    that says how short a vector the serving tier can afford.
+
+    20-query audit sample, round-then-rank (4dp) so the truncated
+    ranking is identical on both engines (the q_cosine_topk
+    discipline); dot products are the sequential zip-fold on BOTH
+    sides (F.aggregate ↔ list_sum — same left-to-right order). A
+    zero-norm prefix nulls its sim (NULLS LAST explicit both
+    engines)."""
+    from builder_spark.functions.vectors import dot_f64, l2_norm
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def top5(k: int | None) -> DataFrame:
+        if k is None:
+            qe, ce = F.col("embedding"), F.col("embedding")
+        else:
+            qe, ce = F.slice("embedding", 1, k), F.slice("embedding", 1, k)
+        q = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), qe.alias("qe")
+        )
+        c = e.select("vec_id", ce.alias("ce"))
+        norms = l2_norm("qe") * l2_norm("ce")
+        sim = F.round(dot_f64("qe", "ce") / F.when(norms != 0, norms), 4)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc_nulls_last(), F.col("vec_id").asc()
+        )
+        return (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+            .withColumn("sim", sim)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "vec_id")
+        )
+
+    full = top5(None).localCheckpoint(eager=True)
+    parts = []
+    for k in (8, 16):
+        tk = top5(k).select(
+            F.col("q_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+        )
+        joined = full.join(
+            F.broadcast(tk),
+            (F.col("q_id") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_vid")),
+            "left",
+        )
+        parts.append(
+            joined.agg(
+                F.lit(k).alias("prefix_dims"),
+                F.count("q_id").cast("bigint").alias("n_exact_pairs"),
+                F.count("t_vid").cast("bigint").alias("n_hits"),
+                F.round(
+                    F.count("t_vid") * 1.0
+                    / F.when(F.count("q_id") != 0, F.count("q_id")),
+                    4,
+                ).alias("recall_at_5"),
+            )
+        )
+    return parts[0].unionAll(parts[1]).orderBy("prefix_dims")
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink roundtrip (Spark 4 native XML)
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(length(text)) AS BIGINT) AS total_cp,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    category="source-sink",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source roundtrip on documents via Spark 4's NATIVE xml
+    format (rowTag framing): ids, language tags and full text cross
+    the XML boundary (entity-escaping &/<  > on write, unescaping on
+    read), then per-language stats hash-match against the ORIGINAL
+    table — proving the write→escape→parse chain is lossless. The
+    markup member of the interchange family (q_csv_roundtrip,
+    q_json_roundtrip, q_orc_roundtrip, q_text_roundtrip): XML is still
+    the wire format of legacy feeds a 100 TB ingest has to eat.
+
+    Explicit read schema (no inference pass — at scale inference means
+    a second full scan); files split per partition on write, each file
+    one task on read. Degenerate guard: 0-row write + explicit schema
+    reads back 0 rows without an inference crash on both engines."""
+    from builder_spark.queries.sourcesink import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = scratch_dir("xml_roundtrip")
+    d.write.format("xml").option("rowTag", "doc").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "doc").schema(
+        "doc_id bigint, lang string, text string"
+    ).load(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum(F.length("text")).cast("bigint").alias("total_cp"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_docs"),
+        )
+        .orderBy("lang")
+    )

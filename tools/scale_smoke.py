@@ -331,6 +331,19 @@ HEAVY = [
     "q_storey_qvalues",
     "q_prefix_cache_mass",
     "q_weighted_kappa",
+    "q_jonckheere_terpstra",
+    "q_somers_gamma",
+    "q_bowker_symmetry",
+    "q_page_trend",
+    "q_log_loss",
+    "q_hosmer_lemeshow",
+    "q_youden_lr",
+    "q_ari_nmi",
+    "q_hellinger_weekday",
+    "q_cointegration_eg",
+    "q_circular_rayleigh",
+    "q_mrl_truncation_recall",
+    "q_xml_roundtrip",
 ]
 
 #: per-table key columns to offset so replicas don't collide
