@@ -2161,11 +2161,13 @@ def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             qe, ce = F.col("embedding"), F.col("embedding")
         else:
             qe, ce = F.slice("embedding", 1, k), F.slice("embedding", 1, k)
+        # norms are per-VECTOR: compute once per side (20 + N rows),
+        # not once per pair — at 10x this was 2/3 of the HOF work
         q = e.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), qe.alias("qe")
-        )
-        c = e.select("vec_id", ce.alias("ce"))
-        norms = l2_norm("qe") * l2_norm("ce")
+        ).withColumn("qn", l2_norm("qe"))
+        c = e.select("vec_id", ce.alias("ce")).withColumn("cn", l2_norm("ce"))
+        norms = F.col("qn") * F.col("cn")
         sim = F.round(dot_f64("qe", "ce") / F.when(norms != 0, norms), 4)
         w = Window.partitionBy("q_id").orderBy(
             F.col("sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -2253,4 +2255,679 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_docs"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brunner–Munzel generalized Wilcoxon test
+
+
+@register(
+    "q_brunner_munzel",
+    oracle="""
+        WITH x AS (
+            SELECT o_totalprice AS price, o_orderkey AS okey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS samp
+            FROM orders
+        ),
+        rk AS (
+            SELECT samp,
+                   row_number() OVER (ORDER BY price, okey) AS r,
+                   row_number() OVER (PARTITION BY samp
+                                      ORDER BY price, okey) AS i
+            FROM x
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN samp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN samp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   sum(CASE WHEN samp = 0 THEN r * 1.0 ELSE 0 END) AS sr0,
+                   sum(CASE WHEN samp = 1 THEN r * 1.0 ELSE 0 END) AS sr1,
+                   sum(CASE WHEN samp = 0
+                            THEN (r - i) * 1.0 * (r - i) ELSE 0 END) AS sd0,
+                   sum(CASE WHEN samp = 1
+                            THEN (r - i) * 1.0 * (r - i) ELSE 0 END) AS sd1,
+                   sum(CASE WHEN samp = 0 THEN (r - i) * 1.0 ELSE 0 END) AS sl0,
+                   sum(CASE WHEN samp = 1 THEN (r - i) * 1.0 ELSE 0 END) AS sl1
+            FROM rk
+        ),
+        s AS (
+            SELECT m, n, sr0 / nullif(m * 1.0, 0) AS rb0,
+                   sr1 / nullif(n * 1.0, 0) AS rb1,
+                   (sd0 - sl0 * sl0 / nullif(m * 1.0, 0))
+                       / nullif(m - 1.0, 0) AS s0,
+                   (sd1 - sl1 * sl1 / nullif(n * 1.0, 0))
+                       / nullif(n - 1.0, 0) AS s1
+            FROM agg
+        )
+        SELECT m AS n_other, n AS n_urgent,
+               round((rb1 - rb0) / nullif(m + n * 1.0, 0) + 0.5, 4)
+                   AS p_hat,
+               round(m * n * (rb1 - rb0)
+                     / nullif((m + n)
+                              * sqrt(CASE WHEN m * s0 + n * s1 > 0
+                                          THEN m * s0 + n * s1 END), 0), 4)
+                   + 0.0 AS bm_stat,
+               CAST(CASE WHEN abs(m * n * (rb1 - rb0)
+                              / nullif((m + n)
+                                       * sqrt(CASE WHEN m * s0 + n * s1 > 0
+                                              THEN m * s0 + n * s1 END), 0))
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS reject_equal
+        FROM s
+    """,
+    category="analytics",
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel generalized Wilcoxon test (urgent/high order
+    values vs the rest): the nonparametric Behrens–Fisher answer —
+    unlike q_mann_whitney_u it does NOT assume equal variances; the
+    statistic standardizes the pooled-rank-mean gap by PER-SAMPLE
+    rank variances (S_g² of pooled−within rank differences), with
+    p̂ = P(X<Y)+½P(X=Y) as the effect size. Completes the two-sample
+    rank triptych with q_cvm_test (whole CDF) and q_ansari_bradley
+    (dispersion).
+
+    Both rank columns come from the STITCHED machinery at fact grain
+    (same two passes as q_cvm_test — one global total order, one
+    per-sample restart); all moments are widened-double sums of exact
+    integers ((r−i)² would pass 2^53 as int64 at 1000×, the r11 ADVICE
+    class; noise ~1e-9 on an O(1) statistic). Ties broken by the
+    (price, orderkey) total order on both engines. Guards: one-sample-
+    empty or single-row samples null the variance → NULL statistic."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("samp"),
+    )
+    d1 = stitched_running(x, ["price", "okey"], rank_name="r")
+    d2 = stitched_running(
+        d1, ["price", "okey"], rank_name="i", partition_cols=["samp"]
+    )
+    diff = (F.col("r") - F.col("i")) * 1.0
+    agg = d2.agg(
+        F.sum(F.when(F.col("samp") == 0, 1).otherwise(0)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("samp") == 1, 1).otherwise(0)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("samp") == 0, F.col("r") * 1.0).otherwise(0.0)).alias("sr0"),
+        F.sum(F.when(F.col("samp") == 1, F.col("r") * 1.0).otherwise(0.0)).alias("sr1"),
+        F.sum(F.when(F.col("samp") == 0, diff * diff).otherwise(0.0)).alias("sd0"),
+        F.sum(F.when(F.col("samp") == 1, diff * diff).otherwise(0.0)).alias("sd1"),
+        F.sum(F.when(F.col("samp") == 0, diff).otherwise(0.0)).alias("sl0"),
+        F.sum(F.when(F.col("samp") == 1, diff).otherwise(0.0)).alias("sl1"),
+    )
+    m, n = F.col("m"), F.col("n")
+    mm = F.when(m * 1.0 != 0, m * 1.0)
+    nn = F.when(n * 1.0 != 0, n * 1.0)
+    rb0 = F.col("sr0") / mm
+    rb1 = F.col("sr1") / nn
+    s0 = (F.col("sd0") - F.col("sl0") * F.col("sl0") / mm) / F.when(
+        m - 1.0 != 0, m - 1.0
+    )
+    s1 = (F.col("sd1") - F.col("sl1") * F.col("sl1") / nn) / F.when(
+        n - 1.0 != 0, n - 1.0
+    )
+    var = m * s0 + n * s1
+    den = (m + n) * F.sqrt(F.when(var > 0, var))
+    bm = m * n * (rb1 - rb0) / F.when(den != 0, den)
+    return agg.select(
+        m.alias("n_other"),
+        n.alias("n_urgent"),
+        F.round((rb1 - rb0) / F.when(m + n * 1.0 != 0, m + n * 1.0) + 0.5, 4).alias(
+            "p_hat"
+        ),
+        (F.round(bm, 4) + F.lit(0.0)).alias("bm_stat"),
+        F.when(F.abs(bm) > 1.96, 1).otherwise(0).cast("int").alias("reject_equal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lilliefors normality test (polynomial normal CDF)
+
+
+def _pphi(z: str) -> str:
+    """Normal CDF via Zelen–Severo 26.2.17 (|err| < 7.5e-8): the only
+    transcendental is exp (portable in practice across this repo's
+    graded surface, unlike trig — SCALE.md round-12 #2); everything
+    else is +,*,/ in one fixed order. Mirrors to the negative axis by
+    symmetry."""
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + 0.2316419e0 * {az}))"
+    poly = (
+        f"({t} * (0.319381530e0 + {t} * (-0.356563782e0 + {t} * "
+        f"(1.781477937e0 + {t} * (-1.821255978e0 + {t} * 1.330274429e0)))))"
+    )
+    upper = f"(1.0 - 0.3989422804014327e0 * exp(-0.5e0 * {az} * {az}) * {poly})"
+    return f"(CASE WHEN {z} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+
+@register(
+    "q_lilliefors",
+    oracle=f"""
+        WITH pts AS (
+            SELECT ln(o_totalprice) AS x, o_orderkey AS okey FROM orders
+        ),
+        m AS (
+            SELECT count(*) AS n, avg(x) AS mu,
+                   sqrt((sum(x * x) - count(*) * avg(x) * avg(x))
+                        / nullif(count(*) - 1.0, 0)) AS sig
+            FROM pts
+        ),
+        rk AS (
+            SELECT row_number() OVER (ORDER BY x, okey) AS r,
+                   (x - m.mu) / nullif(m.sig, 0) AS z,
+                   m.n, m.mu, m.sig
+            FROM pts, m
+        ),
+        d AS (
+            SELECT max(n) AS n, max(mu) AS mu, max(sig) AS sig,
+                   max(r * 1.0 / n - {_pphi("z")}) AS dplus,
+                   max({_pphi("z")} - (r - 1.0) / n) AS dminus
+            FROM rk
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(mu, 4) AS mu_hat,
+               round(sig, 4) AS sigma_hat,
+               round(CASE WHEN dplus > dminus THEN dplus ELSE dminus END, 4)
+                   AS d_stat,
+               CAST(CASE WHEN (CASE WHEN dplus > dminus THEN dplus
+                               ELSE dminus END)
+                              > 0.886 / sqrt(n * 1.0)
+                    THEN 1 ELSE 0 END AS INT) AS reject_normal
+        FROM d
+    """,
+    category="analytics",
+)
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality test on log order value: the KS supremum
+    D = max(D⁺, D⁻) against the normal with ESTIMATED μ̂, σ̂ — the
+    composite-null correction q_ks_test (fixed reference) and
+    q_jarque_bera (moment form) don't make; critical 0.886/√n (5%
+    asymptotic). The normal CDF is the shared Zelen–Severo polynomial
+    (only exp crosses libm; the rational part is one fixed IEEE order
+    on both engines).
+
+    One combinable moment pass for μ̂/σ̂, one STITCHED global rank over
+    the (x, orderkey) total order for the ECDF (no single-partition
+    window), and the sup is a plain max aggregate — ties share an x so
+    the larger r covers D⁺ and the smaller (r−1) covers D⁻ exactly as
+    the textbook ECDF does. Guards: constant series (σ̂=0) or n<2
+    null the statistic."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.log("o_totalprice").alias("x"), F.col("o_orderkey").alias("okey")
+    )
+    cnt = F.count(F.lit(1))
+    m = pts.agg(
+        cnt.alias("n"),
+        F.avg("x").alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("x") * F.col("x")) - cnt * F.avg("x") * F.avg("x"))
+            / F.when(cnt - 1.0 != 0, cnt - 1.0)
+        ).alias("sig"),
+    )
+    rk = (
+        stitched_running(pts, ["x", "okey"], rank_name="r")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "r",
+            "n",
+            "mu",
+            "sig",
+            (
+                (F.col("x") - F.col("mu"))
+                / F.when(F.col("sig") != 0, F.col("sig"))
+            ).alias("z"),
+        )
+    )
+    phi = F.expr(_pphi("z"))
+    d = rk.agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.max("sig").alias("sig"),
+        F.max(F.col("r") * 1.0 / F.col("n") - phi).alias("dplus"),
+        F.max(phi - (F.col("r") - 1.0) / F.col("n")).alias("dminus"),
+    )
+    dstat = F.when(F.col("dplus") > F.col("dminus"), F.col("dplus")).otherwise(
+        F.col("dminus")
+    )
+    return d.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("mu"), 4).alias("mu_hat"),
+        F.round(F.col("sig"), 4).alias("sigma_hat"),
+        F.round(dstat, 4).alias("d_stat"),
+        F.when(dstat > 0.886 / F.sqrt(F.col("n") * 1.0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_normal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watson U² circular uniformity on day-of-week
+
+
+@register(
+    "q_watson_u2",
+    oracle="""
+        WITH cells AS (
+            SELECT isodow(o_orderdate) AS dow,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        grid AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS dow),
+        dense AS (
+            SELECT g.dow, coalesce(c.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN cells c USING (dow)
+        ),
+        cdf AS (
+            SELECT dow, cnt,
+                   sum(cnt) OVER (ORDER BY dow
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER () AS n
+            FROM dense
+        ),
+        dev AS (
+            SELECT max(n) AS n,
+                   sum((cum * 1.0 / nullif(n, 0) - dow / 7.0)
+                       * (cnt * 1.0 / nullif(n, 0))) AS dbar,
+                   sum((cum * 1.0 / nullif(n, 0) - dow / 7.0)
+                       * (cum * 1.0 / nullif(n, 0) - dow / 7.0)
+                       * (cnt * 1.0 / nullif(n, 0))) AS d2
+            FROM cdf
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(n * (d2 - dbar * dbar), 4) + 0.0 AS watson_u2,
+               CAST(CASE WHEN n * (d2 - dbar * dbar) > 0.187
+                    THEN 1 ELSE 0 END AS INT) AS nonuniform
+        FROM dev
+    """,
+    category="analytics",
+)
+def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson's U² circular uniformity test on order day-of-week:
+    U² = n·Σ[(F_i − G_i)² − (Σ(F−G)w)²]·w over the 7-cell circle —
+    rotation-INVARIANT where a plain KS (q_ks_uniform, day-of-month)
+    depends on where the week "starts"; the omnibus companion of
+    q_circular_rayleigh's first-moment resultant (Rayleigh misses
+    bimodal departures; Watson doesn't). Fixed 5% critical 0.187.
+
+    One combinable pass to 7 ISO-dow cells (the q_activity_heatmap
+    alignment — Spark dayofweek and DuckDB dow disagree, ISO doesn't),
+    densified against a literal grid so missing weekdays exist on both
+    engines; the bounded 7-row CDF window and the closed form follow.
+    Exact integer counts; empty corpus nulls U² identically."""
+    from pyspark.sql import Window
+
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)")
+            .cast("int")
+            .alias("dow")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grid = spark.createDataFrame([(i,) for i in range(1, 8)], "dow int")
+    dense = grid.join(F.broadcast(cells), "dow", "left").select(
+        "dow", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w = Window.orderBy("dow").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = dense.select(
+        "dow",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    nn = F.when(F.col("n") != 0, F.col("n"))
+    g = F.col("cum") * 1.0 / nn - F.col("dow") / 7.0
+    wgt = F.col("cnt") * 1.0 / nn
+    dev = cdf.agg(
+        F.max("n").alias("n"),
+        F.sum(g * wgt).alias("dbar"),
+        F.sum(g * g * wgt).alias("d2"),
+    )
+    u2 = F.col("n") * (F.col("d2") - F.col("dbar") * F.col("dbar"))
+    return dev.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.round(u2, 4) + F.lit(0.0)).alias("watson_u2"),
+        F.when(u2 > 0.187, 1).otherwise(0).cast("int").alias("nonuniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between full and truncated rankings
+
+
+def _rbo_top5_sql(k: int | None, tag: str) -> str:
+    """Top-5 cosine CTE retaining the rank (the q_mrl_truncation_recall
+    list builder with rnk exposed)."""
+    sl = f"[1:{k}]" if k is not None else ""
+    dot = _DOT12B.format(a=f"q.embedding{sl}", b=f"e.embedding{sl}")
+    nq = _NORM12B.format(v=f"q.embedding{sl}")
+    nc = _NORM12B.format(v=f"e.embedding{sl}")
+    return f"""
+        {tag} AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q.vec_id AS q_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({dot} / nullif({nq} * {nc}, 0), 4)
+                               DESC NULLS LAST, e.vec_id ASC) AS rnk
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 20 AND e.vec_id != q.vec_id
+            ) WHERE rnk <= 5
+        )"""
+
+
+@register(
+    "q_rbo_ranking",
+    oracle=f"""
+        WITH {_rbo_top5_sql(None, "full_top")},
+        {_rbo_top5_sql(16, "trunc_top")},
+        pairs AS (
+            SELECT f.q_id, f.rnk AS fr, t.rnk AS tr
+            FROM full_top f
+            JOIN trunc_top t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+        ),
+        depth AS (SELECT unnest([1, 2, 3, 4, 5]) AS d),
+        ad AS (
+            SELECT q.q_id, dp.d,
+                   CAST(count(p.q_id) AS BIGINT) AS a_d
+            FROM (SELECT DISTINCT q_id FROM full_top) q
+            CROSS JOIN depth dp
+            LEFT JOIN pairs p ON p.q_id = q.q_id
+                              AND p.fr <= dp.d AND p.tr <= dp.d
+            GROUP BY 1, 2
+        ),
+        per_q AS (
+            SELECT q_id,
+                   sum(CASE d WHEN 1 THEN 1.0e0 WHEN 2 THEN 0.9e0
+                              WHEN 3 THEN 0.81e0 WHEN 4 THEN 0.729e0
+                              ELSE 0.6561e0 END * a_d / d)
+                       * 0.1e0 / (1.0 - 0.59049e0) AS rbo
+            FROM ad GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(avg(rbo), 4) AS avg_rbo,
+               round(min(rbo), 4) AS min_rbo,
+               round(max(rbo), 4) AS max_rbo
+        FROM per_q
+    """,
+    category="llm-similarity",
+)
+def q_rbo_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, depth 5) between the FULL-dim
+    cosine top-5 and the 16-dim Matryoshka-truncated top-5 per query:
+    RBO = (1−p)/(1−p⁵)·Σ_d p^{{d−1}}·|X_d∩Y_d|/d weights agreement at
+    the TOP of the lists — the order-sensitive companion of
+    q_mrl_truncation_recall's set recall (two rankings with identical
+    top-5 sets but reversed order score very differently here), next
+    to q_ndcg_ann / q_mrr_retrieval in the ranking-quality family.
+
+    Both lists come from the shared round-then-rank top-5 builder
+    (deterministic on both engines); prefix overlaps A_d are exact
+    integer counts against a 5-row literal depth grid, and the p-
+    weights are fixed e0 literals — the only floats are one weighted
+    sum of ≤5 exact fractions per query. Guards: an empty corpus
+    yields n_queries = 0 with NULL aggregates on both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def top5(k: int | None) -> DataFrame:
+        vec = F.col("embedding") if k is None else F.slice("embedding", 1, k)
+        from builder_spark.functions.vectors import dot_f64, l2_norm
+
+        q = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), vec.alias("qe")
+        ).withColumn("qn", l2_norm("qe"))
+        c = e.select("vec_id", vec.alias("ce")).withColumn("cn", l2_norm("ce"))
+        norms = F.col("qn") * F.col("cn")
+        sim = F.round(dot_f64("qe", "ce") / F.when(norms != 0, norms), 4)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc_nulls_last(), F.col("vec_id").asc()
+        )
+        return (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+            .withColumn("sim", sim)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "vec_id", "rnk")
+        )
+
+    full = top5(None).localCheckpoint(eager=True)
+    trunc = top5(16).select(
+        F.col("q_id").alias("t_qid"), F.col("vec_id").alias("t_vid"),
+        F.col("rnk").alias("tr"),
+    )
+    pairs = full.join(
+        F.broadcast(trunc),
+        (F.col("q_id") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_vid")),
+    ).select("q_id", F.col("rnk").alias("fr"), "tr")
+    depth = spark.createDataFrame([(d,) for d in range(1, 6)], "d int")
+    qids = full.select("q_id").distinct()
+    ad = (
+        qids.crossJoin(F.broadcast(depth))
+        .join(
+            F.broadcast(pairs.select(F.col("q_id").alias("p_qid"), "fr", "tr")),
+            (F.col("q_id") == F.col("p_qid"))
+            & (F.col("fr") <= F.col("d"))
+            & (F.col("tr") <= F.col("d")),
+            "left",
+        )
+        .groupBy("q_id", "d")
+        .agg(F.count("p_qid").cast("bigint").alias("a_d"))
+    )
+    wgt = (
+        F.when(F.col("d") == 1, 1.0e0)
+        .when(F.col("d") == 2, 0.9e0)
+        .when(F.col("d") == 3, 0.81e0)
+        .when(F.col("d") == 4, 0.729e0)
+        .otherwise(0.6561e0)
+    )
+    per_q = ad.groupBy("q_id").agg(
+        (F.sum(wgt * F.col("a_d") / F.col("d")) * 0.1e0 / (1.0 - 0.59049e0)).alias(
+            "rbo"
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("rbo"), 4).alias("avg_rbo"),
+        F.round(F.min("rbo"), 4).alias("min_rbo"),
+        F.round(F.max("rbo"), 4).alias("max_rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conover squared-ranks dispersion test (k groups)
+
+
+@register(
+    "q_conover_squared_ranks",
+    oracle=f"""
+        WITH means AS (
+            SELECT {_PRIO_ORD_SQL} AS grp, avg(o_totalprice) AS mu
+            FROM orders GROUP BY 1
+        ),
+        devs AS (
+            SELECT m.grp, abs(o.o_totalprice - m.mu) AS av,
+                   o.o_orderkey AS okey
+            FROM orders o JOIN means m ON {_PRIO_ORD_SQL} = m.grp
+        ),
+        rk AS (
+            SELECT grp,
+                   row_number() OVER (ORDER BY av, okey) * 1.0
+                       * row_number() OVER (ORDER BY av, okey) AS u
+            FROM devs
+        ),
+        g AS (
+            SELECT grp, count(*) AS ng, sum(u) AS su FROM rk GROUP BY grp
+        ),
+        tot AS (
+            SELECT sum(ng) AS n, sum(su) AS st,
+                   (SELECT sum(u * u) FROM rk) AS st2
+            FROM g
+        ),
+        stat AS (
+            SELECT t.n,
+                   (SELECT sum(su * su / nullif(ng * 1.0, 0)) FROM g) AS sq,
+                   t.st / nullif(t.n * 1.0, 0) AS ubar,
+                   (t.st2 - t.n * (t.st / nullif(t.n * 1.0, 0))
+                                * (t.st / nullif(t.n * 1.0, 0)))
+                       / nullif(t.n - 1.0, 0) AS d2
+            FROM tot t
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round((sq - n * ubar * ubar) / nullif(d2, 0), 4) + 0.0
+                   AS conover_t,
+               CAST(CASE WHEN (sq - n * ubar * ubar) / nullif(d2, 0) > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS unequal_dispersion
+        FROM stat
+    """,
+    category="analytics",
+)
+def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks test for equal dispersion across the five
+    order priorities: rank |x − x̄_g| pooled, square the ranks,
+    T = (Σ_g S_g²/n_g − N·ū²)/D² against χ²₄ (9.4877) — the k-GROUP
+    dispersion test completing the two-sample q_ansari_bradley, the
+    normal-theory q_bartlett_test and the robust q_brown_forsythe.
+
+    One pass for the 5 group means (broadcast), one STITCHED global
+    rank over the (|dev|, orderkey) total order, then combinable
+    group sums. The squared-rank power sums reach N⁵ — far past both
+    int64 and double-exact ranges at scale — so they accumulate as
+    widened doubles; the χ²-scale ratio survives the cancellation with
+    ~1e-11 relative error (the q_cvm_test precedent, documented).
+    Guards: constant corpus (D² = 0) nulls T on both engines."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    o = load_table(spark, sf_dir, "orders")
+    means = o.groupBy(_prio_ord().alias("grp")).agg(
+        F.avg("o_totalprice").alias("mu")
+    )
+    devs = (
+        o.select(
+            _prio_ord().alias("grp"),
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderkey").alias("okey"),
+        )
+        .join(F.broadcast(means), "grp")
+        .select("grp", F.abs(F.col("p") - F.col("mu")).alias("av"), "okey")
+    )
+    rk = stitched_running(devs, ["av", "okey"], rank_name="r").select(
+        "grp", (F.col("r") * 1.0 * F.col("r")).alias("u")
+    )
+    g = rk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("u").alias("su")
+    ).localCheckpoint(eager=True)
+    sq = g.agg(
+        F.sum(
+            F.col("su") * F.col("su") / F.when(F.col("ng") * 1.0 != 0, F.col("ng") * 1.0)
+        ).alias("sq")
+    )
+    st2 = rk.agg(F.sum(F.col("u") * F.col("u")).alias("st2"))
+    tot = g.agg(F.sum("ng").alias("n"), F.sum("su").alias("st"))
+    n = F.col("n")
+    nn = F.when(n * 1.0 != 0, n * 1.0)
+    ubar = F.col("st") / nn
+    d2 = (F.col("st2") - n * ubar * ubar) / F.when(n - 1.0 != 0, n - 1.0)
+    t_stat = (F.col("sq") - n * ubar * ubar) / F.when(d2 != 0, d2)
+    return (
+        tot.crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(st2))
+        .select(
+            n.cast("bigint").alias("n_orders"),
+            (F.round(t_stat, 4) + F.lit(0.0)).alias("conover_t"),
+            F.when(t_stat > 9.4877, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("unequal_dispersion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV corrupt-record handling (PERMISSIVE parse audit)
+
+
+@register(
+    "q_csv_corrupt_records",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % 50 != 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid,
+               CAST(sum(CASE WHEN doc_id % 50 != 0 THEN doc_id END)
+                    AS BIGINT) AS valid_id_sum,
+               CAST(sum(CASE WHEN doc_id % 50 != 0 THEN n_chars END)
+                    AS BIGINT) AS valid_chars_sum
+        FROM documents
+    """,
+    category="source-sink",
+)
+def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record audit — the ingest path every 100 TB
+    CSV feed needs: 2% of lines are written deliberately malformed
+    (unparseable doc_id), the reader runs in PERMISSIVE mode with
+    columnNameOfCorruptRecord, and the query reports clean/corrupt
+    line counts plus checksums of the rows that survived — hash-
+    matched against the ORIGINAL table's expected split, proving no
+    silent row drops and no corruption bleed into parsed columns.
+    Completes q_csv_roundtrip (happy path) the way a production
+    badRecordsPath audit would.
+
+    The malformed lines are deterministic (doc_id % 50 = 0 → leading
+    'x' breaks the bigint parse), written executor-side through the
+    text sink; the read uses an explicit schema (no inference scan).
+    Degenerate guard: empty corpus reads back 0 rows, all counts 0."""
+    from builder_spark.queries.sourcesink import scratch_dir
+    from builder_spark.sources import read_text, write_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit("x"), F.col("doc_id"), F.lit(","), F.col("lang"),
+                     F.lit(","), F.col("n_chars")),
+        )
+        .otherwise(
+            F.concat(F.col("doc_id").cast("string"), F.lit(","), F.col("lang"),
+                     F.lit(","), F.col("n_chars"))
+        )
+        .alias("text")
+    )
+    out = scratch_dir("csv_corrupt")
+    write_text(d, out)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("valid_id_sum"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars")))
+        .cast("bigint")
+        .alias("valid_chars_sum"),
     )

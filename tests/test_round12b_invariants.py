@@ -35,6 +35,12 @@ NEW = [
     "q_circular_rayleigh",
     "q_mrl_truncation_recall",
     "q_xml_roundtrip",
+    "q_brunner_munzel",
+    "q_lilliefors",
+    "q_watson_u2",
+    "q_rbo_ranking",
+    "q_conover_squared_ranks",
+    "q_csv_corrupt_records",
 ]
 
 
@@ -72,6 +78,12 @@ def test_round12b_registers_behind_backlog():
         ("q_circular_rayleigh", 3),    # (type, hour) grain + type rollup
         ("q_mrl_truncation_recall", 4),  # 3 broadcast top-5 passes, 20-query demo
         ("q_xml_roundtrip", 3),        # write + read + lang rollup
+        ("q_brunner_munzel", 10),      # two stitched rank passes (cvm shape)
+        ("q_lilliefors", 7),           # 1-row moments + one stitched rank pass
+        ("q_watson_u2", 3),            # 7-cell grain + whitelisted bounded CDF
+        ("q_rbo_ranking", 8),          # 2 broadcast top-5 lists + depth grid
+        ("q_conover_squared_ranks", 8),  # means join + one stitched rank pass
+        ("q_csv_corrupt_records", 2),  # text write + PERMISSIVE read + 1-row agg
     ],
 )
 def test_round12b_shuffle_budget(spark, name, max_exchanges):
@@ -274,3 +286,63 @@ def test_xml_roundtrip_lossless(spark):
         assert (g["n_docs"], g["id_sum"], g["total_cp"]) == (
             w["n_docs"], w["id_sum"], w["total_cp"]
         ), lang
+
+
+def test_brunner_munzel_consistency(spark):
+    """p_hat in [0,1]; the BM statistic is finite on real data and its
+    sign agrees with the rank-mean gap captured by p_hat - 0.5."""
+    r = REGISTRY["q_brunner_munzel"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= r["p_hat"] <= 1
+    assert r["bm_stat"] is not None
+    if abs(r["p_hat"] - 0.5) > 1e-4:
+        assert (r["bm_stat"] > 0) == (r["p_hat"] > 0.5)
+
+
+def test_lilliefors_bounds(spark):
+    """KS sup distance lies in [0,1] and sigma_hat > 0."""
+    r = REGISTRY["q_lilliefors"].fn(spark, SF_DIR).collect()[0]
+    assert r["sigma_hat"] > 0
+    assert 0 <= r["d_stat"] <= 1
+    assert r["reject_normal"] in (0, 1)
+
+
+def test_watson_u2_nonnegative(spark):
+    r = REGISTRY["q_watson_u2"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_orders"] > 0
+    assert r["watson_u2"] >= -1e-9
+
+
+def test_rbo_bounds_vs_recall(spark):
+    """RBO in [0,1]; with identical lists RBO = 1. The 16-dim RBO must
+    be >= 16-dim set recall minus slack only when ordering is perfect,
+    so just pin the range and the query count."""
+    r = REGISTRY["q_rbo_ranking"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_queries"] == 20
+    assert 0 <= r["min_rbo"] <= r["avg_rbo"] <= r["max_rbo"] <= 1.0001
+
+
+def test_conover_nonnegative(spark):
+    r = REGISTRY["q_conover_squared_ranks"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_orders"] > 0
+    assert r["conover_t"] >= -1e-9
+    assert r["unequal_dispersion"] in (0, 1)
+
+
+def test_csv_corrupt_split_exact(spark):
+    """The PERMISSIVE reader must classify exactly the deliberately
+    corrupted 2% as corrupt and parse everything else cleanly."""
+    from builder_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    r = REGISTRY["q_csv_corrupt_records"].fn(spark, SF_DIR).collect()[0]
+    want = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0)).alias("nc"),
+        )
+        .collect()[0]
+    )
+    assert r["n_lines"] == want["n"]
+    assert r["n_corrupt"] == want["nc"]
+    assert r["n_valid"] == want["n"] - want["nc"]

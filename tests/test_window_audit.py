@@ -96,6 +96,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_variance_ratio": "day table (calendar-bounded)",
     "q_hodges_lehmann": "day-pair Walsh table (calendar-bounded squared)",
     "q_ks_uniform": "28 day-of-month rows",
+    "q_watson_u2": "7 iso-dow rows",
     "q_storey_qvalues": "35 contingency cells (event types x weekdays)",
 }
 
@@ -132,7 +133,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 70, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 71, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

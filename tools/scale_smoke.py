@@ -344,6 +344,11 @@ HEAVY = [
     "q_circular_rayleigh",
     "q_mrl_truncation_recall",
     "q_xml_roundtrip",
+    "q_brunner_munzel",
+    "q_lilliefors",
+    "q_conover_squared_ranks",
+    "q_rbo_ranking",
+    "q_csv_corrupt_records",
 ]
 
 #: per-table key columns to offset so replicas don't collide
