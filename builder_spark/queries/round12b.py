@@ -2931,3 +2931,479 @@ def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("valid_chars_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bartels rank von Neumann randomness test
+
+
+@register(
+    "q_bartels_rank",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        rk AS (
+            SELECT d, row_number() OVER (ORDER BY rev, d) AS r
+            FROM daily
+        ),
+        nx AS (
+            SELECT r,
+                   lead(r) OVER (ORDER BY d) AS rn
+            FROM rk
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CASE WHEN rn IS NOT NULL
+                            THEN (r - rn) * 1.0 * (r - rn) END) AS sd2
+            FROM nx
+        )
+        SELECT n AS n_days,
+               round(sd2 / nullif((n * 1.0 * n * n - n) / 12, 0), 4) AS rvn,
+               round((sd2 / nullif((n * 1.0 * n * n - n) / 12, 0) - 2)
+                     / nullif(sqrt(CASE WHEN n > 0
+                                        THEN 20.0 / (5 * n + 7) END), 0), 4)
+                   + 0.0 AS bartels_z,
+               CAST(CASE WHEN abs((sd2 / nullif((n * 1.0 * n * n - n)
+                                                / 12, 0) - 2)
+                              / nullif(sqrt(CASE WHEN n > 0
+                                            THEN 20.0 / (5 * n + 7) END), 0))
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS nonrandom
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio — the RANK version of the
+    von Neumann randomness test on daily revenue: RVN = Σ(R_t −
+    R_{{t+1}})² / Σ(R_t − R̄)², E = 2 under randomness, z with the
+    asymptotic variance 20/(5n+7); RVN ≪ 2 flags positive serial
+    dependence, ≫ 2 alternation. The rank companion of q_runs_test
+    (signs) and q_ljung_box (parametric ACF) — robust to the revenue
+    distribution's heavy tail.
+
+    Ranks are a PERMUTATION of 1..n (ties broken by date), so the
+    denominator is the closed form (n³−n)/12 — exact, no second pass;
+    the numerator is one whitelisted day-grain lead window over the
+    calendar-bounded rank table. Widened products per the r11 ADVICE
+    discipline. Guards: n ≤ 1 nulls the ratio on both engines."""
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    rk = daily.select(
+        "d", F.row_number().over(Window.orderBy("rev", "d")).alias("r")
+    )
+    nx = rk.select(
+        "r", F.lead("r").over(Window.orderBy("d")).alias("rn")
+    )
+    agg = nx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("rn").isNotNull(),
+                (F.col("r") - F.col("rn")) * 1.0 * (F.col("r") - F.col("rn")),
+            )
+        ).alias("sd2"),
+    )
+    n = F.col("n")
+    den = (n * 1.0 * n * n - n) / 12
+    rvn = F.col("sd2") / F.when(den != 0, den)
+    sd = F.sqrt(F.when(n > 0, 20.0 / (5 * n + 7)))
+    z = (rvn - 2) / F.when(sd != 0, sd)
+    return agg.select(
+        n.alias("n_days"),
+        F.round(rvn, 4).alias("rvn"),
+        (F.round(z, 4) + F.lit(0.0)).alias("bartels_z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("nonrandom"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs max-|z| outlier screen with Bonferroni-normal p
+
+
+@register(
+    "q_grubbs_max_z",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        m AS (
+            SELECT count(*) AS n, avg(rev / 100.0) AS mu,
+                   sqrt((sum((rev / 100.0) * (rev / 100.0))
+                         - count(*) * avg(rev / 100.0) * avg(rev / 100.0))
+                        / nullif(count(*) - 1.0, 0)) AS sig
+            FROM daily
+        ),
+        g AS (
+            SELECT m.n, m.mu, m.sig,
+                   max(abs(daily.rev / 100.0 - m.mu) / nullif(m.sig, 0)) AS gmax
+            FROM daily, m
+            GROUP BY m.n, m.mu, m.sig
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(gmax, 4) AS grubbs_g,
+               round(2 * n * (1.0 - {_pphi("gmax")}), 4) + 0.0 AS p_bonf,
+               CAST(CASE WHEN 2 * n * (1.0 - {_pphi("gmax")}) < 0.05
+                    THEN 1 ELSE 0 END AS INT) AS outlier_detected
+        FROM g
+    """,
+    category="analytics",
+)
+def q_grubbs_max_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style max-|z| outlier screen on daily revenue: G =
+    max|x−x̄|/s with the Bonferroni-normal tail bound p ≈ 2n(1−Φ(G))
+    (the large-n Grubbs approximation — the exact critical needs a t
+    quantile; the normal bound is conservative and closed-form). The
+    single-most-extreme-day companion of q_esd_outliers (iterative,
+    k outliers) and q_anomaly_mad (robust center) — this one yields a
+    p-value through the shared polynomial Φ.
+
+    One combinable moment pass (1-row broadcast), one max aggregate
+    over the calendar-bounded day table — no window at all; Φ is the
+    same Zelen–Severo polynomial as q_lilliefors (only exp crosses
+    libm). Guards: constant series (s = 0) or empty table nulls G."""
+    daily = _daily(spark, sf_dir)
+    cnt = F.count(F.lit(1))
+    y = F.col("rev") / 100.0
+    m = daily.agg(
+        cnt.alias("n"),
+        F.avg(y).alias("mu"),
+        F.sqrt(
+            (F.sum(y * y) - cnt * F.avg(y) * F.avg(y))
+            / F.when(cnt - 1.0 != 0, cnt - 1.0)
+        ).alias("sig"),
+    )
+    g = (
+        daily.crossJoin(F.broadcast(m))
+        .groupBy("n", "mu", "sig")
+        .agg(
+            F.max(
+                F.abs(F.col("rev") / 100.0 - F.col("mu"))
+                / F.when(F.col("sig") != 0, F.col("sig"))
+            ).alias("gmax")
+        )
+    )
+    phi = F.expr(_pphi("gmax"))
+    p = 2 * F.col("n") * (1.0 - phi)
+    return g.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("gmax"), 4).alias("grubbs_g"),
+        (F.round(p, 4) + F.lit(0.0)).alias("p_bonf"),
+        F.when(p < 0.05, 1).otherwise(0).cast("int").alias("outlier_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cucconi joint location-scale two-sample test
+
+
+@register(
+    "q_cucconi_test",
+    oracle="""
+        WITH x AS (
+            SELECT o_totalprice AS price, o_orderkey AS okey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS samp
+            FROM orders
+        ),
+        rk AS (
+            SELECT samp, row_number() OVER (ORDER BY price, okey) * 1.0 AS r,
+                   count(*) OVER () * 1.0 AS nn
+            FROM x
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN samp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(sum(CASE WHEN samp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS m1,
+                   max(nn) AS nt,
+                   sum(CASE WHEN samp = 1 THEN r * r END) AS sr2,
+                   sum(CASE WHEN samp = 1
+                            THEN (nn + 1 - r) * (nn + 1 - r) END) AS sc2
+            FROM rk
+        ),
+        uv AS (
+            SELECT n1, m1, nt,
+                   (6 * sr2 - n1 * (nt + 1) * (2 * nt + 1))
+                   / nullif(sqrt(CASE WHEN m1 * 1.0 * n1 * (nt + 1)
+                                           * (2 * nt + 1) * (8 * nt + 11) / 5
+                                           > 0
+                                      THEN m1 * 1.0 * n1 * (nt + 1)
+                                           * (2 * nt + 1) * (8 * nt + 11) / 5
+                                 END), 0) AS u,
+                   (6 * sc2 - n1 * (nt + 1) * (2 * nt + 1))
+                   / nullif(sqrt(CASE WHEN m1 * 1.0 * n1 * (nt + 1)
+                                           * (2 * nt + 1) * (8 * nt + 11) / 5
+                                           > 0
+                                      THEN m1 * 1.0 * n1 * (nt + 1)
+                                           * (2 * nt + 1) * (8 * nt + 11) / 5
+                                 END), 0) AS v,
+                   (2 * (nt * nt - 4))
+                       / nullif((2 * nt + 1) * (8 * nt + 11), 0) - 1 AS rho
+            FROM agg
+        )
+        SELECT n1 AS n_urgent, m1 AS n_other,
+               round(u, 4) + 0.0 AS cucconi_u,
+               round(v, 4) + 0.0 AS cucconi_v,
+               round((u * u + v * v - 2 * rho * u * v)
+                     / nullif(2 * (1 - rho * rho), 0), 4) + 0.0 AS cucconi_c,
+               CAST(CASE WHEN (u * u + v * v - 2 * rho * u * v)
+                              / nullif(2 * (1 - rho * rho), 0) > 2.9957
+                    THEN 1 ELSE 0 END AS INT) AS reject_same
+        FROM uv
+    """,
+    category="analytics",
+)
+def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-SCALE two-sample test (urgent/high order
+    values vs the rest): U standardizes Σ rank², V the contrary
+    Σ(N+1−rank)², C = (U²+V²−2ρUV)/(2(1−ρ²)) with the closed-form ρ;
+    asymptotically p = e^{-C}, reject at C > 2.9957 (5%). One test
+    that catches BOTH a location shift and a dispersion change —
+    where q_mann_whitney_u sees only location, q_ansari_bradley only
+    scale, and q_cvm_test needs the whole CDF.
+
+    ONE stitched global rank pass (with_totals supplies N in the same
+    pass — cheaper than the CvM/BM two-pass shape); Σrank² power sums
+    reach N³, so they accumulate as widened doubles (the q_cvm_test
+    precedent, ~1e-9 noise on an O(1) statistic). Guards: one-sample-
+    empty or N ≤ 2 nulls U/V/ρ denominators identically."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("samp"),
+    )
+    rk = stitched_running(
+        x, ["price", "okey"], rank_name="r", with_totals=True
+    ).select(
+        "samp", (F.col("r") * 1.0).alias("r"), (F.col("r_total") * 1.0).alias("nn")
+    )
+    agg = rk.agg(
+        F.sum(F.when(F.col("samp") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("samp") == 0, 1).otherwise(0)).cast("bigint").alias("m1"),
+        F.max("nn").alias("nt"),
+        F.sum(F.when(F.col("samp") == 1, F.col("r") * F.col("r"))).alias("sr2"),
+        F.sum(
+            F.when(
+                F.col("samp") == 1,
+                (F.col("nn") + 1 - F.col("r")) * (F.col("nn") + 1 - F.col("r")),
+            )
+        ).alias("sc2"),
+    )
+    n1, m1, nt = F.col("n1"), F.col("m1"), F.col("nt")
+    var = m1 * 1.0 * n1 * (nt + 1) * (2 * nt + 1) * (8 * nt + 11) / 5
+    sden = F.sqrt(F.when(var > 0, var))
+    u = (6 * F.col("sr2") - n1 * (nt + 1) * (2 * nt + 1)) / F.when(sden != 0, sden)
+    v = (6 * F.col("sc2") - n1 * (nt + 1) * (2 * nt + 1)) / F.when(sden != 0, sden)
+    rden = (2 * nt + 1) * (8 * nt + 11)
+    rho = (2 * (nt * nt - 4)) / F.when(rden != 0, rden) - 1
+    cden = 2 * (1 - rho * rho)
+    c = (u * u + v * v - 2 * rho * u * v) / F.when(cden != 0, cden)
+    return agg.select(
+        n1.alias("n_urgent"),
+        m1.alias("n_other"),
+        (F.round(u, 4) + F.lit(0.0)).alias("cucconi_u"),
+        (F.round(v, 4) + F.lit(0.0)).alias("cucconi_v"),
+        (F.round(c, 4) + F.lit(0.0)).alias("cucconi_c"),
+        F.when(c > 2.9957, 1).otherwise(0).cast("int").alias("reject_same"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's C max-variance homogeneity screen
+
+
+@register(
+    "q_cochran_c_test",
+    oracle=f"""
+        WITH g AS (
+            SELECT {_PRIO_ORD_SQL} AS grp, count(*) AS n,
+                   (sum(o_totalprice * o_totalprice)
+                    - count(*) * avg(o_totalprice) * avg(o_totalprice))
+                       / nullif(count(*) - 1.0, 0) AS s2
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               round(max(s2) / nullif(sum(s2), 0), 4) AS cochran_c,
+               round(1.0 / nullif(count(*), 0), 4) AS expected_c,
+               CAST(CASE WHEN max(s2) / nullif(sum(s2), 0)
+                              > 1.1 / nullif(count(*), 0) THEN 1 ELSE 0 END
+                    AS INT) AS variance_outlier
+        FROM g
+    """,
+    category="analytics",
+)
+def q_cochran_c_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's C — the max-variance homogeneity screen across the
+    five priority groups: C = max(s_g²)/Σs_g², E[C] = 1/k under
+    homogeneity; flagged when one group holds >1.1/k of the pooled
+    variance (a conservative large-ν bar — the exact critical needs an
+    F quantile and converges to 1/k as ν→∞). The quick screen run
+    BEFORE q_bartlett_test / q_brown_forsythe: it names the single
+    worst group instead of testing the global null.
+
+    One combinable pass to 5 group moments; exact integer counts feed
+    the single-division variance form (the q_burstiness bit-identity
+    lesson — no engine-internal var_samp). Guards: single-order groups
+    null their s², an all-constant corpus nulls C."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(_prio_ord().alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (
+                    F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
+                    - F.count(F.lit(1))
+                    * F.avg("o_totalprice")
+                    * F.avg("o_totalprice")
+                )
+                / F.when(
+                    F.count(F.lit(1)) - 1.0 != 0, F.count(F.lit(1)) - 1.0
+                )
+            ).alias("s2"),
+        )
+    )
+    k = F.count(F.lit(1))
+    c = F.max("s2") / F.when(F.sum("s2") != 0, F.sum("s2"))
+    return g.agg(
+        k.cast("bigint").alias("n_groups"),
+        F.round(c, 4).alias("cochran_c"),
+        F.round(1.0 / F.when(k != 0, k), 4).alias("expected_c"),
+        F.when(c > 1.1 / F.when(k != 0, k), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("variance_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-length padding waste curve
+
+
+@register(
+    "q_padding_waste_curve",
+    oracle="""
+        WITH toks AS (
+            SELECT len(string_split(text, ' ')) AS tok FROM documents
+        ),
+        grid AS (SELECT unnest([128, 256, 512, 1024]) AS ctx_len),
+        agg AS (
+            SELECT g.ctx_len,
+                   CAST(count(tok) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(((tok + g.ctx_len - 1) // g.ctx_len) * g.ctx_len)
+                        AS BIGINT) AS total_padded
+            FROM grid g LEFT JOIN toks ON TRUE GROUP BY 1
+        )
+        SELECT ctx_len, n_docs, total_tokens, total_padded,
+               round((total_padded - total_tokens) * 1.0
+                     / nullif(total_padded, 0), 4) AS waste_share
+        FROM agg
+        ORDER BY ctx_len
+    """,
+    category="llm-pipeline",
+)
+def q_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length padding waste curve: if every document is split
+    into ⌈tok/L⌉ chunks padded to L, what share of the batch is pad
+    tokens, for L ∈ {128, 256, 512, 1024}? The capacity-planning
+    number behind choosing a training context length — the
+    one-document-per-sequence WORST CASE that q_seq_packing's
+    first-fit packing then recovers, and the cost side of
+    q_context_overflow's truncation-loss tradeoff.
+
+    One fact pass against a 4-row broadcast grid; chunk counts are
+    exact integer ceil-division (// and div truncate identically on
+    nonnegative ints — the cast-direction trap from SURVEY §2 never
+    enters). Guards: empty corpus keeps all 4 grid rows with zero
+    totals and NULL waste on both engines."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("tok")
+    )
+    grid = spark.createDataFrame([(l,) for l in (128, 256, 512, 1024)], "ctx_len int")
+    agg = (
+        grid.join(toks, F.lit(True), "left")
+        .groupBy("ctx_len")
+        .agg(
+            F.count("tok").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.expr("((tok + ctx_len - 1) div ctx_len)") * F.col("ctx_len")
+            )
+            .cast("bigint")
+            .alias("total_padded"),
+        )
+    )
+    return agg.select(
+        "ctx_len",
+        "n_docs",
+        "total_tokens",
+        "total_padded",
+        F.round(
+            (F.col("total_padded") - F.col("total_tokens"))
+            * 1.0
+            / F.when(F.col("total_padded") != 0, F.col("total_padded")),
+            4,
+        ).alias("waste_share"),
+    ).orderBy("ctx_len")
+
+
+# ---------------------------------------------------------------------------
+# CSV quoting/escaping roundtrip
+
+
+@register(
+    "q_csv_quoting_roundtrip",
+    oracle="""
+        WITH adv AS (
+            SELECT doc_id,
+                   'pre,"' || lang || '",' || chr(10) || 'post' AS v
+            FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(length(v)) AS BIGINT) AS value_cp,
+               CAST(count(DISTINCT md5(v)) AS BIGINT) AS distinct_values
+        FROM adv
+    """,
+    category="source-sink",
+)
+def q_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV QUOTING-path roundtrip: every row carries a value with an
+    embedded delimiter, embedded double quotes AND an embedded
+    newline ('pre,"<lang>",\\npost') — the three things that break
+    naive line-oriented CSV. Spark's writer must quote+escape, the
+    reader must run in multiLine mode to reassemble the record, and
+    the checksums must match stats computed on the ORIGINAL values.
+    q_csv_roundtrip covers the happy path and q_csv_corrupt_records
+    the malformed path; this is the escaping path — the one that
+    silently corrupts feeds when quote/escape configs drift.
+
+    multiLine read disables intra-file split parallelism (each file
+    one task) — the documented cost of embedded newlines at 100 TB,
+    which is why the writer keeps many small part files. Explicit
+    schema; empty corpus reads back 0 rows."""
+    from builder_spark.queries.sourcesink import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('pre,"'), F.col("lang"), F.lit('",'), F.lit("\n"), F.lit("post")
+        ).alias("v"),
+    )
+    out = scratch_dir("csv_quoting")
+    d.write.mode("overwrite").option("header", "false").csv(out)
+    back = (
+        spark.read.schema("doc_id bigint, v string")
+        .option("multiLine", "true")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.length("v")).cast("bigint").alias("value_cp"),
+        F.countDistinct(F.md5("v")).cast("bigint").alias("distinct_values"),
+    )

@@ -41,6 +41,12 @@ NEW = [
     "q_rbo_ranking",
     "q_conover_squared_ranks",
     "q_csv_corrupt_records",
+    "q_bartels_rank",
+    "q_grubbs_max_z",
+    "q_cucconi_test",
+    "q_cochran_c_test",
+    "q_padding_waste_curve",
+    "q_csv_quoting_roundtrip",
 ]
 
 
@@ -84,6 +90,12 @@ def test_round12b_registers_behind_backlog():
         ("q_rbo_ranking", 8),          # 2 broadcast top-5 lists + depth grid
         ("q_conover_squared_ranks", 8),  # means join + one stitched rank pass
         ("q_csv_corrupt_records", 2),  # text write + PERMISSIVE read + 1-row agg
+        ("q_bartels_rank", 3),         # day grain + whitelisted rank/lead windows
+        ("q_grubbs_max_z", 4),         # day grain + 1-row moments + max agg
+        ("q_cucconi_test", 6),         # ONE stitched rank pass (with_totals)
+        ("q_cochran_c_test", 2),       # 5-group moment rollup + 1-row max
+        ("q_padding_waste_curve", 2),  # fact pass vs 4-row broadcast grid
+        ("q_csv_quoting_roundtrip", 2),  # csv write + multiLine read + 1-row agg
     ],
 )
 def test_round12b_shuffle_budget(spark, name, max_exchanges):
@@ -346,3 +358,69 @@ def test_csv_corrupt_split_exact(spark):
     assert r["n_lines"] == want["n"]
     assert r["n_corrupt"] == want["nc"]
     assert r["n_valid"] == want["n"] - want["nc"]
+
+
+def test_bartels_rvn_range(spark):
+    """RVN lies in (0, 4) for any permutation; z finite."""
+    r = REGISTRY["q_bartels_rank"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_days"] > 2
+    assert 0 < r["rvn"] < 4
+    assert r["bartels_z"] is not None
+
+
+def test_grubbs_g_bounds(spark):
+    """G <= (n-1)/sqrt(n) always (the max-z identity) and G > 0."""
+    import math
+
+    r = REGISTRY["q_grubbs_max_z"].fn(spark, SF_DIR).collect()[0]
+    n = r["n_days"]
+    assert 0 < r["grubbs_g"] <= (n - 1) / math.sqrt(n) + 1e-9
+    assert r["p_bonf"] >= 0
+
+
+def test_cucconi_nonnegative(spark):
+    """C is a positive-definite quadratic form; U and V anticorrelate
+    (a right-shifted sample has large ranks AND small contrary ranks)."""
+    r = REGISTRY["q_cucconi_test"].fn(spark, SF_DIR).collect()[0]
+    assert r["cucconi_c"] >= -1e-9
+    assert r["reject_same"] in (0, 1)
+
+
+def test_cochran_c_range(spark):
+    """C in [1/k, 1] by construction."""
+    r = REGISTRY["q_cochran_c_test"].fn(spark, SF_DIR).collect()[0]
+    k = r["n_groups"]
+    assert k == 5
+    assert 1.0 / k - 1e-9 <= r["cochran_c"] <= 1 + 1e-9
+
+
+def test_padding_waste_monotone(spark):
+    """Longer contexts can only increase per-doc padding (docs shorter
+    than L pad to L), so waste_share rises with ctx_len once ctx_len
+    exceeds the typical doc length; totals are consistent."""
+    rows = REGISTRY["q_padding_waste_curve"].fn(spark, SF_DIR).collect()
+    assert [r["ctx_len"] for r in rows] == [128, 256, 512, 1024]
+    for r in rows:
+        assert r["total_padded"] >= r["total_tokens"]
+        assert r["total_padded"] % r["ctx_len"] == 0
+        assert 0 <= r["waste_share"] < 1
+
+
+def test_csv_quoting_lossless(spark):
+    """Readback stats must equal the original adversarial values."""
+    from builder_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    r = REGISTRY["q_csv_quoting_roundtrip"].fn(spark, SF_DIR).collect()[0]
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('pre,"'), F.col("lang"), F.lit('",'), F.lit("\n"), F.lit("post")
+        ).alias("v"),
+    )
+    w = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("ids"),
+        F.sum(F.length("v")).alias("cp"),
+    ).collect()[0]
+    assert (r["n_rows"], r["id_sum"], r["value_cp"]) == (w["n"], w["ids"], w["cp"])

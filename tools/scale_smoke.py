@@ -349,6 +349,10 @@ HEAVY = [
     "q_conover_squared_ranks",
     "q_rbo_ranking",
     "q_csv_corrupt_records",
+    "q_cucconi_test",
+    "q_grubbs_max_z",
+    "q_padding_waste_curve",
+    "q_csv_quoting_roundtrip",
 ]
 
 #: per-table key columns to offset so replicas don't collide
