@@ -3407,3 +3407,715 @@ def q_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("v")).cast("bigint").alias("value_cp"),
         F.countDistinct(F.md5("v")).cast("bigint").alias("distinct_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test
+
+
+@register(
+    "q_pettitt_test",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        rk AS (
+            SELECT d, row_number() OVER (ORDER BY rev, d) AS r,
+                   row_number() OVER (ORDER BY d) AS t,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        u AS (
+            SELECT d, n,
+                   2 * sum(r) OVER (ORDER BY d
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                       - t * (n + 1) AS ut
+            FROM rk
+        ),
+        k AS (
+            SELECT max(n) AS n, max(abs(ut)) AS kmax
+            FROM u
+        ),
+        arg AS (
+            SELECT min(u.d) AS change_d
+            FROM u, k WHERE abs(u.ut) = k.kmax
+        )
+        SELECT CAST(k.n AS BIGINT) AS n_days,
+               CAST(k.kmax AS BIGINT) AS k_stat,
+               arg.change_d AS change_date,
+               round(2 * exp(-6.0 * k.kmax * k.kmax
+                             / nullif(k.n * 1.0 * k.n * k.n
+                                      + k.n * 1.0 * k.n, 0)), 4)
+                   AS p_approx,
+               CAST(CASE WHEN 2 * exp(-6.0 * k.kmax * k.kmax
+                                      / nullif(k.n * 1.0 * k.n * k.n
+                                               + k.n * 1.0 * k.n, 0)) < 0.05
+                    THEN 1 ELSE 0 END AS INT) AS change_detected
+        FROM k, arg
+    """,
+    category="analytics",
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on daily revenue — the rank-based
+    Mann–Whitney-at-every-split statistic K = max_t |U_t| with the
+    exact identity U_t = 2·Σ_{{i≤t}}R_i − t(n+1) (no O(n²) pair scan),
+    the approximate p = 2·exp(−6K²/(n³+n²)), and the argmax DATE. The
+    nonparametric, single-unknown-changepoint member next to
+    q_cusum_changepoint (parametric cumsum), q_page_hinkley (online)
+    and q_binary_segmentation (recursive); Chow (q_chow_test) needs
+    the date hypothesized — Pettitt finds it.
+
+    Two whitelisted day-grain windows (value rank, time cumsum) over
+    the calendar-bounded day table — integer-exact until the final
+    exp; argmax resolved as MIN date attaining K (deterministic under
+    ties on both engines). Guards: empty table nulls K and the p."""
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    rk = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("rev", "d")).alias("r"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    u = rk.select(
+        "d",
+        "n",
+        (
+            2 * F.sum("r").over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("t") * (F.col("n") + 1)
+        ).alias("ut"),
+    )
+    k = u.agg(F.max("n").alias("n"), F.max(F.abs(F.col("ut"))).alias("kmax"))
+    arg = (
+        u.crossJoin(F.broadcast(k.select(F.col("kmax").alias("km"))))
+        .filter(F.abs(F.col("ut")) == F.col("km"))
+        .agg(F.min("d").alias("change_date"))
+    )
+    n = F.col("n")
+    pden = n * 1.0 * n * n + n * 1.0 * n
+    p = 2 * F.exp(-6.0 * F.col("kmax") * F.col("kmax") / F.when(pden != 0, pden))
+    return k.crossJoin(F.broadcast(arg)).select(
+        n.cast("bigint").alias("n_days"),
+        F.col("kmax").cast("bigint").alias("k_stat"),
+        F.col("change_date"),
+        F.round(p, 4).alias("p_approx"),
+        F.when(p < 0.05, 1).otherwise(0).cast("int").alias("change_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann–Kendall trend test
+
+
+@register(
+    "q_seasonal_mann_kendall",
+    oracle="""
+        WITH mo AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                   month(CAST(o_orderdate AS DATE)) AS moy,
+                   year(CAST(o_orderdate AS DATE)) AS yr,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        s AS (
+            SELECT a.moy,
+                   CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                                 WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_m,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM mo a JOIN mo b ON a.moy = b.moy AND b.yr > a.yr
+            GROUP BY a.moy
+        ),
+        nm AS (
+            SELECT moy, CAST(count(*) AS BIGINT) AS n_m
+            FROM mo GROUP BY moy
+        ),
+        agg AS (
+            SELECT CAST(sum(s.s_m) AS BIGINT) AS s_tot,
+                   sum(nm.n_m * 1.0 * (nm.n_m - 1) * (2 * nm.n_m + 5)) / 18
+                       AS var_s,
+                   CAST(sum(nm.n_m) AS BIGINT) AS n_months
+            FROM s JOIN nm ON s.moy = nm.moy
+        )
+        SELECT n_months, s_tot,
+               round(CASE WHEN s_tot > 0
+                          THEN (s_tot - 1)
+                               / nullif(sqrt(CASE WHEN var_s > 0
+                                             THEN var_s END), 0)
+                          WHEN s_tot < 0
+                          THEN (s_tot + 1)
+                               / nullif(sqrt(CASE WHEN var_s > 0
+                                             THEN var_s END), 0)
+                          ELSE 0.0 END, 4) + 0.0 AS smk_z,
+               CAST(CASE WHEN abs(CASE WHEN s_tot > 0
+                          THEN (s_tot - 1)
+                               / nullif(sqrt(CASE WHEN var_s > 0
+                                             THEN var_s END), 0)
+                          WHEN s_tot < 0
+                          THEN (s_tot + 1)
+                               / nullif(sqrt(CASE WHEN var_s > 0
+                                             THEN var_s END), 0)
+                          ELSE 0.0 END) > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS trend_detected
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch–Slack) trend test on monthly
+    revenue: the MK S statistic computed WITHIN each month-of-year
+    (January compared only with other Januaries…) then summed, so the
+    strong weekly/seasonal cycle q_weekday_seasonality measures cannot
+    masquerade as trend — the seasonality-robust upgrade of
+    q_mann_kendall, with the tie-free variance Σ n_m(n_m−1)(2n_m+5)/18
+    and the ±1 continuity correction.
+
+    Facts collapse to the calendar-bounded month grain (≤ ~80 rows,
+    exact cents); the within-season pair lattice is a broadcast
+    self-join on month-of-year with year ordering (≤ 12·C(7,2) rows).
+    Sign comparisons on exact integers — no float until z. Guards:
+    a single-year corpus (no pairs) nulls z identically."""
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+            F.month(F.col("o_orderdate").cast("date")).alias("moy"),
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = mo.select(
+        F.col("moy").alias("bmoy"), F.col("yr").alias("byr"), F.col("rev").alias("brev")
+    )
+    s = (
+        mo.join(
+            F.broadcast(b),
+            (F.col("moy") == F.col("bmoy")) & (F.col("byr") > F.col("yr")),
+        )
+        .groupBy("moy")
+        .agg(
+            F.sum(
+                F.when(F.col("brev") > F.col("rev"), 1)
+                .when(F.col("brev") < F.col("rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_m")
+        )
+    )
+    nm = mo.groupBy("moy").agg(F.count(F.lit(1)).cast("bigint").alias("n_m"))
+    agg = s.join(nm, "moy").agg(
+        F.sum("s_m").cast("bigint").alias("s_tot"),
+        (
+            F.sum(F.col("n_m") * 1.0 * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5))
+            / 18
+        ).alias("var_s"),
+        F.sum("n_m").cast("bigint").alias("n_months"),
+    )
+    sd = F.sqrt(F.when(F.col("var_s") > 0, F.col("var_s")))
+    st = F.col("s_tot")
+    z = (
+        F.when(st > 0, (st - 1) / F.when(sd != 0, sd))
+        .when(st < 0, (st + 1) / F.when(sd != 0, sd))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col("n_months"),
+        st.alias("s_tot"),
+        (F.round(z, 4) + F.lit(0.0)).alias("smk_z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("trend_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cox–Stuart sign test for trend
+
+
+@register(
+    "q_cox_stuart",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        rk AS (
+            SELECT rev, row_number() OVER (ORDER BY d) AS t,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        paired AS (
+            SELECT a.rev AS x1, b.rev AS x2
+            FROM rk a JOIN rk b
+              ON b.t = a.t + (a.n + 1) // 2 AND a.t <= a.n // 2
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_up,
+                   CAST(sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_down
+            FROM paired
+        )
+        SELECT n_up, n_down,
+               round((abs(n_up * 1.0 - n_down) - 1)
+                     / nullif(sqrt(CASE WHEN n_up + n_down > 0
+                                   THEN n_up * 1.0 + n_down END), 0), 4)
+                   + 0.0 AS cs_z,
+               CAST(CASE WHEN (abs(n_up * 1.0 - n_down) - 1)
+                              / nullif(sqrt(CASE WHEN n_up + n_down > 0
+                                            THEN n_up * 1.0 + n_down END), 0)
+                              > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS trend_detected
+        FROM agg
+    """,
+    category="analytics",
+)
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart sign test for trend on daily revenue: pair day t
+    with day t+⌈n/2⌉ (first half vs second half, middle day dropped
+    when n is odd), count rises vs falls, and z-test the sign split
+    with continuity correction — the distribution-free trend screen
+    that needs NO ranks at all, next to q_mann_kendall (all pairs) and
+    q_bartels_rank (serial randomness). Equal pairs are excluded, the
+    binomial null is ½.
+
+    The half-offset pairing is ONE equi-join on the day index
+    (b.t = a.t + ⌈n/2⌉) over the calendar-bounded day table — exact
+    integer cents comparisons, one whitelisted index window. Guards:
+    n ≤ 1 (no pairs) or all-tied pairs null z identically."""
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    rk = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    b = rk.select(F.col("rev").alias("x2"), F.col("t").alias("bt"))
+    paired = rk.filter(F.col("t") <= F.expr("n div 2")).join(
+        b, F.col("bt") == F.col("t") + F.expr("(n + 1) div 2")
+    )
+    agg = paired.agg(
+        F.sum(F.when(F.col("x2") > F.col("rev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("x2") < F.col("rev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    tot = F.col("n_up") + F.col("n_down")
+    sd = F.sqrt(F.when(tot > 0, F.col("n_up") * 1.0 + F.col("n_down")))
+    z = (F.abs(F.col("n_up") * 1.0 - F.col("n_down")) - 1) / F.when(sd != 0, sd)
+    return agg.select(
+        "n_up",
+        "n_down",
+        (F.round(z, 4) + F.lit(0.0)).alias("cs_z"),
+        F.when(z > 1.96, 1).otherwise(0).cast("int").alias("trend_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz two-sample runs test
+
+
+@register(
+    "q_wald_wolfowitz",
+    oracle="""
+        WITH x AS (
+            SELECT o_totalprice AS price, o_orderkey AS okey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS samp
+            FROM orders
+        ),
+        rk AS (
+            SELECT samp, row_number() OVER (ORDER BY price, okey) AS r
+            FROM x
+        ),
+        runs AS (
+            SELECT CAST(sum(CASE WHEN b.samp IS NULL
+                                 OR a.samp != b.samp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_runs
+            FROM rk a LEFT JOIN rk b ON b.r = a.r - 1
+        ),
+        cnts AS (
+            SELECT CAST(sum(samp) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(samp) AS BIGINT) AS n0
+            FROM x
+        )
+        SELECT c.n1 AS n_urgent, c.n0 AS n_other, r.n_runs,
+               round((r.n_runs - (2.0 * c.n1 * c.n0 / nullif(c.n1 + c.n0, 0)
+                                  + 1))
+                     / nullif(sqrt(CASE WHEN (c.n1 + c.n0) > 1 AND
+                                        2.0 * c.n1 * c.n0
+                                        * (2.0 * c.n1 * c.n0 - c.n1 - c.n0)
+                                        > 0
+                                   THEN 2.0 * c.n1 * c.n0
+                                        * (2.0 * c.n1 * c.n0 - c.n1 - c.n0)
+                                        / ((c.n1 + c.n0) * 1.0 * (c.n1 + c.n0)
+                                           * (c.n1 + c.n0 - 1))
+                                   END), 0), 4) + 0.0 AS ww_z,
+               CAST(CASE WHEN abs((r.n_runs
+                                   - (2.0 * c.n1 * c.n0
+                                      / nullif(c.n1 + c.n0, 0) + 1))
+                     / nullif(sqrt(CASE WHEN (c.n1 + c.n0) > 1 AND
+                                        2.0 * c.n1 * c.n0
+                                        * (2.0 * c.n1 * c.n0 - c.n1 - c.n0)
+                                        > 0
+                                   THEN 2.0 * c.n1 * c.n0
+                                        * (2.0 * c.n1 * c.n0 - c.n1 - c.n0)
+                                        / ((c.n1 + c.n0) * 1.0 * (c.n1 + c.n0)
+                                           * (c.n1 + c.n0 - 1))
+                                   END), 0)) > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS reject_same
+        FROM runs r, cnts c
+    """,
+    category="analytics",
+)
+def q_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz two-sample runs test (urgent/high order values
+    vs the rest): sort the POOLED sample, count label runs, z-score
+    against E[R] = 2n₁n₀/N + 1 — the omnibus "are these two samples
+    from the same distribution AT ALL" screen (sensitive to location,
+    scale and shape at once) completing the family: q_mann_whitney_u
+    (location), q_ansari_bradley (scale), q_cvm_test (CDF integral),
+    q_cucconi_test (location+scale jointly), q_runs_test (one-sample
+    signs).
+
+    One STITCHED global rank, then adjacent labels meet through a
+    self equi-join on consecutive rank (r−1) — at cluster scale a
+    co-partitioned unique-int join, never a single-partition window.
+    Run-count and label counts are exact ints; variance products
+    widen ``* 1.0``/2.0 (2n₁n₀ squares past int64 at 1000×). Guards:
+    a one-label or ≤1-row corpus nulls the variance identically."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("samp"),
+    )
+    rk = stitched_running(x, ["price", "okey"], rank_name="r").select("samp", "r")
+    prev = rk.select(F.col("samp").alias("psamp"), (F.col("r") + 1).alias("r"))
+    runs = (
+        rk.join(prev, "r", "left")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("psamp").isNull() | (F.col("samp") != F.col("psamp")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs")
+        )
+    )
+    cnts = x.agg(
+        F.sum("samp").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("samp")).cast("bigint").alias("n0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    nt = n1 + n0
+    e = 2.0 * n1 * n0 / F.when(nt != 0, nt) + 1
+    vnum = 2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+    var = vnum / (nt * 1.0 * nt * (nt - 1))
+    sd = F.sqrt(F.when((nt > 1) & (vnum > 0), var))
+    z = (F.col("n_runs") - e) / F.when(sd != 0, sd)
+    return runs.crossJoin(F.broadcast(cnts)).select(
+        n1.alias("n_urgent"),
+        n0.alias("n_other"),
+        F.col("n_runs"),
+        (F.round(z, 4) + F.lit(0.0)).alias("ww_z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("reject_same"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann location with Wilcoxon signed-rank CI
+
+
+@register(
+    "q_hl_shift_ci",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        w AS (
+            SELECT (a.rev + b.rev) / 200.0 AS v, a.d AS da, b.d AS db
+            FROM daily a JOIN daily b ON a.d <= b.d
+        ),
+        wr AS (
+            SELECT v, row_number() OVER (ORDER BY v, da, db) AS rk
+            FROM w
+        ),
+        kk AS (
+            SELECT nd, nd * (nd + 1) // 2 AS m,
+                   CAST(floor(nd * (nd + 1) / 4.0
+                              - 1.96 * sqrt(nd * 1.0 * (nd + 1)
+                                            * (2 * nd + 1) / 24))
+                        AS BIGINT) AS k
+            FROM tot
+        )
+        SELECT kk.nd AS n_days,
+               round((SELECT avg(v) FROM wr, kk
+                      WHERE rk = (kk.m + 1) // 2
+                         OR rk = (kk.m + 2) // 2), 4) AS hl_location,
+               round((SELECT max(v) FROM wr, kk WHERE rk = kk.k + 1), 4)
+                   AS ci_lo,
+               round((SELECT max(v) FROM wr, kk WHERE rk = kk.m - kk.k), 4)
+                   AS ci_hi
+        FROM kk
+    """,
+    category="analytics",
+)
+def q_hl_shift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location of daily revenue WITH its 95% Wilcoxon
+    signed-rank confidence interval: the CI endpoints are the Walsh
+    averages at ranks k+1 and M−k, k = ⌊M/2 − 1.96·√(n(n+1)(2n+1)/24)⌋
+    — the exact order-statistic CI q_hodges_lehmann (point only) and
+    q_median_ci (plain median) bracket. No standard error, no
+    bootstrap: the interval IS two selected Walsh averages.
+
+    Same scale shape as q_hodges_lehmann: the Walsh set lives at
+    day-PAIR grain (calendar-bounded², ~3M pairs at any fact scale),
+    ranked by one whitelisted window on the unique (v, da, db) order;
+    k is closed-form integer arithmetic from n alone. Guards: empty
+    series → 1 row of NULLs with n_days = 0 identically."""
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir).localCheckpoint(eager=True)
+    tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    a, b = daily.alias("a"), daily.alias("b")
+    w = a.join(b, F.col("a.d") <= F.col("b.d")).select(
+        ((F.col("a.rev") + F.col("b.rev")) / 200.0).alias("v"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+    )
+    wr = w.select(
+        "v", F.row_number().over(Window.orderBy("v", "da", "db")).alias("rk")
+    ).localCheckpoint(eager=True)
+    kk = tot.select(
+        "nd",
+        F.expr("nd * (nd + 1) div 2").alias("m"),
+        F.floor(
+            F.col("nd") * (F.col("nd") + 1) / 4.0
+            - 1.96
+            * F.sqrt(
+                F.col("nd") * 1.0 * (F.col("nd") + 1) * (2 * F.col("nd") + 1) / 24
+            )
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    hl = (
+        wr.crossJoin(F.broadcast(kk))
+        .filter(
+            (F.col("rk") == F.expr("(m + 1) div 2"))
+            | (F.col("rk") == F.expr("(m + 2) div 2"))
+        )
+        .agg(F.avg("v").alias("loc"))
+    )
+    lo = (
+        wr.crossJoin(F.broadcast(kk))
+        .filter(F.col("rk") == F.col("k") + 1)
+        .agg(F.max("v").alias("lo"))
+    )
+    hi = (
+        wr.crossJoin(F.broadcast(kk))
+        .filter(F.col("rk") == F.col("m") - F.col("k"))
+        .agg(F.max("v").alias("hi"))
+    )
+    return (
+        kk.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.round("loc", 4).alias("hl_location"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quade weighted-rank blocked test
+
+
+@register(
+    "q_quade_test",
+    oracle=f"""
+        WITH cell AS (
+            SELECT c.c_nationkey AS nk, {_PRIO_ORD_SQL} AS prio,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        full_blocks AS (
+            SELECT nk FROM cell GROUP BY nk HAVING count(*) = 5
+        ),
+        kept AS (
+            SELECT cell.nk, prio, s * 1.0 / n AS avg_v
+            FROM cell JOIN full_blocks USING (nk)
+        ),
+        ranked AS (
+            SELECT a.nk, a.prio,
+                   1 + sum(CASE WHEN b.avg_v < a.avg_v
+                                OR (b.avg_v = a.avg_v AND b.prio < a.prio)
+                           THEN 1 ELSE 0 END) AS rk
+            FROM kept a JOIN kept b ON a.nk = b.nk
+            GROUP BY a.nk, a.prio
+        ),
+        rng AS (
+            SELECT nk, max(avg_v) - min(avg_v) AS spread
+            FROM kept GROUP BY nk
+        ),
+        qrank AS (
+            SELECT a.nk,
+                   1 + sum(CASE WHEN b.spread < a.spread
+                                OR (b.spread = a.spread AND b.nk < a.nk)
+                           THEN 1 ELSE 0 END) AS q
+            FROM rng a JOIN rng b ON TRUE
+            GROUP BY a.nk
+        ),
+        sij AS (
+            SELECT r.nk, r.prio, q.q * (r.rk - 3.0) AS s_ij
+            FROM ranked r JOIN qrank q ON r.nk = q.nk
+        ),
+        sums AS (
+            SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b,
+                   sum(s_ij * s_ij) AS a2,
+                   (SELECT sum(sj * sj)
+                    FROM (SELECT sum(s_ij) AS sj FROM sij GROUP BY prio))
+                       AS b2raw
+            FROM sij
+        )
+        SELECT b AS n_blocks,
+               round((b - 1) * (b2raw / nullif(b * 1.0, 0))
+                     / nullif(a2 - b2raw / nullif(b * 1.0, 0), 0), 4)
+                   + 0.0 AS quade_f,
+               CAST(CASE WHEN (b - 1) * (b2raw / nullif(b * 1.0, 0))
+                              / nullif(a2 - b2raw / nullif(b * 1.0, 0), 0)
+                              > 2.3719
+                    THEN 1 ELSE 0 END AS INT) AS priorities_differ
+        FROM sums
+    """,
+    category="analytics",
+)
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test — the blocked rank ANOVA that WEIGHTS each nation
+    block by the rank of its within-block spread, so blocks where
+    priority actually matters count more: S_ij = Q_b·(r_bj − 3),
+    F = (b−1)·B/(A−B) against the large-b F(4, ∞) bar 2.3719. Between
+    q_friedman_test (all blocks equal) and q_page_trend (ordered
+    alternative), Quade is the power play when effect sizes vary by
+    block — classic with exactly this 25-block × 5-treatment shape.
+
+    Same scale skeleton as q_page_trend: one fact join to the 125-cell
+    exact-cents grain, complete blocks only, and BOTH rank steps
+    (within-block treatment ranks, across-block spread ranks) are
+    ≤625-row broadcast self-join comparisons on deterministic
+    (value, key) orders — no window anywhere. Guards: b = 0 or A = B
+    (degenerate ranks) null F identically."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nk")
+    )
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nk", _prio_ord().alias("prio"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+        )
+    )
+    full_blocks = (
+        cell.groupBy("nk").agg(F.count(F.lit(1)).alias("cnt")).filter(
+            F.col("cnt") == 5
+        ).select("nk")
+    )
+    kept = (
+        cell.join(F.broadcast(full_blocks), "nk")
+        .select("nk", "prio", (F.col("s") * 1.0 / F.col("n")).alias("avg_v"))
+        .localCheckpoint(eager=True)
+    )
+    bb = kept.select(
+        F.col("nk"), F.col("prio").alias("bprio"), F.col("avg_v").alias("bavg")
+    )
+    ranked = (
+        kept.join(F.broadcast(bb), "nk")
+        .groupBy("nk", "prio")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("bavg") < F.col("avg_v"))
+                        | (
+                            (F.col("bavg") == F.col("avg_v"))
+                            & (F.col("bprio") < F.col("prio"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rk")
+        )
+    )
+    rng = kept.groupBy("nk").agg(
+        (F.max("avg_v") - F.min("avg_v")).alias("spread")
+    ).localCheckpoint(eager=True)
+    rb = rng.select(F.col("nk").alias("bnk"), F.col("spread").alias("bspread"))
+    qrank = (
+        rng.crossJoin(F.broadcast(rb))
+        .groupBy("nk")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("bspread") < F.col("spread"))
+                        | (
+                            (F.col("bspread") == F.col("spread"))
+                            & (F.col("bnk") < F.col("nk"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("q")
+        )
+    )
+    sij = ranked.join(F.broadcast(qrank), "nk").select(
+        "nk", "prio", (F.col("q") * (F.col("rk") - 3.0)).alias("s_ij")
+    ).localCheckpoint(eager=True)
+    a2 = sij.agg(
+        F.countDistinct("nk").cast("bigint").alias("b"),
+        F.sum(F.col("s_ij") * F.col("s_ij")).alias("a2"),
+    )
+    b2 = sij.groupBy("prio").agg(F.sum("s_ij").alias("sj")).agg(
+        F.sum(F.col("sj") * F.col("sj")).alias("b2raw")
+    )
+    bcol = F.col("b")
+    b2n = F.col("b2raw") / F.when(bcol * 1.0 != 0, bcol * 1.0)
+    fden = F.col("a2") - b2n
+    f_stat = (bcol - 1) * b2n / F.when(fden != 0, fden)
+    return a2.crossJoin(F.broadcast(b2)).select(
+        bcol.alias("n_blocks"),
+        (F.round(f_stat, 4) + F.lit(0.0)).alias("quade_f"),
+        F.when(f_stat > 2.3719, 1).otherwise(0).cast("int").alias(
+            "priorities_differ"
+        ),
+    )

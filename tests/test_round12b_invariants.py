@@ -47,6 +47,12 @@ NEW = [
     "q_cochran_c_test",
     "q_padding_waste_curve",
     "q_csv_quoting_roundtrip",
+    "q_pettitt_test",
+    "q_seasonal_mann_kendall",
+    "q_cox_stuart",
+    "q_wald_wolfowitz",
+    "q_hl_shift_ci",
+    "q_quade_test",
 ]
 
 
@@ -96,6 +102,14 @@ def test_round12b_registers_behind_backlog():
         ("q_cochran_c_test", 2),       # 5-group moment rollup + 1-row max
         ("q_padding_waste_curve", 2),  # fact pass vs 4-row broadcast grid
         ("q_csv_quoting_roundtrip", 2),  # csv write + multiLine read + 1-row agg
+        ("q_pettitt_test", 6),         # day windows recomputed by k and argmax
+                                       # consumers (audit-visible by design)
+        ("q_seasonal_mann_kendall", 4),  # month grain + broadcast pair lattice
+        ("q_cox_stuart", 4),           # day windows on both join sides
+                                       # (audit-visible by design)
+        ("q_wald_wolfowitz", 8),       # stitched rank + consecutive-rank join
+        ("q_hl_shift_ci", 7),          # day-pair Walsh grain + rank window
+        ("q_quade_test", 5),           # 125-cell grain + broadcast rank joins
     ],
 )
 def test_round12b_shuffle_budget(spark, name, max_exchanges):
@@ -424,3 +438,55 @@ def test_csv_quoting_lossless(spark):
         F.sum(F.length("v")).alias("cp"),
     ).collect()[0]
     assert (r["n_rows"], r["id_sum"], r["value_cp"]) == (w["n"], w["ids"], w["cp"])
+
+
+def test_pettitt_k_bounds(spark):
+    """|U_t| <= t(n-t) <= n^2/4; p in [0, 2]-ish clipped to [0,1]
+    range after rounding for real data."""
+    r = REGISTRY["q_pettitt_test"].fn(spark, SF_DIR).collect()[0]
+    n = r["n_days"]
+    assert 0 <= r["k_stat"] <= n * n / 4 + 1
+    assert r["change_date"] is not None
+    assert r["p_approx"] >= 0
+
+
+def test_seasonal_mk_consistency(spark):
+    """|S| is bounded by the total number of within-season pairs."""
+    r = REGISTRY["q_seasonal_mann_kendall"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_months"] > 12
+    assert r["smk_z"] is not None
+    assert r["trend_detected"] in (0, 1)
+
+
+def test_cox_stuart_pairs(spark):
+    """Pairs use disjoint halves: n_up + n_down <= floor(n/2)."""
+    r = REGISTRY["q_cox_stuart"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_up"] >= 0 and r["n_down"] >= 0
+    assert r["trend_detected"] in (0, 1)
+
+
+def test_ww_runs_bounds(spark):
+    """1 <= runs <= N; with both samples nonempty runs >= 2 is not
+    guaranteed but runs <= 2*min(m,n)+1 is."""
+    r = REGISTRY["q_wald_wolfowitz"].fn(spark, SF_DIR).collect()[0]
+    m, n = r["n_other"], r["n_urgent"]
+    assert 1 <= r["n_runs"] <= m + n
+    assert r["n_runs"] <= 2 * min(m, n) + 1
+    assert r["reject_same"] in (0, 1)
+
+
+def test_hl_ci_brackets_location(spark):
+    """The signed-rank CI must contain the HL point estimate, and it
+    must agree with q_hodges_lehmann's location exactly (same Walsh
+    set, same selection rule)."""
+    r = REGISTRY["q_hl_shift_ci"].fn(spark, SF_DIR).collect()[0]
+    assert r["ci_lo"] <= r["hl_location"] <= r["ci_hi"]
+    h = REGISTRY["q_hodges_lehmann"].fn(spark, SF_DIR).collect()[0]
+    assert abs(r["hl_location"] - h["hl_location"]) < 5e-4
+
+
+def test_quade_f_nonnegative(spark):
+    r = REGISTRY["q_quade_test"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_blocks"] > 0
+    assert r["quade_f"] >= -1e-9
+    assert r["priorities_differ"] in (0, 1)

@@ -93,6 +93,8 @@ BOUNDED_FRAME_WHITELIST = {
     "q_adf_test": "day table (calendar-bounded)",
     "q_cointegration_eg": "day table (calendar-bounded)",
     "q_bartels_rank": "day table (calendar-bounded)",
+    "q_pettitt_test": "day table (calendar-bounded)",
+    "q_cox_stuart": "day table (calendar-bounded)",
     "q_kpss_test": "day table (calendar-bounded)",
     "q_variance_ratio": "day table (calendar-bounded)",
     "q_hodges_lehmann": "day-pair Walsh table (calendar-bounded squared)",
@@ -134,7 +136,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 72, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 74, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )

@@ -353,6 +353,11 @@ HEAVY = [
     "q_grubbs_max_z",
     "q_padding_waste_curve",
     "q_csv_quoting_roundtrip",
+    "q_pettitt_test",
+    "q_seasonal_mann_kendall",
+    "q_wald_wolfowitz",
+    "q_hl_shift_ci",
+    "q_quade_test",
 ]
 
 #: per-table key columns to offset so replicas don't collide
