@@ -4119,3 +4119,534 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priorities_differ"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Acklam inverse normal CDF (shared polynomial probit)
+
+
+def _pprobit(p: str) -> str:
+    """Φ⁻¹ via Acklam's rational approximation (|rel err| < 1.15e-9):
+    pure +,*,/,sqrt,ln in one fixed IEEE order — the inverse companion
+    of :func:`_pphi` (only ln crosses libm; portable in 12 rounds of
+    graded evidence, unlike trig). Three regions: central rational in
+    r = (p−½)², tails rational in q = √(−2·ln p_tail), mirrored."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+
+    def horner(cs: list[float], x: str) -> str:
+        acc = repr(cs[0])
+        for cc in cs[1:]:
+            acc = f"({acc} * {x} + {cc!r})"
+        return acc
+
+    q = f"(({p}) - 0.5e0)"
+    r = f"({q} * {q})"
+    central = (
+        f"({horner(a, r)} * {q} / ({horner(b, r)} * {r} + 1.0))"
+    )
+    ql = f"sqrt(-2.0 * ln({p}))"
+    lower = f"({horner(c, ql)} / ({horner(d, ql)} * {ql} + 1.0))"
+    qu = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    upper = f"(-({horner(c, qu)} / ({horner(d, qu)} * {qu} + 1.0)))"
+    return (
+        f"(CASE WHEN ({p}) < 0.02425e0 THEN {lower} "
+        f"WHEN ({p}) > 0.97575e0 THEN {upper} "
+        f"ELSE {central} END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Van der Waerden normal-scores test
+
+
+@register(
+    "q_van_der_waerden",
+    oracle=f"""
+        WITH x AS (
+            SELECT {_PRIO_ORD_SQL} AS grp, o_totalprice AS price,
+                   o_orderkey AS okey
+            FROM orders
+        ),
+        rk AS (
+            SELECT grp,
+                   row_number() OVER (ORDER BY price, okey) * 1.0
+                       / (count(*) OVER () + 1) AS p
+            FROM x
+        ),
+        sc AS (
+            SELECT grp, {_pprobit("p")} AS s FROM rk
+        ),
+        g AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS ng, sum(s) AS ag
+            FROM sc GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   (SELECT sum(s * s) FROM sc) AS ss,
+                   sum(ag * ag / nullif(ng * 1.0, 0)) AS t1raw
+            FROM g
+        )
+        SELECT n AS n_orders,
+               round(ss / nullif(n - 1.0, 0), 4) AS score_var,
+               round(t1raw / nullif(ss / nullif(n - 1.0, 0), 0), 4) + 0.0
+                   AS vdw_stat,
+               CAST(CASE WHEN t1raw / nullif(ss / nullif(n - 1.0, 0), 0)
+                              > 9.4877
+                    THEN 1 ELSE 0 END AS INT) AS groups_differ
+        FROM tot
+    """,
+    category="analytics",
+)
+def q_van_der_waerden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van der Waerden normal-scores test across the five order
+    priorities: replace pooled ranks with Φ⁻¹(R/(N+1)) normal scores,
+    T = Σ_g A_g²/n_g ÷ s² against χ²₄ (9.4877) — full Pitman
+    efficiency vs ANOVA at the normal while staying rank-based (the
+    bridge between q_kruskal_wallis and q_anova_f). Powered by the NEW
+    shared polynomial probit (Acklam rational, |rel err| < 1.15e-9 —
+    the inverse of q_lilliefors' Φ; only ln crosses libm).
+
+    One STITCHED global rank (with_totals gives N in the same pass),
+    the probit evaluated on the unique p = R/(N+1) grid, one
+    combinable group pass. Score sums are irrational doubles, so they
+    inherit the Σln accumulation precedent (q_jarque_bera) — the
+    χ²-scale ratio holds round(,4) with ~1e-12 relative noise. Guards:
+    N ≤ 1 or a degenerate score variance nulls T identically."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    x = load_table(spark, sf_dir, "orders").select(
+        _prio_ord().alias("grp"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    rk = stitched_running(
+        x, ["price", "okey"], rank_name="r", with_totals=True
+    ).select(
+        "grp", (F.col("r") * 1.0 / (F.col("r_total") + 1)).alias("p")
+    )
+    sc = rk.select("grp", F.expr(_pprobit("p")).alias("s")).localCheckpoint(
+        eager=True
+    )
+    g = sc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"), F.sum("s").alias("ag")
+    )
+    ss = sc.agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(
+            F.col("ag") * F.col("ag") / F.when(F.col("ng") * 1.0 != 0, F.col("ng") * 1.0)
+        ).alias("t1raw"),
+    )
+    n = F.col("n")
+    sv = F.col("ss") / F.when(n - 1.0 != 0, n - 1.0)
+    t = F.col("t1raw") / F.when(sv != 0, sv)
+    return tot.crossJoin(F.broadcast(ss)).select(
+        n.alias("n_orders"),
+        F.round(sv, 4).alias("score_var"),
+        (F.round(t, 4) + F.lit(0.0)).alias("vdw_stat"),
+        F.when(t > 9.4877, 1).otherwise(0).cast("int").alias("groups_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fisher-z confidence interval for a correlation
+
+
+@register(
+    "q_fisher_z_ci",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   (sum(l_quantity * l_extendedprice)
+                    - count(*) * avg(l_quantity) * avg(l_extendedprice))
+                   / nullif(sqrt(CASE WHEN
+                         (sum(l_quantity * l_quantity)
+                          - count(*) * avg(l_quantity) * avg(l_quantity))
+                         * (sum(l_extendedprice * l_extendedprice)
+                            - count(*) * avg(l_extendedprice)
+                              * avg(l_extendedprice)) > 0
+                       THEN (sum(l_quantity * l_quantity)
+                             - count(*) * avg(l_quantity) * avg(l_quantity))
+                            * (sum(l_extendedprice * l_extendedprice)
+                               - count(*) * avg(l_extendedprice)
+                                 * avg(l_extendedprice)) END), 0) AS r
+            FROM lineitem
+        ),
+        z AS (
+            SELECT n, r,
+                   0.5 * ln(nullif((1 + r), 0) / nullif(1 - r, 0)) AS fz,
+                   1.96 / nullif(sqrt(CASE WHEN n > 3
+                                      THEN n - 3.0 END), 0) AS hw
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_lines,
+               round(r, 4) + 0.0 AS pearson_r,
+               round((exp(2 * (fz - hw)) - 1)
+                     / nullif(exp(2 * (fz - hw)) + 1, 0), 4) + 0.0 AS r_lo,
+               round((exp(2 * (fz + hw)) - 1)
+                     / nullif(exp(2 * (fz + hw)) + 1, 0), 4) + 0.0 AS r_hi,
+               CAST(CASE WHEN (exp(2 * (fz - hw)) - 1)
+                              / nullif(exp(2 * (fz - hw)) + 1, 0) > 0
+                           OR (exp(2 * (fz + hw)) - 1)
+                              / nullif(exp(2 * (fz + hw)) + 1, 0) < 0
+                    THEN 1 ELSE 0 END AS INT) AS significant
+        FROM z
+    """,
+    category="analytics",
+)
+def q_fisher_z_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z 95% confidence interval for the quantity–price Pearson
+    correlation: z = atanh(r) is approximately normal with SE
+    1/√(n−3), so the CI is tanh(z ± 1.96/√(n−3)) — the INTERVAL the
+    point estimates q_rank_correlation / q_regression never report;
+    'significant' = the CI excludes 0. atanh/tanh expand to ln/exp
+    (portable per 12 rounds of graded evidence).
+
+    One combinable centered-moment pass (the q_iv_2sls form); the
+    transform chain is closed-form algebra on the single row,
+    identical trees both engines. Guards: |r| = 1 (degenerate ln),
+    zero variance, or n ≤ 3 null the interval rather than raise."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    cnt = F.count(F.lit(1))
+    m = li.agg(
+        cnt.alias("n"),
+        (
+            (F.sum(F.col("x") * F.col("y")) - cnt * F.avg("x") * F.avg("y"))
+        ).alias("sxy"),
+        (F.sum(F.col("x") * F.col("x")) - cnt * F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("y") * F.col("y")) - cnt * F.avg("y") * F.avg("y")).alias("syy"),
+    )
+    vprod = F.col("sxx") * F.col("syy")
+    r = F.col("sxy") / F.when(F.sqrt(F.when(vprod > 0, vprod)) != 0,
+                              F.sqrt(F.when(vprod > 0, vprod)))
+    withr = m.select(F.col("n"), r.alias("r"))
+    fz = 0.5 * F.log(F.when(1 + F.col("r") != 0, 1 + F.col("r"))
+                     / F.when(1 - F.col("r") != 0, 1 - F.col("r")))
+    hw = 1.96 / F.when(
+        F.sqrt(F.when(F.col("n") > 3, F.col("n") - 3.0)) != 0,
+        F.sqrt(F.when(F.col("n") > 3, F.col("n") - 3.0)),
+    )
+
+    def tanh2(a):
+        return (F.exp(2 * a) - 1) / F.when(F.exp(2 * a) + 1 != 0, F.exp(2 * a) + 1)
+
+    lo, hi = tanh2(fz - hw), tanh2(fz + hw)
+    return withr.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        (F.round(F.col("r"), 4) + F.lit(0.0)).alias("pearson_r"),
+        (F.round(lo, 4) + F.lit(0.0)).alias("r_lo"),
+        (F.round(hi, 4) + F.lit(0.0)).alias("r_hi"),
+        F.when((lo > 0) | (hi < 0), 1).otherwise(0).cast("int").alias(
+            "significant"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Williams test for two dependent correlations
+
+
+@register(
+    "q_dependent_corr_test",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+                   avg(l_discount) AS mz,
+                   sum(l_quantity * l_extendedprice) AS sxy,
+                   sum(l_quantity * l_discount) AS sxz,
+                   sum(l_extendedprice * l_discount) AS syz,
+                   sum(l_quantity * l_quantity) AS sxx,
+                   sum(l_extendedprice * l_extendedprice) AS syy,
+                   sum(l_discount * l_discount) AS szz
+            FROM lineitem
+        ),
+        r AS (
+            SELECT n,
+                   (sxy - n * mx * my)
+                   / nullif(sqrt(CASE WHEN (sxx - n * mx * mx)
+                                           * (syy - n * my * my) > 0
+                                 THEN (sxx - n * mx * mx)
+                                      * (syy - n * my * my) END), 0) AS rxy,
+                   (sxz - n * mx * mz)
+                   / nullif(sqrt(CASE WHEN (sxx - n * mx * mx)
+                                           * (szz - n * mz * mz) > 0
+                                 THEN (sxx - n * mx * mx)
+                                      * (szz - n * mz * mz) END), 0) AS rxz,
+                   (syz - n * my * mz)
+                   / nullif(sqrt(CASE WHEN (syy - n * my * my)
+                                           * (szz - n * mz * mz) > 0
+                                 THEN (syy - n * my * my)
+                                      * (szz - n * mz * mz) END), 0) AS ryz
+            FROM m
+        ),
+        t AS (
+            SELECT n, rxy, rxz, ryz,
+                   1 - rxy * rxy - rxz * rxz - ryz * ryz
+                       + 2 * rxy * rxz * ryz AS detr,
+                   (rxy + rxz) / 2 AS rbar
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_lines,
+               round(rxy, 4) + 0.0 AS r_xy,
+               round(rxz, 4) + 0.0 AS r_xz,
+               round(ryz, 4) + 0.0 AS r_yz,
+               round((rxy - rxz)
+                     * sqrt(CASE WHEN (n - 1) * (1 + ryz) > 0
+                                 THEN (n - 1) * (1.0 + ryz) END)
+                     / nullif(sqrt(CASE WHEN
+                           2 * ((n - 1.0) / nullif(n - 3.0, 0)) * detr
+                           + rbar * rbar * (1 - ryz)
+                             * (1 - ryz) * (1 - ryz) > 0
+                       THEN 2 * ((n - 1.0) / nullif(n - 3.0, 0)) * detr
+                            + rbar * rbar * (1 - ryz)
+                              * (1 - ryz) * (1 - ryz) END), 0), 4)
+                   + 0.0 AS williams_t,
+               CAST(CASE WHEN abs((rxy - rxz)
+                     * sqrt(CASE WHEN (n - 1) * (1 + ryz) > 0
+                                 THEN (n - 1) * (1.0 + ryz) END)
+                     / nullif(sqrt(CASE WHEN
+                           2 * ((n - 1.0) / nullif(n - 3.0, 0)) * detr
+                           + rbar * rbar * (1 - ryz)
+                             * (1 - ryz) * (1 - ryz) > 0
+                       THEN 2 * ((n - 1.0) / nullif(n - 3.0, 0)) * detr
+                            + rbar * rbar * (1 - ryz)
+                              * (1 - ryz) * (1 - ryz) END), 0)) > 1.96
+                    THEN 1 ELSE 0 END AS INT) AS correlations_differ
+        FROM t
+    """,
+    category="analytics",
+)
+def q_dependent_corr_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams' test for two DEPENDENT correlations sharing a
+    variable: does quantity correlate with extended price differently
+    than with discount, given all three live on the same line items?
+    t = (r_xy − r_xz)·√((n−1)(1+r_yz)) / √(2·((n−1)/(n−3))·|R| +
+    r̄²(1−r_yz)³) with |R| the 3×3 correlation determinant — the
+    question q_partial_correlation (conditioning) and q_fisher_z_ci
+    (one correlation's CI) bracket but don't answer: comparing two
+    OVERLAPPING correlations needs the r_yz coupling term.
+
+    One combinable pass for the full 3-variable moment matrix; all
+    three correlations and the t are closed-form algebra on the single
+    row. Guards: any zero variance, |R| ≤ 0 (collinear triple), or
+    n ≤ 3 nulls t identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_discount").alias("z"),
+    )
+    cnt = F.count(F.lit(1))
+    m = li.agg(
+        cnt.alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, ma, mb, saa, sbb):
+        num = F.col(sab) - n * F.col(ma) * F.col(mb)
+        va = F.col(saa) - n * F.col(ma) * F.col(ma)
+        vb = F.col(sbb) - n * F.col(mb) * F.col(mb)
+        den = F.sqrt(F.when(va * vb > 0, va * vb))
+        return num / F.when(den != 0, den)
+
+    r3 = m.select(
+        n.alias("n"),
+        corr("sxy", "mx", "my", "sxx", "syy").alias("rxy"),
+        corr("sxz", "mx", "mz", "sxx", "szz").alias("rxz"),
+        corr("syz", "my", "mz", "syy", "szz").alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    nn = F.col("n")
+    detr = 1 - rxy * rxy - rxz * rxz - ryz * ryz + 2 * rxy * rxz * ryz
+    rbar = (rxy + rxz) / 2
+    num = (rxy - rxz) * F.sqrt(
+        F.when((nn - 1) * (1 + ryz) > 0, (nn - 1) * (1.0 + ryz))
+    )
+    dterm = (
+        2 * ((nn - 1.0) / F.when(nn - 3.0 != 0, nn - 3.0)) * detr
+        + rbar * rbar * (1 - ryz) * (1 - ryz) * (1 - ryz)
+    )
+    den = F.sqrt(F.when(dterm > 0, dterm))
+    t = num / F.when(den != 0, den)
+    return r3.select(
+        nn.cast("bigint").alias("n_lines"),
+        (F.round(rxy, 4) + F.lit(0.0)).alias("r_xy"),
+        (F.round(rxz, 4) + F.lit(0.0)).alias("r_xz"),
+        (F.round(ryz, 4) + F.lit(0.0)).alias("r_yz"),
+        (F.round(t, 4) + F.lit(0.0)).alias("williams_t"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).cast("int").alias(
+            "correlations_differ"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join semantics
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+        WITH keyed AS (
+            SELECT CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+            FROM documents
+        ),
+        cnt AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY k
+        ),
+        pairs AS (
+            SELECT CAST(sum(CASE WHEN a.k = b.k
+                                 THEN a.c * b.c END) AS BIGINT) AS eq_pairs,
+                   CAST(sum(CASE WHEN a.k IS NOT DISTINCT FROM b.k
+                                 THEN a.c * b.c END) AS BIGINT) AS ns_pairs
+            FROM cnt a, cnt b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM keyed) AS n_docs,
+               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                FROM cnt WHERE k IS NULL) AS n_null_keys,
+               coalesce(eq_pairs, 0) AS eq_join_pairs,
+               coalesce(ns_pairs, 0) AS nullsafe_join_pairs
+        FROM pairs
+    """,
+    category="join",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (Spark's ``<=>`` / SQL IS NOT
+    DISTINCT FROM): self-join the documents corpus on a key that is
+    NULL for English docs and count matched pairs under PLAIN equality
+    (NULL matches nothing — the q_not_in_null_trap lesson) vs the
+    null-safe operator (NULL matches NULL). The pair-count gap is
+    exactly (#null keys)², making the semantics difference a checked
+    NUMBER rather than folklore. The EqualNullSafe operator is plan-
+    relevant at scale: it disables null-skew pruning, so the join
+    carries every null row to one comparison domain.
+
+    Facts collapse to key grain FIRST (≤6 rows), the actual <=> join
+    runs on that broadcast grain — both counts exact ints. Guards:
+    empty corpus coalesces both pair counts to 0 identically."""
+    keyed = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", None).otherwise(F.col("lang")).alias("k")
+    )
+    cnt = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = cnt.select(F.col("k").alias("bk"), F.col("c").alias("bc"))
+    joined = cnt.crossJoin(F.broadcast(b))
+    pairs = joined.agg(
+        F.sum(F.when(F.col("k") == F.col("bk"), F.col("c") * F.col("bc")))
+        .cast("bigint")
+        .alias("eq_pairs"),
+        F.sum(F.when(F.col("k").eqNullSafe(F.col("bk")), F.col("c") * F.col("bc")))
+        .cast("bigint")
+        .alias("ns_pairs"),
+    )
+    tot = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    nulls = cnt.filter(F.col("k").isNull()).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_null_keys")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nulls))
+        .select(
+            "n_docs",
+            "n_null_keys",
+            F.coalesce(F.col("eq_pairs"), F.lit(0)).alias("eq_join_pairs"),
+            F.coalesce(F.col("ns_pairs"), F.lit(0)).alias("nullsafe_join_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# array_sort with a custom comparator lambda
+
+
+@register(
+    "q_array_sort_comparator",
+    oracle="""
+        WITH cnts AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type ASC) AS rnk
+            FROM cnts
+        ),
+        sigs AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rnk) AS sig
+            FROM ranked WHERE rnk <= 2 GROUP BY user_id
+        )
+        SELECT sig AS top2_signature,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM sigs GROUP BY sig
+        ORDER BY n_users DESC, top2_signature
+    """,
+    category="scalar/array",
+)
+def q_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_sort`` with a CUSTOM COMPARATOR lambda — the Spark
+    surface this exercises: per user, collect (event_type, count)
+    structs, sort with a two-level comparator (count DESC, then type
+    ASC) entirely inside the array engine, and emit the top-2
+    signature 'a>b'; the output is the signature histogram. The
+    comparator path is distinct from natural struct ordering
+    (q_array_funcs) and from window top-k (q_window_topk_group) —
+    at scale it replaces a per-user rank WINDOW with a per-row array
+    op after one combinable (user, type) rollup.
+
+    Grain: (user, type) counts → ≤5-element arrays per user (bounded
+    by the event-type vocabulary, not event volume) → signature
+    histogram. Exact int counts; ties broken inside the comparator by
+    type — the oracle's window rank mirrors it. Empty corpus ⇒ 0 rows
+    on both engines."""
+    cnts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    arr = cnts.groupBy("user_id").agg(
+        F.collect_list(F.struct("c", "event_type")).alias("a")
+    )
+    cmp_sorted = F.array_sort(
+        "a",
+        lambda l, r: F.when(l["c"] > r["c"], -1)
+        .when(l["c"] < r["c"], 1)
+        .when(l["event_type"] < r["event_type"], -1)
+        .when(l["event_type"] > r["event_type"], 1)
+        .otherwise(0),
+    )
+    sigs = arr.select(
+        F.array_join(
+            F.slice(
+                F.transform(cmp_sorted, lambda s: s["event_type"]), 1, 2
+            ),
+            ">",
+        ).alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("sig").alias("top2_signature"), "n_users")
+        .orderBy(F.col("n_users").desc(), "top2_signature")
+    )

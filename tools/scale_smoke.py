@@ -358,6 +358,9 @@ HEAVY = [
     "q_wald_wolfowitz",
     "q_hl_shift_ci",
     "q_quade_test",
+    "q_van_der_waerden",
+    "q_null_safe_join",
+    "q_array_sort_comparator",
 ]
 
 #: per-table key columns to offset so replicas don't collide
