@@ -350,6 +350,7 @@ HEAVY = [
     "q_rbo_ranking",
     "q_csv_corrupt_records",
     "q_cucconi_test",
+    "q_bartels_rank",
     "q_grubbs_max_z",
     "q_padding_waste_curve",
     "q_csv_quoting_roundtrip",
