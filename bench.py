@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+per-query detail JSON line followed by a compact summary JSON as the
+FINAL stdout line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, ..., "sf": ...}. The final line is the one the
+driver parses — it must stay under its stdout tail window (~2 KB;
+pinned by tests/test_bench_output.py after BENCH_r12 recorded
+"parsed": null when the single fat line outgrew it). The detail line
+is also mirrored to bench_detail.json next to this file.
 
 Each query is timed to full materialization (count of a noop-cached
 result would hide exchange costs, so we use a cheap but complete action:
@@ -185,60 +190,112 @@ def main() -> None:
         name: round(statistics.median(runs), 3) for name, runs in warm_runs.items()
     }
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "queries_warm_median": warm_median,
-                "warm_total_sec": round(sum(warm.values()), 3),
-                "warm_median_total_sec": round(sum(warm_median.values()), 3),
-                # fixed 12-query set for round-over-round comparison.
-                # NOTE vs r04: r04 warm times read a pinned cache (the
-                # storage leak removed in r05); r05+ warm numbers are
-                # the honest cache-free steady state.
-                "comparable_total_sec": round(
-                    sum(timings[n] for n in COMPARABLE if n in timings), 3
-                ),
-                "comparable_warm_total_sec": round(
-                    sum(warm[n] for n in COMPARABLE if n in warm), 3
-                ),
-                # startup decomposition (NOT included in any query time:
-                # all four complete before the first timed query) — lets
-                # a reader separate session/import/JIT drift from plan
-                # drift when cold totals move round-over-round
-                "session_up_sec": session_up_sec,
-                "registry_import_sec": registry_import_sec,
-                "noop_action_sec": noop_action_sec,
-                "noop_warm_sec": noop_warm_sec,
-                "warmup_sec": warmup_sec,
-                # noop-relative load accounting (r11 verdict task 6: the
-                # 2x gate should never be argued against a moving host
-                # floor). Refs = the r11 idle-box re-baseline midpoints
-                # (SCALE.md round-11 quiet-host note): a loaded host
-                # shows up as host_*_load_x >> 1.0, and
-                # warm_median_total_minus_floors_sec is the per-query
-                # work with the per-action scheduling floor subtracted
-                # (n_queries * noop_warm) — the number that tracks PLAN
-                # cost, not machine mood.
-                "noop_refs_quiet_host": {
-                    "session_up_sec": 5.55,
-                    "noop_action_sec": 2.64,
-                    "noop_warm_sec": 0.12,
-                },
-                "host_startup_load_x": round(noop_action_sec / 2.64, 2),
-                "host_steady_load_x": round(noop_warm_sec / 0.12, 2),
-                "warm_median_total_minus_floors_sec": round(
-                    sum(warm_median.values()) - len(names) * noop_warm_sec, 3
-                ),
-                "sf": sf,
-            }
-        )
+    detail, summary = build_reports(
+        timings=timings,
+        warm=warm,
+        warm_median=warm_median,
+        session_up_sec=session_up_sec,
+        registry_import_sec=registry_import_sec,
+        noop_action_sec=noop_action_sec,
+        noop_warm_sec=noop_warm_sec,
+        warmup_sec=warmup_sec,
+        sf=sf,
     )
+    # Per-query maps + noop references on a PRECEDING line and a sidecar
+    # file; the FINAL stdout line is the compact summary (r12 verdict
+    # item 2: the single fat line outgrew the driver's stdout tail
+    # window — BENCH_r12 recorded "parsed": null — so the last line must
+    # stay small; tests/test_bench_output.py pins it under 2 KB).
+    detail_line = json.dumps(detail)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_detail.json"), "w") as f:
+            f.write(detail_line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; stdout carries both lines anyway
+    print(detail_line)
+    print(json.dumps(summary), flush=True)
+
+
+def build_reports(
+    *,
+    timings: dict[str, float],
+    warm: dict[str, float],
+    warm_median: dict[str, float],
+    session_up_sec: float,
+    registry_import_sec: float,
+    noop_action_sec: float,
+    noop_warm_sec: float,
+    warmup_sec: float,
+    sf: float,
+) -> tuple[dict, dict]:
+    """Split bench output into (detail, summary).
+
+    ``summary`` is the driver-parsed FINAL stdout line: the contract
+    fields (metric/value/unit/queries/sf) plus the scalar totals, floors
+    and noop-relative load factors the 2x gate reads — and nothing
+    per-query beyond the cold map, so it stays well under the driver's
+    stdout tail window. ``detail`` carries the three per-query maps and
+    the quiet-host noop references (printed on the line BEFORE the
+    summary and mirrored to bench_detail.json).
+    """
+    summary = {
+        "metric": "headline_query_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "warm_total_sec": round(sum(warm.values()), 3),
+        "warm_median_total_sec": round(sum(warm_median.values()), 3),
+        # fixed 12-query set for round-over-round comparison.
+        # NOTE vs r04: r04 warm times read a pinned cache (the
+        # storage leak removed in r05); r05+ warm numbers are
+        # the honest cache-free steady state.
+        "comparable_total_sec": round(
+            sum(timings[n] for n in COMPARABLE if n in timings), 3
+        ),
+        "comparable_warm_total_sec": round(
+            sum(warm[n] for n in COMPARABLE if n in warm), 3
+        ),
+        # startup decomposition (NOT included in any query time: all
+        # four complete before the first timed query) — separates
+        # session/import/JIT drift from plan drift round-over-round
+        "session_up_sec": session_up_sec,
+        "registry_import_sec": registry_import_sec,
+        "noop_action_sec": noop_action_sec,
+        "noop_warm_sec": noop_warm_sec,
+        "warmup_sec": warmup_sec,
+        # noop-relative load accounting (r11 verdict task 6: the 2x
+        # gate should never be argued against a moving host floor).
+        # Refs = the r11 idle-box re-baseline midpoints (SCALE.md
+        # round-11 quiet-host note, mirrored in the detail line):
+        # a loaded host shows up as host_*_load_x >> 1.0, and
+        # warm_median_total_minus_floors_sec is the per-query work
+        # with the per-action scheduling floor subtracted
+        # (n_queries * noop_warm) — the number that tracks PLAN cost,
+        # not machine mood.
+        "host_startup_load_x": round(noop_action_sec / NOOP_REFS["noop_action_sec"], 2),
+        "host_steady_load_x": round(noop_warm_sec / NOOP_REFS["noop_warm_sec"], 2),
+        "warm_median_total_minus_floors_sec": round(
+            sum(warm_median.values()) - len(warm_median) * noop_warm_sec, 3
+        ),
+        "sf": sf,
+    }
+    detail = {
+        "metric": "headline_query_detail",
+        "queries_warm": warm,
+        "queries_warm_median": warm_median,
+        "noop_refs_quiet_host": dict(NOOP_REFS),
+        "sf": sf,
+    }
+    return detail, summary
+
+
+#: r11 idle-box re-baseline midpoints (SCALE.md round-11 quiet-host note)
+NOOP_REFS = {
+    "session_up_sec": 5.55,
+    "noop_action_sec": 2.64,
+    "noop_warm_sec": 0.12,
+}
 
 
 if __name__ == "__main__":

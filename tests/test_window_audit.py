@@ -98,6 +98,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_kpss_test": "day table (calendar-bounded)",
     "q_variance_ratio": "day table (calendar-bounded)",
     "q_hodges_lehmann": "day-pair Walsh table (calendar-bounded squared)",
+    "q_hl_shift_ci": "day-pair Walsh table (calendar-bounded squared; rank reused via checkpoint, audited pre-checkpoint)",
     "q_ks_uniform": "28 day-of-month rows",
     "q_watson_u2": "7 iso-dow rows",
     "q_storey_qvalues": "35 contingency cells (event types x weekdays)",
@@ -136,7 +137,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 74, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 75, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
@@ -158,19 +159,44 @@ def test_whitelists_are_ratcheted():
             )
 
 
-def test_no_unlisted_low_cardinality_windows(spark):
+@pytest.fixture(scope="module")
+def audited_plans(spark):
+    """Every batch query's DataFrame, built ONCE with checkpoints
+    ELIDED, shared by the three plan sweeps below.
+
+    Checkpoints elided because an eager localCheckpoint truncates the
+    optimized plan, hiding everything upstream from plan audits — the
+    r12 ADVICE hole: q_hl_shift_ci's unpartitioned ~3M-row rank window
+    sat invisibly behind its checkpoint, silently bypassing this very
+    ratchet. Building inside checkpoints_disabled() walks the FULL
+    lineage; building once (instead of once per sweep test) keeps the
+    cost of the un-checkpointed construction paid a single time."""
+    from window_audit import checkpoints_disabled
+
+    reg = load_all()
+    plans = {}
+    with checkpoints_disabled():
+        for name, q in reg.items():
+            if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
+                # streaming plans don't build batch-style here;
+                # sourcesink queries execute writes eagerly (audited
+                # separately — q_zorder_layout is stitched, the rest
+                # are windowless)
+                continue
+            plans[name] = q.fn(spark, SF_DIR)
+    return plans
+
+
+def test_no_unlisted_low_cardinality_windows(audited_plans):
     """An ordered window partitioned ONLY by enum-like columns over
     unbounded-grain input serializes an unbounded slice per reducer —
     the fig-leaf variant of the empty-PARTITION-BY hazard. Every
     occurrence must justify its bounded input grain here."""
     from window_audit import low_card_partition_windows
 
-    reg = load_all()
     offenders: dict[str, list[str]] = {}
-    for name, q in reg.items():
-        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
-            continue
-        cols = low_card_partition_windows(q.fn(spark, SF_DIR))
+    for name, df in audited_plans.items():
+        cols = low_card_partition_windows(df)
         if cols:
             offenders[name] = cols
     unexpected = set(offenders) - set(LOW_CARD_WINDOW_WHITELIST)
@@ -186,16 +212,9 @@ def test_no_unlisted_low_cardinality_windows(spark):
     )
 
 
-def test_no_unlisted_single_partition_windows(spark):
-    reg = load_all()
+def test_no_unlisted_single_partition_windows(audited_plans):
     offenders: dict[str, list[str]] = {}
-    for name, q in reg.items():
-        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
-            # streaming plans don't build batch-style here; sourcesink
-            # queries execute writes eagerly (audited separately —
-            # q_zorder_layout is stitched, the rest are windowless)
-            continue
-        df = q.fn(spark, SF_DIR)
+    for name, df in audited_plans.items():
         cols = unpartitioned_windows(df)
         if cols:
             offenders[name] = cols
@@ -228,18 +247,15 @@ BUFFERING_PERCENTILE_WHITELIST = {
 }
 
 
-def test_no_unlisted_buffering_percentiles(spark):
+def test_no_unlisted_buffering_percentiles(audited_plans):
     """Fact-grain exact quantiles must go through the stitched rank
     selection (operators/quantiles.py), not Spark's buffering
     percentile aggregate."""
     from window_audit import buffering_percentiles
 
-    reg = load_all()
     offenders: dict[str, list[str]] = {}
-    for name, q in reg.items():
-        if name.startswith("q_stream_") or q.category in ("source-sink", "sink"):
-            continue
-        hits = buffering_percentiles(q.fn(spark, SF_DIR))
+    for name, df in audited_plans.items():
+        hits = buffering_percentiles(df)
         if hits:
             offenders[name] = hits
     unexpected = set(offenders) - set(BUFFERING_PERCENTILE_WHITELIST)

@@ -19,11 +19,47 @@ Usage: python tools/window_audit.py [query ...]
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@contextlib.contextmanager
+def checkpoints_disabled():
+    """Identity-patch DataFrame.localCheckpoint/checkpoint while building
+    audited plans. An eager localCheckpoint truncates the optimized plan,
+    so a window UPSTREAM of the checkpoint is invisible to this audit —
+    which would let a genuinely unbounded window hide behind lineage
+    truncation (r12 ADVICE: q_hl_shift_ci ranks a ~3M-row Walsh table
+    with an unpartitioned window that the checkpoint then hid). Audits
+    must construct query DataFrames inside this context so the FULL
+    logical plan, checkpoints elided, is what gets walked."""
+    # patch every concrete DataFrame class: PySpark 4 routes queries
+    # through pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES
+    # the base pyspark.sql.DataFrame methods — patching only the base
+    # class silently does nothing (verified: the checkpoint survived)
+    import pyspark.sql
+
+    classes = [pyspark.sql.DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        classes.append(_ClassicDF)
+    except ImportError:
+        pass
+    saved = [(c, c.localCheckpoint, c.checkpoint) for c in classes]
+    for c in classes:
+        c.localCheckpoint = lambda self, *a, **k: self
+        c.checkpoint = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        for c, orig_local, orig_ckpt in saved:
+            c.localCheckpoint = orig_local
+            c.checkpoint = orig_ckpt
 
 def _spec_args(plan: str) -> list[str]:
     """Balanced-paren extraction of every windowspecdefinition(...)
@@ -136,7 +172,8 @@ def main() -> None:
     flagged: dict[str, list[str]] = {}
     for name in names:
         try:
-            df = reg[name].fn(spark, "/root/testdata/sf0.001")
+            with checkpoints_disabled():
+                df = reg[name].fn(spark, "/root/testdata/sf0.001")
         except Exception as exc:  # noqa: BLE001 - audit tool, report and move on
             print(f"ERR  {name}: {exc}")
             continue
