@@ -422,3 +422,46 @@ def test_containment_pairs_complete_vs_brute_force(spark, docs, tau):
                 if c >= tau:
                     want.add((a, b, c))
     assert got == want
+
+
+@_settings
+@given(data=rows)
+def test_grouped_stitch_matches_partitioned_window(spark, data):
+    """The GROUPED stitch (partition_cols= — the form behind every
+    per-group headline query) must agree with the naive PARTITION BY
+    window on ANY data: per-group running sum, rank, running min, and
+    the with_totals per-group totals."""
+    from builder_spark.operators.partitioning import stitched_running
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], ["id", "k", "v"]
+    ).repartition(4)
+    base = df.withColumn("vi", (F.col("v") * 100).cast("bigint"))
+    got = stitched_running(
+        base,
+        ["id"],
+        running={"rs": "vi"},
+        running_min={"rm": "vi"},
+        rank_name="rn",
+        partition_cols=["k"],
+        with_totals=True,
+        num_partitions=4,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("k")
+    naive = base.select(
+        "id",
+        F.sum("vi").over(w).cast("bigint").alias("rs"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
+        F.min("vi").over(w).cast("bigint").alias("rm"),
+        F.sum("vi").over(wt).cast("bigint").alias("rs_total"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("rn_total"),
+    )
+    cols = ["id", "rs", "rn", "rm", "rs_total", "rn_total"]
+    want = sorted(tuple(r[c] for c in cols) for r in naive.collect())
+    have = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
+    assert have == want
