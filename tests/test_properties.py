@@ -465,3 +465,30 @@ def test_grouped_stitch_matches_partitioned_window(spark, data):
     want = sorted(tuple(r[c] for c in cols) for r in naive.collect())
     have = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
     assert have == want
+
+
+@_settings
+@given(data=rows)
+def test_grouped_topk_matches_window_on_any_data(spark, data):
+    """grouped_topk's two-phase prune == plain PARTITION BY row_number
+    on ANY data — including heavy value ties (the float values repeat
+    across the tiny key range), groups smaller than k, and single-row
+    input. The fixture test covers one deterministic shape; this pins
+    the tie-break contract under fuzz."""
+    from builder_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(data)], ["id", "g", "v"]
+    ).repartition(4)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = sorted(
+        (r.g, r.id, r.rnk) for r in grouped_topk(df, ["g"], order, 3).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r.g, r.id, r.rnk)
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    assert got == want
