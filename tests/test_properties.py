@@ -442,6 +442,7 @@ def test_grouped_stitch_matches_partitioned_window(spark, data):
         ["id"],
         running={"rs": "vi"},
         running_min={"rm": "vi"},
+        running_min_excl={"rme": "vi"},
         rank_name="rn",
         partition_cols=["k"],
         with_totals=True,
@@ -453,15 +454,21 @@ def test_grouped_stitch_matches_partitioned_window(spark, data):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("k")
+    we = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     naive = base.select(
         "id",
         F.sum("vi").over(w).cast("bigint").alias("rs"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("rn"),
         F.min("vi").over(w).cast("bigint").alias("rm"),
+        F.min("vi").over(we).cast("bigint").alias("rme"),
         F.sum("vi").over(wt).cast("bigint").alias("rs_total"),
         F.count(F.lit(1)).over(wt).cast("bigint").alias("rn_total"),
     )
-    cols = ["id", "rs", "rn", "rm", "rs_total", "rn_total"]
+    cols = ["id", "rs", "rn", "rm", "rme", "rs_total", "rn_total"]
     want = sorted(tuple(r[c] for c in cols) for r in naive.collect())
     have = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
     assert have == want
