@@ -1,0 +1,372 @@
+"""Property-based tests for the STATEFUL operator families (r13
+verdict task 3): the as-of join variants (forward / tolerance /
+nearest), lag+cumsum sessionization, and the SCD2 / temporal-join
+interval contract. Each test mirrors the registered query's core
+algorithm on fuzzed timelines — integer timestamps stand in for the
+timestamp columns; the union-timeline + window shape, frame bounds,
+and (ts, kind, key) tie discipline are EXACTLY the registered
+query's — and compares against the obvious quadratic Python oracle.
+The fixture queries cover one deterministic dataset; these pin the
+semantics on ANY timeline: timestamp ties between left and right
+rows, ties within a side, users present on only one side, zero-length
+SCD2 periods from duplicate change timestamps."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# two event streams on a shared (user, t) plane; row key = list index
+two_streams = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=25),
+)
+
+
+def _timeline(spark, left, right):
+    """Union timeline mirroring q_join_asof*: left rows (kind 1) carry
+    event_id, right rows (kind 0) carry o_key; kind 0 sorts first at
+    equal t so right-side rows are <=-visible backward and >-only
+    forward — the exact tie discipline of joins.py:213 /
+    round5.py:1112 / round6.py:185 / round7.py:1141."""
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(left)], "event_id long, user_id long, t long"
+    )
+    od = (
+        spark.createDataFrame(
+            [(k, u, t) for k, (u, t) in enumerate(right)],
+            "o_key long, user_id long, t long",
+        )
+        if right
+        else spark.createDataFrame([], "o_key long, user_id long, t long")
+    )
+    l = ev.select(
+        "user_id", F.col("t").alias("_t"), F.lit(1).alias("_kind"), "event_id",
+        F.lit(None).cast("long").alias("o_key"),
+    )
+    r = od.select(
+        "user_id", F.col("t").alias("_t"), F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("event_id"), "o_key",
+    )
+    return l.unionByName(r).repartition(4)
+
+
+@_settings
+@given(data=two_streams)
+def test_asof_forward_matches_naive(spark, data):
+    """FORWARD as-of (q_join_asof_forward's union + first-FOLLOWING
+    algorithm): per left event, the right row with min (t, key) among
+    t STRICTLY greater — an equal-timestamp right row sorts before the
+    event (kind 0 < 1) and must NOT match."""
+    events, orders = data
+    tl = _timeline(spark, events, orders)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_kind").asc(), F.col("o_key").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    got = {
+        (r.event_id, r.o_key)
+        for r in tl.withColumn("_nxt", F.first("o_key", ignorenulls=True).over(w))
+        .filter((F.col("_kind") == 1) & F.col("_nxt").isNotNull())
+        .select("event_id", F.col("_nxt").alias("o_key"))
+        .collect()
+    }
+    want = set()
+    for i, (u, t) in enumerate(events):
+        cands = [(ot, k) for k, (ou, ot) in enumerate(orders) if ou == u and ot > t]
+        if cands:
+            want.add((i, min(cands)[1]))
+    assert got == want
+
+
+@_settings
+@given(data=two_streams, tol=st.sampled_from([0, 3, 7]))
+def test_asof_tolerance_matches_naive(spark, data, tol):
+    """As-of WITH TOLERANCE (q_join_asof_tolerance's running-last +
+    post-match gap predicate): the latest at-or-before match is kept
+    only when its gap <= tol, else NULL — and filtering the single
+    best match must equal bounding the whole search (if the latest
+    prior row is stale, every earlier one is too). LEFT semantics:
+    every left event emits exactly one row."""
+    events, orders = data
+    tl = _timeline(spark, events, orders)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_kind").asc(), F.col("o_key").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tl.withColumn("_vid", F.last("o_key", ignorenulls=True).over(w))
+        .withColumn(
+            "_vts",
+            F.last(F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("_kind") == 1)
+    )
+    gap = F.col("_t") - F.col("_vts")
+    in_tol = F.col("_vid").isNotNull() & (gap <= tol)
+    rows = matched.select(
+        "event_id",
+        F.when(in_tol, F.col("_vid")).alias("o_key"),
+        F.when(in_tol, gap).alias("gap"),
+    ).collect()
+    assert {r.event_id for r in rows} == set(range(len(events)))
+    got = {(r.event_id, r.o_key, r.gap) for r in rows}
+    want = set()
+    for i, (u, t) in enumerate(events):
+        cands = [(ot, k) for k, (ou, ot) in enumerate(orders) if ou == u and ot <= t]
+        if cands and t - max(cands)[0] <= tol:
+            ot, k = max(cands)
+            want.add((i, k, t - ot))
+        else:
+            want.add((i, None, None))
+    assert got == want
+
+
+@_settings
+@given(data=two_streams)
+def test_asof_nearest_matches_naive(spark, data):
+    """NEAREST as-of (q_join_asof_nearest's twin frames over ONE
+    sort): latest at-or-before vs earliest strictly-after, prior
+    winning distance ties; events with no match on either side drop
+    out. Both directions must come off the same (t, kind, key) order:
+    backward keeps last (max key at tie t), forward keeps first
+    (min key at earliest later t)."""
+    events, orders = data
+    tl = _timeline(spark, events, orders)
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("_t").asc(), F.col("_kind").asc(), F.col("o_key").asc()
+    )
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = (
+        tl.withColumn("_pk", F.last("o_key", ignorenulls=True).over(w_back))
+        .withColumn(
+            "_pd",
+            F.last(F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True).over(w_back),
+        )
+        .withColumn("_nk", F.first("o_key", ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "_nd",
+            F.first(F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True).over(w_fwd),
+        )
+        .filter(F.col("_kind") == 1)
+        .filter(F.col("_pk").isNotNull() | F.col("_nk").isNotNull())
+    )
+    prior_wins = F.col("_pk").isNotNull() & (
+        F.col("_nk").isNull()
+        | ((F.col("_t") - F.col("_pd")) <= (F.col("_nd") - F.col("_t")))
+    )
+    got = {
+        (r.event_id, r.o_key, r.direction)
+        for r in out.select(
+            "event_id",
+            F.when(prior_wins, F.col("_pk")).otherwise(F.col("_nk")).alias("o_key"),
+            F.when(prior_wins, F.lit("prior")).otherwise(F.lit("next")).alias("direction"),
+        ).collect()
+    }
+    want = set()
+    for i, (u, t) in enumerate(events):
+        prior = [(ot, k) for k, (ou, ot) in enumerate(orders) if ou == u and ot <= t]
+        nxt = [(ot, k) for k, (ou, ot) in enumerate(orders) if ou == u and ot > t]
+        if not prior and not nxt:
+            continue
+        if prior and (not nxt or t - max(prior)[0] <= min(nxt)[0] - t):
+            want.add((i, max(prior)[1], "prior"))
+        else:
+            want.add((i, min(nxt)[1], "next"))
+    assert got == want
+
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 30),  # t
+        st.integers(-5, 5),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(events=session_events, gap=st.sampled_from([1, 5]))
+def test_sessionization_lag_cumsum_matches_naive(spark, events, gap):
+    """The lag+cumsum sessionization contract (q_win_session's exact
+    rewrite, integer clock): a row opens a new session iff it has no
+    predecessor or its gap to the (ts, id)-previous row exceeds the
+    threshold; session_id is the running count of openers; rollups
+    follow. Must agree with the single-pass Python oracle on ANY
+    timeline — duplicate timestamps (gap 0 stays in-session, tie order
+    by event_id), gap == threshold staying IN-session (strict >),
+    single-event users."""
+    df = spark.createDataFrame(
+        [(i, u, t, v) for i, (u, t, v) in enumerate(events)],
+        "event_id long, user_id long, t long, v long",
+    ).repartition(4)
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    g = F.col("t") - F.lag("t").over(w)
+    new_session = F.when(g.isNull() | (g > gap), F.lit(1)).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end, r.total_v)
+        for r in df.withColumn("ns", new_session)
+        .withColumn("session_id", F.sum("ns").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t").alias("session_start"),
+            F.max("t").alias("session_end"),
+            F.sum("v").alias("total_v"),
+        )
+        .collect()
+    }
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for i, (u, t, v) in enumerate(events):
+        by_user.setdefault(u, []).append((t, i, v))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()
+        sid, prev_t = 0, None
+        sessions: dict[int, list[tuple[int, int]]] = {}
+        for t, _i, v in rows:
+            if prev_t is None or t - prev_t > gap:
+                sid += 1
+            sessions.setdefault(sid, []).append((t, v))
+            prev_t = t
+        for s, evs in sessions.items():
+            ts = [t for t, _ in evs]
+            want.add((u, s, len(evs), min(ts), max(ts), sum(v for _, v in evs)))
+    assert got == want
+
+
+changes = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (user, t)
+    min_size=1,
+    max_size=20,
+)
+
+
+@_settings
+@given(rows=changes)
+def test_scd2_periods_partition_timeline(spark, rows):
+    """SCD2 period construction (q_scd2_periods' lead rewrite) on ANY
+    change stream: per user the periods must (a) reproduce the naive
+    consecutive-pairs build exactly — including ZERO-LENGTH periods
+    from duplicate change timestamps, ordered by (ts, id) — and
+    (b) satisfy the interval invariants: one period per change row,
+    each valid_to equal to the next valid_from, exactly one open
+    (is_current) period per user, valid_from nondecreasing."""
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, t long",
+    ).repartition(4)
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    nxt = F.lead("t").over(w)
+    got_rows = df.select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).collect()
+    got = {(r.user_id, r.event_id, r.valid_from, r.valid_to, r.is_current) for r in got_rows}
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, t) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, i))
+    want = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        for j, (t, i) in enumerate(evs):
+            nxt_t = evs[j + 1][0] if j + 1 < len(evs) else None
+            want.add((u, i, t, nxt_t, nxt_t is None))
+    assert got == want
+
+    # interval invariants, stated independently of the oracle
+    per_user: dict[int, list] = {}
+    for r in got_rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert sum(len(v) for v in per_user.values()) == len(rows)
+    for u, periods in per_user.items():
+        periods.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(1 for p in periods if p.is_current) == 1
+        assert periods[-1].is_current and periods[-1].valid_to is None
+        for a, b in zip(periods, periods[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gaps/overlaps
+
+
+temporal_data = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 15)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 15)), min_size=1, max_size=15),
+)
+
+
+@_settings
+@given(data=temporal_data)
+def test_temporal_join_exactly_one_period_per_fact(spark, data):
+    """Point-in-time join (q_temporal_join's equi-join + residual
+    interval filter) on ANY change/fact streams: a fact at ts >= the
+    user's first valid_from matches EXACTLY one period (periods
+    partition the timeline — the no-row-blowup contract the query's
+    docstring claims); a fact before the first period, or for a user
+    with no periods, matches ZERO. Match identity equals the naive
+    scan, with zero-length periods matching nothing."""
+    dims, facts = data
+    ddf = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(dims)],
+        "dim_id long, user_id long, t long",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("dim_id").asc())
+    dim = ddf.select(
+        "user_id",
+        "dim_id",
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w).alias("valid_to"),
+    )
+    fdf = spark.createDataFrame(
+        [(j, u, t) for j, (u, t) in enumerate(facts)],
+        "fact_id long, user_id long, ft long",
+    ).repartition(4)
+    got_rows = (
+        fdf.join(dim, "user_id")
+        .filter(
+            (F.col("ft") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ft") < F.col("valid_to")))
+        )
+        .select("fact_id", "dim_id")
+        .collect()
+    )
+    got = {(r.fact_id, r.dim_id) for r in got_rows}
+    # exactly-one: no fact_id may match two periods
+    assert len(got) == len(got_rows)
+    fact_ids = [r.fact_id for r in got_rows]
+    assert len(set(fact_ids)) == len(fact_ids), "a fact matched multiple periods"
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, t) in enumerate(dims):
+        by_user.setdefault(u, []).append((t, i))
+    want = set()
+    for j, (u, t) in enumerate(facts):
+        evs = sorted(by_user.get(u, []))
+        for k, (dt, di) in enumerate(evs):
+            upper = evs[k + 1][0] if k + 1 < len(evs) else None
+            if t >= dt and (upper is None or t < upper):
+                want.add((j, di))
+    assert got == want
+    # coverage: every fact at/after its user's first change matched
+    for j, (u, t) in enumerate(facts):
+        evs = by_user.get(u)
+        if evs and t >= min(evs)[0]:
+            assert j in {f for f, _ in got}
+        else:
+            assert j not in {f for f, _ in got}
