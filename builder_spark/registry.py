@@ -59,9 +59,17 @@ def _last_graded_ok_round() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_ok: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # numeric round order, NOT lexical path order: eviction semantics
+    # ("a LATER failing grade evicts") depend on processing rounds in
+    # sequence, and a future unpadded CORRECTNESS_r100.json would sort
+    # lexically between r09 and r11.
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of):
+        rnd = _round_of(path)
         try:
             with open(path) as f:
                 results = json.load(f)

@@ -43,7 +43,15 @@ def assert_registers_behind_backlog(registry: dict, new_names: list[str]) -> Non
                 f"rotation violated: never-graded backlog entry {b!r} "
                 f"(registered earlier) sorts after new query {q!r}"
             )
-    # Within the batch, never-graded entries keep registration order.
-    for a, b in zip(ungraded_new, ungraded_new[1:]):
-        if reg_pos[a] < reg_pos[b]:
-            assert order[a] < order[b], (a, b)
+    # Within the batch, never-graded entries keep registration order —
+    # checked over ALL pairs (r13 ADVICE item 1: adjacent pairs only
+    # verify a chain when the batch list is itself in registration
+    # order; combinations holds regardless of how new_names is listed).
+    import itertools
+
+    for a, b in itertools.combinations(ungraded_new, 2):
+        lo, hi = (a, b) if reg_pos[a] < reg_pos[b] else (b, a)
+        assert order[lo] < order[hi], (
+            f"rotation violated within batch: {lo!r} (registered earlier) "
+            f"sorts after {hi!r}"
+        )

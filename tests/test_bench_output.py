@@ -19,17 +19,27 @@ import json
 import bench
 
 
+#: distinct per-query values and a noop floor that is NOT one of them —
+#: r13 ADVICE item 3: feeding 123.456 everywhere made the minus-floors
+#: assertion check 0.0 == 0.0, so a dropped len() factor or sign error
+#: still passed. These make every derived total a distinct nonzero
+#: number that pins the formula's coefficients.
+_TIMINGS = {name: round(10.0 + 0.111 * i, 3) for i, name in enumerate(bench.HEADLINE)}
+_WARM = {name: round(2.0 + 0.07 * i, 3) for i, name in enumerate(bench.HEADLINE)}
+_WARM_MEDIAN = {name: round(1.5 + 0.05 * i, 3) for i, name in enumerate(bench.HEADLINE)}
+_NOOP_WARM = 0.37
+
+
 def _reports():
-    fake = {name: 123.456 for name in bench.HEADLINE}
     return bench.build_reports(
-        timings=dict(fake),
-        warm=dict(fake),
-        warm_median=dict(fake),
-        session_up_sec=123.456,
-        registry_import_sec=123.456,
-        noop_action_sec=123.456,
-        noop_warm_sec=123.456,
-        warmup_sec=123.456,
+        timings=dict(_TIMINGS),
+        warm=dict(_WARM),
+        warm_median=dict(_WARM_MEDIAN),
+        session_up_sec=5.5,
+        registry_import_sec=0.012,
+        noop_action_sec=2.8,
+        noop_warm_sec=_NOOP_WARM,
+        warmup_sec=7.7,
         sf=0.1,
     )
 
@@ -74,7 +84,15 @@ def test_detail_carries_per_query_maps_and_refs():
 def test_summary_totals_consistent():
     _detail, summary = _reports()
     n = len(bench.HEADLINE)
-    assert summary["value"] == round(123.456 * n, 3)
-    assert summary["warm_median_total_minus_floors_sec"] == round(
-        123.456 * n - n * 123.456, 3
+    assert summary["value"] == round(sum(_TIMINGS.values()), 3)
+    assert summary["warm_total_sec"] == round(sum(_WARM.values()), 3)
+    assert summary["warm_median_total_sec"] == round(sum(_WARM_MEDIAN.values()), 3)
+    # non-degenerate: distinct warm-median values and a floor that is
+    # not any of them, so the expected number pins BOTH the sum term
+    # and the n * noop_warm coefficient (~6.02 for the 19-query set)
+    expected_minus_floors = round(sum(_WARM_MEDIAN.values()) - n * _NOOP_WARM, 3)
+    assert expected_minus_floors != 0.0
+    assert summary["warm_median_total_minus_floors_sec"] == expected_minus_floors
+    assert summary["host_steady_load_x"] == round(
+        _NOOP_WARM / bench.NOOP_REFS["noop_warm_sec"], 2
     )

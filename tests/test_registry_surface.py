@@ -78,6 +78,57 @@ def test_rotation_failing_grade_evicts():
     assert last_ok == {"q_a": 1, "q_c": 2}, last_ok
 
 
+def test_rotation_parser_and_order_against_hand_built_fixture():
+    """r13 ADVICE item 1: the structural rotation assert derives both
+    sides from the same parser, so it cannot catch a parser bug. This
+    test feeds a synthetic CORRECTNESS journal through the REAL parser
+    (_last_graded_ok_round) and the REAL sort (_ordered) and compares
+    against a fully hand-built expectation, covering: green grades,
+    later-failure eviction, rows-only no_oracle grades, non-dict rows,
+    a corrupt JSON file (skipped whole), names absent from the
+    registry, and UNPADDED round filenames (r2 vs r10 — numeric round
+    order must win over lexical path order, else the r10 eviction of a
+    query r2 graded green is processed backwards and the query stays
+    green)."""
+    import json
+    import os
+    import tempfile
+    import unittest.mock as mock
+
+    from builder_spark import registry
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    rows_only = {"rows_match": False, "schema_match": False, "hash_match": False,
+                 "spark_rows": 7, "err": "no_oracle"}
+    with tempfile.TemporaryDirectory() as td:
+        (Path(td) / "CORRECTNESS_r2.json").write_text(json.dumps({
+            "q_a": green,          # green, evicted by r9
+            "q_b": bad,            # failed -> never-green
+            "q_c": rows_only,      # rows-only by design -> counts as graded r2
+            "q_d": green,          # green, evicted by r10
+            "q_junk": "not-a-dict",  # ignored
+            "q_ghost": green,      # parser records it; _ordered never sees it
+        }))
+        (Path(td) / "CORRECTNESS_r9.json").write_text(json.dumps({
+            "q_a": bad,            # eviction
+            "q_e": green,
+        }))
+        (Path(td) / "CORRECTNESS_r10.json").write_text(json.dumps({
+            "q_d": bad,            # eviction AFTER r2's green (numeric order)
+            "q_c": green,          # upgraded to full green at r10
+        }))
+        (Path(td) / "CORRECTNESS_r11.json").write_text("{corrupt json!")
+        with mock.patch.object(registry, "__file__", os.path.join(td, "pkg", "registry.py")):
+            last_ok = registry._last_graded_ok_round()
+            entries = [(n, "mod") for n in ["q_a", "q_b", "q_c", "q_d", "q_e", "q_f"]]
+            ordered = [n for n, _ in registry._ordered(entries)]
+    assert last_ok == {"q_c": 10, "q_e": 9, "q_ghost": 2}, last_ok
+    # hand-built: never-graded/evicted first in registration order
+    # (a, b, d, f), then green ascending by round (e@9 before c@10)
+    assert ordered == ["q_a", "q_b", "q_d", "q_f", "q_e", "q_c"], ordered
+
+
 def test_query_module_imports_are_loud():
     """load_modules() must not swallow ImportError: every module in the
     package is listed in MODULES and imported unconditionally when the

@@ -266,3 +266,41 @@ def test_no_unlisted_buffering_percentiles(audited_plans):
         "quantile_cont_stitched or document the bounded input grain"
     )
     assert not missing, f"stale percentile whitelist entries: {sorted(missing)}"
+
+
+def test_checkpoints_disabled_reentrant_and_covers_all_classes(spark):
+    """r13 ADVICE item 2: the checkpoint elision must (a) survive
+    NESTED entry — an inner exit may not un-patch a still-active outer
+    audit context — and (b) patch every importable concrete DataFrame
+    class (classic AND connect), since each overrides the base-class
+    methods and an unpatched flavor silently reverts the audit to
+    truncated lineage."""
+    import importlib
+
+    from window_audit import checkpoints_disabled
+
+    df = spark.range(3)
+    classes = [__import__("pyspark.sql", fromlist=["DataFrame"]).DataFrame]
+    for mod in ("pyspark.sql.classic.dataframe", "pyspark.sql.connect.dataframe"):
+        try:
+            classes.append(importlib.import_module(mod).DataFrame)
+        except Exception:
+            pass
+    originals = {c: (c.localCheckpoint, c.checkpoint) for c in classes}
+
+    with checkpoints_disabled():
+        with checkpoints_disabled():
+            assert df.localCheckpoint() is df
+            assert df.checkpoint() is df
+            for c in classes:
+                assert c.localCheckpoint is not originals[c][0], c
+                assert c.checkpoint is not originals[c][1], c
+        # inner exit: the OUTER context is still active — patch holds
+        assert df.localCheckpoint() is df
+        for c in classes:
+            assert c.localCheckpoint is not originals[c][0], c
+    # outermost exit: every class restored exactly
+    for c in classes:
+        assert c.localCheckpoint is originals[c][0], c
+        assert c.checkpoint is originals[c][1], c
+    assert df.localCheckpoint() is not df

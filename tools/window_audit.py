@@ -27,6 +27,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+#: nesting depth of checkpoints_disabled — the global monkeypatch is
+#: NOT thread-safe; the guard makes nested entry (an audit helper
+#: calling another audit helper) patch once and restore only at the
+#: outermost exit, so an inner exit can never un-patch a still-active
+#: outer context.
+_ckpt_patch_depth = 0
+
+
 @contextlib.contextmanager
 def checkpoints_disabled():
     """Identity-patch DataFrame.localCheckpoint/checkpoint while building
@@ -36,30 +44,46 @@ def checkpoints_disabled():
     truncation (r12 ADVICE: q_hl_shift_ci ranks a ~3M-row Walsh table
     with an unpartitioned window that the checkpoint then hid). Audits
     must construct query DataFrames inside this context so the FULL
-    logical plan, checkpoints elided, is what gets walked."""
-    # patch every concrete DataFrame class: PySpark 4 routes queries
-    # through pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES
-    # the base pyspark.sql.DataFrame methods — patching only the base
-    # class silently does nothing (verified: the checkpoint survived)
+    logical plan, checkpoints elided, is what gets walked.
+
+    Re-entrant (depth-counted, single-threaded only). Covers every
+    concrete DataFrame class so no session flavor reverts silently to
+    truncated lineage (r13 ADVICE item 2)."""
+    global _ckpt_patch_depth
+    # patch every concrete DataFrame class: PySpark 4 routes classic
+    # queries through pyspark.sql.classic.dataframe.DataFrame and
+    # Connect sessions through pyspark.sql.connect.dataframe.DataFrame,
+    # both of which OVERRIDE the base pyspark.sql.DataFrame methods —
+    # patching only the base class silently does nothing (verified:
+    # the checkpoint survived)
     import pyspark.sql
 
     classes = [pyspark.sql.DataFrame]
-    try:
-        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+    for mod, cls in (
+        ("pyspark.sql.classic.dataframe", "DataFrame"),
+        ("pyspark.sql.connect.dataframe", "DataFrame"),
+    ):
+        try:
+            import importlib
 
-        classes.append(_ClassicDF)
-    except ImportError:
-        pass
-    saved = [(c, c.localCheckpoint, c.checkpoint) for c in classes]
-    for c in classes:
-        c.localCheckpoint = lambda self, *a, **k: self
-        c.checkpoint = lambda self, *a, **k: self
+            classes.append(getattr(importlib.import_module(mod), cls))
+        except Exception:  # noqa: BLE001 - flavor not installed/importable
+            pass
+    _ckpt_patch_depth += 1
+    saved = None
+    if _ckpt_patch_depth == 1:
+        saved = [(c, c.localCheckpoint, c.checkpoint) for c in classes]
+        for c in classes:
+            c.localCheckpoint = lambda self, *a, **k: self
+            c.checkpoint = lambda self, *a, **k: self
     try:
         yield
     finally:
-        for c, orig_local, orig_ckpt in saved:
-            c.localCheckpoint = orig_local
-            c.checkpoint = orig_ckpt
+        _ckpt_patch_depth -= 1
+        if saved is not None:
+            for c, orig_local, orig_ckpt in saved:
+                c.localCheckpoint = orig_local
+                c.checkpoint = orig_ckpt
 
 def _spec_args(plan: str) -> list[str]:
     """Balanced-paren extraction of every windowspecdefinition(...)
