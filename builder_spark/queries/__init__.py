@@ -74,6 +74,7 @@ MODULES: tuple[str, ...] = (
     "builder_spark.queries.round11",
     "builder_spark.queries.round12",
     "builder_spark.queries.round12b",
+    "builder_spark.queries.round14",
 )
 
 

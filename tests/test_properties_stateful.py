@@ -370,3 +370,110 @@ def test_temporal_join_exactly_one_period_per_fact(spark, data):
             assert j in {f for f, _ in got}
         else:
             assert j not in {f for f, _ in got}
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 400), st.integers(0, 100)),  # (start, length)
+    min_size=1,
+    max_size=20,
+)
+
+
+@_settings
+@given(ivs=intervals, wins=st.lists(st.integers(0, 4), min_size=1, max_size=3))
+def test_interval_bucket_rewrite_matches_theta_join(spark, ivs, wins):
+    """q_interval_overlap_join's claim: exploding each interval into
+    the day buckets it covers and equi-joining on the bucket is
+    LOSSLESS vs the naive theta join (a.start < w_end AND a.end >=
+    w_start), with identical exact overlaps — including zero-length
+    intervals, boundary touches (end == window start), and intervals
+    spanning multiple windows. Here 'days' are 100-unit buckets."""
+    B = 100  # bucket width
+    iv = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)]
+    wset = sorted(set(wins))
+    df = spark.createDataFrame(iv, "id long, ss long, se long")
+    w = spark.createDataFrame([(d,) for d in wset], "day long")
+    cov = df.withColumn(
+        "day",
+        F.explode(
+            F.sequence(F.floor(F.col("ss") / B), F.floor(F.col("se") / B))
+        ),
+    )
+    ov = F.least(F.col("se"), (F.col("day") + 1) * B) - F.greatest(
+        F.col("ss"), F.col("day") * B
+    )
+    got = {
+        (r.id, r.day, r.ov)
+        for r in cov.join(F.broadcast(w), "day").select("id", "day", ov.alias("ov")).collect()
+    }
+    want = set()
+    for i, s, e in iv:
+        for d in wset:
+            lo, hi = d * B, (d + 1) * B
+            if s < hi and e >= lo:
+                want.add((i, d, min(e, hi) - max(s, lo)))
+    assert got == want
+
+
+cap_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (user, t)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=cap_events, gap=st.sampled_from([3, 10]))
+@settings(max_examples=40, deadline=None)
+def test_gap_cap_walk_matches_naive(events, gap):
+    """q_session_cap's REGISTERED pandas state machine == the obvious
+    Python loop on ANY timeline (no Spark needed — the walk is a pure
+    per-group function). Timestamps are scaled so the fn's fixed
+    30-min gap / 2-h cap constants bind at integer thresholds (gap=g,
+    cap=4g in test units — exact: K·(t−p) > K·g ⟺ t−p > g). Covers
+    duplicate timestamps, gap exactly at threshold (stays in-session),
+    cap boundary (t − anchor == cap stays; beyond splits), and cap
+    splits inside dense runs where the gap rule never fires."""
+    import pandas as pd
+
+    from builder_spark.queries.round14 import _capped_sessions_fn
+
+    cap = 4 * gap  # the fn's fixed 1_800/7_200 ratio
+    k = 1_800_000_000 // gap
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        pdf = pd.DataFrame(
+            {
+                "user_id": [u] * len(ts),
+                "ts_us": [t * k for t in ts],
+                "event_id": list(range(len(ts))),
+            }
+        )
+        out = _capped_sessions_fn(pdf)
+        rows = [
+            (int(r.user_id), int(r.session_id), int(r.n_events),
+             int(r.start_us) // k, int(r.end_us) // k)
+            for r in out.itertuples()
+        ]
+        # naive oracle: session boundaries by definition — anchor =
+        # first event of the session, scanning sorted order
+        naive = []
+        cur: list[int] = []
+        nsid = 0
+        for t in sorted(ts):
+            if cur and (t - cur[-1] > gap or t - cur[0] > cap):
+                nsid += 1
+                naive.append((u, nsid, len(cur), cur[0], cur[-1]))
+                cur = [t]
+            elif not cur:
+                cur = [t]
+            else:
+                cur.append(t)
+        nsid += 1
+        naive.append((u, nsid, len(cur), cur[0], cur[-1]))
+        assert sorted(rows) == sorted(naive)
+        # and every emitted session obeys the contract
+        for _u, _sid, n, fst, lst in rows:
+            assert lst - fst <= cap
+            assert n >= 1

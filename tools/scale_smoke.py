@@ -362,6 +362,17 @@ HEAVY = [
     "q_van_der_waerden",
     "q_null_safe_join",
     "q_array_sort_comparator",
+    # round-14 additions: grouped-stitch trimmed band, double-stitch
+    # rank test, capped applyInPandas sessionization, pruned-pair link
+    # prediction, bucketed interval-overlap join, stitched systematic
+    # sample — the six whose fan-out or Python path could in principle
+    # be size-sensitive
+    "q_trimmed_mean",
+    "q_bws_test",
+    "q_session_cap",
+    "q_adamic_adar",
+    "q_interval_overlap_join",
+    "q_systematic_sample",
 ]
 
 #: per-table key columns to offset so replicas don't collide
