@@ -1238,3 +1238,548 @@ def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").alias("mp_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dixon Q small-sample outlier test (per-region nation balances)
+
+
+@register(
+    "q_dixon_q_test",
+    oracle="""
+        WITH nav AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   round(avg(s.s_acctbal), 4) AS bal
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT region, count(*) AS n, max(bal) AS mx, min(bal) AS mn
+            FROM nav GROUP BY region
+        ),
+        m2 AS (
+            SELECT nav.region,
+                   sum(CASE WHEN nav.bal = m.mx THEN 1 ELSE 0 END)
+                       AS n_at_max,
+                   max(CASE WHEN nav.bal < m.mx THEN nav.bal END) AS mx2
+            FROM nav JOIN m ON nav.region = m.region
+            GROUP BY nav.region
+        )
+        SELECT m.region, CAST(m.n AS BIGINT) AS n,
+               round((m.mx - CASE WHEN m2.n_at_max >= 2 THEN m.mx
+                             ELSE m2.mx2 END)
+                     / nullif(m.mx - m.mn, 0), 4) + 0.0 AS q_high,
+               CAST(CASE WHEN (m.mx - CASE WHEN m2.n_at_max >= 2 THEN m.mx
+                               ELSE m2.mx2 END)
+                              / nullif(m.mx - m.mn, 0)
+                              > (CASE m.n WHEN 3 THEN 0.941
+                                          WHEN 4 THEN 0.829
+                                          ELSE 0.710 END)
+                    THEN 1 ELSE 0 END AS INT) AS is_outlier
+        FROM m JOIN m2 ON m.region = m2.region
+    """,
+    category="analytics",
+)
+def q_dixon_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q test for a single high outlier in SMALL samples (the
+    n = 5 nations per region): Q = gap/range = (x_(n) − x_(n−1)) /
+    (x_(n) − x_(1)) against the n=5, α=0.05 critical value 0.710 —
+    the right outlier test when n is far too small for q_grubbs_max_z
+    or q_esd_outliers. Tied maxima make the gap zero (the second
+    order statistic INCLUDES ties), handled via the n_at_max branch
+    on both engines. Facts collapse to the 25-row nation grain in one
+    combinable pass; everything after is 5-row algebra — no windows
+    over unbounded input anywhere."""
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nav = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.avg("s_acctbal"), 4).alias("bal"))
+    )
+    m = nav.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("bal").alias("mx"),
+        F.min("bal").alias("mn"),
+    )
+    counts = nav.join(m.select("region", "mx"), "region").groupBy("region").agg(
+        F.sum(F.when(F.col("bal") == F.col("mx"), 1).otherwise(0)).alias("n_at_max"),
+        F.max(F.when(F.col("bal") < F.col("mx"), F.col("bal"))).alias("mx2"),
+    )
+    j = m.join(counts, "region")
+    second = F.when(F.col("n_at_max") >= 2, F.col("mx")).otherwise(F.col("mx2"))
+    rng = F.col("mx") - F.col("mn")
+    q = (F.col("mx") - second) / F.when(rng != 0, rng)
+    # Dixon's critical value depends on n (alpha = 0.05): 3 -> 0.941,
+    # 4 -> 0.829, 5+ -> 0.710 — small fixtures can miss a nation
+    crit = (
+        F.when(F.col("n") == 3, 0.941)
+        .when(F.col("n") == 4, 0.829)
+        .otherwise(0.710)
+    )
+    return j.select(
+        "region",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(q, 4) + F.lit(0.0)).alias("q_high"),
+        F.when(q > crit, 1).otherwise(0).cast("int").alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-level lexical richness (Honoré R, Sichel S)
+
+
+@register(
+    "q_bigram_richness",
+    oracle="""
+        WITH tok AS (
+            SELECT source, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT source,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bigram
+            FROM tok
+        ),
+        freq AS (
+            SELECT source, bigram, count(*) AS c
+            FROM bg GROUP BY source, bigram
+        ),
+        stats AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v2
+            FROM freq GROUP BY source
+        )
+        SELECT source, n_bigrams, v, v1, v2,
+               round(100.0 * ln(n_bigrams)
+                     / nullif(1.0 - v1 * 1.0 / v, 0), 4) AS honore_r,
+               round(v2 * 1.0 / v, 4) AS sichel_s
+        FROM stats
+    """,
+    category="llm-text",
+)
+def q_bigram_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness on the BIGRAM spectrum: Honoré's
+    R = 100·ln(N)/(1 − V₁/V) (hapax-weighted richness, diverges as
+    everything becomes unique) and Sichel's S = V₂/V (dis-legomena
+    share, stable across text length) — the frequency-spectrum
+    sibling of q_yules_k (which uses the full spectrum) and
+    q_vocab_stats (type-token only). Bigrams because the fixture's
+    31-word unigram vocabulary has a degenerate hapax count; the
+    bigram spectrum is rich (V₁ ≈ 300/source). One explode + one
+    combinable (source, bigram) count; the spectrum rollup is
+    value-grain. V₁ = V (all hapax) nulls Honoré on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = d.select("source", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    freq = bg.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    stats = freq.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("v2"),
+    )
+    hon_den = 1.0 - F.col("v1") * 1.0 / F.col("v")
+    return stats.select(
+        "source",
+        "n_bigrams",
+        "v",
+        "v1",
+        "v2",
+        F.round(
+            100.0 * F.log(F.col("n_bigrams")) / F.when(hon_den != 0, hon_den), 4
+        ).alias("honore_r"),
+        F.round(F.col("v2") * 1.0 / F.col("v"), 4).alias("sichel_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skip-gram training-pair extraction (window 2)
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i AS p, toks[i] AS term
+            FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)
+        ),
+        pairs AS (
+            SELECT a.term AS center, b.term AS context, count(*) AS n
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.p <> a.p
+             AND abs(b.p - a.p) <= 2
+            GROUP BY 1, 2
+        )
+        SELECT center, context, CAST(n AS BIGINT) AS n_pairs
+        FROM pairs
+        ORDER BY n DESC, center, context
+        LIMIT 20
+    """,
+    category="llm-pipeline",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair extraction with a
+    ±2 window — the word2vec-style pair generation step of an
+    embedding-training pipeline (q_pmi_bigrams scores ADJACENT pairs;
+    skip-grams cover the full window). The positional self-join keys
+    on doc_id with a banded |Δpos| <= 2 residual, so fan-out is a
+    fixed <= 4 pairs per token — linear in corpus size, never
+    quadratic in document length; the pair count is one combinable
+    agg and the global top-20 compiles to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "term")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") != F.col("a.p"))
+            & (F.abs(F.col("b.p") - F.col("a.p")) <= 2),
+        )
+        .groupBy(F.col("a.term").alias("center"), F.col("b.term").alias("context"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return pairs.orderBy(
+        F.col("n_pairs").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# lexicon gate (content-safety style blocklist filter)
+
+
+_BLOCKLIST = ["slow", "dup", "big", "leak"]
+
+
+@register(
+    "q_wordlist_gate",
+    oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   len(list_intersect(list_distinct(string_split(text, ' ')),
+                                      {_BLOCKLIST!r})) AS hits
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               round(sum(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS flag_rate,
+               round(avg(hits * 1.0), 4) AS avg_hits
+        FROM d GROUP BY source
+    """,
+    category="llm-pipeline",
+)
+def q_wordlist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content gate: flag documents whose DISTINCT
+    token set hits >= 2 blocklist terms, reported per source — the
+    safety/quality filter shape of a training-data pipeline (the
+    q_gopher_gates / q_pii_scan sibling on a curated term list; the
+    >= 2 threshold is the standard precision lever against single
+    incidental hits). Blocklist membership is an array_intersect
+    against a broadcast literal list — rides the scan, no shuffle
+    before the per-source rollup; at a real blocklist's size (10k+
+    terms) the same shape becomes a broadcast-join against the term
+    table. One term ('leak') is absent from the fixture corpus to
+    exercise the no-hit path."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split("text", " ")),
+            F.array(*[F.lit(w) for w in _BLOCKLIST]),
+        )
+    )
+    per_doc = d.select("source", hits.alias("hits"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hits") >= 2, 1).otherwise(0)).cast("bigint").alias(
+            "n_flagged"
+        ),
+        F.round(
+            F.sum(F.when(F.col("hits") >= 2, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("flag_rate"),
+        F.round(F.avg(F.col("hits") * 1.0), 4).alias("avg_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily revenue series
+
+
+@register(
+    "q_haar_energy",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        l0 AS (
+            SELECT t, x FROM (
+                SELECT row_number() OVER (ORDER BY day) AS t,
+                       cents * 1.0 AS x
+                FROM daily
+            ) WHERE t <= 16
+        ),
+        p1 AS (
+            SELECT (t - 1) // 2 AS k,
+                   sum(CASE WHEN t % 2 = 1 THEN x END) AS xo,
+                   sum(CASE WHEN t % 2 = 0 THEN x END) AS xe
+            FROM l0 GROUP BY 1 HAVING count(*) = 2
+        ),
+        l1 AS (SELECT k + 1 AS t, (xo + xe) / 2 AS x FROM p1),
+        p2 AS (
+            SELECT (t - 1) // 2 AS k,
+                   sum(CASE WHEN t % 2 = 1 THEN x END) AS xo,
+                   sum(CASE WHEN t % 2 = 0 THEN x END) AS xe
+            FROM l1 GROUP BY 1 HAVING count(*) = 2
+        ),
+        l2 AS (SELECT k + 1 AS t, (xo + xe) / 2 AS x FROM p2),
+        p3 AS (
+            SELECT (t - 1) // 2 AS k,
+                   sum(CASE WHEN t % 2 = 1 THEN x END) AS xo,
+                   sum(CASE WHEN t % 2 = 0 THEN x END) AS xe
+            FROM l2 GROUP BY 1 HAVING count(*) = 2
+        ),
+        l3 AS (SELECT k + 1 AS t, (xo + xe) / 2 AS x FROM p3),
+        p4 AS (
+            SELECT (t - 1) // 2 AS k,
+                   sum(CASE WHEN t % 2 = 1 THEN x END) AS xo,
+                   sum(CASE WHEN t % 2 = 0 THEN x END) AS xe
+            FROM l3 GROUP BY 1 HAVING count(*) = 2
+        ),
+        l4 AS (SELECT k + 1 AS t, (xo + xe) / 2 AS x FROM p4)
+        SELECT 1 AS level,
+               round(sum((xo - xe) / 2 * ((xo - xe) / 2)), 4) AS energy
+        FROM p1
+        UNION ALL
+        SELECT 2, round(sum((xo - xe) / 2 * ((xo - xe) / 2)), 4) FROM p2
+        UNION ALL
+        SELECT 3, round(sum((xo - xe) / 2 * ((xo - xe) / 2)), 4) FROM p3
+        UNION ALL
+        SELECT 4, round(sum((xo - xe) / 2 * ((xo - xe) / 2)), 4) FROM p4
+        UNION ALL
+        SELECT 0, round(sum(x * x), 4) FROM l4
+    """,
+    category="analytics",
+)
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the first 16 days of
+    purchase revenue: four detail levels d_k = (x_odd − x_even)/2 on
+    successively coarser dyadic averages, energy = Σd² per level plus
+    the final approximation energy — the multiresolution spectrum
+    that localizes WHERE series variance lives (day-to-day vs weekly
+    vs fortnightly), which q_seasonal_strength's single-period model
+    can't. All arithmetic is exact dyadic halving of integer cents;
+    both engines run the identical unrolled 4-level ladder. Facts
+    collapse to the day table; every level is a combinable
+    8/4/2/1-row pair aggregation — only the t-index row_number needs
+    the (whitelisted) day-table window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    cur = (
+        daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .filter(F.col("t") <= 16)
+        .select("t", (F.col("cents") * 1.0).alias("x"))
+    )
+    out = None
+    for level in (1, 2, 3, 4):
+        p = (
+            cur.groupBy(F.floor((F.col("t") - 1) / 2).alias("k"))
+            .agg(
+                F.sum(F.when(F.col("t") % 2 == 1, F.col("x"))).alias("xo"),
+                F.sum(F.when(F.col("t") % 2 == 0, F.col("x"))).alias("xe"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .filter(F.col("c") == 2)
+        )
+        det = (F.col("xo") - F.col("xe")) / 2
+        e_lvl = p.agg(
+            F.lit(level).cast("int").alias("level"),
+            F.round(F.sum(det * det), 4).alias("energy"),
+        )
+        out = e_lvl if out is None else out.unionByName(e_lvl)
+        cur = p.select((F.col("k") + 1).alias("t"), ((F.col("xo") + F.col("xe")) / 2).alias("x"))
+    approx = cur.agg(
+        F.lit(0).cast("int").alias("level"),
+        F.round(F.sum(F.col("x") * F.col("x")), 4).alias("energy"),
+    )
+    return out.unionByName(approx)
+
+
+# ---------------------------------------------------------------------------
+# maximal marginal relevance re-ranking (diversified top-K retrieval)
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+        ),
+        c AS (
+            SELECT e.vec_id, e.embedding,
+                   round({_DD_DOT.format(a="q.q_emb", b="e.embedding")}
+                         / ({_DD_NORM.format(v="q.q_emb")}
+                            * {_DD_NORM.format(v="e.embedding")}), 6)
+                       AS rel
+            FROM embeddings e, q WHERE e.vec_id >= 5
+        ),
+        s1 AS (
+            SELECT vec_id, embedding, rel, round(rel, 4) AS score
+            FROM c ORDER BY round(rel, 4) DESC, vec_id LIMIT 1
+        ),
+        s2 AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   round(0.7 * c.rel - 0.3 * (
+                       SELECT max(round({_DD_DOT.format(a="c.embedding", b="s.embedding")}
+                           / ({_DD_NORM.format(v="c.embedding")}
+                              * {_DD_NORM.format(v="s.embedding")}), 6))
+                       FROM s1 s), 4) AS score
+            FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ),
+        s3 AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   round(0.7 * c.rel - 0.3 * (
+                       SELECT max(round({_DD_DOT.format(a="c.embedding", b="s.embedding")}
+                           / ({_DD_NORM.format(v="c.embedding")}
+                              * {_DD_NORM.format(v="s.embedding")}), 6))
+                       FROM (SELECT embedding FROM s1
+                             UNION ALL SELECT embedding FROM s2) s), 4) AS score
+            FROM c WHERE c.vec_id NOT IN
+                (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ),
+        s4 AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   round(0.7 * c.rel - 0.3 * (
+                       SELECT max(round({_DD_DOT.format(a="c.embedding", b="s.embedding")}
+                           / ({_DD_NORM.format(v="c.embedding")}
+                              * {_DD_NORM.format(v="s.embedding")}), 6))
+                       FROM (SELECT embedding FROM s1
+                             UNION ALL SELECT embedding FROM s2
+                             UNION ALL SELECT embedding FROM s3) s), 4) AS score
+            FROM c WHERE c.vec_id NOT IN
+                (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                 UNION ALL SELECT vec_id FROM s3)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ),
+        s5 AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   round(0.7 * c.rel - 0.3 * (
+                       SELECT max(round({_DD_DOT.format(a="c.embedding", b="s.embedding")}
+                           / ({_DD_NORM.format(v="c.embedding")}
+                              * {_DD_NORM.format(v="s.embedding")}), 6))
+                       FROM (SELECT embedding FROM s1
+                             UNION ALL SELECT embedding FROM s2
+                             UNION ALL SELECT embedding FROM s3
+                             UNION ALL SELECT embedding FROM s4) s), 4) AS score
+            FROM c WHERE c.vec_id NOT IN
+                (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                 UNION ALL SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM s4)
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        )
+        SELECT 1 AS rank, vec_id, round(rel, 4) AS relevance,
+               round(score, 4) + 0.0 AS mmr_score FROM s1
+        UNION ALL
+        SELECT 2, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s2
+        UNION ALL
+        SELECT 3, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s3
+        UNION ALL
+        SELECT 4, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s4
+        UNION ALL
+        SELECT 5, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s5
+    """,
+    category="llm-similarity",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance re-ranking: greedy top-5 for query
+    vector 0 under score = 0.7·rel(c) − 0.3·max_{s∈selected}
+    sim(c, s) — the diversity-aware re-ranker every RAG retrieval
+    stack ends with (q_cosine_topk returns near-duplicates of the
+    same neighborhood; MMR trades relevance against redundancy).
+    Greedy selection is INHERENTLY sequential (each pick changes the
+    next argmax), so the driver iterates K=5 bounded rounds: each is
+    one distributed argmax over the candidates against the <= 5
+    broadcast selected embeddings (a K·N plan, zero candidate-side
+    shuffle; the collect is 1 row/round — bounded by design, the
+    similarity.py K-queries precedent). Round-then-rank at 4dp with
+    vec_id tie-break keeps the greedy path identical on both engines;
+    the oracle unrolls the same five steps as CTEs."""
+    from builder_spark.functions.vectors import cosine_sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    schema = "rank int, vec_id bigint, relevance double, mmr_score double"
+    q_rows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not q_rows:
+        return spark.createDataFrame([], schema)
+    q_emb = F.array(*[F.lit(float(v)) for v in q_rows[0][0]])
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        "vec_id", "embedding", F.round(cosine_sim(q_emb, F.col("embedding")), 6).alias("rel")
+    ).localCheckpoint(eager=True)
+    picked: list[tuple[int, int, float, float]] = []
+    sel_embs: list = []
+    sel_ids: list[int] = []
+    for rank in (1, 2, 3, 4, 5):
+        pool = cand.filter(~F.col("vec_id").isin(sel_ids)) if sel_ids else cand
+        if not sel_embs:
+            score = F.round(F.col("rel"), 4)
+        else:
+            sims = [
+                F.round(cosine_sim(F.col("embedding"), F.array(*[F.lit(float(v)) for v in emb])), 6)
+                for emb in sel_embs
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(0.7 * F.col("rel") - 0.3 * maxsim, 4)
+        top = (
+            pool.withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((rank, int(r.vec_id), round(float(r.rel), 4), float(r.score) + 0.0))
+        sel_ids.append(int(r.vec_id))
+        sel_embs.append(list(r.embedding))
+    return spark.createDataFrame(picked, schema)

@@ -12,7 +12,7 @@ from builder_spark.registry import QUERIES, load_all
 
 ROOT = Path(__file__).resolve().parent.parent
 
-EXPECTED_COUNT = 665
+EXPECTED_COUNT = 671
 
 
 def _survey_keys() -> set[str]:

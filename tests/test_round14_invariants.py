@@ -33,6 +33,12 @@ NEW = [
     "q_session_cap",
     "q_err_ranking",
     "q_matrix_profile_daily",
+    "q_dixon_q_test",
+    "q_bigram_richness",
+    "q_skipgram_pairs",
+    "q_wordlist_gate",
+    "q_haar_energy",
+    "q_mmr_rerank",
 ]
 
 
@@ -61,6 +67,12 @@ def test_round14_registers_behind_backlog():
         ("q_session_cap", 2),           # ONE shuffle into applyInPandas
         ("q_err_ranking", 2),           # broadcast KxN, bounded windows
         ("q_matrix_profile_daily", 13), # day-grain subsequence algebra
+        ("q_dixon_q_test", 7),          # nation rollup + 5-row algebra
+        ("q_bigram_richness", 3),       # (source,bigram) count + rollup
+        ("q_skipgram_pairs", 2),        # banded positional self-join
+        ("q_wordlist_gate", 2),         # scan-side intersect + rollup
+        ("q_haar_energy", 6),           # day rollup + 4 pair levels
+        ("q_mmr_rerank", 1),            # broadcast KxN argmax rounds
     ],
 )
 def test_round14_shuffle_budget(spark, name, max_exchanges):
@@ -222,3 +234,97 @@ def test_matrix_profile_exclusion_and_symmetry_bound(spark):
     for r in rows:
         assert abs(r.t_start - r.nn_start) >= 4
         assert 0.0 <= r.mp_dist <= 2 * math.sqrt(7.0) + 1e-6
+
+
+def test_dixon_q_bounds(spark):
+    """Q = gap/range is in [0, 1]; n = 5 nations per region."""
+    rows = REGISTRY["q_dixon_q_test"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    crit = {3: 0.941, 4: 0.829, 5: 0.710}
+    for r in rows:
+        assert 1 <= r.n <= 5  # small fixtures may miss nations
+        if r.q_high is None:  # n == 1: range undefined, guarded null
+            assert r.is_outlier == 0
+            continue
+        assert 0.0 <= r.q_high <= 1.0
+        assert r.is_outlier == (1 if r.q_high > crit.get(r.n, 0.710) else 0)
+
+
+def test_bigram_richness_spectrum_consistent(spark):
+    """V1 + V2 <= V <= N; Sichel in [0,1]; Honore positive when
+    defined (V1 < V)."""
+    rows = REGISTRY["q_bigram_richness"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.v1 + r.v2 <= r.v <= r.n_bigrams
+        assert 0.0 <= r.sichel_s <= 1.0
+        if r.honore_r is not None:
+            assert r.honore_r > 0
+
+
+def test_skipgram_pair_symmetry(spark):
+    """Window co-occurrence is symmetric: count(a->b) == count(b->a)
+    whenever both orderings appear in the top-20 slice; counts
+    positive and sorted."""
+    rows = REGISTRY["q_skipgram_pairs"].fn(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 20
+    counts = {(r.center, r.context): r.n_pairs for r in rows}
+    ns = [r.n_pairs for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for (a, b), n in counts.items():
+        if (b, a) in counts:
+            assert counts[(b, a)] == n
+
+
+def test_wordlist_gate_rates(spark):
+    """Rates in [0,1]; flagged <= docs; avg hits bounded by the
+    blocklist size."""
+    from builder_spark.queries.round14 import _BLOCKLIST
+
+    rows = REGISTRY["q_wordlist_gate"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert abs(r.flag_rate - r.n_flagged / r.n_docs) < 1e-3
+        assert 0.0 <= r.avg_hits <= len(_BLOCKLIST)
+
+
+def test_haar_energy_parseval(spark):
+    """Parseval-style consistency: total series energy of the 16-day
+    dyadic window equals sum over levels of 2^level * energy_level
+    + 16 * approx_energy (Haar with the (a+b)/2,(a-b)/2 convention
+    scales by 2 per level)."""
+    from builder_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    rows = {r.level: r.energy for r in REGISTRY["q_haar_energy"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    e = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    xs = [
+        r.cents * 1.0
+        for r in daily.withColumn("t", F.row_number().over(W.orderBy("day")))
+        .filter(F.col("t") <= 16)
+        .orderBy("t")
+        .collect()
+    ]
+    if len(xs) == 16:
+        total = sum(x * x for x in xs)
+        recon = sum((2 ** lvl) * rows[lvl] for lvl in (1, 2, 3, 4)) + 16 * rows[0]
+        assert abs(total - recon) / total < 1e-9
+
+
+def test_mmr_first_pick_is_argmax_relevance(spark):
+    """Rank 1 is the plain relevance argmax; ranks are 1..k distinct;
+    mmr_score never exceeds 0.7*relevance + 0.3 envelope."""
+    rows = sorted(
+        REGISTRY["q_mmr_rerank"].fn(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    if rows:
+        assert rows[0].mmr_score == rows[0].relevance
+        for r in rows[1:]:
+            assert r.mmr_score <= 0.7 * r.relevance + 0.3 + 1e-6

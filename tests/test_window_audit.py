@@ -37,6 +37,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_ewma_chart": "day table",
     "q_newey_west": "day table",
     "q_matrix_profile_daily": "day table",
+    "q_haar_energy": "day table",
     "q_running_active_users": "day table",
     "q_rrf_fusion": "two top-k candidate lists",
     "q_degree_distribution": "distinct degree values",
@@ -140,7 +141,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 78, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 79, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
