@@ -155,10 +155,17 @@ def main() -> None:
     # round trip) AFTER warmup — the constant every timed query pays.
     # If trivial queries inflate round-over-round while plans are
     # unchanged, this floor moving is the explanation; if it holds,
-    # the inflation is real plan/scan cost.
-    t0 = time.perf_counter()
-    spark.range(1000).count()
-    noop_warm_sec = round(time.perf_counter() - t0, 3)
+    # the inflation is real plan/scan cost. MEDIAN of 5: a single
+    # measurement is hostage to one GC pause / scheduler hiccup, and
+    # this scalar multiplies into host_steady_load_x and the
+    # minus-floors total (r14: back-to-back runs on an idle box read
+    # 0.27s vs 0.75s from one-shot sampling).
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1000).count()
+        samples.append(time.perf_counter() - t0)
+    noop_warm_sec = round(sorted(samples)[2], 3)
 
     timings: dict[str, float] = {}
     for name in names:
