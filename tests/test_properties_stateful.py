@@ -477,3 +477,98 @@ def test_gap_cap_walk_matches_naive(events, gap):
         for _u, _sid, n, fst, lst in rows:
             assert lst - fst <= cap
             assert n >= 1
+
+
+merge_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),   # user
+        st.integers(0, 60),  # start
+        st.integers(0, 15),  # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings
+@given(rows=merge_rows)
+def test_merge_intervals_sweep_matches_naive(spark, rows):
+    """q_merge_intervals' sweep-line core (new group iff start exceeds
+    the running max of ALL previous ends — not just the previous
+    row's) must reproduce the naive merged-interval union on ANY
+    interval set: nested intervals (a long one swallowing later short
+    ones — the case a lag-based gap check gets wrong), exact-touch
+    boundaries (end == next start merges), duplicates, per-user
+    isolation."""
+    iv = [(i, u, s, s + ln) for i, (u, s, ln) in enumerate(rows)]
+    df = spark.createDataFrame(iv, "id long, user_id long, s long, e long").repartition(4)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        df.withColumn(
+            "new_iv",
+            F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+        )
+        .withColumn("grp", F.sum("new_iv").over(w_run))
+        .groupBy("user_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    got = sorted((r.user_id, r.ms, r.me) for r in merged.collect())
+    # naive: sort per user, merge overlapping-or-touching
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for _i, u, s, e in iv:
+        by_user.setdefault(u, []).append((s, e))
+    want = []
+    for u, ivs in by_user.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                want.append((u, cur_s, cur_e))
+                cur_s, cur_e = s, e
+        want.append((u, cur_s, cur_e))
+    assert got == sorted(want)
+
+
+@_settings
+@given(keys=st.lists(st.integers(0, 60), min_size=1, max_size=30))
+def test_islands_key_minus_rank_matches_naive(spark, keys):
+    """q_sequence_islands' k − row_number trick over DISTINCT keys
+    must produce exactly the maximal consecutive runs on ANY key set
+    (the registered query feeds unique order keys; distinctness is
+    part of the contract, so the fuzz dedups too)."""
+    ks = sorted(set(keys))
+    df = spark.createDataFrame([(k,) for k in ks], "k long").repartition(4)
+    w = Window.orderBy("k")
+    got = sorted(
+        (r.island_start, r.island_end, r.island_len)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .select("k", (F.col("k") - F.col("rn")).alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .collect()
+    )
+    want = []
+    start = prev = ks[0]
+    for k in ks[1:]:
+        if k == prev + 1:
+            prev = k
+            continue
+        want.append((start, prev, prev - start + 1))
+        start = prev = k
+    want.append((start, prev, prev - start + 1))
+    assert got == sorted(want)
