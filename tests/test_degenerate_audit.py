@@ -89,6 +89,11 @@ REGRESSION_SET = sorted(
         "q_self_excitation",
         "q_stream_foreach_batch",
         "q_tail_dependence",
+        # round-14 sweep catches (single-row fixture): unguarded
+        # (n-1) variance denominator / sxx=0 slope division — both
+        # fixed with F.when/nullif guards on BOTH engines
+        "q_fligner_killeen",
+        "q_newey_west",
         "q_time_rollup",
         "q_topk_drift",
         "q_wilson_interval",
