@@ -157,7 +157,7 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT avg(cents * 1.0) AS mu,
                    sqrt((sum(cents * 1.0 * cents)
                          - count(*) * avg(cents * 1.0) * avg(cents * 1.0))
-                        / (count(*) - 1)) AS sd
+                        / nullif(count(*) - 1, 0)) AS sd
             FROM daily
         ),
         idx AS (
@@ -181,7 +181,7 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM acc, scalars s
         )
         SELECT day, cents, round(ewma, 4) AS ewma,
-               round(ucl, 4) AS ucl, round(lcl, 4) AS lcl,
+               round(ucl, 4) + 0.0 AS ucl, round(lcl, 4) + 0.0 AS lcl,
                CAST(CASE WHEN ewma > ucl OR ewma < lcl
                     THEN 1 ELSE 0 END AS INT) AS breach
         FROM z
@@ -203,6 +203,7 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
+    nm1 = F.count(F.lit(1)) - 1
     scal = daily.agg(
         F.avg(F.col("cents") * 1.0).alias("mu"),
         F.sqrt(
@@ -210,7 +211,7 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("cents") * 1.0 * F.col("cents"))
                 - F.count(F.lit(1)) * F.avg(F.col("cents") * 1.0) * F.avg(F.col("cents") * 1.0)
             )
-            / (F.count(F.lit(1)) - 1)
+            / F.when(nm1 != 0, nm1)
         ).alias("sd"),
     )
     w_ord = Window.orderBy("day")
@@ -230,8 +231,8 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         F.round(ewma, 4).alias("ewma"),
-        F.round(ucl, 4).alias("ucl"),
-        F.round(lcl, 4).alias("lcl"),
+        (F.round(ucl, 4) + F.lit(0.0)).alias("ucl"),
+        (F.round(lcl, 4) + F.lit(0.0)).alias("lcl"),
         F.when((ewma > ucl) | (ewma < lcl), 1).otherwise(0).cast("int").alias("breach"),
     )
 
@@ -509,9 +510,11 @@ def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s GROUP BY side
         ),
         fit AS (
-            SELECT side, n, ybar - (sxy / sxx) * xbar AS a,
-                   ((syy - (sxy / sxx) * sxy) / (n - 2))
-                   * (1.0 / n + xbar * xbar / sxx) AS var_a
+            SELECT side, n,
+                   ybar - (sxy / nullif(sxx, 0)) * xbar AS a,
+                   ((syy - (sxy / nullif(sxx, 0)) * sxy)
+                    / nullif(n - 2, 0))
+                   * (1.0 / n + xbar * xbar / nullif(sxx, 0)) AS var_a
             FROM g
         ),
         wide AS (
@@ -562,13 +565,15 @@ def q_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("d") * F.col("disc")) - F.count(F.lit(1)) * F.avg("d") * F.avg("disc")).alias("sxy"),
         (F.sum(F.col("disc") * F.col("disc")) - F.count(F.lit(1)) * F.avg("disc") * F.avg("disc")).alias("syy"),
     )
+    sxx_nz = F.when(F.col("sxx") != 0, F.col("sxx"))
+    nm2 = F.when(F.col("n") - 2 != 0, F.col("n") - 2)
     fit = g.select(
         "side",
         "n",
-        (F.col("ybar") - (F.col("sxy") / F.col("sxx")) * F.col("xbar")).alias("a"),
+        (F.col("ybar") - (F.col("sxy") / sxx_nz) * F.col("xbar")).alias("a"),
         (
-            ((F.col("syy") - (F.col("sxy") / F.col("sxx")) * F.col("sxy")) / (F.col("n") - 2))
-            * (1.0 / F.col("n") + F.col("xbar") * F.col("xbar") / F.col("sxx"))
+            ((F.col("syy") - (F.col("sxy") / sxx_nz) * F.col("sxy")) / nm2)
+            * (1.0 / F.col("n") + F.col("xbar") * F.col("xbar") / sxx_nz)
         ).alias("var_a"),
     )
     wide = fit.agg(
@@ -706,7 +711,7 @@ def q_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interval_overlap_join",
     oracle="""
         WITH gaps AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                              > 1800000000
                          OR lag(ts) OVER w IS NULL
@@ -718,7 +723,7 @@ def q_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, min(ts) AS ss, max(ts) AS se
             FROM (
                 SELECT *, sum(new_session) OVER (
-                    PARTITION BY user_id ORDER BY ts ASC
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                 ) AS sid
                 FROM gaps
@@ -1718,16 +1723,16 @@ def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  UNION ALL SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM s4)
             ORDER BY score DESC, c.vec_id LIMIT 1
         )
-        SELECT 1 AS rank, vec_id, round(rel, 4) AS relevance,
+        SELECT 1 AS rank, vec_id, round(rel, 4) + 0.0 AS relevance,
                round(score, 4) + 0.0 AS mmr_score FROM s1
         UNION ALL
-        SELECT 2, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s2
+        SELECT 2, vec_id, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s2
         UNION ALL
-        SELECT 3, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s3
+        SELECT 3, vec_id, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s3
         UNION ALL
-        SELECT 4, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s4
+        SELECT 4, vec_id, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s4
         UNION ALL
-        SELECT 5, vec_id, round(rel, 4), round(score, 4) + 0.0 FROM s5
+        SELECT 5, vec_id, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s5
     """,
     category="llm-similarity",
 )
@@ -1754,7 +1759,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     q_emb = F.array(*[F.lit(float(v)) for v in q_rows[0][0]])
     cand = e.filter(F.col("vec_id") >= 5).select(
-        "vec_id", "embedding", F.round(cosine_sim(q_emb, F.col("embedding")), 6).alias("rel")
+        "vec_id",
+        "embedding",
+        F.round(cosine_sim(q_emb, F.col("embedding")), 6).alias("rel"),
+    ).withColumn(
+        # relevance reported at 4dp must round ENGINE-side: Python's
+        # round() is half-even while F.round/DuckDB round are
+        # half-away-from-zero — exactly-representable ties at the 5th
+        # decimal (e.g. 0.156250) would diverge if re-rounded in the
+        # driver loop. +0.0 is the module's signed-zero guard.
+        "rel4", F.round(F.col("rel"), 4) + F.lit(0.0)
     ).localCheckpoint(eager=True)
     picked: list[tuple[int, int, float, float]] = []
     sel_embs: list = []
@@ -1779,7 +1793,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not top:
             break
         r = top[0]
-        picked.append((rank, int(r.vec_id), round(float(r.rel), 4), float(r.score) + 0.0))
+        picked.append((rank, int(r.vec_id), float(r.rel4), float(r.score) + 0.0))
         sel_ids.append(int(r.vec_id))
         sel_embs.append(list(r.embedding))
     return spark.createDataFrame(picked, schema)

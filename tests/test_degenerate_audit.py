@@ -94,6 +94,12 @@ REGRESSION_SET = sorted(
         # fixed with F.when/nullif guards on BOTH engines
         "q_fligner_killeen",
         "q_newey_west",
+        # r14 ADVICE closures (round 15): same unguarded-denominator
+        # class, caught by review not the sweep (the plain fixtures
+        # never reached the division) — guarded + targeted fixtures
+        # below (test_round15_advice_fixtures)
+        "q_ewma_chart",
+        "q_rdd_sharp",
         "q_time_rollup",
         "q_topk_drift",
         "q_wilson_interval",
@@ -113,6 +119,22 @@ def test_degenerate_audit_pinned_clean(spark):
         f"{len(findings)} degenerate-input finding(s) — run "
         f"`python tools/degenerate_audit.py` for detail: {findings[:5]}"
     )
+
+
+def test_round15_advice_fixtures(spark):
+    """r14 ADVICE: the plain empty/single fixtures never reach
+    q_ewma_chart's (n-1) variance denominator (no purchase row) or
+    q_rdd_sharp's slope divisions (band filter empties first). These
+    targeted fixtures do — a single purchase day (n-1 == 0) and a
+    flat in-band order group (sxx == 0) — and both engines must agree
+    without raising."""
+    findings = _audit.audit(
+        names=["q_ewma_chart"], fixtures=("single_purchase",), spark=spark
+    )
+    findings += _audit.audit(
+        names=["q_rdd_sharp"], fixtures=("rdd_flat_band",), spark=spark
+    )
+    assert findings == [], findings
 
 
 def test_fixtures_preserve_schema():

@@ -47,14 +47,47 @@ FIXTURE_ROOT = "/tmp/builder_spark_degenerate"
 
 
 def build_fixture(kind: str) -> str:
-    """Materialize the 0-row / 1-row parquet slice set; return its dir."""
+    """Materialize a degenerate parquet slice set; return its dir.
+
+    Kinds:
+    - ``empty`` / ``single``: every table sliced to 0 / 1 rows.
+    - ``single_purchase``: like ``single`` but events keeps exactly ONE
+      purchase row — q_ewma_chart's daily table then has one day and
+      its sample-variance denominator (n-1) is 0 (r14 ADVICE: the
+      plain 1-row events fixture has no purchase row, so the unguarded
+      path was never exercised).
+    - ``rdd_flat_band``: like ``single`` but orders keeps 3 rows whose
+      o_totalprice is forced to one constant inside q_rdd_sharp's
+      ±100k band (sxx == 0) and lineitem keeps those orders' lines —
+      exercising the slope/variance divisions on a degenerate side.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     dest = os.path.join(FIXTURE_ROOT, kind)
     os.makedirs(dest, exist_ok=True)
+    keep_keys = None
+    if kind == "rdd_flat_band":
+        li = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet"), columns=["l_orderkey"])
+        keys = sorted(set(li["l_orderkey"].to_pylist()))[:3]
+        keep_keys = pa.array(keys)
     for t in TABLES:
         out = os.path.join(dest, f"{t}.parquet")
         tbl = pq.read_table(os.path.join(BASE_SF, f"{t}.parquet"))
-        n = 0 if kind == "empty" else min(1, tbl.num_rows)
-        pq.write_table(tbl.slice(0, n), out)
+        if kind == "empty":
+            sliced = tbl.slice(0, 0)
+        elif kind == "single_purchase" and t == "events":
+            sliced = tbl.filter(pc.equal(tbl["event_type"], "purchase")).slice(0, 1)
+        elif kind == "rdd_flat_band" and t == "orders":
+            sub = tbl.filter(pc.is_in(tbl["o_orderkey"], value_set=keep_keys))
+            i = sub.schema.get_field_index("o_totalprice")
+            flat = pa.array([250500.0] * sub.num_rows, type=sub.schema.field(i).type)
+            sliced = sub.set_column(i, sub.schema.field(i), flat)
+        elif kind == "rdd_flat_band" and t == "lineitem":
+            sliced = tbl.filter(pc.is_in(tbl["l_orderkey"], value_set=keep_keys))
+        else:
+            sliced = tbl.slice(0, min(1, tbl.num_rows))
+        pq.write_table(sliced, out)
     return dest
 
 
