@@ -220,8 +220,47 @@ def main() -> None:
             f.write(detail_line + "\n")
     except OSError:
         pass  # sidecar is best-effort; stdout carries both lines anyway
+    maybe_write_quiet_artifact(summary, warm_median)
     print(detail_line)
     print(json.dumps(summary), flush=True)
+
+
+#: quiet-window acceptance: a run only counts as quiet-host evidence
+#: when the measured steady load is within this factor of the r11
+#: idle-box noop floor (r14 verdict task 2: the 2x perf gate's raw
+#: evidence must live in a machine-readable artifact, not SCALE.md
+#: prose — the driver's own channel is routinely 2-3x loaded).
+QUIET_ACCEPT_LOAD_X = 1.5
+
+
+def maybe_write_quiet_artifact(
+    summary: dict, warm_median: dict, dest_dir: str | None = None
+) -> bool:
+    """Persist bench_quiet.json when this run qualifies as quiet.
+
+    Schema = the parsed BENCH summary verbatim, plus the acceptance
+    threshold, the per-query warm-median map and a wall-clock stamp.
+    Only standard-config runs qualify (sf0.1, the full headline set):
+    a subset or sf0.01 run would record a vacuously fast total.
+    Returns True when the artifact was written. Validated by
+    tests/test_bench_output.py::test_quiet_artifact_*.
+    """
+    if summary.get("sf") != 0.1 or len(warm_median) < len(HEADLINE):
+        return False
+    if summary["host_steady_load_x"] > QUIET_ACCEPT_LOAD_X:
+        return False
+    artifact = dict(summary)
+    artifact["quiet_accept_threshold_x"] = QUIET_ACCEPT_LOAD_X
+    artifact["queries_warm_median"] = warm_median
+    artifact["recorded_unix"] = int(time.time())
+    try:
+        here = dest_dir or os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_quiet.json"), "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        return False  # evidence artifact is best-effort; never fail the bench
+    return True
 
 
 def build_reports(

@@ -96,3 +96,58 @@ def test_summary_totals_consistent():
     assert summary["host_steady_load_x"] == round(
         _NOOP_WARM / bench.NOOP_REFS["noop_warm_sec"], 2
     )
+
+
+# --- quiet-window evidence artifact (r14 verdict task 2) -------------------
+
+#: the r9 quiet-host warm-median reference the 2x perf gate is argued
+#: against (VERDICT r9/r13/r14: 11.16 s on an idle box at sf0.1)
+R9_QUIET_WARM_MEDIAN_SEC = 11.16
+
+
+def test_quiet_artifact_gating(tmp_path):
+    """maybe_write_quiet_artifact writes ONLY for a quiet, standard-
+    config run — loaded host, wrong sf, or a partial headline set must
+    all refuse (a subset run would record a vacuously fast total)."""
+    _detail, summary = _reports()
+    wm = dict(_WARM_MEDIAN)
+    # _reports() uses noop_warm 0.37 -> steady 3.08x: must refuse
+    assert summary["host_steady_load_x"] > bench.QUIET_ACCEPT_LOAD_X
+    assert not bench.maybe_write_quiet_artifact(summary, wm, str(tmp_path))
+    quiet = dict(summary, host_steady_load_x=1.2)
+    assert not bench.maybe_write_quiet_artifact(dict(quiet, sf=0.01), wm, str(tmp_path))
+    partial = {k: v for k, v in wm.items() if k != "q_agg_group"}
+    assert not bench.maybe_write_quiet_artifact(quiet, partial, str(tmp_path))
+    assert not (tmp_path / "bench_quiet.json").exists()
+    assert bench.maybe_write_quiet_artifact(quiet, wm, str(tmp_path))
+    art = json.loads((tmp_path / "bench_quiet.json").read_text())
+    assert art["quiet_accept_threshold_x"] == bench.QUIET_ACCEPT_LOAD_X
+    assert art["queries_warm_median"] == wm
+    assert art["warm_median_total_sec"] == summary["warm_median_total_sec"]
+
+
+def test_quiet_artifact_schema_and_gate():
+    """The committed bench_quiet.json is the raw evidence for the 2x
+    perf gate: it must carry the full parsed-summary schema, have been
+    accepted under its own recorded threshold, and its warm-median
+    total must be within 2x the r9 quiet-host reference."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench_quiet.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("bench_quiet.json not yet captured — needs a quiet host window")
+    with open(path) as f:
+        art = json.load(f)
+    for field in (
+        "metric", "value", "unit", "queries", "sf",
+        "warm_median_total_sec", "warm_median_total_minus_floors_sec",
+        "host_steady_load_x", "quiet_accept_threshold_x",
+        "queries_warm_median", "recorded_unix",
+    ):
+        assert field in art, field
+    assert art["sf"] == 0.1
+    assert art["host_steady_load_x"] <= art["quiet_accept_threshold_x"]
+    assert set(art["queries_warm_median"]) >= set(bench.HEADLINE)
+    assert art["warm_median_total_sec"] <= 2 * R9_QUIET_WARM_MEDIAN_SEC
