@@ -194,9 +194,12 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch big shifts; EWMA accumulates drift). The recurrence
     z_t = λ·x_t + (1−λ)·z_{t−1}, z_0 = μ, is linearized into ONE
     running sum via the power-weight identity z_t = λ·β^t·Σ x_i/β^i
-    + β^t·μ (β = 0.75; exact for the ~30-to-3000-day calendar grain —
-    β^{-t} stays inside double range to ~3000 days, beyond which the
-    recurrence shards per year). Facts collapse to the day table in
+    + β^t·μ (β = 0.75; exact at the 4dp grain while x_i/β^i stays in
+    double range: t_max = (ln DBL_MAX − ln max x)/ln(1/β) ≈ 2,400
+    days at cent scale — NOT the ~3,000 first documented, which
+    ignored the x_i factor; past the boundary the rewrite degrades
+    LOUDLY to inf/nan, never silently wrong, and shards per year —
+    boundary pinned in tests/test_properties_stateful.py). Facts collapse to the day table in
     one combinable pass; the cumsum window runs on that bounded
     grain; time-varying limits are closed-form."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

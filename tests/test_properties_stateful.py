@@ -572,3 +572,131 @@ def test_islands_key_minus_rank_matches_naive(spark, keys):
         start = prev = k
     want.append((start, prev, prev - start + 1))
     assert got == sorted(want)
+
+
+# --- calendar-recurrence family (r14 verdict task 5) ------------------------
+
+
+def _ewma_linearized(xs, lam=0.25):
+    """EXACT mirror of q_ewma_chart's power-weight linearization
+    (round14.py): one sequential running sum of x_i/beta^i, then
+    z_t = lam*beta^t*wsum_t + beta^t*mu — same float64 op order as the
+    Spark ROWS UNBOUNDED PRECEDING window."""
+    beta = 1.0 - lam
+    mu = sum(xs) / len(xs)
+    out, wsum = [], 0.0
+    for t, x in enumerate(xs, start=1):
+        wsum += x / beta**t
+        out.append(lam * beta**t * wsum + beta**t * mu)
+    return out
+
+
+def _ewma_recurrence(xs, lam=0.25):
+    """Definitional z_t = lam*x_t + (1-lam)*z_{t-1}, z_0 = mu."""
+    mu = sum(xs) / len(xs)
+    z, out = mu, []
+    for x in xs:
+        z = lam * x + (1.0 - lam) * z
+        out.append(z)
+    return out
+
+
+@given(
+    st.lists(
+        st.floats(0.0, 1e8, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=400,
+    )
+)
+@_settings
+def test_ewma_linearization_matches_recurrence(xs):
+    """q_ewma_chart's one-running-sum rewrite equals the definitional
+    EWMA recurrence at the query's 4dp grain on ANY day series inside
+    the double-range boundary (values fuzzed at cent scale)."""
+    lin, rec = _ewma_linearized(xs), _ewma_recurrence(xs)
+    for a, b in zip(lin, rec):
+        assert abs(a - b) < 5e-5, (a, b)
+
+
+def test_ewma_linearization_double_range_boundary():
+    """Pin the REAL boundary of the linearization (r14 verdict task 5).
+
+    x_i/beta^i overflows double at i > (ln DBL_MAX - ln max_x)/ln(1/beta)
+    — ~2,403 days for cent-scale magnitudes (1e8), NOT the ~3,000 days
+    round 14 documented (that figure ignored the x_i factor; corrected
+    in SCALE.md/round14.py this round). The shard-per-year fallback is
+    therefore required beyond ~2,400 days at this magnitude:
+    - at 2,300 days the rewrite is exact at the 4dp grain (margin
+      ~1e-8 absolute on 1e8-scale values);
+    - by 2,450 days the linearized path goes non-finite while the
+      recurrence stays finite — the rewrite CANNOT silently return
+      wrong numbers past the boundary, it degrades loudly to inf/nan.
+    """
+    import math
+
+    rnd = __import__("random").Random(7)
+    xs = [rnd.uniform(0.0, 1e8) for _ in range(2450)]
+
+    import sys
+
+    t_overflow = (math.log(sys.float_info.max) - math.log(1e8)) / math.log(1.0 / 0.75)
+    assert 2300 < t_overflow < 2450  # ~2403: inside the probed bracket
+
+    lin, rec = _ewma_linearized(xs[:2300]), _ewma_recurrence(xs[:2300])
+    assert all(math.isfinite(v) for v in lin)
+    assert max(abs(a - b) for a, b in zip(lin, rec)) < 5e-5
+
+    lin_past = _ewma_linearized(xs)
+    rec_past = _ewma_recurrence(xs)
+    assert all(math.isfinite(v) for v in rec_past)
+    assert not all(math.isfinite(v) for v in lin_past)
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+@_settings
+def test_newey_west_banded_join_matches_naive_day_squared(spark, ys):
+    """q_newey_west's HAC lag-product sum comes from a BANDED one-sided
+    self-join (0 <= b.t - a.t <= 5, off-diagonal doubled) — this fuzz
+    proves that join equals the naive two-sided day^2 Bartlett sum
+    sum_{|i-j|<=L} (1-|d|/6) e_i e_j x_i x_j on ANY day table, i.e. the
+    band is lossless and the 2x factor exactly replaces the mirrored
+    pairs. Same join predicate and weight expressions as round14.py."""
+    n = len(ys)
+    ts = [float(i + 1) for i in range(n)]
+    tbar = sum(ts) / n
+    ybar = sum(ys) / n
+    sxx = sum((t - tbar) ** 2 for t in ts)
+    sxy = sum((t - tbar) * (y - ybar) for t, y in zip(ts, ys))
+    slope = sxy / sxx if sxx != 0 else 0.0
+    rows = [
+        (t, t - tbar, (y - ybar) - slope * (t - tbar)) for t, y in zip(ts, ys)
+    ]
+
+    naive = 0.0
+    for ti, xi, ei in rows:
+        for tj, xj, ej in rows:
+            d = abs(tj - ti)
+            if d <= 5:
+                naive += (1.0 - d / 6.0) * ei * ej * xi * xj
+
+    r = spark.createDataFrame(rows, "t double, xt double, e double").repartition(4)
+    a, b = r.alias("a"), r.alias("b")
+    t_off = F.col("b.t") - F.col("a.t")
+    s_hac = (
+        a.join(b, (t_off >= 0) & (t_off <= 5))
+        .agg(
+            F.sum(
+                (1.0 - t_off / 6.0)
+                * F.when(t_off == 0, 1.0).otherwise(2.0)
+                * F.col("a.e") * F.col("b.e") * F.col("a.xt") * F.col("b.xt")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert s_hac == __import__("pytest").approx(naive, rel=1e-9, abs=1e-6)

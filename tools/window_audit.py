@@ -184,32 +184,158 @@ def low_card_partition_windows(df) -> list[str]:
     return out
 
 
-def main() -> None:
-    from builder_spark.registry import load_all
-    from builder_spark.session import get_spark
+# --- incremental cache (r14 verdict task 3) --------------------------------
+#
+# A full-surface plan walk builds 650+ un-checkpointed DataFrames and
+# exceeded 10 min under load. Plans are a pure function of SOURCE, so
+# the CLI caches each query's audit result keyed by a fingerprint of
+# (its defining module, this tool, and the shared plan-shaping modules)
+# and re-audits only queries whose fingerprint changed. `--full`
+# ignores the cache (the close-out / CI path; the pytest ratchet in
+# tests/test_window_audit.py always builds every plan itself).
 
-    spark = get_spark("window-audit")
-    reg = load_all()
-    names = sys.argv[1:] or [
-        n for n, q in reg.items() if not n.startswith("q_stream_")
-    ]
-    flagged: dict[str, list[str]] = {}
-    for name in names:
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_PATH = os.path.join(_REPO_ROOT, ".window_audit_cache.json")
+
+#: modules whose source shapes EVERY audited plan — any change here
+#: invalidates the whole cache (conservative by design: a stitched
+#: helper or session conf edit can move window specs in any query)
+_SHARED_SOURCE_DIRS = (
+    os.path.join(_REPO_ROOT, "builder_spark", "operators"),
+    os.path.join(_REPO_ROOT, "builder_spark", "functions"),
+)
+_SHARED_SOURCE_FILES = (
+    os.path.abspath(__file__),
+    os.path.join(_REPO_ROOT, "builder_spark", "session.py"),
+    os.path.join(_REPO_ROOT, "builder_spark", "catalog.py"),
+)
+
+
+def _sha_files(paths) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
         try:
-            with checkpoints_disabled():
-                df = reg[name].fn(spark, "/root/testdata/sf0.001")
+            with open(p, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"<missing>")
+    return h.hexdigest()
+
+
+def shared_fingerprint() -> str:
+    files = list(_SHARED_SOURCE_FILES)
+    for d in _SHARED_SOURCE_DIRS:
+        for root, _dirs, fnames in os.walk(d):
+            files.extend(os.path.join(root, f) for f in fnames if f.endswith(".py"))
+    return _sha_files(files)
+
+
+def module_fingerprint(module: str, shared: str) -> str:
+    import importlib.util
+
+    spec = importlib.util.find_spec(module)
+    origin = spec.origin if spec and spec.origin else "<none>"
+    return shared + ":" + _sha_files([origin])
+
+
+def audit_query(spark, q, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    """All three plan sweeps for one query, checkpoints elided."""
+    with checkpoints_disabled():
+        df = q.fn(spark, sf_dir)
+    return {
+        "unpartitioned": unpartitioned_windows(df),
+        "low_card": low_card_partition_windows(df),
+        "percentiles": buffering_percentiles(df),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+    import json
+    import time
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all batch)")
+    ap.add_argument("--full", action="store_true",
+                    help="ignore the cache and re-audit everything")
+    args = ap.parse_args(argv)
+
+    from builder_spark.registry import load_all
+
+    reg = load_all()
+    names = args.names or [n for n in reg if not n.startswith("q_stream_")]
+
+    cache: dict = {}
+    if not args.full:
+        try:
+            with open(CACHE_PATH) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+
+    shared = shared_fingerprint()
+    t0 = time.perf_counter()
+    results: dict[str, dict] = {}
+    stale = []
+    for name in names:
+        mod = getattr(reg[name], "module", None) or reg[name].fn.__module__
+        fp = module_fingerprint(mod, shared)
+        hit = cache.get(name)
+        if not args.full and hit and hit.get("fp") == fp:
+            results[name] = hit["result"]
+        else:
+            stale.append((name, fp))
+
+    spark = None
+    if stale:
+        from builder_spark.session import get_spark
+
+        spark = get_spark("window-audit")
+    def _flush() -> None:
+        try:
+            with open(CACHE_PATH, "w") as f:
+                json.dump(cache, f, sort_keys=True)
+        except OSError:
+            pass
+
+    n_err = 0
+    for i, (name, fp) in enumerate(stale):
+        try:
+            res = audit_query(spark, reg[name])
         except Exception as exc:  # noqa: BLE001 - audit tool, report and move on
             print(f"ERR  {name}: {exc}")
+            n_err += 1
             continue
-        cols = unpartitioned_windows(df)
-        if cols:
-            flagged[name] = cols
-            print(f"FLAG {name}: {cols}")
-    print(f"\n{len(flagged)} queries with non-stitched unpartitioned windows")
+        results[name] = res
+        cache[name] = {"fp": fp, "result": res}
+        if i % 25 == 24:
+            _flush()  # a killed long walk keeps its progress
+
+    flagged = 0
+    for name in sorted(results):
+        res = results[name]
+        if res["unpartitioned"]:
+            flagged += 1
+            print(f"FLAG {name}: {res['unpartitioned']}")
+        if res["low_card"]:
+            print(f"LOWCARD {name}: {res['low_card']}")
+        if res["percentiles"]:
+            print(f"PCTL {name}: {res['percentiles']}")
+    _flush()
+    dt = time.perf_counter() - t0
+    print(
+        f"\n{flagged} queries with non-stitched unpartitioned windows "
+        f"({len(results)} audited: {len(results) - len(stale) + n_err} cached, "
+        f"{len(stale) - n_err} rebuilt, {n_err} errors; {dt:.1f}s)"
+    )
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
 
 
 def buffering_percentiles(df) -> list[str]:
