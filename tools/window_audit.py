@@ -334,8 +334,6 @@ def main(argv: list[str] | None = None) -> int:
     return 1 if n_err else 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def buffering_percentiles(df) -> list[str]:
@@ -351,3 +349,7 @@ def buffering_percentiles(df) -> list[str]:
     for m in re.finditer(r"\b(percentile|median)\((?!_approx)", plan):
         out.append(m.group(1))
     return out
+
+
+if __name__ == "__main__":
+    sys.exit(main())
