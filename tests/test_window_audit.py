@@ -308,3 +308,70 @@ def test_checkpoints_disabled_reentrant_and_covers_all_classes(spark):
         assert c.localCheckpoint is originals[c][0], c
         assert c.checkpoint is originals[c][1], c
     assert df.localCheckpoint() is not df
+
+
+def test_incremental_cli_cache_reaudits_only_changed_modules(tmp_path, monkeypatch):
+    """r14 verdict task 3: the CLI caches per-query audit results keyed
+    by (defining module + shared plan-shaping sources) fingerprints and
+    rebuilds ONLY queries whose fingerprint changed; --full ignores the
+    cache. Pure cache-logic test — audit_query is stubbed so no Spark
+    session spins up (an unchanged surface must not need one at all)."""
+    import json
+
+    import window_audit as wa
+
+    calls = []
+
+    class _Q:
+        def __init__(self, name, module):
+            self.name, self.module = name, module
+            self.fn = lambda spark, sf: None
+
+    reg = {"q_a": _Q("q_a", "mod_a"), "q_b": _Q("q_b", "mod_b")}
+    fps = {"mod_a": "fpA1", "mod_b": "fpB1"}
+
+    monkeypatch.setattr(wa, "CACHE_PATH", str(tmp_path / "cache.json"))
+    monkeypatch.setattr(wa, "shared_fingerprint", lambda: "shared1")
+    monkeypatch.setattr(wa, "module_fingerprint", lambda mod, shared: shared + fps[mod])
+    monkeypatch.setattr(
+        wa, "audit_query",
+        lambda spark, q, sf_dir="x": (
+            calls.append(q.name),
+            {"unpartitioned": [], "low_card": [], "percentiles": []},
+        )[1],
+    )
+    import builder_spark.registry as breg
+
+    monkeypatch.setattr(breg, "load_all", lambda: reg)
+    import builder_spark.session as bsess
+
+    def _no_spark(*a, **k):
+        raise AssertionError("incremental no-change run must not start Spark")
+
+    # cold: both rebuilt
+    assert wa.main([]) == 0
+    assert calls == ["q_a", "q_b"]
+    assert set(json.load(open(tmp_path / "cache.json"))) == {"q_a", "q_b"}
+
+    # unchanged: all cache hits, zero rebuilds, zero Spark sessions
+    calls.clear()
+    monkeypatch.setattr(bsess, "get_spark", _no_spark)
+    assert wa.main([]) == 0
+    assert calls == []
+
+    # one module's source changes: only ITS queries re-audit
+    fps["mod_b"] = "fpB2"
+    monkeypatch.setattr(bsess, "get_spark", lambda name: None)
+    assert wa.main([]) == 0
+    assert calls == ["q_b"]
+
+    # a shared plan-shaping module changes: everything re-audits
+    calls.clear()
+    monkeypatch.setattr(wa, "shared_fingerprint", lambda: "shared2")
+    assert wa.main([]) == 0
+    assert calls == ["q_a", "q_b"]
+
+    # --full ignores a warm cache
+    calls.clear()
+    assert wa.main(["--full"]) == 0
+    assert calls == ["q_a", "q_b"]
