@@ -13,7 +13,7 @@ import pytest
 
 from builder_spark.canon import canon_rows, fetch_duckdb, fetch_spark
 from builder_spark.catalog import TABLES
-from builder_spark.queries.round16_staged import STAGED_ORACLES, STAGED_QUERIES
+from builder_spark.staging.round16_staged import STAGED_ORACLES, STAGED_QUERIES
 
 SF = "/root/testdata/sf0.01"
 
