@@ -460,8 +460,21 @@ def stitched_running(
         # reuse then scans and shuffles the input exactly once, and the
         # offsets branch is a sort-free hash aggregate over the reused
         # shuffle output (r6: replaces both the r5 double scan and the
-        # interim double sort)
-        ranged = df.withColumn("_pid", pid).repartition(F.col("_pid"), *pc)
+        # interim double sort).
+        #
+        # The partition COUNT is pinned (REPARTITION_BY_NUM): a bare
+        # repartition(col) is REPARTITION_BY_COL, which AQE's
+        # byte-based partition coalescing is allowed to shrink — and
+        # the stitch's local window is CPU-bound per ROW, not per
+        # byte, so coalescing serializes it (measured r15 sf0.1:
+        # q_decile_stats' 600k-row local-window stage coalesced to 3
+        # tasks, 1.76 s of its 1.87 s warm median; pinned at cluster
+        # parallelism the same stage fans back out to every core).
+        # The count scales with the cluster (defaultParallelism), with
+        # the cut count (4 × num_partitions keeps ≥4 pid values per
+        # shuffle partition) as the floor for small clusters.
+        n_shuffle = max(df.sparkSession.sparkContext.defaultParallelism, num_partitions)
+        ranged = df.withColumn("_pid", pid).repartition(n_shuffle, F.col("_pid"), *pc)
     else:
         # residual fallback (complex first order expression or custom
         # NULLS placement): sampled range exchange. The local-window and
