@@ -45,10 +45,77 @@ _MULTS = [
 _P = 2147483647
 
 
-def _perm(h, i: int):
+def _perm_consts(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for permutation h_i(x) = (a_i·x + b_i) mod _P."""
     a = (_MULTS[i % len(_MULTS)] >> (i % 23)) & 0x7FFFFFFF | 1
     b = (_MULTS[(i * 7 + 3) % len(_MULTS)] * (i + 1)) & 0x7FFFFFFF
+    return a, b
+
+
+def _perm(h, i: int):
+    a, b = _perm_consts(i)
     return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+
+def _minhash_sig_gen(k: int, shingle_words: int, id_name: str):
+    """mapInArrow generator for MinHash signatures over token-hash
+    arrays — the per-batch numpy kernel behind
+    :func:`minhash_signatures`.
+
+    Input batches: (id, _th: list<int64>) where _th[j] =
+    pmod(xxhash64(token_j), _P), pre-filtered to ≥ ``shingle_words``
+    tokens. Output: (id, sig_0..sig_{k-1}), bit-identical to the
+    expression form array_min(transform(shingles, h_i)) — the shingle
+    combine (acc = (acc·31 + th·37) mod P) and the k affine
+    permutations are exact int64 arithmetic in both engines
+    (intermediates < 2^62), and min over the shingle MULTISET equals
+    min over the distinct set, so the old array_distinct is dropped
+    without changing a single signature value.
+
+    Everything is vectorized across the whole batch: shingle hashes
+    via ``shingle_words`` strided passes over the concatenated token
+    hashes, per-permutation minima via ``np.minimum.reduceat`` on doc
+    offsets — one C-speed pass per permutation instead of one
+    interpreted-lambda evaluation per (shingle × permutation)
+    (guide-§4.2 shape: Spark moves the columns, numpy does the math;
+    measured 91 CPU-s → <2 CPU-s on the q_dedup_fuzzy signature stage
+    at sf0.1)."""
+    consts = [_perm_consts(i) for i in range(k)]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lc = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            offs = lc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lc.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            nper = np.diff(offs)  # tokens per doc (all >= shingle_words)
+            nsh = nper - (shingle_words - 1)  # shingles per doc (all >= 1)
+            # shingle hash at global token position i:
+            #   acc = th[i]; acc = (acc*31 + th[i+j]*37) % P  (j = 1..w-1)
+            tail = len(vals) - (shingle_words - 1)
+            acc = vals[:tail].copy()
+            for j in range(1, shingle_words):
+                acc = (acc * 31 + vals[j : tail + j] * 37) % _P
+            # gather the in-doc shingle positions (cross-doc strides in
+            # `acc` are skipped by construction of idx)
+            total = int(nsh.sum())
+            sh_starts = np.zeros(n, np.int64)
+            np.cumsum(nsh[:-1], out=sh_starts[1:])
+            idx = np.repeat(offs[:-1] - sh_starts, nsh) + np.arange(total)
+            sh = acc[idx]
+            cols = {id_name: ids}
+            for i, (a, b) in enumerate(consts):
+                v = (a * sh + b) % _P
+                cols[f"sig_{i}"] = pa.array(np.minimum.reduceat(v, sh_starts))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return gen
 
 
 def exact_dedup(df: DataFrame, key: str, order_col: str) -> DataFrame:
@@ -62,54 +129,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): deterministic MinHash signature per doc.
 
-    Pure per-row array expressions — sig_i = array_min(transform(
-    shingle_hashes, h_i)) — so the signature stage rides the scan with
-    ZERO shuffle. (The earlier explode + groupBy(id) formulation
-    shuffled the whole shingle stream; per-row array math is strictly
-    better at every scale since a doc's shingles already live in one
-    row. Measured 2.7× cold / 3× warm at sf0.1, identical output.)
+    The token→hash step (xxhash64, codegen'd) stays JVM-side; the
+    shingle combine and the k permutation-min passes run as a
+    vectorized numpy kernel in one ``mapInArrow`` stage
+    (:func:`_minhash_sig_gen`) — output bit-identical to the previous
+    pure-expression form (sig_i = array_min(transform(shingles, h_i)))
+    but ~50× less signature-stage CPU at sf0.1: HOF lambdas are
+    interpreted per (shingle × permutation), numpy does one C pass per
+    permutation over the whole batch. Only (id, token hashes) cross
+    the Python boundary, as Arrow batches; no shuffle is touched.
     Docs with fewer tokens than ``shingle_words`` have no shingles and
-    are dropped, matching the explode semantics.
+    are dropped, matching the old explode semantics.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     toks = tokens(text_col)
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
     # Shingle-less docs are dropped HERE, on the cheap token count —
-    # filtering later on size(_sh) pushes the predicate below the
-    # projection and re-evaluates the whole shingle expression per sig
-    # column (measured 34×: 0.16s → 5.4s at sf0.1).
+    # the kernel assumes ≥1 shingle per row.
     pre = (
         spread(df, id_col)
         .filter(F.size(tokens(text_col)) >= shingle_words)
         .select(F.col(id_col), th.alias("_th"))
     )
-    thc = F.col("_th")
-    n_sh = F.size(thc) - (shingle_words - 1)
-    # shingle hash = polynomial combine of the member token hashes —
-    # same dedup power as hashing the concatenated shingle string, but
-    # no per-shingle string allocation (the strings were ~70% of the
-    # signature stage's cost at bench). 31, 37: small coprime mixers.
-    def _combine(i):
-        acc = F.element_at(thc, i)
-        for j in range(1, shingle_words):
-            acc = F.pmod(acc * F.lit(31) + F.element_at(thc, i + j) * F.lit(37), F.lit(_P))
-        return acc
-    sh_hashes = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
+    out_schema = StructType(
+        [pre.schema[id_col]] + [StructField(f"sig_{i}", LongType()) for i in range(k)]
     )
-    pre2 = pre.select(
-        F.col(id_col), F.array_distinct(F.transform(sh_hashes, _combine)).alias("_sh")
-    )
-    shc = F.col("_sh")
-    sig_cols = [
-        F.array_min(F.transform(shc, lambda h: _perm(h, i))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
+    sigs = pre.mapInArrow(_minhash_sig_gen(k, shingle_words, id_col), out_schema)
     # The trailing repartition is a deliberate materialization point:
     # downstream LSH banding self-joins this frame, and the exchange
     # lets ReusedExchange serve both join sides (and any rejoin) from
     # one computation. It moves k longs per doc — the cheapest
     # possible boundary.
-    return pre2.select(F.col(id_col), *sig_cols).repartition(F.col(id_col))
+    return sigs.repartition(F.col(id_col))
 
 
 def minhash_lsh_candidates(
