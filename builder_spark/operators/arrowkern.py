@@ -1,0 +1,156 @@
+"""Vectorized Arrow/numpy kernels for the charfold hash family.
+
+The charfold polynomial (``acc = (acc*31 + codepoint) mod 2^25`` per
+character, shingles composed via the fold's concatenation linearity) is
+pure integer arithmetic — but as Spark higher-order-function lambdas it
+is INTERPRETED, one expression-tree walk per character/shingle, and the
+text battery burns tens of CPU-seconds per query on it at sf0.1. These
+kernels keep Spark in charge of distribution and shuffles and hand each
+Arrow batch to numpy (guide §4.2): the per-token fold runs as
+width-bucketed matrix passes over UTF-32 code points, shingle
+composition as ``k-1`` strided vector passes, and MinHash permutations
+as one ``np.minimum.reduceat`` per permutation. Values are
+BIT-IDENTICAL to the expression forms in ``operators/dedup.py``
+(same int64 arithmetic, intermediates < 2^55; verified by the graded
+DuckDB oracles, which keep hashing the concatenated strings).
+
+Only the columns a kernel needs cross the Python boundary (callers
+``select`` first), and each generator is a module-level importable so
+reused Python workers share nothing per-row.
+"""
+
+from __future__ import annotations
+
+from builder_spark.operators.dedup import CHARFOLD_MOD
+
+#: width-bucket fence posts for the UTF-32 code-point matrix: tokens
+#: are grouped by length so the padded matrix for a bucket is at most
+#: (bucket width) wide — one enormous token cannot blow up the memory
+#: of every other token's row.
+_WIDTH_BUCKETS = (8, 16, 32, 64, 128, 256, 1024, 4096, 1 << 30)
+
+
+def _fold_flat_tokens(flat, np):
+    """Per-token charfold: returns (h, p) int64 arrays where
+    ``h[i] = charfold_hash(flat[i])`` and ``p[i] = 31^len(flat[i]) mod
+    CHARFOLD_MOD`` — the (h, p) pair of operators/dedup.py's
+    ``charfold_token_hp``, empty-token guard included (len 0 → (0, 1))."""
+    n = len(flat)
+    lens = np.fromiter((len(t) for t in flat), np.int64, n)
+    maxw = int(lens.max()) if n else 0
+    pw = np.empty(maxw + 1, np.int64)
+    pw[0] = 1
+    for i in range(1, maxw + 1):
+        pw[i] = (pw[i - 1] * 31) % CHARFOLD_MOD
+    h = np.zeros(n, np.int64)
+    lo = 0
+    for hi in _WIDTH_BUCKETS:
+        if lo >= maxw:
+            break
+        width = min(hi, maxw)
+        sel = np.nonzero((lens > lo) & (lens <= width))[0]
+        lo = hi
+        if sel.size == 0:
+            continue
+        sub = np.array([flat[i] for i in sel], dtype=f"U{width}")
+        cp = sub.view(np.uint32).reshape(sel.size, -1).astype(np.int64)
+        ll = lens[sel]
+        hh = np.zeros(sel.size, np.int64)
+        for j in range(cp.shape[1]):
+            hh = np.where(ll > j, (hh * 31 + cp[:, j]) % CHARFOLD_MOD, hh)
+        h[sel] = hh
+    return h, pw[lens]
+
+
+def _batch_tokens(texts):
+    """Split a batch's texts exactly like Spark's split(text, ' ')
+    (single-space regex, limit -1: leading/consecutive/trailing empties
+    kept — Python str.split(sep) has the same contract). Returns
+    (flat token list, per-doc token counts)."""
+    toks = [t.split(" ") for t in texts]
+    flat = [w for doc in toks for w in doc]
+    return flat, [len(doc) for doc in toks]
+
+
+def _kgram_hashes(h, p, nper, k, np):
+    """Shingle hashes for every doc's k-grams, composed from the
+    per-token (h, p) folds exactly like ``kgram_hashes_from_hp``:
+    ``hs = ((hs*31 + 32) * p[i+j] + h[i+j]) mod CHARFOLD_MOD``.
+    Returns (sh, nsh): concatenated shingle hashes and per-doc shingle
+    counts (0 for docs with fewer than k tokens)."""
+    nper = np.asarray(nper, np.int64)
+    nsh = np.maximum(nper - (k - 1), 0)
+    tail = len(h) - (k - 1)
+    if tail <= 0:
+        return np.empty(0, np.int64), nsh
+    acc = h[:tail].copy()
+    for j in range(1, k):
+        acc = ((acc * 31 + 32) * p[j : tail + j] + h[j : tail + j]) % CHARFOLD_MOD
+    offs = np.zeros(len(nper), np.int64)
+    np.cumsum(nper[:-1], out=offs[1:])
+    total = int(nsh.sum())
+    sh_starts = np.zeros(len(nsh), np.int64)
+    np.cumsum(nsh[:-1], out=sh_starts[1:])
+    idx = np.repeat(offs - sh_starts, nsh) + np.arange(total)
+    return acc[idx], nsh
+
+
+def charfold_sig_gen(gram: int, a_consts, b_consts, modulus: int, id_name: str):
+    """mapInArrow generator: (id, text) batches → (id, s0..s{K-1})
+    MinHash signatures over charfold-hashed ``gram``-word shingles,
+    s_i = min over shingles of (a_i·h + b_i) mod ``modulus``. Rows are
+    pre-filtered to ≥ ``gram`` tokens (≥ 1 shingle). Min over the
+    shingle multiset equals min over the distinct set, so no dedup
+    pass is needed (or performed) — values match the array_min/
+    transform expression form bit-for-bit."""
+    consts = list(zip(a_consts, b_consts))
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            n = len(ids)
+            if n == 0:
+                continue
+            flat, nper = _batch_tokens(batch.column(1).to_pylist())
+            h, p = _fold_flat_tokens(flat, np)
+            sh, nsh = _kgram_hashes(h, p, nper, gram, np)
+            sh_starts = np.zeros(n, np.int64)
+            np.cumsum(nsh[:-1], out=sh_starts[1:])
+            cols = {id_name: ids}
+            for i, (a, b) in enumerate(consts):
+                v = (a * sh + b) % modulus
+                cols[f"s{i}"] = pa.array(np.minimum.reduceat(v, sh_starts))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return gen
+
+
+def charfold_kgram_explode_gen(gram: int, passthrough: list[str]):
+    """mapInArrow generator: (passthrough..., text) batches →
+    (passthrough..., h) with one output row per k-gram shingle of each
+    input row (rows with fewer than ``gram`` tokens emit nothing —
+    the explode(kgram_hashes_from_hp) semantics)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat, nper = _batch_tokens(batch.column(len(passthrough)).to_pylist())
+            h, p = _fold_flat_tokens(flat, np)
+            sh, nsh = _kgram_hashes(h, p, nper, gram, np)
+            take = np.repeat(np.arange(n), nsh)
+            cols = {
+                name: batch.column(i).take(pa.array(take))
+                for i, name in enumerate(passthrough)
+            }
+            cols["h"] = pa.array(sh)
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return gen

@@ -2125,11 +2125,7 @@ def q_vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH band-bucket occupancy (capacity-planning diagnostic)
 
-from builder_spark.operators.dedup import (  # noqa: E402
-    CHARFOLD_MOD,
-    charfold_token_hp,
-    kgram_hashes_from_hp,
-)
+from builder_spark.operators.dedup import CHARFOLD_MOD  # noqa: E402
 from builder_spark.queries.textops import _A, _B, _BANDS, _K, _P  # noqa: E402
 
 
@@ -2196,34 +2192,27 @@ def q_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join's cost IS Σc², and a single mega-bucket is shuffle
     skew); q_minhash_calibration tunes precision, this tunes COST.
 
-    Plan: the signature stage is q_minhash_banded's (charfold token
-    hashes → 8 array-min permutations riding the scan), band-explode
-    to 4 rows/doc, then TWO combinable aggregates (bucket grain →
-    band grain). No pair join at all — the audit predicts its cost
-    without paying it."""
+    Plan: the signature stage is q_minhash_banded's (the vectorized
+    Arrow charfold + 8 permutation-minima kernel,
+    operators/arrowkern.py — bit-identical to the old array-min
+    expression form), band-explode to 4 rows/doc, then TWO combinable
+    aggregates (bucket grain → band grain). No pair join at all — the
+    audit predicts its cost without paying it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from builder_spark.operators.arrowkern import charfold_sig_gen
     from builder_spark.operators.partitioning import spread
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    _sig_schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"s{i}", LongType()) for i in range(_K)]
+    )
     sig = (
         spread(d.filter(F.size(toks) >= 3))
-        .select("doc_id", charfold_token_hp(toks).alias("_hp"))
-        .select("doc_id", kgram_hashes_from_hp(F.col("_hp"), 3).alias("_h"))
-        .select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("_h"),
-                        # single-param lambda: F.transform builds the
-                        # expression eagerly, so the loop var binds now;
-                        # a 2-param lambda would receive (elem, index)
-                        lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P)),
-                    )
-                ).alias(f"s{i}")
-                for i in range(_K)
-            ],
-        )
+        .select("doc_id", "text")
+        .mapInArrow(charfold_sig_gen(3, _A, _B, _P, "doc_id"), _sig_schema)
     )
     bands = F.array(
         *[

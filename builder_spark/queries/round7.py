@@ -245,39 +245,50 @@ def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the duplicated fraction — the sub-document dup mass
     whole-doc dedup cannot see.
 
-    Scale: spans travel as charfold HASHES assembled in O(1) per span
-    from a per-token (h, p) fold (token text is folded ONCE per doc —
-    see kgram_hashes_from_hp); the doc-frequency side is one map-side
-    combinable aggregate on the hash. Nothing pairwise anywhere."""
-    from builder_spark.operators.dedup import charfold_token_hp, kgram_hashes_from_hp
+    Scale: spans travel as charfold HASHES from ONE vectorized Arrow
+    span stage (numpy per-token fold + O(1) span composition,
+    operators/arrowkern.py — the old plan evaluated the whole charfold
+    tree TWICE, once per side of a spans⋈hdocs join, 14 CPU-s at
+    sf0.1). The span stream is aggregated ONCE to (h, source) grain
+    with per-group instance counts and distinct-doc counts; the
+    global distinct-doc count per hash is then a windowed sum over
+    those tiny aggregate rows — valid because doc_id is the documents
+    PK, so each doc contributes to exactly one source and per-source
+    distinct-doc counts add up. No fact-grain join, no second heavy
+    eval. Nothing pairwise anywhere."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from builder_spark.operators.arrowkern import charfold_kgram_explode_gen
     from builder_spark.operators.partitioning import spread
 
     d = load_table(spark, sf_dir, "documents")
-    hp = (
+    spans = (
         spread(d, "doc_id")
-        .select("doc_id", "source", F.split("text", " ").alias("_toks"))
-        .select("doc_id", "source", charfold_token_hp(F.col("_toks")).alias("_hp"))
+        .select("doc_id", "source", "text")
+        .mapInArrow(
+            charfold_kgram_explode_gen(_SPAN_W, ["doc_id", "source"]),
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("source", StringType()),
+                    StructField("h", LongType()),
+                ]
+            ),
+        )
     )
-    spans = hp.select(
-        "doc_id",
-        "source",
-        F.explode(kgram_hashes_from_hp("_hp", k=_SPAN_W)).alias("h"),
+    hs = spans.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct("doc_id").alias("nd_src"),
     )
-    hdocs = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    nd = F.sum("nd_src").over(Window.partitionBy("h"))
+    dup = F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
     return (
-        spans.join(hdocs, "h")
+        hs.withColumn("nd", nd)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup"),
-            F.round(
-                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-                * 1.0
-                / F.count(F.lit(1)),
-                4,
-            ).alias("dup_rate"),
+            F.sum("c").cast("bigint").alias("n_spans"),
+            dup.cast("bigint").alias("n_dup"),
+            F.round(dup * 1.0 / F.sum("c"), 4).alias("dup_rate"),
         )
     )
 

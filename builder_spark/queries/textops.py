@@ -28,8 +28,6 @@ from builder_spark.functions.hashing import knuth_bucket
 from builder_spark.operators.dedup import (
     CHARFOLD_MOD,
     charfold_hash,
-    charfold_token_hp,
-    kgram_hashes_from_hp,
 )
 from builder_spark.operators.topk import grouped_topk
 from builder_spark.registry import QUERIES, register
@@ -129,51 +127,35 @@ def q_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, pairs reported when ≥3/8 signature slots agree
     (estimated Jaccard ≥ 0.375).
 
-    Plan: per-row shingle hashes → 8 array_min permutations (pure
-    array expressions — the signature stage rides the scan with zero
-    shuffle) → band-explode (4 rows/doc) → self-equi-join on
-    (band, val) → distinct pairs → signature rejoin. No O(n²) stage
-    anywhere."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # token-composed shingle hashes: each token char-folds ONCE into a
-    # materialized (h, 31^len) column, shingles combine in O(1) via the
-    # polynomial hash's concatenation linearity — bit-identical to
-    # hashing each shingle string, ~3× less interpreted-lambda work
-    # (r6; the oracle keeps the string form). The _hp projection MUST
-    # stay its own select step (no CSE inside HOF lambdas — see
-    # charfold_token_hp). No array_distinct: array_min is duplicate-
-    # insensitive, so de-duplicating shingles buys nothing.
-    # repartition = materialization boundary: the band self-join and
-    # the two signature rejoins would otherwise re-evaluate the whole
-    # charfold expression tree once per consumer (see
-    # operators/dedup.py::minhash_signatures).
-    # NOTE: the shingle-less-doc filter runs on the cheap token count
-    # BEFORE the hash projection — a later filter on size(_h) would be
-    # pushed below the projection and re-evaluate the charfold tree
-    # once per sig column (see operators/dedup.py::minhash_signatures).
+    Plan: one vectorized Arrow signature stage (numpy charfold + 8
+    permutation minima per batch — operators/arrowkern.py; values
+    bit-identical to the old array_min/transform expression form,
+    which interpreted one lambda per shingle×permutation) →
+    band-explode (4 rows/doc) → self-equi-join on (band, val) →
+    distinct pairs → signature rejoin. No O(n²) stage anywhere.
+    repartition = materialization boundary: the band self-join and
+    the two signature rejoins would otherwise re-run the whole
+    signature stage once per consumer (see
+    operators/dedup.py::minhash_signatures)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from builder_spark.operators.arrowkern import charfold_sig_gen
     from builder_spark.operators.partitioning import spread
 
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
     # spread BEFORE the fold: the fixture is a single-row-group parquet
     # file (1 scan task), and the char fold is the expensive stage — a
     # round-robin repartition first runs it on every core. At cluster
     # scale the scan is already multi-split and spread no-ops.
+    _sig_schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"s{i}", LongType()) for i in range(_K)]
+    )
     sig = (
         spread(d.filter(F.size(toks) >= 3))
-        .select("doc_id", charfold_token_hp(toks).alias("_hp"))
-        .select("doc_id", kgram_hashes_from_hp(F.col("_hp"), 3).alias("_h"))
-        .select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("_h"),
-                        lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P)),
-                    )
-                ).alias(f"s{i}")
-                for i in range(_K)
-            ],
-        )
+        .select("doc_id", "text")
+        .mapInArrow(charfold_sig_gen(3, _A, _B, _P, "doc_id"), _sig_schema)
         .repartition(F.col("doc_id"))
     )
     bands = F.array(
