@@ -149,6 +149,21 @@ def main() -> None:
         (F.col("id") % 9973).alias("wv"), F.col("id").alias("wk")
     )
     stitched_running(_warm, ["wv", "wk"], running={"wr": "wv"}, rank_name="wrn").count()
+    # r15: spin up the Python worker pool (one identity mapInArrow
+    # across every core) — the Arrow hash kernels run in reused
+    # workers, and pool spin-up (fork + numpy import per worker) is a
+    # one-time ~4-5 s cost on a long-lived cluster, same class as the
+    # JVM/codegen warmup above. Synthetic range input: warms only the
+    # shared worker pool, never a measured query's own state.
+
+    def _ident(batches):
+        import numpy  # noqa: F401 - worker-side import is the warmup
+
+        yield from batches
+
+    spark.range(1000).repartition(int(cpus_for_warm())).mapInArrow(
+        _ident, "id long"
+    ).count()
     warmup_sec = round(time.perf_counter() - t0, 3)
 
     # warm no-op floor: per-action overhead (task scheduling + Py4J
@@ -223,6 +238,13 @@ def main() -> None:
     maybe_write_quiet_artifact(summary, warm_median)
     print(detail_line)
     print(json.dumps(summary), flush=True)
+
+
+def cpus_for_warm() -> int:
+    """Worker-pool width for the Python-boundary warmup: the harness
+    core count (one reusable Python worker per core)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    return int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
 
 
 #: quiet-window acceptance: a run only counts as quiet-host evidence

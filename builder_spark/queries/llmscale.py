@@ -236,10 +236,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct shuffle of token pairs). df joins tf on term
     (broadcastable — vocabulary ≪ corpus); no all-pairs anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    # explicit isnotnull(doc_id): the tf⋈dlen join INFERS this filter
+    # onto the tf and dlen scan branches but not onto dft's — the
+    # branches then no longer canonicalize equal and the dft token
+    # shuffle cannot be AQE-reused. Stating it once at the source makes
+    # all three derivations share one token explode. doc_id is the
+    # documents PK (non-null), so nothing is dropped.
+    tok = d.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
     dlen = tf.groupBy("doc_id").agg(F.sum("n").alias("n_tok"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the (vacuously true) n >= 1 filter pins `n` into the dft branch:
+    # without it column pruning rewrites this branch's inner aggregate
+    # to the count-less DISTINCT form, the branch no longer
+    # canonicalizes equal to tf's exchange, and AQE re-explodes and
+    # re-aggregates the whole token stream a second time (observed in
+    # the r15 final plan: 3 Generate branches, ReusedExchange only for
+    # dlen). With the filter all three derivations share ONE token
+    # shuffle (2 ReusedExchange). n is a group count, so n >= 1 always
+    # holds and the result is unchanged.
+    dft = tf.where(F.col("n") >= 1).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a LAZY 1-row broadcast, not d.count(): the eager
     # count was a separate Spark job on every query construction (one
     # full extra scan per bench shot); as a crossJoin scalar it rides
