@@ -276,14 +276,17 @@ def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    hs = spans.groupBy("h", "source").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.count_distinct("doc_id").alias("nd_src"),
-    )
-    nd = F.sum("nd_src").over(Window.partitionBy("h"))
+    # ONE aggregate at (h, doc) grain — doc_id is the documents PK, so
+    # each (h, doc_id) row IS one distinct doc for that hash and the
+    # per-hash distinct-doc count is a plain count(*) window over these
+    # rows (no count_distinct, which would plan a second dedup
+    # aggregate + exchange at the same grain). `source` rides along for
+    # free: it is functionally determined by doc_id.
+    hd = spans.groupBy("h", "doc_id", "source").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     dup = F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
     return (
-        hs.withColumn("nd", nd)
+        hd.withColumn("nd", nd)
         .groupBy("source")
         .agg(
             F.sum("c").cast("bigint").alias("n_spans"),
