@@ -72,6 +72,67 @@ def _batch_tokens(texts):
     return flat, [len(doc) for doc in toks]
 
 
+def _tokens_hp_arrow(text_arr, np):
+    """Zero-object tokenize + fold: pyarrow.compute.split_pattern on a
+    single space (same keep-empties contract as str.split(" ")), then
+    the charfold runs directly over the flat UTF-8 byte buffer when it
+    is pure ASCII (byte == code point, so no string decode is needed —
+    the r15 profile put ~0.25 s/task of the Arrow stages in Python
+    string materialization). Returns (h, p, nper) like
+    ``_fold_flat_tokens`` + per-doc counts, or None when the batch has
+    non-ASCII bytes or nulls (caller falls back to the object path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if text_arr.null_count:
+        return None
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    toks = pc.split_pattern(text_arr, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    values = toks.values  # flat StringArray over one data buffer
+    if toks.offset != 0 or values.offset != 0:
+        return None  # sliced layout: rare; take the object path
+    list_offs = np.frombuffer(toks.buffers()[1], np.int32)[
+        : len(toks) + 1
+    ].astype(np.int64)
+    nper = np.diff(list_offs)
+    voff = np.frombuffer(values.buffers()[1], np.int32)[
+        : len(values) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(values.buffers()[2], np.uint8)
+    span = data[voff[0] : voff[-1]]
+    if span.size and int(span.max()) >= 0x80:
+        return None
+    n = len(voff) - 1
+    lens = np.diff(voff)
+    maxw = int(lens.max()) if n else 0
+    pw = np.empty(maxw + 1, np.int64)
+    pw[0] = 1
+    for i in range(1, maxw + 1):
+        pw[i] = (pw[i - 1] * 31) % CHARFOLD_MOD
+    h = np.zeros(n, np.int64)
+    lim = len(data) - 1
+    blo = 0
+    for bhi in _WIDTH_BUCKETS:
+        if blo >= maxw:
+            break
+        width = min(bhi, maxw)
+        sel = np.nonzero((lens > blo) & (lens <= width))[0]
+        blo = bhi
+        if sel.size == 0:
+            continue
+        idx = voff[sel][:, None] + np.arange(width)
+        cp = data[np.minimum(idx, lim)].astype(np.int64)
+        ll = lens[sel]
+        hh = np.zeros(sel.size, np.int64)
+        for j in range(width):
+            hh = np.where(ll > j, (hh * 31 + cp[:, j]) % CHARFOLD_MOD, hh)
+        h[sel] = hh
+    return h, pw[lens], nper
+
+
 def _kgram_hashes(h, p, nper, k, np):
     """Shingle hashes for every doc's k-grams, composed from the
     per-token (h, p) folds exactly like ``kgram_hashes_from_hp``:
@@ -114,8 +175,12 @@ def charfold_sig_gen(gram: int, a_consts, b_consts, modulus: int, id_name: str):
             n = len(ids)
             if n == 0:
                 continue
-            flat, nper = _batch_tokens(batch.column(1).to_pylist())
-            h, p = _fold_flat_tokens(flat, np)
+            hp = _tokens_hp_arrow(batch.column(1), np)
+            if hp is None:  # non-ASCII / nulls: per-object fallback
+                flat, nper = _batch_tokens(batch.column(1).to_pylist())
+                h, p = _fold_flat_tokens(flat, np)
+            else:
+                h, p, nper = hp
             sh, nsh = _kgram_hashes(h, p, nper, gram, np)
             sh_starts = np.zeros(n, np.int64)
             np.cumsum(nsh[:-1], out=sh_starts[1:])
@@ -142,8 +207,13 @@ def charfold_kgram_explode_gen(gram: int, passthrough: list[str]):
             n = batch.num_rows
             if n == 0:
                 continue
-            flat, nper = _batch_tokens(batch.column(len(passthrough)).to_pylist())
-            h, p = _fold_flat_tokens(flat, np)
+            tcol = batch.column(len(passthrough))
+            hp = _tokens_hp_arrow(tcol, np)
+            if hp is None:  # non-ASCII / nulls: per-object fallback
+                flat, nper = _batch_tokens(tcol.to_pylist())
+                h, p = _fold_flat_tokens(flat, np)
+            else:
+                h, p, nper = hp
             sh, nsh = _kgram_hashes(h, p, nper, gram, np)
             take = np.repeat(np.arange(n), nsh)
             cols = {

@@ -242,11 +242,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle cannot be AQE-reused. Stating it once at the source makes
     # all three derivations share one token explode. doc_id is the
     # documents PK (non-null), so nothing is dropped.
-    tok = d.where(F.col("doc_id").isNotNull()).select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    # n_tok = size(split(text)) computed BEFORE the explode and carried
+    # through the token shuffle (one int per token row): the dlen
+    # derivation was a second aggregate over tf plus a doc_id join —
+    # two more exchanges/jobs on a vocabulary-scale plan whose stages
+    # are all sub-0.2 s (r15 profile: 12 jobs, job count IS the cost).
+    # sum(n) per doc over tf == token count == size(split) exactly
+    # (split keeps empty strings), so the result is unchanged.
+    # n_tok is materialized in its OWN projection below the explode —
+    # a single select would hoist size(split(text)) into the projection
+    # ABOVE the Generate, re-tokenizing the whole document once per
+    # emitted token row (measured: 0.18 s -> 1.2 s scan stage)
+    base = d.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", "lang", F.split("text", " ").alias("_toks")
     )
-    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("n"))
-    dlen = tf.groupBy("doc_id").agg(F.sum("n").alias("n_tok"))
+    base = base.select(
+        "doc_id", "lang", F.size("_toks").alias("n_tok"), F.col("_toks")
+    )
+    tok = base.select("doc_id", "lang", "n_tok", F.explode("_toks").alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("n"), F.any_value("n_tok").alias("n_tok")
+    )
     # the (vacuously true) n >= 1 filter pins `n` into the dft branch:
     # without it column pruning rewrites this branch's inner aggregate
     # to the count-less DISTINCT form, the branch no longer
@@ -256,15 +272,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dlen). With the filter all three derivations share ONE token
     # shuffle (2 ReusedExchange). n is a group count, so n >= 1 always
     # holds and the result is unchanged.
-    dft = tf.where(F.col("n") >= 1).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the second (vacuously true) n_tok >= 0 conjunct pins n_tok the
+    # same way n >= 1 pins n: both columns stay in the dft branch's
+    # projection, so it canonicalizes equal to tf's exchange and AQE
+    # reuses the one token shuffle (size(...) is never negative)
+    dft = (
+        tf.where((F.col("n") >= 1) & (F.col("n_tok") >= 0))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     # corpus size as a LAZY 1-row broadcast, not d.count(): the eager
     # count was a separate Spark job on every query construction (one
     # full extra scan per bench shot); as a crossJoin scalar it rides
     # the same plan and AQE broadcasts one row (r7)
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     scored = (
-        tf.join(dlen, "doc_id")
-        .join(F.broadcast(dft), "term")
+        tf.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("lang", "term")
         .agg(
