@@ -2694,16 +2694,20 @@ def q_repeat_ngram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter BEFORE sequence: Spark's sequence(1, 0) descends ([1, 0])
     # instead of being empty like DuckDB's range(1, 1) — sub-4-token
     # docs drop identically on both engines (empty unnest = no row)
+    # materialized _toks column: inlined in the lambda the split
+    # re-evaluates per element (no CSE inside HOF lambdas)
+    tk = F.col("_toks")
     grams = (
         load_table(spark, sf_dir, "documents")
         .filter(F.size(toks) >= 4)
+        .select("doc_id", "source", toks.alias("_toks"))
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+                    F.sequence(F.lit(1), F.size(tk) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 4)),
                 )
             ).alias("g"),
         )

@@ -753,20 +753,27 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — bit-identical halves on both engines, no percentile
     interpolation ambiguity. Empty series: 1 row of NULL medians
     with nd = 0, identically."""
+    from builder_spark.operators.partitioning import stitched_running
+
     # materialize the (tiny, calendar-bounded) day rollup ONCE — four
     # consumers (tot, both Walsh sides, the plain-median rank) would
     # otherwise re-plan the fact scan four times
     daily = _daily_rev(spark, sf_dir).localCheckpoint(eager=True)
     tot = daily.agg(F.count(F.lit(1)).alias("nd"))
-    a, b = daily.alias("a"), daily.alias("b")
+    # spread the pair generation: the nested-loop join otherwise
+    # inherits the day rollup's single post-AQE partition and one task
+    # emits all ~3M Walsh pairs; the pair table is calendar-bounded, so
+    # defaultParallelism is the right fan-out at any fact scale
+    a = daily.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = daily.alias("b")
     w = a.join(b, F.col("a.d") <= F.col("b.d")).select(
         ((F.col("a.rev") + F.col("b.rev")) / 200.0).alias("v"),
-        F.col("a.d").alias("da"),
-        F.col("b.d").alias("db"),
     )
-    wr = w.select(
-        "v", F.row_number().over(Window.orderBy("v", "da", "db")).alias("rk")
-    )
+    # ranks are only ever consumed through v, and the (da, db)
+    # tiebreak permutes ranks WITHIN equal-v runs only — so a stitched
+    # rank ordered by v alone selects the identical values without the
+    # single-partition ~3M-row sort the r12 form paid
+    wr = stitched_running(w, ["v"], rank_name="rk")
     dr = daily.select(
         (F.col("rev") / 100.0).alias("v"),
         F.row_number().over(Window.orderBy("rev", "d")).alias("rk"),
@@ -892,11 +899,14 @@ def q_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adjacent-doc ROUGE overlap
 
 
+# reads a pre-projected `_toks` column (split once per row): inlining
+# split(text) here re-evaluates it per transform element (no CSE
+# inside HOF lambdas)
 _BIGRAMS_SPARK = (
-    "CASE WHEN size(split(text, ' ')) > 1 THEN transform("
-    "sequence(1, size(split(text, ' ')) - 1),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), i + 1)))"
+    "CASE WHEN size(_toks) > 1 THEN transform("
+    "sequence(1, size(_toks) - 1),"
+    " i -> concat(element_at(_toks, i), ' ',"
+    " element_at(_toks, i + 1)))"
     " ELSE array() END"
 )
 
@@ -981,7 +991,8 @@ def q_rouge_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lens = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("len"))
     bc = (
-        d.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("w"))
+        d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -3901,19 +3901,23 @@ def q_hl_shift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by one whitelisted window on the unique (v, da, db) order;
     k is closed-form integer arithmetic from n alone. Guards: empty
     series → 1 row of NULLs with n_days = 0 identically."""
-    from pyspark.sql import Window
+    from builder_spark.operators.partitioning import stitched_running
 
     daily = _daily(spark, sf_dir).localCheckpoint(eager=True)
     tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
-    a, b = daily.alias("a"), daily.alias("b")
+    # spread the pair generation (single post-AQE partition otherwise —
+    # see q_hodges_lehmann); calendar-bounded, so defaultParallelism is
+    # the right fan-out at any fact scale
+    a = daily.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = daily.alias("b")
     w = a.join(b, F.col("a.d") <= F.col("b.d")).select(
         ((F.col("a.rev") + F.col("b.rev")) / 200.0).alias("v"),
-        F.col("a.d").alias("da"),
-        F.col("b.d").alias("db"),
     )
-    wr = w.select(
-        "v", F.row_number().over(Window.orderBy("v", "da", "db")).alias("rk")
-    ).localCheckpoint(eager=True)
+    # ranks are only consumed through v ((da, db) tiebreaks permute
+    # ranks within equal-v runs only), so a stitched rank ordered by v
+    # replaces the r12b shape's single-partition ~3M-row sort + 3M-row
+    # checkpoint that three selection passes then re-scanned
+    wr = stitched_running(w, ["v"], rank_name="rk")
     kk = tot.select(
         "nd",
         F.expr("nd * (nd + 1) div 2").alias("m"),
@@ -3927,28 +3931,26 @@ def q_hl_shift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k"),
     )
-    hl = (
+    # ONE selection pass over the ranked Walsh stream instead of three
+    # (conditional aggregation over the 4 target ranks); each rank
+    # matches exactly one row, so avg/max per target replicate the
+    # three separate aggregates bit-for-bit (empty stream -> NULLs)
+    is_loc = (F.col("rk") == F.expr("(m + 1) div 2")) | (
+        F.col("rk") == F.expr("(m + 2) div 2")
+    )
+    is_lo = F.col("rk") == F.col("k") + 1
+    is_hi = F.col("rk") == F.col("m") - F.col("k")
+    sel = (
         wr.crossJoin(F.broadcast(kk))
-        .filter(
-            (F.col("rk") == F.expr("(m + 1) div 2"))
-            | (F.col("rk") == F.expr("(m + 2) div 2"))
+        .filter(is_loc | is_lo | is_hi)
+        .agg(
+            F.avg(F.when(is_loc, F.col("v"))).alias("loc"),
+            F.max(F.when(is_lo, F.col("v"))).alias("lo"),
+            F.max(F.when(is_hi, F.col("v"))).alias("hi"),
         )
-        .agg(F.avg("v").alias("loc"))
-    )
-    lo = (
-        wr.crossJoin(F.broadcast(kk))
-        .filter(F.col("rk") == F.col("k") + 1)
-        .agg(F.max("v").alias("lo"))
-    )
-    hi = (
-        wr.crossJoin(F.broadcast(kk))
-        .filter(F.col("rk") == F.col("m") - F.col("k"))
-        .agg(F.max("v").alias("hi"))
     )
     return (
-        kk.crossJoin(F.broadcast(hl))
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        kk.crossJoin(F.broadcast(sel))
         .select(
             F.col("nd").alias("n_days"),
             F.round("loc", 4).alias("hl_location"),

@@ -441,7 +441,8 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_minhash_banded(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _word_grams(F.col("text"), 3).alias("g"))
+    _wg_proj, _wg = _word_grams(F.col("text"), 3)
+    sh = d.select("doc_id", _wg_proj).select("doc_id", _wg.alias("g"))
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     scored = (

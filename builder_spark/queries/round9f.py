@@ -660,20 +660,24 @@ def q_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, df≥2 ⇔ "appears in another document" — set-exact, no floats
     until the final ratio."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # materialized _toks column: inlined in the lambda the split
+    # re-evaluates per element (no CSE inside HOF lambdas)
+    tk = F.col("_toks")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(0))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
             ),
         )
     )
-    g = d.select("doc_id", "source", F.explode(grams).alias("gram")).select(
-        "doc_id", "source", F.md5("gram").alias("gh")
+    g = (
+        d.select("doc_id", "source", F.split(F.col("text"), " ").alias("_toks"))
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+        .select("doc_id", "source", F.md5("gram").alias("gh"))
     )
     df = g.groupBy("gh").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     per_doc = (

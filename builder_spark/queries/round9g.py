@@ -518,18 +518,24 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering). c₁₂ ≥ 1 > d, so the max(·,0) clamp never binds and is
     dropped on both engines identically."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    big = d.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    # materialized _toks column: inlined in the lambda the split
+    # re-evaluates per element (no CSE inside HOF lambdas)
+    tk = F.col("_toks")
+    big = (
+        d.select(F.split(F.col("text"), " ").alias("_toks"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("w1"),
+                        F.element_at(tk, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     c1 = c12.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("c1"),

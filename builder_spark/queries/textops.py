@@ -40,14 +40,20 @@ import builder_spark.queries.llmscale  # noqa: E402,F401
 def _word_grams(text_col, n: int):
     """Distinct n-word grams of a single-space-tokenized text column —
     the same construction both in Spark and (mechanically generated)
-    DuckDB SQL, so gram sets are string-identical across engines."""
-    toks = F.split(text_col, " ")
-    return F.array_distinct(
+    DuckDB SQL, so gram sets are string-identical across engines.
+
+    Returns (tokens_projection, grams_column): callers must project the
+    tokens column first (``df.select(..., proj).select(..., grams)``) —
+    inlining the split into the transform lambda re-evaluates it per
+    element (no CSE inside HOF lambdas; O(len·n) splits per doc)."""
+    toks = F.col("_wg_toks")
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         )
     )
+    return F.split(text_col, " ").alias("_wg_toks"), grams
 
 
 def _grams_sql(n: int) -> str:
@@ -337,7 +343,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Per-doc distinct grams are computed once (array_distinct
     before explode) so n_shared counts gram types, not occurrences."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", _word_grams(F.col("text"), _CONTAM_N).alias("g"))
+    _wg_proj, _wg = _word_grams(F.col("text"), _CONTAM_N)
+    grams = d.select("doc_id", _wg_proj).select("doc_id", _wg.alias("g"))
     bench = (
         grams.filter(F.col("doc_id") < _BENCH_DOCS)
         .select(F.explode("g").alias("w"))
@@ -420,12 +427,17 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # bigrams read the MATERIALIZED _toks column: inlining the split
+    # into the transform lambda re-evaluates it per element (the
+    # charfold_token_hp no-CSE-in-HOF rule; O(len^2) per doc)
+    tk = F.col("_toks")
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
     )
     bgc = (
-        d.select(F.explode(bigrams).alias("b"))
+        d.select(toks.alias("_toks"))
+        .select(F.explode(bigrams).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
@@ -436,7 +448,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: n2 must include ALL bigrams, not just frequent ones — count
     # before the min-count filter.
     bgc_all = (
-        d.select(F.explode(bigrams).alias("b"))
+        d.select(toks.alias("_toks"))
+        .select(F.explode(bigrams).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
@@ -782,15 +795,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float noise stays ~1e-13: ranks are sums of many divisions, so
     round(·,4) cannot sit on a decimal half."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # materialized _toks column: inlined in the lambda the split
+    # re-evaluates per element (no CSE inside HOF lambdas)
+    tk = F.col("_toks")
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0))),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("src"), F.element_at(toks, i + 1).alias("dst")
+            F.element_at(tk, i).alias("src"), F.element_at(tk, i + 1).alias("dst")
         ),
     )
     edges = (
-        d.select(F.explode(bigrams).alias("e"))
+        d.select(F.split(F.col("text"), " ").alias("_toks"))
+        .select(F.explode(bigrams).alias("e"))
         .select("e.src", "e.dst")
         .distinct()
         .repartition(F.col("src"))
@@ -1238,14 +1254,22 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the distribution and its cumulative run over ≤|distinct
     degrees| rows."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # materialize the split ONCE as its own projection column — inlined
+    # in the transform lambda it re-evaluates per sequence element
+    # (O(len^2) per doc; the charfold_token_hp no-CSE-in-HOF rule)
+    toks = F.col("_toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda i: F.struct(
             F.element_at(toks, i).alias("src"), F.element_at(toks, i + 1).alias("dst")
         ),
     )
-    edges = d.select(F.explode(bigrams).alias("e")).select("e.src", "e.dst").distinct()
+    edges = (
+        d.select(F.split(F.col("text"), " ").alias("_toks"))
+        .select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     dist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
     w = Window.orderBy(F.col("d").desc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1272,7 +1296,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_minhash_banded oracle with the same 3-word-shingle set math."""
     pairs = q_minhash_banded(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _word_grams(F.col("text"), 3).alias("g"))
+    _wg_proj, _wg = _word_grams(F.col("text"), 3)
+    sh = d.select("doc_id", _wg_proj).select("doc_id", _wg.alias("g"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))

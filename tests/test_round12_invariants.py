@@ -72,7 +72,11 @@ def test_round12_registers_behind_backlog():
         ("q_kpss_test", 4),       # day rollup reprinted for the 1-row mean
         ("q_variance_ratio", 4),  # day rollup reprinted for the 1-row moments
         ("q_zero_inflation", 4),  # user rollup + 1-row span broadcast
-        ("q_hodges_lehmann", 5),  # checkpointed day table + 2 rank windows
+        ("q_hodges_lehmann", 10),  # checkpointed day table + stitched Walsh
+                                   # rank (pair lineage prints twice in the
+                                   # static plan: local-window + offsets
+                                   # branches; ReusedExchange collapses them
+                                   # at runtime) + day-grain median rank
         ("q_dunning_llr", 3),     # vocab rollup + 1-row totals + TakeOrdered
         ("q_rouge_adjacent", 14), # 2 gram grains x (counts + self-join + lens)
         ("q_brown_forsythe", 6),  # stitched quantile + checkpointed 5-row moments

@@ -112,7 +112,10 @@ def test_round12b_registers_behind_backlog():
         ("q_cox_stuart", 4),           # day windows on both join sides
                                        # (audit-visible by design)
         ("q_wald_wolfowitz", 8),       # stitched rank + consecutive-rank join
-        ("q_hl_shift_ci", 7),          # day-pair Walsh grain + rank window
+        ("q_hl_shift_ci", 8),          # stitched Walsh rank (pair lineage
+                                       # prints twice: local-window + offsets
+                                       # branches, runtime-reused) + one
+                                       # conditional selection pass
         ("q_quade_test", 5),           # 125-cell grain + broadcast rank joins
         ("q_van_der_waerden", 5),      # ONE stitched rank + probit score pass
         ("q_fisher_z_ci", 1),          # one combinable moment pass

@@ -101,8 +101,7 @@ BOUNDED_FRAME_WHITELIST = {
     "q_cox_stuart": "day table (calendar-bounded)",
     "q_kpss_test": "day table (calendar-bounded)",
     "q_variance_ratio": "day table (calendar-bounded)",
-    "q_hodges_lehmann": "day-pair Walsh table (calendar-bounded squared)",
-    "q_hl_shift_ci": "day-pair Walsh table (calendar-bounded squared; rank reused via checkpoint, audited pre-checkpoint)",
+    "q_hodges_lehmann": "day-grain median rank (calendar-bounded; Walsh rank is stitched since r15)",
     "q_ks_uniform": "28 day-of-month rows",
     "q_watson_u2": "7 iso-dow rows",
     "q_storey_qvalues": "35 contingency cells (event types x weekdays)",
@@ -141,7 +140,7 @@ def test_whitelists_are_ratcheted():
     justification degrades to filler) previously passed. Growing a
     whitelist must be a deliberate, reviewed act: bump the pinned count
     in the same commit that documents the new entry's bounded grain."""
-    assert len(BOUNDED_FRAME_WHITELIST) == 79, (
+    assert len(BOUNDED_FRAME_WHITELIST) == 78, (
         "BOUNDED_FRAME_WHITELIST size changed — if intentional, bump this "
         "pin in the same commit and document the new entry's bounded grain"
     )
