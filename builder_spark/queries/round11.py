@@ -2991,37 +2991,118 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on a bounded query sample (20 here; a production sweep
     samples queries, never the corpus). Recall joins are top-5 ×
     top-5 per query."""
-    from builder_spark.operators.similarity import brute_force_topk, ivf_topk
+    from builder_spark.operators.similarity import brute_force_topk
+    from builder_spark.functions.vectors import dot_f64, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(q, e, k=5).select(
         "q_id", F.col("vec_id").alias("e_vid")
     )
-    out = None
-    for p in _PROBE_GRID:
-        approx = ivf_topk(q, e, k=5, n_centroids=16, n_probe=p).select(
-            F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    # ONE shared assignment + probe + scoring pass for all four probe
+    # levels (r15): the four ivf_topk calls duplicated the centroid
+    # argmax, the probe join and the pair scoring per level — but
+    # probe rankings are prefix-nested (same ordering, larger keep),
+    # so level p's candidate set is exactly the _prank <= p subset of
+    # the max-probe pass. Each scored pair explodes to the levels it
+    # belongs to and ONE (level, q) window ranks all levels at once.
+    max_probe = max(_PROBE_GRID)
+    cents = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("_c_emb"))
+    )
+
+    def nearest(side, rank_alias, keep):
+        csim = dot_f64("_emb", "_c_emb") / (l2_norm("_emb") * l2_norm("_c_emb"))
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_csim").desc(), F.col("c_id").asc()
         )
-        row = (
-            exact.join(
-                approx,
-                (F.col("q_id") == F.col("a_qid")) & (F.col("e_vid") == F.col("a_vid")),
-                "left",
-            )
-            .agg(
-                F.lit(p).alias("probe_count"),
-                F.count("q_id").cast("bigint").alias("n_exact_pairs"),
-                F.count("a_vid").cast("bigint").alias("n_hits"),
-                F.round(  # ANSI /0 guard: no exact pairs on empty sample
-                    F.count("a_vid") * 1.0
-                    / F.when(F.count("q_id") != 0, F.count("q_id")),
-                    4,
-                ).alias("recall_at_5"),
-            )
+        return (
+            side.join(F.broadcast(cents), how="cross")
+            .withColumn("_csim", csim)
+            .withColumn(rank_alias, F.row_number().over(w))
+            .filter(F.col(rank_alias) <= keep)
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("probe_count")
+
+    c_assigned = nearest(
+        e.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_emb")),
+        "_crank",
+        keep=1,
+    ).select(F.col("_id").alias("cand_id"), F.col("_emb").alias("_c_vec"), "c_id")
+    q_probes = nearest(
+        q.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_emb")),
+        "_prank",
+        keep=max_probe,
+    ).select(F.col("_id").alias("q_id"), F.col("_emb").alias("_q_vec"), "c_id", "_prank")
+    sim = dot_f64("_q_vec", "_c_vec") / (l2_norm("_q_vec") * l2_norm("_c_vec"))
+    pairs = (
+        c_assigned.join(F.broadcast(q_probes), "c_id")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .withColumn("_sim", sim)
+        .select("q_id", "cand_id", "_sim", "_prank")
+    )
+    lv = pairs.select(
+        "q_id",
+        "cand_id",
+        "_sim",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in _PROBE_GRID]),
+                lambda p: p >= F.col("_prank"),
+            )
+        ).alias("lvl"),
+    )
+    w5 = Window.partitionBy("lvl", "q_id").orderBy(
+        F.col("_sim").desc(), F.col("cand_id").asc()
+    )
+    approx = (
+        lv.withColumn("_rnk", F.row_number().over(w5))
+        .filter(F.col("_rnk") <= 5)
+        .select(
+            F.col("lvl").alias("a_lvl"),
+            F.col("q_id").alias("a_qid"),
+            F.col("cand_id").alias("a_vid"),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _PROBE_GRID])).alias("lvl")
+    )
+    hits = (
+        levels.crossJoin(exact)
+        .join(
+            approx,
+            (F.col("lvl") == F.col("a_lvl"))
+            & (F.col("q_id") == F.col("a_qid"))
+            & (F.col("e_vid") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("lvl")
+        .agg(
+            F.count("q_id").cast("bigint").alias("n_exact_pairs"),
+            F.count("a_vid").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        levels.join(F.broadcast(hits), "lvl", "left")
+        .select(
+            F.col("lvl").alias("probe_count"),
+            F.coalesce(F.col("n_exact_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_exact_pairs"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(  # ANSI /0 guard: no exact pairs on empty sample
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0
+                / F.when(
+                    F.coalesce(F.col("n_exact_pairs"), F.lit(0)) != 0,
+                    F.coalesce(F.col("n_exact_pairs"), F.lit(0)),
+                ),
+                4,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("probe_count")
+    )
 
 
 # ---------------------------------------------------------------------------
