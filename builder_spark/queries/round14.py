@@ -319,16 +319,23 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = rk.select(
         "prio",
         F.expr(_pprobit("(1.0 + (r * 1.0) / (r_total + 1)) / 2.0")).alias("s"),
-    ).localCheckpoint(eager=True)
-    g = sc.groupBy("prio").agg(
-        F.count(F.lit(1)).alias("ng"), F.sum("s").alias("sg")
     )
-    ss = sc.agg(F.sum(F.col("s") * F.col("s")).alias("sg2"))
+    # ONE pass over the scored stream: sum(s^2) rides the per-group
+    # aggregate (sums over the 5 groups add to the global sum), and the
+    # checkpoint moves from fact grain to the 5-row group table — the
+    # r14 shape materialized every scored row to feed a separate global
+    # sum(s^2) scan (r15)
+    g = sc.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("s").alias("sg"),
+        F.sum(F.col("s") * F.col("s")).alias("sg2g"),
+    ).localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("ng").alias("n"),
         (F.sum("sg") / F.sum("ng")).alias("abar"),
+        F.sum("sg2g").alias("sg2"),
     )
-    joined = g.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ss))
+    joined = g.crossJoin(F.broadcast(tot))
     dev = F.col("sg") / F.col("ng") - F.col("abar")
     # N = 1 degenerates twice over: (n - 1) = 0 under the variance and
     # a 0/0 ratio above it — guard BOTH denominators (ANSI raise)
