@@ -224,3 +224,173 @@ def charfold_kgram_explode_gen(gram: int, passthrough: list[str]):
             yield pa.RecordBatch.from_pydict(cols)
 
     return gen
+
+
+def _char_gram_hashes(texts, k, np):
+    """charfold hash of every k-CHAR gram per text, replicating
+    ``charfold_gram_hashes_from_cps(char_codepoints(text), k)`` exactly:
+
+    - empty text: ``char_codepoints`` materializes the descending
+      ``sequence(1, 0)`` artifact ``[0, 0]`` whose single truncated
+      gram folds to 0 (probed against the expression form);
+    - 0 < len < k: ONE truncated gram = fold of the whole text;
+    - len >= k: the ``len-k+1`` rolling folds.
+
+    Returns (gh, nper, offs, null_docs): concatenated int64 gram
+    hashes, per-doc gram counts, per-doc start offsets into ``gh``,
+    and the indices of null texts. A null text contributes exactly ONE
+    gram slot holding a 0 sentinel the caller must surface as a NULL
+    value — the expression form's ``size(null) = -1`` (legacy
+    sizeOfNull) makes ``greatest(size(cps) - (k-1), 1)`` = 1, so a
+    null text yields a one-element array whose fold is null."""
+    n = len(texts)
+    lens = np.fromiter((len(t) if t is not None else -1 for t in texts), np.int64, n)
+    null_docs = np.nonzero(lens < 0)[0]
+    nper = np.maximum(lens - (k - 1), 1)  # null lens (-1) floor to 1 too
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(nper, out=offs[1:])
+    gh = np.zeros(int(offs[-1]), np.int64)  # null docs keep the 0 sentinel
+    # short texts (len < k, including empty): one truncated fold each —
+    # a bounded Python loop over <= k-1 characters per doc
+    for i in np.nonzero((lens >= 0) & (lens < k))[0]:
+        acc = 0
+        for ch in texts[i]:
+            acc = (acc * 31 + ord(ch)) % CHARFOLD_MOD
+        gh[offs[i]] = acc
+    # full texts: width-bucketed UTF-32 matrices, k vectorized fold
+    # passes per bucket (same bucketing as _fold_flat_tokens)
+    maxw = int(lens.max()) if n else 0
+    lo = 0
+    for hi in _WIDTH_BUCKETS:
+        if lo >= maxw:
+            break
+        width = min(hi, maxw)
+        sel = np.nonzero((lens > lo) & (lens <= width) & (lens >= k))[0]
+        lo = hi
+        if sel.size == 0:
+            continue
+        sub = np.array([texts[i] for i in sel], dtype=f"U{width}")
+        cp = sub.view(np.uint32).reshape(sel.size, -1).astype(np.int64)
+        tail = cp.shape[1] - (k - 1)
+        g = cp[:, :tail] % CHARFOLD_MOD
+        for j in range(1, k):
+            g = (g * 31 + cp[:, j : tail + j]) % CHARFOLD_MOD
+        for row, i in enumerate(sel):
+            cnt = lens[i] - (k - 1)
+            gh[offs[i] : offs[i] + cnt] = g[row, :cnt]
+    return gh, nper, offs, null_docs
+
+
+def _segment_unique(vals, nper, np):
+    """Per-document sorted-distinct of a concatenated value array:
+    returns (vals2, counts) where each doc's segment of ``vals2`` is
+    its distinct values in ascending order. Consumers are set-shaped
+    (joins / intersections / explodes), so the order change vs
+    array_distinct's first-occurrence order is value-invisible."""
+    n = len(nper)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), nper)
+    order = np.lexsort((vals, doc_idx))
+    v2, d2 = vals[order], doc_idx[order]
+    if len(v2):
+        keep = np.empty(len(v2), bool)
+        keep[0] = True
+        keep[1:] = (v2[1:] != v2[:-1]) | (d2[1:] != d2[:-1])
+        v2, d2 = v2[keep], d2[keep]
+    counts = np.bincount(d2, minlength=n).astype(np.int64)
+    return v2, counts
+
+
+def char_gram_items_gen(k: int, id_name: str):
+    """mapInArrow generator: (id, text) → (id, _arr array<long>) where
+    ``_arr`` is the distinct charfold k-char-gram hash set of the text
+    (ascending order; the expression form's array_distinct keeps
+    first-occurrence order, but every consumer is set-shaped). A null
+    text yields the expression form's ``[null]`` one-element array
+    (size(null) = -1 floors the gram count at one, and that gram's
+    fold is null)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            gh, nper, _, null_docs = _char_gram_hashes(texts, k, np)
+            v2, counts = _segment_unique(gh, nper, np)
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            if null_docs.size:
+                vmask = np.zeros(len(v2), bool)
+                vmask[offsets[null_docs]] = True  # each null doc: 1 slot
+                values = pa.array(v2, pa.int64(), mask=vmask)
+            else:
+                values = pa.array(v2, pa.int64())
+            arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), arr], names=[id_name, "_arr"]
+            )
+
+    return gen
+
+
+def winnow_fp_gen(k: int, w: int, id_name: str):
+    """mapInArrow generator: (id, text) → (id, fp) — the distinct
+    winnowed fingerprints (min charfold k-gram hash per w-gram window,
+    trailing windows clamped, fewer-than-w-gram docs emit their single
+    whole-array min), one output row per (doc, fingerprint). Matches
+    ``explode(array_distinct(transform(sequence(1, max(ng-w+1, 1)),
+    j -> array_min(slice(g, j, w)))))`` value-for-value, including the
+    one NULL-fp row a null text emits (its [null] gram array's single
+    window min is null)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            gh, nper, offs, null_docs = _char_gram_hashes(texts, k, np)
+            nwin = np.maximum(nper - (w - 1), 1)
+            wm = np.empty(int(nwin.sum()), np.int64)
+            wpos = np.zeros(n + 1, np.int64)
+            np.cumsum(nwin, out=wpos[1:])
+            # docs with >= w grams: full windows via shifted minima on
+            # the flat array (window j never crosses a doc boundary:
+            # j + w - 1 stays inside the doc's gram segment)
+            full = np.nonzero(nper >= w)[0]
+            if full.size:
+                tail = len(gh) - (w - 1)
+                acc = gh[:tail].copy()
+                for j in range(1, w):
+                    np.minimum(acc, gh[j : tail + j], out=acc)
+                cnt = nper[full] - (w - 1)
+                starts = np.zeros(full.size, np.int64)
+                np.cumsum(cnt[:-1], out=starts[1:])
+                total = int(cnt.sum())
+                idx = np.repeat(offs[full] - starts, cnt) + np.arange(total)
+                out_idx = np.repeat(wpos[full] - starts, cnt) + np.arange(total)
+                wm[out_idx] = acc[idx]
+            # docs with 1..w-1 grams: one clamped window = min of all
+            for i in np.nonzero((nper > 0) & (nper < w))[0]:
+                wm[wpos[i]] = gh[offs[i] : offs[i] + nper[i]].min()
+            v2, counts = _segment_unique(wm, nwin, np)
+            out_offs = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=out_offs[1:])
+            if null_docs.size:
+                vmask = np.zeros(len(v2), bool)
+                vmask[out_offs[null_docs]] = True  # each null doc: 1 row
+                fp = pa.array(v2, pa.int64(), mask=vmask)
+            else:
+                fp = pa.array(v2, pa.int64())
+            ids = batch.column(0).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
+            )
+            yield pa.RecordBatch.from_arrays([ids, fp], names=[id_name, "fp"])
+
+    return gen

@@ -585,20 +585,20 @@ def winnow_fingerprints(
     folds a k-int slice of it — the old form re-ran substr+ascii for
     every character of every gram against the full string (O(n·k)
     heavy string ops, interpreted; measured 43 s → ~6 s at sf0.1).
+    r15: the per-char fold + window minima moved into one numpy
+    mapInArrow kernel (``arrowkern.winnow_fp_gen`` — HOF lambdas are
+    interpreted, so the per-char expression walk still dominated);
+    values are identical (same int64 fold, clamped windows, truncated
+    short-gram semantics — pinned by tests/test_chargram_kernel.py).
     ``spread`` first: single-row-group fixtures would otherwise run
     the whole gram stage on one core."""
-    base = spread(df, id_col).select(
-        F.col(id_col), char_codepoints(text_col).alias("_cps")
+    from builder_spark.operators.arrowkern import winnow_fp_gen
+
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.col(text_col) if isinstance(text_col, str) else text_col)
+        .mapInArrow(winnow_fp_gen(k, w, id_col), f"{id_col} long, fp long")
     )
-    hashed = base.select(
-        F.col(id_col), charfold_gram_hashes_from_cps("_cps", k).alias("_g")
-    )
-    n_wins = F.greatest(F.size(F.col("_g")) - (w - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_wins),
-        lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
-    )
-    return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
 
 
 def winnow_containment_pairs(

@@ -546,26 +546,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. Both engines hash identically, so a (rare, 2^-25-scale)
     gram collision affects Spark and the oracle the same way — graded
     parity is exact by construction."""
+    from builder_spark.operators.arrowkern import char_gram_items_gen
     from builder_spark.operators.dedup import (
-        char_codepoints,
-        charfold_gram_hashes_from_cps,
         jaccard_from_sets,
         prefix_filter_candidates,
     )
     from builder_spark.operators.partitioning import spread
 
     d = load_table(spark, sf_dir, "documents")
-    base = spread(d, "doc_id").select(
-        F.col("doc_id").alias("_id"), char_codepoints("text").alias("_cps")
+    # r15: decode+fold+distinct runs as ONE numpy mapInArrow kernel
+    # (the materialized-codepoint expression form still walked an
+    # interpreted lambda per character). Trailing repartition =
+    # materialization boundary: prefix candidates, document
+    # frequencies, and both verification rejoins all consume `items` —
+    # without the exchange each consumer would re-run the whole
+    # decode+fold stage (ReusedExchange serves all of them from one
+    # computation; see minhash_signatures)
+    items = (
+        spread(d, "doc_id")
+        .select(F.col("doc_id").alias("_id"), "text")
+        .mapInArrow(char_gram_items_gen(5, "_id"), "_id long, _arr array<long>")
+        .repartition(F.col("_id"))
     )
-    # trailing repartition = materialization boundary: prefix
-    # candidates, document frequencies, and both verification rejoins
-    # all consume `items` — without the exchange each consumer would
-    # re-run the whole decode+fold stage (ReusedExchange serves all of
-    # them from one computation; see minhash_signatures)
-    items = base.select(
-        "_id", F.array_distinct(charfold_gram_hashes_from_cps("_cps", 5)).alias("_arr")
-    ).repartition(F.col("_id"))
     cands = prefix_filter_candidates(items, 0.8)
     return jaccard_from_sets(items, cands, 0.8)
 
