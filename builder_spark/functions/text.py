@@ -27,19 +27,24 @@ def regex_tokens(text: Column | str, pattern: str = r"[^a-z0-9]+") -> Column:
     return F.split(_c(text), pattern)
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles as strings (input to MinHash).
+def word_shingles(text: Column | str, n: int = 3) -> tuple[Column, Column]:
+    """Distinct n-word shingles as strings (input to MinHash/SimHash).
 
-    Built with sequence+transform — arrays stay JVM-side. A document of
-    w words yields max(w-n+1, 0) shingles.
+    Returns (tokens_projection, shingles_column): callers MUST project
+    the tokens column first (``df.select(..., proj).select(...,
+    shingles)``) — inlining the split into the transform lambda
+    re-evaluates it per shingle element (no CSE inside HOF lambdas;
+    O(len·n) splits per doc — the r15 class fix). A document of w
+    words yields max(w-n+1, 0) shingles.
     """
-    toks = tokens(text)
+    toks = F.col("_ws_toks")
     k = F.size(toks) - (n - 1)
     # sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — guard short docs
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
+    return tokens(text).alias("_ws_toks"), shingles
 
 
 def fingerprint_md5(text: Column | str, normalized: bool = False) -> Column:

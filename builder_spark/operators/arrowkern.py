@@ -394,3 +394,28 @@ def winnow_fp_gen(k: int, w: int, id_name: str):
             yield pa.RecordBatch.from_arrays([ids, fp], names=[id_name, "fp"])
 
     return gen
+
+
+def charfold_strings_gen(out: str = "_th"):
+    """mapInArrow generator: (key, s) → (key, out) with ``out`` =
+    charfold_hash(s) — the per-string polynomial fold vectorized over
+    the batch (width-bucketed UTF-32 matrices). Value-identical to the
+    expression form, including charfold_hash('') = 0 (the empty
+    string's [0, 0] codepoint artifact folds to 0, which equals the
+    kernel's empty fold). The key column passes through untouched."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = batch.column(1).to_pylist()
+            h, _ = _fold_flat_tokens(vals, np)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(h, pa.int64())],
+                names=[batch.schema.names[0], out],
+            )
+
+    return gen

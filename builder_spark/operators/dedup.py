@@ -156,12 +156,15 @@ def minhash_signatures(
         [pre.schema[id_col]] + [StructField(f"sig_{i}", LongType()) for i in range(k)]
     )
     sigs = pre.mapInArrow(_minhash_sig_gen(k, shingle_words, id_col), out_schema)
-    # The trailing repartition is a deliberate materialization point:
-    # downstream LSH banding self-joins this frame, and the exchange
-    # lets ReusedExchange serve both join sides (and any rejoin) from
-    # one computation. It moves k longs per doc — the cheapest
-    # possible boundary.
-    return sigs.repartition(F.col(id_col))
+    # localCheckpoint, not a repartition reuse-boundary (r15 fix): the
+    # downstream LSH banding self-joins this frame, but ReusedExchange
+    # NEVER fires above a MapInArrow node — PythonMapInArrow plans do
+    # not canonicalize equal (the embedded Python function defeats
+    # subtree equality), so the exchange form re-ran the signature
+    # kernel once per consumer branch (measured: 2 executions for
+    # q_dedup_fuzzy, 4 for q_minhash_banded). The checkpoint runs the
+    # kernel ONCE and hands every consumer the k-longs-per-doc result.
+    return sigs.localCheckpoint(eager=True)
 
 
 def minhash_lsh_candidates(
@@ -454,9 +457,24 @@ def simhash_signatures(
     ``bits`` conditional-sum aggregates — map-side combined, shuffle is
     ``bits`` longs per doc. Fully deterministic (charfold hash, no RNG).
     """
-    feats = word_shingles(text_col, shingle_words) if shingle_words > 1 else F.array_distinct(tokens(text_col))
-    tok = spread(df, id_col).select(F.col(id_col), F.explode(feats).alias("_w")).withColumn(
-        "_th", charfold_hash("_w")
+    if shingle_words > 1:
+        proj, feats = word_shingles(text_col, shingle_words)
+        src = spread(df, id_col).select(F.col(id_col), proj)
+    else:
+        feats = F.array_distinct(tokens(text_col))
+        src = spread(df, id_col)
+    # r15: the per-shingle string fold runs in a numpy mapInArrow
+    # kernel (charfold_hash is an interpreted double-HOF per shingle —
+    # millions of per-char expression walks at sf0.1); value-identical
+    # (same fold; pinned by tests/test_chargram_kernel.py). The
+    # DISTINCT stays on the shingle STRINGS above: deduping on hash
+    # values would merge colliding shingles and change vote weights.
+    from builder_spark.operators.arrowkern import charfold_strings_gen
+
+    tok = src.select(F.col(id_col), F.explode(feats).alias("_w"))
+    id_type = dict(tok.dtypes)[id_col]
+    tok = tok.mapInArrow(
+        charfold_strings_gen("_th"), f"{id_col} {id_type}, _th long"
     )
     votes = tok.groupBy(id_col).agg(
         *[
@@ -491,7 +509,12 @@ def simhash_near_dupes(
     """
     rpb = bits // bands
     mask = (1 << rpb) - 1
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits)
+    # checkpoint (r15): the band self-join consumes sigs twice and
+    # ReusedExchange never fires above the signature kernel's
+    # MapInArrow — one kernel run, one long per doc
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint(
+        eager=True
+    )
     band_arr = F.array(
         *[
             F.struct(
@@ -614,8 +637,15 @@ def winnow_containment_pairs(
     shared / min(|fp_a|, |fp_b|) — the plagiarism-detection metric
     (robust when one doc embeds the other)."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    items = fps.groupBy(id_col).agg(F.collect_set("fp").alias("_arr")).select(
-        F.col(id_col).alias("_id"), "_arr"
+    # checkpoint (r15): tok/gdf/prefix/full and both verification
+    # rejoins all sit above the fingerprint kernel, and ReusedExchange
+    # never fires above MapInArrow — one kernel run, one fingerprint
+    # array per doc
+    items = (
+        fps.groupBy(id_col)
+        .agg(F.collect_set("fp").alias("_arr"))
+        .select(F.col(id_col).alias("_id"), "_arr")
+        .localCheckpoint(eager=True)
     )
     # Candidate generation: prefix(Jaccard-style, rarity-ranked) on one
     # side × FULL fingerprint list on the other. Containment's overlap

@@ -445,9 +445,13 @@ def embedding_near_dupes_lsh(
     both engines miss the same pairs — graded parity holds.
     """
     planes = planes or hyperplanes(dim=64, n_planes=16, seed=7)
+    # checkpoint (r15): the (band, bucket) self-join consumes the
+    # bucket table twice and ReusedExchange never fires above the
+    # kernel's MapInArrow — one kernel run (and one embedding scan),
+    # n_bands longs per vector
     bk = with_lsh_buckets(
         df.select(F.col(id_col), F.col(vec_col)), planes, n_bands, vec_col
-    )
+    ).drop(vec_col).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.struct(

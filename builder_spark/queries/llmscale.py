@@ -556,17 +556,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # r15: decode+fold+distinct runs as ONE numpy mapInArrow kernel
     # (the materialized-codepoint expression form still walked an
-    # interpreted lambda per character). Trailing repartition =
-    # materialization boundary: prefix candidates, document
-    # frequencies, and both verification rejoins all consume `items` —
-    # without the exchange each consumer would re-run the whole
-    # decode+fold stage (ReusedExchange serves all of them from one
-    # computation; see minhash_signatures)
+    # interpreted lambda per character). localCheckpoint, not a
+    # repartition reuse-boundary: prefix candidates, document
+    # frequencies, and both verification rejoins all consume `items`,
+    # and ReusedExchange never fires above MapInArrow (Python functions
+    # defeat canonical subtree equality — the exchange form re-ran the
+    # gram kernel SIX times here). One kernel run, ~200 longs per doc.
     items = (
         spread(d, "doc_id")
         .select(F.col("doc_id").alias("_id"), "text")
         .mapInArrow(char_gram_items_gen(5, "_id"), "_id long, _arr array<long>")
-        .repartition(F.col("_id"))
+        .localCheckpoint(eager=True)
     )
     cands = prefix_filter_candidates(items, 0.8)
     return jaccard_from_sets(items, cands, 0.8)

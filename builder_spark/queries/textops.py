@@ -162,7 +162,12 @@ def q_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(d.filter(F.size(toks) >= 3))
         .select("doc_id", "text")
         .mapInArrow(charfold_sig_gen(3, _A, _B, _P, "doc_id"), _sig_schema)
-        .repartition(F.col("doc_id"))
+        # checkpoint, not repartition (r15): ReusedExchange never fires
+        # above MapInArrow (Python functions defeat canonical subtree
+        # equality), so the exchange boundary re-ran the signature
+        # kernel once per consumer — 4 times here (band sides a/b +
+        # signature rejoins x/y). One kernel run, 8 longs per doc.
+        .localCheckpoint(eager=True)
     )
     bands = F.array(
         *[

@@ -78,6 +78,21 @@ def test_chargram_kernels_match_expressions_on_fixture(spark):
     _assert_same(_expr_winnow(d), _kern_winnow(d))
 
 
+def test_charfold_strings_gen_matches_charfold_hash(spark):
+    from builder_spark.operators.arrowkern import charfold_strings_gen
+    from builder_spark.operators.dedup import charfold_hash
+
+    rows = [
+        (0, ""), (1, "a"), (2, "abc def"), (3, "héllo wörld"),
+        (4, "\U0001F600ab"), (5, "x" * 500), (6, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _w string")
+    expr = df.select("doc_id", charfold_hash("_w").alias("_th"))
+    kern = df.mapInArrow(charfold_strings_gen("_th"), "doc_id long, _th long")
+    assert expr.exceptAll(kern).count() == 0
+    assert kern.exceptAll(expr).count() == 0
+
+
 def test_chargram_kernels_match_on_edge_texts(spark):
     rows = [
         (0, ""),                      # cps [0, 0] -> one gram, fold 0
