@@ -222,7 +222,7 @@ def jaccard_pairs(
         toks = df.select(
             F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_t")
         )
-        pairs = candidates.join(
+        pairs = _pin_pair_parallelism(candidates).join(
             toks.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta")), "id_a"
         ).join(toks.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb")), "id_b")
         inter = F.size(F.array_intersect("_ta", "_tb"))
@@ -272,15 +272,26 @@ def prefix_filter_candidates(items: DataFrame, tau: float) -> DataFrame:
     all-pairs oracle) keeps. Slack only WIDENS the candidate set.
     """
     tau = tau - 5e-5
+    n_pin = items.sparkSession.sparkContext.defaultParallelism
     tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
     gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
     w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
     prefix_len = F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz") - F.lit(1e-9)) + 1
+    # explicit pinned (_id) exchange: the window's own hash exchange is
+    # byte-tiny, so AQE's byte-based coalescing serializes the ranking
+    # AND everything pipelined above it (the pair-generating join +
+    # the partial distinct) onto a handful of tasks; REPARTITION_BY_NUM
+    # is exempt, satisfies the window's clustering requirement (no
+    # second exchange), and scales with the cluster — the same fix as
+    # the stitch's (_pid) pin. Second pin on _w below: the generation
+    # join's streamed side otherwise inherits the coalesced layout.
     prefix = (
         tok.join(gdf, "_w")
+        .repartition(n_pin, F.col("_id"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_rn", "_w")
+        .repartition(n_pin, F.col("_w"))
     )
     a = prefix.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"), "_w"
@@ -308,16 +319,49 @@ def prefix_filter_candidates(items: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def _pin_pair_parallelism(candidates: DataFrame) -> DataFrame:
+    """Fan the candidate-pair table out to cluster parallelism with an
+    explicit REPARTITION_BY_NUM before the verification stage.
+
+    The verification stage's cost is per-PAIR CPU (attach two element
+    arrays, count the overlap), but the candidate `.distinct()` feeding
+    it is byte-tiny (16 B/pair), so AQE's byte-based partition
+    coalescing legally shrinks it — measured at sf0.1: q_ngram_jaccard's
+    verify stage ran 167 CPU-s on 8 tasks, q_containment_dedup's pair
+    fan-out on ONE task (15 s straggler). Pinning the count makes the
+    exchange exempt from coalescing (same fix, same reasoning as the
+    stitch's (_pid) repartition). ROUND-ROBIN, not hash on (id_a,
+    id_b): the distinct's own ENSURE_REQUIREMENTS exchange already
+    hash-partitions by exactly that key, so a keyed pin is elided as a
+    redundant exchange and the surviving distinct exchange coalesces
+    anyway (observed in the AQE-final plan: the pin vanished, verify
+    ran on 16 tasks / 113 CPU-s). Round-robin partitioning differs
+    from the child's, survives, and its sort-before-repartition pass
+    is trivial on 16-byte pair rows. Scale-adaptive: defaultParallelism
+    is the cluster's core count, not a local constant."""
+    n = candidates.sparkSession.sparkContext.defaultParallelism
+    return candidates.repartition(n)
+
+
 def jaccard_from_sets(
     items: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs: both element arrays join in
     whole (two broadcast-or-shuffle hash joins keyed on id), and the
     intersection is computed JVM-side with array_intersect — no
-    element-level explode, cost O(|candidates| · avg set size)."""
+    element-level explode, cost O(|candidates| · avg set size).
+
+    A vectorized Arrow pair-overlap kernel (sorted per-doc arrays +
+    searchsorted probes) was built and MEASURED against this form at
+    sf0.1 (r15): with the partition pin below, the JVM intersect runs
+    the whole verify stage in ~2 s, while the kernel paid ~21 GB of
+    pair-grain Arrow boundary (the real gram sets average ~900
+    elements, not the 200 the napkin math assumed) plus numpy passes
+    that cost about the same CPU as the hash sets it replaced — 17-31 s
+    walls, 10× WORSE. Rejected; the pin is the whole win here."""
     a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
     b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
-    pairs = candidates.join(a, "id_a").join(b, "id_b")
+    pairs = _pin_pair_parallelism(candidates).join(a, "id_a").join(b, "id_b")
     # SSJoin SIZE FILTER (exactness-preserving): J(A,B) ≥ τ forces
     # |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), hence
     # min ≥ τ·max — a candidate whose sizes are more than 1/τ apart
@@ -654,17 +698,24 @@ def winnow_containment_pairs(
     # prefix×full in one direction + unordered normalization covers
     # both assignments. Complete for containment ≥ c; hot fingerprints
     # never enter a prefix, so no quadratic fan-out.
+    n_pin = items.sparkSession.sparkContext.defaultParallelism
     tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
     gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
     rank_w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
     prefix_len = (
         F.col("_sz") - F.ceil(F.lit(min_containment) * F.col("_sz") - F.lit(1e-9)) + 1
     )
+    # pinned (_id) + (_w) exchanges: see prefix_filter_candidates — the
+    # byte-tiny window exchange otherwise coalesces, serializing the
+    # rank, the generation join and the partial distinct pipelined
+    # above it (measured: one 15 s task at sf0.1)
     prefix = (
         tok.join(gdf, "_w")
+        .repartition(n_pin, F.col("_id"))
         .withColumn("_rn", F.row_number().over(rank_w))
         .filter(F.col("_rn") <= prefix_len)
         .select(F.col("_id").alias("_pid"), "_w")
+        .repartition(n_pin, F.col("_w"))
     )
     cands = (
         prefix.join(tok.select(F.col("_id").alias("_fid"), "_w"), "_w")
@@ -679,7 +730,8 @@ def winnow_containment_pairs(
     b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_fb"))
     shared = F.size(F.array_intersect("_fa", "_fb"))
     return (
-        cands.join(a, "id_a")
+        _pin_pair_parallelism(cands)
+        .join(a, "id_a")
         .join(b, "id_b")
         .withColumn("shared_fp", shared)
         .withColumn(
@@ -789,15 +841,22 @@ def containment_pairs(items: DataFrame, tau: float) -> DataFrame:
     :func:`prefix_filter_candidates`).
     """
     tau_eff = tau - 5e-5
+    n_pin = items.sparkSession.sparkContext.defaultParallelism
     tok = items.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_w"))
     gdf = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_gdf"))
     w = Window.partitionBy("_id").orderBy(F.col("_gdf").asc(), F.col("_w").asc())
     prefix_len = F.col("_sz") - F.ceil(F.lit(tau_eff) * F.col("_sz") - F.lit(1e-9)) + 1
+    # pinned (_id) + (_w) exchanges: see prefix_filter_candidates — the
+    # byte-tiny window exchange otherwise coalesces, serializing the
+    # rank, the generation join and the partial distinct pipelined
+    # above it (measured: one 15-18 s task at sf0.1)
     prefix = (
         tok.join(gdf, "_w")
+        .repartition(n_pin, F.col("_id"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_w")
+        .repartition(n_pin, F.col("_w"))
     )
     full = tok.select(F.col("_id").alias("_idf"), F.col("_sz").alias("_szf"), "_w")
     cand = (
@@ -817,7 +876,7 @@ def containment_pairs(items: DataFrame, tau: float) -> DataFrame:
     )
     a = items.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
     b = items.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
-    pairs = cand.join(a, "id_a").join(b, "id_b")
+    pairs = _pin_pair_parallelism(cand).join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_ta", "_tb"))
     mn = F.least(F.size("_ta"), F.size("_tb"))
     return (

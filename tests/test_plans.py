@@ -821,7 +821,14 @@ def test_stitched_running_desc_with_nulls(spark):
     "name,max_exchanges",
     [
         ("q_semdedup_prune", 3),      # cell projection + self-join sides
-        ("q_containment_dedup", 3),   # token stream agg + prefix rank + verify joins
+        # r15: 3 → 10 — the generation/verify stages gained three pinned
+        # REPARTITION_BY_NUM exchanges (window _id pin, generation-join
+        # _w pin, candidate round-robin pin: AQE's byte-based coalescing
+        # was serializing the CPU-bound pair work onto 1 task, measured
+        # 15-18 s straggler at sf0.1; walls 22 → ~13 s with the pins).
+        # The static print also duplicates the shared prefix lineage
+        # (runtime-reused, same precedent as the stitch budgets).
+        ("q_containment_dedup", 10),
         ("q_span_dup_rate", 4),       # span stream + hash-df agg + rejoin
         ("q_readability", 1),         # one combinable groupBy(lang)
         ("q_charclass_profile", 1),   # one combinable groupBy(source)
