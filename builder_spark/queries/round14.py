@@ -998,6 +998,14 @@ def q_session_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
+    # pinned (user_id) exchange: applyInPandas' implicit groupBy
+    # exchange is byte-tiny (1.8 MB at sf0.1) so AQE coalesced it to
+    # ONE task — every user's Python walk ran serially (6 s wall,
+    # 0.2 s JVM CPU). REPARTITION_BY_NUM satisfies the grouped-map
+    # clustering requirement (no second exchange), is exempt from
+    # coalescing, and scales with the cluster.
+    n_pin = spark.sparkContext.defaultParallelism
+    ev = ev.repartition(n_pin, F.col("user_id"))
     out = ev.groupBy("user_id").applyInPandas(
         _capped_sessions_fn,
         "user_id bigint, session_id bigint, n_events bigint, "

@@ -2332,7 +2332,12 @@ def q_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(T·10) folds, and the per-doc argmax is an array_max over
     (count, −start) structs — no explode, no shuffle beyond the scan.
     Docs shorter than the window score their whole token list."""
-    d = load_table(spark, sf_dir, "documents")
+    from builder_spark.operators.partitioning import spread
+
+    # spread: the documents scan is one row group at bench SFs and the
+    # O(T·10) interpreted window folds pipelined on it ran as a single
+    # 5.5 CPU-s task at sf0.1; on a wide cluster scan this no-ops
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     hit = F.transform(
         "toks",

@@ -589,7 +589,17 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative between the JVM and DuckDB, which at sf0.1 row counts
     lands pairs inside round(,4) boundaries. Rank still orders on
     round(d, 4) then s_suppkey."""
-    cust = load_table(spark, sf_dir, "customer").selectExpr(
+    from builder_spark.operators.partitioning import spread
+
+    # spread: the customer scan is a single row group at bench SFs, and
+    # the whole candidate pipeline (cell join + polynomial haversine +
+    # radius filter) pipelines on the scan's tasks — measured one
+    # 11 CPU-s task at sf0.1 (the Horner-expanded haversine is the
+    # per-row cost). On a real cluster the scan is already wide and
+    # spread no-ops.
+    cust = spread(
+        load_table(spark, sf_dir, "customer"), "c_custkey"
+    ).selectExpr(
         "c_custkey",
         f"{_LAT.format(key='c_custkey')} AS lat",
         f"{_LON.format(key='c_custkey')} AS lon",

@@ -111,6 +111,11 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_table(spark, sf_dir, "events")
+    # pinned (user_id) exchange: the implicit grouped-map exchange is
+    # byte-tiny, so AQE coalesced the per-user Python stage to a
+    # handful of tasks (same fix as q_session_cap; REPARTITION_BY_NUM
+    # satisfies the clustering requirement and scales with the cluster)
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id bigint, user_id bigint, z double"
     )

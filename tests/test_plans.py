@@ -1007,7 +1007,11 @@ def test_late_interaction_maxsim_plan(spark):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q_snippet_extraction", 0),  # pure per-row array math on the scan
+        # r15: 0 → 1 — a spread() exchange fans the single-row-group
+        # documents scan out before the O(T·10) interpreted window
+        # folds (one 5.5 CPU-s task at sf0.1 otherwise); still no
+        # data-dependent shuffle
+        ("q_snippet_extraction", 1),
         ("q_cell_purity", 3),         # (cell,label) agg + cell rollup + final 1-row agg
     ],
 )
@@ -1026,7 +1030,10 @@ def test_geo_nearest_is_cell_equi_join(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, "all-pairs spatial join leaked in"
     assert has_broadcast_join(df), "cell join should broadcast the supplier side"
-    assert count_exchanges(df) <= 1  # one per-customer rank exchange
+    # r15: 1 → 2 — spread() of the single-row-group customer scan
+    # (the polynomial-haversine pipeline ran as one 11 CPU-s task)
+    # plus the per-customer rank exchange
+    assert count_exchanges(df) <= 2
 
 
 @pytest.mark.parametrize(
