@@ -1619,8 +1619,24 @@ def q_near_dup_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pairs + banded candidates), never all-pairs. Oracle composes
     the two registered oracles, so the metric can never disagree with
     the graded components."""
-    cand = q_minhash_banded(spark, sf_dir).select("id_a", "id_b")
-    truth = QUERIES["q_jaccard_pairs"].fn(spark, sf_dir).select("id_a", "id_b")
+    # localCheckpoint both pair sets (r15): each feeds TWO consumers
+    # (its count + the hit semi-join), and exchange reuse only dedupes
+    # the SHUFFLE — the exact-Jaccard verification projection sits
+    # ABOVE the last exchange and re-ran once per consumer (measured
+    # 2 × ~135 CPU-s per invocation at sf0.1). The checkpoint runs
+    # each component once and hands consumers the bare (id_a, id_b)
+    # rows — same tradeoff as the kernel-output checkpoints.
+    cand = (
+        q_minhash_banded(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        QUERIES["q_jaccard_pairs"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_true"))
