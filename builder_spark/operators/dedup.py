@@ -19,6 +19,8 @@ permutation. No randomness, reproducible across runs/clusters.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -747,6 +749,23 @@ def winnow_containment_pairs(
     )
 
 
+def _propagation_round(bi: DataFrame, labels: DataFrame, broadcastable: bool) -> DataFrame:
+    """One min-label propagation round: labels flow across the (already
+    bidirectional) edge table, every node keeps the minimum seen. With
+    ``broadcastable`` the node-grain label table ships map-side and the
+    edge table is never exchanged (scanned straight from its
+    checkpoint); the label aggregate's map-side partials compress the
+    per-round shuffle to node grain."""
+    lab = F.broadcast(labels) if broadcastable else labels
+    msgs = bi.join(lab, bi.v == lab.node).select(F.col("u").alias("node"), F.col("label"))
+    return (
+        labels.select("node", "label")
+        .union(msgs)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -773,6 +792,19 @@ def dedup_clusters(
     intermediate state. This is the iterative-algorithm escape hatch:
     Spark has no recursive CTE, so the DRIVER loops while every round
     stays a declarative, shuffle-bounded DataFrame op.
+
+    Shuffle discipline (r16): localCheckpoint discards partitioning
+    info, so a shuffle join would re-shuffle the EDGE table every
+    round (guide §2.4). Instead the node-grain label table — orders of
+    magnitude smaller than the edges for near-dup components — is
+    BROADCAST into the propagation join: the edge table is never
+    exchanged at all (scanned from its checkpoint, joined map-side),
+    and the only per-round shuffle is the label aggregate, which
+    map-side partial aggregation compresses to node grain. Guarded by
+    SPARK_GRAFT_CLUSTER_BCAST_MAX (default 20M nodes ≈ 320 MB framed,
+    well under the 8 GB / 512M-row broadcast cap): above it, fall back
+    to the shuffle join — at that scale co-partitioning via a bucketed
+    staging table is the production answer (SCALE.md).
     """
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -783,16 +815,11 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    bcast_max = int(os.environ.get("SPARK_GRAFT_CLUSTER_BCAST_MAX", 20_000_000))
+    broadcastable = labels.count() <= bcast_max
     for _ in range(max_iter):
-        msgs = bi.join(labels, bi.v == labels.node).select(
-            F.col("u").alias("node"), F.col("label")
-        )
-        new_labels = (
-            labels.select("node", "label")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        new_labels = _propagation_round(bi, labels, broadcastable).localCheckpoint(
+            eager=True
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "_old"), "node")

@@ -9,6 +9,7 @@ adds a shuffle fails CI before anyone runs a benchmark.
 
 from builder_spark.plans.inspect import (  # noqa: F401
     count_exchanges,
+    executed_plan,
     formatted_plan,
     has_broadcast_join,
     pushed_filters,

@@ -57,6 +57,24 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def executed_plan(df: DataFrame, materialize: bool = True) -> str:
+    """The POST-EXECUTION (AQE-final) physical plan string.
+
+    Executes the DataFrame (collect) unless ``materialize=False`` — in
+    that case the caller must already have run an action through THIS
+    DataFrame's QueryExecution (``df.count()`` builds a SEPARATE plan
+    and finalizes nothing). Runtime-only facts live here and nowhere
+    in the static print: exchange/stage reuse (a static print shows
+    duplicated lineage that the runtime executes once), AQEShuffleRead
+    coalescing, runtime join demotions. r15's two runtime-evidenced
+    claims (tfidf single-Generate, stitch lineage-prints-twice) lacked
+    this artifact; tests and plan dumps should use it for any claim
+    about what actually ran (r16 verdict item 6)."""
+    if materialize:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (the ``*(n)`` marks in simple
     EXPLAIN). Under AQE the marks exist only in the FINAL plan, so this
